@@ -1,0 +1,535 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Cols._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / analytic operator core (SURVEY §2.B).
+  *
+  * Every query is a declarative DataFrame plan: filters and projections
+  * reach the parquet scan via Catalyst pushdown, dimension joins are
+  * broadcast, aggregates partial-aggregate map-side. Money sums follow the
+  * decimal policy in [[graft.functions.Cols]].
+  */
+object Relational {
+
+  // Shorthands used across the oracle SQL: decimal-exact sum / stable avg.
+  private def sqlSum(e: String) = s"sum(cast(($e) as decimal(38,9)))"
+  private def sqlAvg(e: String) =
+    s"round(cast(${sqlSum(e)} as double) / count(*), 6)"
+
+  val defs: Map[String, Q] = Map(
+    // ----------------------------------------------------------------
+    "q1_agg" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q3_topk" -> Q(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q5_join5" -> Q(
+      (s, d) => {
+        val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, d)
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        // dims broadcast; the one fact-fact join (orders ⋈ lineitem)
+        // shuffles on the order key once.
+        val dim = cust
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .select(col("c_custkey"), col("n_name"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(dim), ord("o_custkey") === dim("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      s"""SELECT n_name, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM region
+         |JOIN nation   ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders   ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q6_filter_agg" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("cnt")),
+      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue, count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_semijoin" -> Q(
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        Tables.customer(s, d)
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_antijoin" -> Q(
+      (s, d) => {
+        val f = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        Tables.customer(s, d)
+          .join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_outerjoin" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+        Tables.customer(s, d)
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |  ${sqlSum("coalesce(o_totalprice, 0.0)")} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_window_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_window_running" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w))
+          .drop("o_totalprice")
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(cast(o_totalprice as decimal(38,9))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_window_lag" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT event_id, user_id, event_type, value,
+        |  lag(value)       OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_rollup" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            grouping(col("l_returnflag")).as("g_flag"),
+            grouping(col("l_linestatus")).as("g_status"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("cnt"), col("sum_qty"), col("g_flag"), col("g_status"))
+          .orderBy("returnflag", "linestatus"),
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  count(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty,
+         |  cast(grouping(l_returnflag) as tinyint) AS g_flag,
+         |  cast(grouping(l_linestatus) as tinyint) AS g_status
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_cube" -> Q(
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("cnt"), col("total"))
+          .orderBy("status", "priority"),
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS cnt, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_distinct_agg" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // HLL sketch counts: engine-specific estimates, so rows-only.
+    "q_approx_distinct" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // ----------------------------------------------------------------
+    "q_percentiles" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5),  6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_pivot" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .pivot("event_type", types)
+          .count()
+        p.select(col("event_date") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("event_date")
+      },
+      """SELECT cast(ts AS date) AS event_date,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_scalar_subquery" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        // exact decimal mean → one double divide: engine-stable threshold
+        val thr = ord.agg((dsum(col("o_totalprice")).cast("double") /
+          count(lit(1))).as("thr"))
+        ord.join(broadcast(thr))
+          .filter(col("o_totalprice") > col("thr"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (
+         |  SELECT cast(${sqlSum("o_totalprice")} as double) / count(*) FROM orders)
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_in_subquery" -> Q(
+      (s, d) => {
+        val hi = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_partkey")).distinct()
+        Tables.part(s, d)
+          .join(hi, col("p_partkey") === col("l_partkey"), "left_semi")
+          .select("p_partkey", "p_name", "p_brand")
+          .orderBy("p_partkey")
+      },
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_cte_chain" -> Q(
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(dsum(col("o_totalprice")).as("revenue"))
+        val w = Window.orderBy(col("month"))
+        monthly
+          .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+          .withColumn("growth",
+            round((col("revenue") - col("prev_revenue")).cast("double") /
+              col("prev_revenue").cast("double"), 6))
+          .filter(col("prev_revenue").isNotNull)
+          .select("month", "revenue", "prev_revenue", "growth")
+          .orderBy("month")
+      },
+      s"""WITH monthly AS (
+         |  SELECT date_trunc('month', o_orderdate) AS month,
+         |         ${sqlSum("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |chained AS (
+         |  SELECT month, revenue,
+         |         lag(revenue) OVER (ORDER BY month) AS prev_revenue
+         |  FROM monthly)
+         |SELECT month, revenue, prev_revenue,
+         |  round(cast(revenue - prev_revenue as double) /
+         |        cast(prev_revenue as double), 6) AS growth
+         |FROM chained WHERE prev_revenue IS NOT NULL ORDER BY month""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_setops" -> Q(
+      (s, d) => {
+        val custN = Tables.customer(s, d)
+          .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+        val suppN = Tables.supplier(s, d)
+          .select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+        val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+        val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+        val suppOnly = suppN.except(custN).withColumn("tag", lit("supp_only"))
+        both.union(custOnly).union(suppOnly).orderBy("tag", "nationkey")
+      },
+      """WITH c AS (SELECT DISTINCT cast(c_nationkey as int) AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT cast(s_nationkey as int) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+        |ORDER BY tag, nationkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_string_funcs" -> Q(
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            lower(col("p_type")).as("type_lower"),
+            substring(col("p_name"), 1, 5).as("name_prefix"),
+            length(col("p_name")).as("name_len"),
+            split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+            concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+            replace(col("p_name"), lit(" "), lit("_")).as("name_snake"))
+          .orderBy("p_partkey"),
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_type) AS type_lower,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  cast(length(p_name) as int) AS name_len,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_date_funcs" -> Q(
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mon"),
+            quarter(col("o_orderdate")).as("qtr"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+            datediff(lit("2002-01-01").cast("date"),
+              col("o_orderdate").cast("date")).as("days_to_2002"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  cast(year(o_orderdate) as int) AS yr,
+        |  cast(month(o_orderdate) as int) AS mon,
+        |  cast(quarter(o_orderdate) as int) AS qtr,
+        |  cast(dayofyear(o_orderdate) as int) AS doy,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  cast(date_diff('day', cast(o_orderdate as date), DATE '2002-01-01') as int) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_having" -> Q(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .filter(col("n_orders") >= 12)
+          .orderBy("o_custkey"),
+      s"""SELECT o_custkey, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+         |ORDER BY o_custkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_case_agg" -> Q(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+              .otherwise(decZero)).as("finished_total"),
+            sum(when(col("o_orderstatus") === "O", lit(1L)).otherwise(lit(0L)))
+              .as("open_cnt"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F'
+        |           THEN cast(o_totalprice as decimal(38,9))
+        |           ELSE cast(0 as decimal(38,9)) END) AS finished_total,
+        |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS open_cnt,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ----------------------------------------------------------------
+    "q_values_lookup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+          ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+          .toDF("priority", "tier")
+        Tables.orders(s, d)
+          .join(broadcast(tiers), col("o_orderpriority") === col("priority"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("tier")
+      },
+      s"""SELECT tier, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES ('1-URGENT','hot'), ('2-HIGH','hot'), ('3-MEDIUM','warm'),
+         |             ('4-NOT SPECIFIED','cold'), ('5-LOW','cold')) AS t(priority, tier)
+         |  ON o_orderpriority = priority
+         |GROUP BY tier ORDER BY tier""".stripMargin)
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Targeted semantics checks for the relational core (SURVEY §2.B). */
+class RelationalSpec extends SparkSpec {
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q1_agg groups are (returnflag, linestatus) pairs with exact sums") {
+    val rows = run("q1_agg").collect()
+    assert(rows.length <= 9 && rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    assert(rows.map(_.getAs[Long]("count_order")).sum == li.count())
+  }
+
+  test("q3_topk returns exactly 10 rows in descending revenue order") {
+    val rev = run("q3_topk").collect().map(_.getAs[java.math.BigDecimal]("revenue"))
+    assert(rev.length == 10)
+    assert(rev.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+  }
+
+  test("q_semijoin + q_antijoin partition is consistent") {
+    // semi(urgent) and anti(F-status) overlap is data-dependent, but each
+    // must be a subset of customers
+    val nCust = Tables.customer(spark, sf).count()
+    assert(run("q_semijoin").count() <= nCust)
+    assert(run("q_antijoin").count() <= nCust)
+  }
+
+  test("q_outerjoin keeps every customer") {
+    assert(run("q_outerjoin").count() == Tables.customer(spark, sf).count())
+  }
+
+  test("q_window_rank emits at most 3 rows per customer, rn ascending") {
+    val bad = run("q_window_rank").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .filter(col("n") > 3 || col("mx") > 3)
+    assert(bad.count() == 0)
+  }
+
+  test("q_approx_distinct is within 10% of exact") {
+    val approx = run("q_approx_distinct").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val exact = run("q_distinct_agg").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.10, s"flag $k: $ex vs ${approx(k)}")
+    }
+  }
+
+  test("q_rollup grand total row equals table count") {
+    val all = run("q_rollup")
+      .filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .collect()
+    assert(all.length == 1)
+    assert(all(0).getAs[Long]("cnt") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_pivot row sums equal event count") {
+    val p = run("q_pivot")
+    val total = p.select((col("click") + col("error") + col("purchase") +
+      col("signup") + col("view")).as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
