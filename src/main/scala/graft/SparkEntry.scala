@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All operator modules; each contributes Spark impl + optional oracle. */
   private def modules: Seq[Map[String, Q]] = Seq(
-    operators.Relational.defs
+    operators.Relational.defs,
+    operators.Ingestion.defs
   )
 
   lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.ingest._
+import graft.sources.LoadAudit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion & canonical modeling operators (SURVEY §2.A) — the reference's
+  * core surface re-expressed Spark-first. The DuckDB oracles rebuild the
+  * same synthesized payloads byte-for-byte (OracleFrags) and re-derive the
+  * expected canonical output, making every stage (parse → normalize →
+  * canonicalize → flatten → audit → ops) hash-checked cross-engine.
+  */
+object Ingestion {
+
+  // ------------------------------------------------------------------
+  // Spark-side composition helpers
+  // ------------------------------------------------------------------
+  private def jsonHeaders(s: SparkSession, d: String): DataFrame =
+    HeaderNormalizer.fromJson(RawSynth.jsonRaw(s, d))
+
+  private def csvHeaders(s: SparkSession, d: String): DataFrame =
+    HeaderNormalizer.fromCsv(RawSynth.csvRaw(s, d))
+
+  private def allHeaders(s: SparkSession, d: String): DataFrame =
+    jsonHeaders(s, d).unionByName(csvHeaders(s, d), allowMissingColumns = true)
+
+  private def survivors(s: SparkSession, d: String): DataFrame =
+    Canonicalizer.survivors(allHeaders(s, d))
+
+  private def allLines(s: SparkSession, d: String): DataFrame = {
+    val surv = survivors(s, d)
+    LineFlattener.fromJsonSurvivors(
+        surv.filter(col("source_system") === "JSON" && col("parse_ok")))
+      .unionByName(LineFlattener.fromCsvSurvivors(
+        surv.filter(col("source_system") === "CSV" && col("parse_ok"))))
+  }
+
+  private def allAnomalies(s: SparkSession, d: String): DataFrame =
+    AnomalyDetector.headerAnomalies(survivors(s, d))
+      .unionByName(AnomalyDetector.lineAnomalies(allLines(s, d)))
+
+  private val headerOutCols = Seq("client_id", "source_system", "source_txn_id",
+    "txn_timestamp", "currency", "total_amount", "customer_id", "account_id",
+    "merchant", "src_file", "src_row_number", "payload_hash", "parse_ok")
+
+  // ------------------------------------------------------------------
+  // Query definitions
+  // ------------------------------------------------------------------
+  val defs: Map[String, Q] = Map(
+    "ing_json_normalize" -> Q(
+      (s, d) => jsonHeaders(s, d)
+        .select(headerOutCols.map(col): _*)
+        .orderBy("src_row_number"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT ${headerOutCols.mkString(", ")}
+FROM jhdr ORDER BY src_row_number"""),
+
+    "ing_csv_positional" -> Q(
+      (s, d) => csvHeaders(s, d)
+        .select(headerOutCols.map(col): _*)
+        .orderBy("src_row_number"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT ${headerOutCols.mkString(", ")}
+FROM chdr ORDER BY src_row_number"""),
+
+    "ing_xml_normalize" -> Q(
+      (s, d) => HeaderNormalizer.fromXml(RawSynth.xmlRaw(s, d))
+        .select(col("client_id"), col("source_system"), col("source_txn_id"),
+          col("txn_timestamp"), col("currency"), col("total_amount"),
+          col("customer_id"), col("src_file"), col("src_row_number"),
+          col("parse_ok"))
+        .orderBy("src_row_number"),
+      None),
+
+    "ing_load_audit" -> Q(
+      (s, d) => LoadAudit.audit(allHeaders(s, d))
+        .orderBy("src_file"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT src_file, file_type, count(*) AS rows_parsed,
+  cast(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) as bigint) AS rows_loaded,
+  cast(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) as bigint) AS errors_seen,
+  min(CASE WHEN NOT parse_ok THEN src_row_number END) AS first_error_row,
+  CASE WHEN sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) = 0 THEN 'LOADED'
+       WHEN sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) = 0 THEN 'LOAD_FAILED'
+       ELSE 'PARTIALLY_LOADED' END AS load_status
+FROM hdr GROUP BY src_file, file_type ORDER BY src_file"""),
+
+    "canon_header" -> Q(
+      (s, d) => survivors(s, d)
+        .select(col("canonical_txn_id"), col("client_id"), col("source_system"),
+          col("effective_source_txn_id").as("source_txn_id"),
+          col("txn_timestamp"), col("currency"), col("total_amount"),
+          col("is_valid"),
+          array_join(col("anomaly_codes"), ",").as("anomaly_codes"),
+          col("dup_cnt"), col("src_file"))
+        .orderBy("canonical_txn_id"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT canonical_txn_id, client_id, source_system,
+  eff_txn_id AS source_txn_id, txn_timestamp, currency, total_amount,
+  is_valid, anomaly_codes, dup_cnt, src_file
+FROM surv ORDER BY canonical_txn_id"""),
+
+    // measures as double BOTH sides: values are exact ≤4-dp decimals (same
+    // double bits in either engine) and a uniform sortable dtype keeps the
+    // driver's sort-then-compare row alignment stable on tie-breaks.
+    "canon_lines" -> Q(
+      (s, d) => allLines(s, d)
+        .select(col("canonical_txn_id"), col("line_number"), col("line_txn_id"),
+          col("item_id"), col("description"),
+          col("quantity").cast("double").as("quantity"),
+          col("unit_price").cast("double").as("unit_price"),
+          col("line_amount").cast("double").as("line_amount"),
+          col("currency"), col("src_file"))
+        .orderBy("canonical_txn_id", "line_number"),
+      s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes}
+SELECT canonical_txn_id, line_number, line_txn_id, item_id, description,
+  cast(quantity as double) AS quantity,
+  cast(unit_price as double) AS unit_price,
+  cast(line_amount as double) AS line_amount, currency, src_file
+FROM lines_all ORDER BY canonical_txn_id, line_number"""),
+
+    "merge_upsert" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val key = concat(lit("K"), col("o_orderkey").cast("string")).as("merge_key")
+        val tgt = o.filter(col("o_orderkey") % 3 === 0)
+          .select(key, (col("o_totalprice") * 0.8).cast("decimal(18,2)")
+            .as("total_amount"), lit("v1").as("version"))
+        val src = o.filter(col("o_orderkey") % 4 === 0)
+          .select(key, col("o_totalprice").cast("decimal(18,2)")
+            .as("total_amount"), lit("v2").as("version"))
+        MergeUpsert.upsert(tgt, src, Seq("merge_key")).orderBy("merge_key")
+      },
+      """WITH tgt AS (
+        |  SELECT 'K' || cast(o_orderkey as varchar) AS merge_key,
+        |    cast(o_totalprice * 0.8 as decimal(18,2)) AS total_amount,
+        |    'v1' AS version FROM orders WHERE o_orderkey % 3 = 0),
+        |src AS (
+        |  SELECT 'K' || cast(o_orderkey as varchar) AS merge_key,
+        |    cast(o_totalprice as decimal(18,2)) AS total_amount,
+        |    'v2' AS version FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT coalesce(s.merge_key, t.merge_key) AS merge_key,
+        |  coalesce(s.total_amount, t.total_amount) AS total_amount,
+        |  coalesce(s.version, t.version) AS version,
+        |  CASE WHEN s.merge_key IS NOT NULL AND t.merge_key IS NOT NULL THEN 'updated'
+        |       WHEN s.merge_key IS NOT NULL THEN 'inserted'
+        |       ELSE 'retained' END AS merge_action
+        |FROM tgt t FULL JOIN src s ON t.merge_key = s.merge_key
+        |ORDER BY merge_key""".stripMargin),
+
+    "anomaly_header" -> Q(
+      (s, d) => AnomalyDetector.headerAnomalies(survivors(s, d))
+        .orderBy("canonical_txn_id", "anomaly_code"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT canonical_txn_id, client_id, source_system, anomaly_code,
+  cast(NULL as int) AS line_number, src_file,
+  '${AnomalyDetector.headerDetail}' AS anomaly_detail
+FROM (
+  SELECT *, 'DUPLICATE_TXN' AS anomaly_code FROM surv WHERE dup_cnt > 1
+  UNION ALL
+  SELECT *, 'MISSING_REQUIRED' FROM surv
+    WHERE txn_timestamp IS NULL OR total_amount IS NULL
+  UNION ALL
+  SELECT *, 'NEGATIVE_AMOUNT' FROM surv WHERE total_amount < 0)
+ORDER BY canonical_txn_id, anomaly_code"""),
+
+    "anomaly_line" -> Q(
+      (s, d) => AnomalyDetector.lineAnomalies(allLines(s, d))
+        .orderBy("canonical_txn_id", "line_number"),
+      s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes}
+SELECT canonical_txn_id, client_id, source_system,
+  CASE WHEN quantity < 0 THEN 'NEGATIVE_QTY'
+       ELSE 'NEGATIVE_AMOUNT_LINE' END AS anomaly_code,
+  line_number, src_file,
+  '${AnomalyDetector.lineDetail}' AS anomaly_detail
+FROM lines_all WHERE quantity < 0 OR line_amount < 0
+ORDER BY canonical_txn_id, line_number"""),
+
+    "ops_audit_summary" -> Q(
+      (s, d) => LoadAudit.audit(allHeaders(s, d))
+        .groupBy(col("file_type"), col("load_status"))
+        .agg(count(lit(1)).as("batch_count"),
+          sum(col("rows_parsed")).as("total_rows_parsed"),
+          sum(col("rows_loaded")).as("total_rows_loaded"),
+          sum(col("errors_seen")).as("total_errors_seen"))
+        .orderBy("file_type", "load_status"),
+      s"""WITH ${OracleFrags.synthCtes}, audit AS (
+  SELECT src_file, file_type, count(*) AS rows_parsed,
+    sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS rows_loaded,
+    sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS errors_seen,
+    CASE WHEN sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) = 0 THEN 'LOADED'
+         WHEN sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) = 0 THEN 'LOAD_FAILED'
+         ELSE 'PARTIALLY_LOADED' END AS load_status
+  FROM hdr GROUP BY src_file, file_type)
+SELECT file_type, load_status, count(*) AS batch_count,
+  cast(sum(rows_parsed) as bigint) AS total_rows_parsed,
+  cast(sum(rows_loaded) as bigint) AS total_rows_loaded,
+  cast(sum(errors_seen) as bigint) AS total_errors_seen
+FROM audit GROUP BY file_type, load_status
+ORDER BY file_type, load_status"""),
+
+    "ops_canon_counts" -> Q(
+      (s, d) => survivors(s, d)
+        .groupBy(col("client_id"), col("source_system"))
+        .agg(count(lit(1)).as("txn_count"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_txn_count"),
+          sum(when(col("is_valid"), 0L).otherwise(1L)).as("invalid_txn_count"))
+        .orderBy("client_id", "source_system"),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT client_id, source_system, count(*) AS txn_count,
+  cast(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) as bigint) AS valid_txn_count,
+  cast(sum(CASE WHEN is_valid THEN 0 ELSE 1 END) as bigint) AS invalid_txn_count
+FROM surv GROUP BY client_id, source_system
+ORDER BY client_id, source_system"""),
+
+    "ops_anomaly_counts" -> Q(
+      (s, d) => allAnomalies(s, d)
+        .groupBy(col("client_id"), col("source_system"), col("anomaly_code"))
+        .agg(count(lit(1)).as("anomaly_count"))
+        .orderBy("client_id", "source_system", "anomaly_code"),
+      s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes},
+anoms AS (
+  SELECT client_id, source_system, 'DUPLICATE_TXN' AS anomaly_code
+    FROM surv WHERE dup_cnt > 1
+  UNION ALL
+  SELECT client_id, source_system, 'MISSING_REQUIRED' FROM surv
+    WHERE txn_timestamp IS NULL OR total_amount IS NULL
+  UNION ALL
+  SELECT client_id, source_system, 'NEGATIVE_AMOUNT' FROM surv
+    WHERE total_amount < 0
+  UNION ALL
+  SELECT client_id, source_system,
+    CASE WHEN quantity < 0 THEN 'NEGATIVE_QTY'
+         ELSE 'NEGATIVE_AMOUNT_LINE' END
+    FROM lines_all WHERE quantity < 0 OR line_amount < 0)
+SELECT client_id, source_system, anomaly_code,
+  count(*) AS anomaly_count
+FROM anoms GROUP BY client_id, source_system, anomaly_code
+ORDER BY client_id, source_system, anomaly_code"""),
+
+    "smoke_counts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val h = survivors(s, d).count()
+        val l = allLines(s, d).count()
+        val a = allAnomalies(s, d).count()
+        Seq(("CAN_TXN", h), ("CAN_TXN_ANOMALY", a), ("CAN_TXN_LINE", l))
+          .toDF("object_name", "row_count").orderBy("object_name")
+      },
+      s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes},
+anoms AS (
+  SELECT canonical_txn_id FROM surv WHERE dup_cnt > 1
+  UNION ALL SELECT canonical_txn_id FROM surv
+    WHERE txn_timestamp IS NULL OR total_amount IS NULL
+  UNION ALL SELECT canonical_txn_id FROM surv WHERE total_amount < 0
+  UNION ALL SELECT canonical_txn_id FROM lines_all
+    WHERE quantity < 0 OR line_amount < 0)
+SELECT 'CAN_TXN' AS object_name, count(*) AS row_count FROM surv
+UNION ALL SELECT 'CAN_TXN_ANOMALY', count(*) FROM anoms
+UNION ALL SELECT 'CAN_TXN_LINE', count(*) FROM lines_all
+ORDER BY object_name""")
+  )
+}

@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Load telemetry (reference sql/01_raw_ingestion.sql RAW_LOAD_AUDIT):
+  * per-file rows parsed/loaded/errors + first error pointer + status,
+  * computed from the normalized staging rows' parse_ok flag — the Spark
+  * equivalent of COPY INTO ... ON_ERROR='CONTINUE' + RESULT_SCAN capture.
+  */
+object LoadAudit {
+
+  /** headers: any staging frame with src_file, file_type, parse_ok,
+    * src_row_number.
+    */
+  def audit(headers: DataFrame): DataFrame = headers
+    .groupBy(col("src_file"), col("file_type"))
+    .agg(
+      count(lit(1)).as("rows_parsed"),
+      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("rows_loaded"),
+      sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors_seen"),
+      min(when(!col("parse_ok"), col("src_row_number"))).as("first_error_row"))
+    .withColumn("load_status",
+      when(col("errors_seen") === 0, "LOADED")
+        .when(col("rows_loaded") === 0, "LOAD_FAILED")
+        .otherwise("PARTIALLY_LOADED"))
+}
