@@ -7,7 +7,8 @@ object SparkEntry {
   /** All operator modules; each contributes Spark impl + optional oracle. */
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.defs,
-    operators.Ingestion.defs
+    operators.Ingestion.defs,
+    operators.Timeseries.defs
   )
 
   lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Events / time-series operators (SURVEY §2.C).
+  *
+  * Scale notes (100 TB):
+  *   - Every operator here shuffles AT MOST ONCE, on `user_id` (high
+  *     cardinality in production) or on the group key; windows sort within
+  *     partitions only — no global sort.
+  *   - The as-of join uses the union-sort-window formulation: one shuffle of
+  *     both streams on the key, then `last(..., ignoreNulls)` over the
+  *     event-time order. No O(n·m) range cross-join, no broadcast of a fact.
+  *   - Measures aggregate in exact decimal (order-independent under any
+  *     partitioning) and are emitted as double for a uniform cross-engine
+  *     sort dtype.
+  */
+object Timeseries {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  private val valDec: Column = col("value").cast("decimal(18,2)")
+
+  val defs: Map[String, Q] = Map(
+    // Tumbling 1-hour event-time windows (streaming-equivalent batch form:
+    // the same groupBy(window(...)) runs under readStream + watermark).
+    "ev_window_agg" -> Q(
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(valDec).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Gap-based sessionization: lag + cumulative session flag — one shuffle
+    // on user_id, both windows share the same partitioning and sort.
+    "ev_sessionize" -> Q(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 30L * 60 * 1000000
+        val flagged = ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), valDec.as("v"))
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(byUser) > gapUs, 1)
+              .when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+          .withColumn("session_num",
+            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        flagged.groupBy("user_id", "session_num")
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(col("v")).cast("double").as("total_value"))
+          .orderBy("user_id", "session_num")
+      },
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, cast(value as decimal(18,2)) AS v,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_num
+        |  FROM flagged)
+        |SELECT user_id, session_num, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  cast(sum(v) as double) AS total_value
+        |FROM sess GROUP BY user_id, session_num
+        |ORDER BY user_id, session_num""".stripMargin),
+
+    // Latest-event-per-key survivorship — the streaming-dedup batch form.
+    "ev_dedup_latest" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            valDec.cast("double").as("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id", "event_type")
+      },
+      """SELECT user_id, event_type, ts, event_id,
+        |  cast(cast(value as decimal(18,2)) as double) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    // As-of join: for each purchase, the most recent click at ts' <= ts by
+    // the same user. Union-sort-window: clicks and purchases interleave in
+    // one event-time order per user; a running last(click_ts) answers the
+    // as-of lookup. Clicks sort before purchases on ts ties (inclusive <=).
+    "ev_asof_join" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (col("event_type") === "purchase").cast("int").as("is_p"))
+          .withColumn("last_click_ts",
+            last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"), col("last_click_ts"))
+          .orderBy("purchase_id")
+      },
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    cast(event_type = 'purchase' as int) AS is_p
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT *, last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  last_click_ts
+        |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
+
+    // Ordered funnel view -> click -> purchase: stepwise conditional minima.
+    // Three aggregations + joins all keyed on user_id — AQE reuses the
+    // exchange; no step touches more than the filtered event subset.
+    "ev_funnel" -> Q(
+      (s, d) => {
+        val e = ev(s, d).select("user_id", "ts", "event_type")
+        val base = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("first_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("first_view"))
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("first_click"))
+          .groupBy("user_id").agg(min("ts").as("first_purchase"))
+        base.join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view"), col("first_click"),
+            col("first_purchase"),
+            when(col("first_purchase").isNotNull, 3)
+              .when(col("first_click").isNotNull, 2)
+              .when(col("first_view").isNotNull, 1).otherwise(0).as("stage"))
+          .orderBy("user_id")
+      },
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |  GROUP BY e.user_id)
+        |SELECT b.user_id, v.first_view, c.first_click, p.first_purchase,
+        |  CASE WHEN p.first_purchase IS NOT NULL THEN 3
+        |       WHEN c.first_click IS NOT NULL THEN 2
+        |       WHEN v.first_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM (SELECT user_id FROM events GROUP BY user_id) b
+        |LEFT JOIN v ON b.user_id = v.user_id
+        |LEFT JOIN c ON b.user_id = c.user_id
+        |LEFT JOIN p ON b.user_id = p.user_id
+        |ORDER BY b.user_id""".stripMargin)
+  )
+}
