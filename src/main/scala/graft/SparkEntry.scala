@@ -8,7 +8,11 @@ object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.defs,
     operators.Ingestion.defs,
-    operators.Timeseries.defs
+    operators.Timeseries.defs,
+    operators.Dedup.defs,
+    operators.Similarity.defs,
+    operators.TextAnalysis.defs,
+    operators.Multimodal.defs
   )
 
   lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

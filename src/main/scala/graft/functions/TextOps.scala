@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives (tokenize, shingle, MinHash, SimHash, winnowing)
+  * as pure Column expressions — map-only, no UDFs, no driver state. Every
+  * hash is seeded deterministically so signatures are reproducible across
+  * runs and cluster layouts.
+  */
+object TextOps {
+
+  /** Whitespace tokens of already-clean text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Normalized text for exact dedup: lowercase, collapsed whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Distinct unigram shingle set (the similarity unit the corpus exhibits;
+    * swap for n-gram shingles via `ngrams`).
+    */
+  def shingleSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-grams as space-joined strings. */
+  def ngrams(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
+      (_, i) => i <= size(toks) - n)
+
+  // ------------------------------------------------------------------
+  // MinHash
+  // ------------------------------------------------------------------
+
+  /** K-long MinHash signature of a shingle set: K independently-seeded
+    * xxhash64 passes (the permutation index is part of the hash input) +
+    * array_min — map-only, and overflow-free under ANSI arithmetic.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, x => xxhash64(lit(i), x)))
+    }: _*)
+
+  /** LSH band hashes: signature split into `bands` equal slices, each slice
+    * hashed with its band index (same band+hash → candidate bucket).
+    */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(sig, b * rows + 1, rows)).as("band_hash"))
+    }: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over term-frequency-weighted token hashes: bit j is set
+    * when Σ_tokens (±1 per token-hash bit j) > 0. One xxhash64 pass; the 64
+    * bit-sums are cheap shift/mask folds over that array.
+    */
+  def simhash64(toks: Column): Column = {
+    val hs = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val w = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(w > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** 16-bit chunks of a SimHash: hamming distance ≤ 3 over 64 bits implies
+    * at least one of the 4 chunks is equal (pigeonhole), so an equi-join on
+    * (chunk_idx, chunk) is an EXACT blocking for d ≤ 3 — no O(n²) compare.
+    */
+  def simhashChunks(sh: Column): Column =
+    array((0 until 4).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(sh, 16 * c).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    }: _*)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Winnowing fingerprints
+  // ------------------------------------------------------------------
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram hashes, then
+    * the min hash of every w-window, deduplicated — the classic document
+    * fingerprint set, here as pure array expressions.
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    val n = length(text) - lit(k - 1)
+    val hs = transform(sequence(lit(1), greatest(n, lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    array_distinct(transform(
+      sequence(lit(1), greatest(n - lit(w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w)))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (SURVEY §2.D): exact hash dedup plus
+  * the three standard near-dup families (MinHash+LSH, SimHash, shingle
+  * Jaccard).
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup: one hash-shuffle on sha2(normalized_text) — a window
+  *     min per hash group, never a full-row dropDuplicates.
+  *   - MinHash/SimHash signatures are map-only; candidate generation joins
+  *     on band/chunk buckets, so the shuffle is keyed on bucket ids and the
+  *     pair work scales with bucket occupancy, not O(n²). SimHash chunking
+  *     is an exact blocking for hamming ≤ 3 (pigeonhole over 4×16 bits).
+  *   - Signatures ride through the bucket join (≲300 B/row) instead of
+  *     re-joining the corpus twice to score candidates.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "text")
+
+  private val K = 32       // minhash signature length
+  private val Bands = 4    // 4 bands × 8 rows: tuned for the near-dup tail
+  val JaccardThreshold = 0.8
+
+  /** (doc_id, sig, band, band_hash) — one row per band per doc. */
+  private def banded(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("sig", TextOps.minhashSignature(TextOps.shingleSet(col("text")), K))
+      .select(col("doc_id"), col("sig"),
+        explode(TextOps.bandHashes(col("sig"), K, Bands)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+
+  /** Candidate pairs from LSH buckets with signature-estimated Jaccard. */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val l = banded(s, d)
+    val r = l.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .agg(first(col("sig")).as("sig_a"), first(col("sig_b")).as("sig_b"),
+        count(lit(1)).as("n_bands_matched"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+          .cast("double") / K)
+      .drop("sig_a", "sig_b")
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup on the normalized-text sha2: group id = hash, canonical
+    // survivor = min doc_id per group.
+    "doc_dedup_exact" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")
+        docs(s, d)
+          .withColumn("norm_hash", sha2(TextOps.normalized(col("text")), 256))
+          .withColumn("canonical_doc_id", min("doc_id").over(w))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .select(col("doc_id"), col("norm_hash"), col("canonical_doc_id"),
+            col("group_size"),
+            (col("doc_id") =!= col("canonical_doc_id")).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) OVER w AS canonical_doc_id,
+        |  count(*) OVER w AS group_size,
+        |  doc_id <> min(doc_id) OVER w AS is_dup
+        |FROM documents
+        |WINDOW w AS (PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin),
+
+    // MinHash + LSH candidate pairs (signature agreement as Jaccard
+    // estimate). Rows-only: DuckDB lacks xxhash64; DedupSpec checks the
+    // estimates against exact Jaccard.
+    "doc_minhash_lsh" -> Q(
+      (s, d) => lshCandidates(s, d)
+        .select("doc_a", "doc_b", "n_bands_matched", "est_jaccard")
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // SimHash near-dup pairs at hamming <= 3 via exact 16-bit-chunk blocking.
+    "doc_simhash" -> Q(
+      (s, d) => {
+        val sh = docs(s, d)
+          .withColumn("simhash", TextOps.simhash64(TextOps.tokens(col("text"))))
+        val chunked = sh.select(col("doc_id"), col("simhash"),
+          explode(TextOps.simhashChunks(col("simhash"))).as("c"))
+          .select(col("doc_id"), col("simhash"),
+            col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+        val r = chunked.select(col("doc_id").as("doc_id_b"),
+          col("simhash").as("simhash_b"), col("chunk_idx"), col("chunk"))
+        chunked.join(r, Seq("chunk_idx", "chunk"))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .withColumn("hamming", TextOps.hamming(col("simhash"), col("simhash_b")))
+          .filter(col("hamming") <= 3)
+          .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+          .agg(first("hamming").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Exact shingle-Jaccard verification of the LSH candidates — the
+    // verify stage of the dedup pipeline; only candidate pairs pay the
+    // set-intersection cost.
+    "doc_ngram_jaccard" -> Q(
+      (s, d) => {
+        val sets = docs(s, d)
+          .select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
+        val cand = lshCandidates(s, d).select("doc_a", "doc_b")
+        cand
+          .join(sets.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sh", "sh_a"), "doc_a")
+          .join(sets.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sh", "sh_b"), "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Semantics checks for the training-data pipeline (SURVEY §2.D) — these
+  * cover the rows-only operators the DuckDB oracle can't express.
+  */
+class PipelineSpec extends SparkSpec {
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("doc_dedup_exact: canonical ids are group minima and flags consistent") {
+    val d = run("doc_dedup_exact").collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      assert(r.getAs[Long]("canonical_doc_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_dup") ==
+        (r.getAs[Long]("doc_id") != r.getAs[Long]("canonical_doc_id")))
+    }
+  }
+
+  test("doc_minhash_lsh estimates track exact Jaccard") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
+    val est = run("doc_minhash_lsh").limit(500)
+    val joined = est
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("exact",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("est_jaccard", "exact").collect()
+    assert(joined.nonEmpty)
+    val mae = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / joined.length
+    assert(mae < 0.2, s"minhash mean abs error $mae")
+  }
+
+  test("doc_simhash pairs are hamming<=3 and symmetric-free") {
+    val p = run("doc_simhash").collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("doc_ngram_jaccard only emits pairs above threshold") {
+    val j = run("doc_ngram_jaccard").agg(min("jaccard")).collect()(0).getDouble(0)
+    assert(j >= operators.Dedup.JaccardThreshold)
+  }
+
+  test("emb_ann_topk rank-1 matches brute-force argmax for each query") {
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top1 = run("emb_ann_topk").filter(col("rank") === 1).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val got = r.getAs[Long]("neighbor_id")
+      val best = e.filter(_._1 != q).maxBy { case (_, v) => cos(e(q), v) }._1
+      assert(got == best, s"query $q: got $got want $best")
+    }
+  }
+
+  test("emb_ann_ivf achieves positive recall against brute force") {
+    val exact = run("emb_ann_topk").select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("emb_ann_ivf").select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall")
+  }
+
+  test("emb_cosine_pairs matches a driver-side recompute") {
+    val rows = run("emb_cosine_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0))
+    assert(rows.forall(_.getAs[Double]("cosine") >= operators.Similarity.CosineThreshold))
+  }
+
+  test("doc_fingerprint is deterministic and dense") {
+    val a = run("doc_fingerprint")
+    val n1 = a.count()
+    assert(n1 > 0)
+    assert(n1 == run("doc_fingerprint").count())
+    // every document yields at least one fingerprint
+    assert(a.select("doc_id").distinct().count() ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("doc_lang_id predicts only known languages") {
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    assert(run("doc_lang_id").collect().forall(r => langs(r.getAs[String]("pred_lang"))))
+  }
+
+  test("mm_decode_pipeline: schema, determinism, non-degenerate features") {
+    val m = run("mm_decode_pipeline")
+    assert(m.columns.toSeq == Seq("doc_id", "media_format", "n_bytes",
+      "width", "height", "f0", "f1", "feature_sum"))
+    val rows = m.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Double]("feature_sum") > 0))
+    val again = run("mm_decode_pipeline").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("winnow fingerprints of identical text are identical") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+      .select(col("id"), TextOps.winnow(col("text"), 8, 4).as("fp"))
+    val fps = df.collect().map(_.getSeq[Long](1).toList)
+    assert(fps(0) == fps(1) && fps(0).nonEmpty)
+  }
+}
