@@ -12,7 +12,8 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.TextAnalysis.defs,
-    operators.Multimodal.defs
+    operators.Multimodal.defs,
+    streaming.EventPipeline.defs
   )
 
   lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

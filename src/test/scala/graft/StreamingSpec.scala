@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming coverage (SURVEY §2.E): the streaming paths that the
+  * batch oracle can't exercise — MemoryStream in, memory/parquet sink out.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsData: Seq[Ev] =
+    Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+  test("streaming windowCounts equals the batch run") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.windowCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      in.addData(eventsData)
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .select("window_start", "event_type", "n_events").collect().toSet
+      val batch = EventPipeline.windowCounts(Tables.events(spark, sf))
+        .collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event_ids") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.dedup(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      val sample = eventsData.take(200)
+      in.addData(sample)
+      q.processAllAvailable()
+      in.addData(sample.take(50)) // replay within the watermark
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 200)
+      assert(spark.table("dd").select("event_id").distinct().count() == 200)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize matches batch sessionization for closed sessions") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData(eventsData)
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toString).toSet
+      // batch oracle minus each user's final (still-open) session
+      val batch = SparkEntry.queries("ev_sessionize")(spark, sf)
+      val lastPerUser = batch.groupBy("user_id")
+        .agg(max("session_num").as("session_num"))
+      val closedBatch = batch.join(lastPerUser, Seq("user_id", "session_num"),
+          "left_anti")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .collect().map(_.toString).toSet
+      assert(streamed == closedBatch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge-upsert sink is idempotent under replay") {
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink").resolve("t").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch(EventPipeline.mergeUpsertSink(target) _)
+      .outputMode("append").start()
+    try {
+      val sample = eventsData.take(100)
+      in.addData(sample)
+      q.processAllAvailable()
+      in.addData(sample) // full replay
+      q.processAllAvailable()
+      val out = spark.read.parquet(target)
+      assert(out.count() == 100)
+      assert(out.select("event_id").distinct().count() == 100)
+    } finally q.stop()
+  }
+}
