@@ -32,14 +32,12 @@ object TextOps {
   // MinHash
   // ------------------------------------------------------------------
 
-  /** K-long MinHash signature of a shingle set: K independently-seeded
-    * xxhash64 passes (the permutation index is part of the hash input) +
-    * array_min — map-only, and overflow-free under ANSI arithmetic.
+  /** K-long MinHash signature of a shingle set: ONE xxhash64 pass over the
+    * shingles, then K affine permutations with running minima inside a
+    * single codegen'd loop (MinHashFromHashes).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, x => xxhash64(lit(i), x)))
-    }: _*)
+    HashExprs.minhash(transform(shingles, x => xxhash64(x)), k)
 
   /** LSH band hashes: signature split into `bands` equal slices, each slice
     * hashed with its band index (same band+hash → candidate bucket).
@@ -58,16 +56,10 @@ object TextOps {
 
   /** 64-bit SimHash over term-frequency-weighted token hashes: bit j is set
     * when Σ_tokens (±1 per token-hash bit j) > 0. One xxhash64 pass; the 64
-    * bit-sums are cheap shift/mask folds over that array.
+    * bit-votes fold in a single codegen'd loop (SimHashFromHashes).
     */
-  def simhash64(toks: Column): Column = {
-    val hs = transform(toks, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val w = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(w > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash64(toks: Column): Column =
+    HashExprs.simhash(transform(toks, t => xxhash64(t)))
 
   /** 16-bit chunks of a SimHash: hamming distance ≤ 3 over 64 bits implies
     * at least one of the 4 chunks is equal (pigeonhole), so an equi-join on
@@ -85,16 +77,27 @@ object TextOps {
   // Winnowing fingerprints
   // ------------------------------------------------------------------
 
-  /** Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram hashes, then
-    * the min hash of every w-window, deduplicated — the classic document
-    * fingerprint set, here as pure array expressions.
+  /** Rolling k-gram hashes of a text column. Materialize this as its own
+    * column BEFORE windowing with `winnowFromHashes`: a lambda body re-
+    * evaluates everything inside it per element, so inlining the hash array
+    * into the window transform is O(n²) re-hashing.
     */
-  def winnow(text: Column, k: Int, w: Int): Column = {
-    val n = length(text) - lit(k - 1)
-    val hs = transform(sequence(lit(1), greatest(n, lit(1))),
+  def kgramHashes(text: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(k))))
+
+  /** Winnowing (Schleimer et al., SIGMOD'03) over a BOUND hash-array
+    * column: min hash of every w-window, deduplicated — the classic
+    * document fingerprint set.
+    */
+  def winnowFromHashes(hs: Column, w: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(n - lit(w - 1), lit(1))),
+      sequence(lit(1), greatest(size(hs) - lit(w - 1), lit(1))),
       j => array_min(slice(hs, j, lit(w)))))
-  }
+
+  /** One-shot winnow for SMALL inputs (tests): inlines the hash array into
+    * the window lambda — quadratic, do not use on a corpus.
+    */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    winnowFromHashes(kgramHashes(text, k), w)
 }

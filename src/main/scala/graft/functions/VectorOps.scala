@@ -14,17 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double, left fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double, left fold — a codegen'd native expression (the HOF
+    * `aggregate(zip_with(...))` equivalent is interpreted and allocates per
+    * pair, which dominates O(n²) pair enumeration).
+    */
+  def dot(a: Column, b: Column): Column = FloatVectorDot(a, b)
 
   /** ‖a‖₂ in double. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(FloatVectorDot(a, a))
 
   /** Cosine similarity with precomputed norms (norms are computed once per
     * row map-side; pair-wise work is then a single dot product).

@@ -28,25 +28,32 @@ object Dedup {
   private val Bands = 4    // 4 bands × 8 rows: tuned for the near-dup tail
   val JaccardThreshold = 0.8
 
-  /** (doc_id, sig, band, band_hash) — one row per band per doc. */
-  private def banded(s: SparkSession, d: String): DataFrame =
+  /** Per-doc MinHash signatures (map-only). */
+  private def sigs(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .withColumn("sig", TextOps.minhashSignature(TextOps.shingleSet(col("text")), K))
-      .select(col("doc_id"), col("sig"),
-        explode(TextOps.bandHashes(col("sig"), K, Bands)).as("b"))
-      .select(col("doc_id"), col("sig"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.shingleSet(col("text")), K).as("sig"))
 
-  /** Candidate pairs from LSH buckets with signature-estimated Jaccard. */
+  /** Candidate pairs from LSH buckets with signature-estimated Jaccard.
+    * The band self-join carries doc ids ONLY (the heavy signature arrays
+    * would multiply the shuffle payload by the collision count); signatures
+    * re-join onto the deduped pairs afterwards — a per-doc-keyed join that
+    * AQE broadcasts when the sig table is small.
+    */
   private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val l = banded(s, d)
-    val r = l.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
+    val sg = sigs(s, d)
+    val banded = sg
+      .select(col("doc_id"), explode(TextOps.bandHashes(col("sig"), K, Bands)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val pairs = banded
+      .join(banded.select(col("doc_id").as("doc_id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("doc_id") < col("doc_id_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
-      .agg(first(col("sig")).as("sig_a"), first(col("sig_b")).as("sig_b"),
-        count(lit(1)).as("n_bands_matched"))
+      .agg(count(lit(1)).as("n_bands_matched"))
+    pairs
+      .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
@@ -115,7 +122,11 @@ object Dedup {
       (s, d) => {
         val sets = docs(s, d)
           .select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
-        val cand = lshCandidates(s, d).select("doc_a", "doc_b")
+        // verify-stage pruning: only candidates whose MinHash estimate is
+        // within slack of the threshold pay the exact set-intersection cost
+        val cand = lshCandidates(s, d)
+          .filter(col("est_jaccard") >= JaccardThreshold - 0.1)
+          .select("doc_a", "doc_b")
         cand
           .join(sets.withColumnRenamed("doc_id", "doc_a")
             .withColumnRenamed("sh", "sh_a"), "doc_a")

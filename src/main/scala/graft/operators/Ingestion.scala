@@ -29,17 +29,23 @@ object Ingestion {
   private def survivors(s: SparkSession, d: String): DataFrame =
     Canonicalizer.survivors(allHeaders(s, d))
 
-  private def allLines(s: SparkSession, d: String): DataFrame = {
-    val surv = survivors(s, d)
+  private def linesFrom(surv: DataFrame): DataFrame =
     LineFlattener.fromJsonSurvivors(
         surv.filter(col("source_system") === "JSON" && col("parse_ok")))
       .unionByName(LineFlattener.fromCsvSurvivors(
         surv.filter(col("source_system") === "CSV" && col("parse_ok"))))
-  }
 
-  private def allAnomalies(s: SparkSession, d: String): DataFrame =
-    AnomalyDetector.headerAnomalies(survivors(s, d))
-      .unionByName(AnomalyDetector.lineAnomalies(allLines(s, d)))
+  private def allLines(s: SparkSession, d: String): DataFrame =
+    linesFrom(survivors(s, d))
+
+  private def anomaliesFrom(surv: DataFrame, lines: DataFrame): DataFrame =
+    AnomalyDetector.headerAnomalies(surv)
+      .unionByName(AnomalyDetector.lineAnomalies(lines))
+
+  private def allAnomalies(s: SparkSession, d: String): DataFrame = {
+    val surv = survivors(s, d)
+    anomaliesFrom(surv, linesFrom(surv))
+  }
 
   private val headerOutCols = Seq("client_id", "source_system", "source_txn_id",
     "txn_timestamp", "currency", "total_amount", "customer_id", "account_id",
@@ -240,14 +246,20 @@ SELECT client_id, source_system, anomaly_code,
 FROM anoms GROUP BY client_id, source_system, anomaly_code
 ORDER BY client_id, source_system, anomaly_code"""),
 
+    // one lazy plan, one action: the reference's smoke test counts STORED
+    // canonical tables; re-deriving per count would triple the chain, so
+    // the three counts union into a single DAG (per-branch column pruning
+    // keeps each branch's scan minimal)
     "smoke_counts" -> Q(
       (s, d) => {
-        import s.implicits._
-        val h = survivors(s, d).count()
-        val l = allLines(s, d).count()
-        val a = allAnomalies(s, d).count()
-        Seq(("CAN_TXN", h), ("CAN_TXN_ANOMALY", a), ("CAN_TXN_LINE", l))
-          .toDF("object_name", "row_count").orderBy("object_name")
+        def counted(df: DataFrame, name: String): DataFrame =
+          df.agg(count(lit(1)).as("row_count"))
+            .select(lit(name).as("object_name"), col("row_count"))
+        val surv = survivors(s, d)
+        counted(surv, "CAN_TXN")
+          .unionByName(counted(anomaliesFrom(surv, linesFrom(surv)), "CAN_TXN_ANOMALY"))
+          .unionByName(counted(linesFrom(surv), "CAN_TXN_LINE"))
+          .orderBy("object_name")
       },
       s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes},
 anoms AS (

@@ -138,8 +138,11 @@ object TextAnalysis {
     // near-dup index is built on. Rows-only: DuckDB lacks xxhash64.
     "doc_fingerprint" -> Q(
       (s, d) => docs(s, d)
+        // k-gram hashes bound as a column first — windowing over an inlined
+        // hash expression would re-hash the text once per window (O(n²))
+        .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
         .select(col("doc_id"),
-          explode(TextOps.winnow(col("text"), k = 8, w = 4)).as("fingerprint"))
+          explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fingerprint"))
         .orderBy("doc_id", "fingerprint"),
       None)
   )

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. `ExpressionUtils` is private[sql], so custom
+  * Catalyst expressions (graft.functions.FloatVectorDot) reach it through
+  * this shim package — the conventional pattern for Spark extension
+  * libraries that ship native expressions without a session extension.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions (SURVEY §5/§6): the physical plans must carry the
+  * scale properties the design claims — parquet pushdown + pruning,
+  * broadcast joins for dimensions, TakeOrderedAndProject for global top-k,
+  * whole-stage codegen around the hot expressions, and bounded shuffle
+  * counts for the one-shuffle operators.
+  */
+class PlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(
+      df.queryExecution.executedPlan.toString).length
+
+  test("q6_filter_agg pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // scan must not read all 11 lineitem columns for a 3-column aggregate
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.count(_ == ',') < 5, readSchema)
+  }
+
+  test("q_values_lookup and q5_join5 broadcast their dimension sides") {
+    assert(plan("q_values_lookup").contains("BroadcastHashJoin"))
+    assert(plan("q5_join5").contains("BroadcastHashJoin"))
+  }
+
+  test("q3_topk executes global top-k as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("emb_ann_topk broadcasts the probe side") {
+    assert(plan("emb_ann_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("emb_cosine_pairs runs the dot product inside whole-stage codegen") {
+    val df = SparkEntry.queries("emb_cosine_pairs")(spark, sf)
+    df.collect() // AQE reveals codegen spans only in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the executed plan
+    val codegenDotLines = p.linesIterator
+      .filter(_.contains("float_vector_dot")).filter(_.contains("*("))
+    assert(codegenDotLines.nonEmpty, p.take(2000))
+  }
+
+  test("one-shuffle operators shuffle at most once before presentation sort") {
+    // sessionize: both windows + the session aggregation share one hash
+    // partitioning on user_id; the only other exchange is the final orderBy
+    val sess = SparkEntry.queries("ev_sessionize")(spark, sf)
+    assert(exchanges(sess) <= 2, sess.queryExecution.executedPlan.toString)
+    val dedup = SparkEntry.queries("ev_dedup_latest")(spark, sf)
+    assert(exchanges(dedup) <= 2)
+  }
+
+  test("ingestion header chain scans each raw table once per source branch") {
+    val p = plan("canon_header")
+    // 2 branches (json from orders+lineitem, csv from orders+lineitem);
+    // detail entries look like "(1) Scan parquet" (tree lines would double-count)
+    val scans = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans <= 4, s"$scans parquet scans")
+  }
+}
