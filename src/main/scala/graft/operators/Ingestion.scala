@@ -51,30 +51,44 @@ object Ingestion {
     "txn_timestamp", "currency", "total_amount", "customer_id", "account_id",
     "merchant", "src_file", "src_row_number", "payload_hash", "parse_ok")
 
+  // measures surface as double both sides (uniform dtype for the driver's
+  // sorted-hash compare; the decimal->double conversion is deterministic)
+  private def headerOutSpark: Seq[org.apache.spark.sql.Column] =
+    headerOutCols.map {
+      case "total_amount" => col("total_amount").cast("double").as("total_amount")
+      case c => col(c)
+    }
+  private def headerOutSql: String =
+    headerOutCols.map {
+      case "total_amount" => "cast(total_amount as double) AS total_amount"
+      case c => c
+    }.mkString(", ")
+
   // ------------------------------------------------------------------
   // Query definitions
   // ------------------------------------------------------------------
   val defs: Map[String, Q] = Map(
     "ing_json_normalize" -> Q(
       (s, d) => jsonHeaders(s, d)
-        .select(headerOutCols.map(col): _*)
+        .select(headerOutSpark: _*)
         .orderBy("src_row_number"),
       s"""WITH ${OracleFrags.synthCtes}
-SELECT ${headerOutCols.mkString(", ")}
+SELECT $headerOutSql
 FROM jhdr ORDER BY src_row_number"""),
 
     "ing_csv_positional" -> Q(
       (s, d) => csvHeaders(s, d)
-        .select(headerOutCols.map(col): _*)
+        .select(headerOutSpark: _*)
         .orderBy("src_row_number"),
       s"""WITH ${OracleFrags.synthCtes}
-SELECT ${headerOutCols.mkString(", ")}
+SELECT $headerOutSql
 FROM chdr ORDER BY src_row_number"""),
 
     "ing_xml_normalize" -> Q(
       (s, d) => HeaderNormalizer.fromXml(RawSynth.xmlRaw(s, d))
         .select(col("client_id"), col("source_system"), col("source_txn_id"),
-          col("txn_timestamp"), col("currency"), col("total_amount"),
+          col("txn_timestamp"), col("currency"),
+          col("total_amount").cast("double").as("total_amount"),
           col("customer_id"), col("src_file"), col("src_row_number"),
           col("parse_ok"))
         .orderBy("src_row_number"),
@@ -97,14 +111,16 @@ FROM hdr GROUP BY src_file, file_type ORDER BY src_file"""),
       (s, d) => survivors(s, d)
         .select(col("canonical_txn_id"), col("client_id"), col("source_system"),
           col("effective_source_txn_id").as("source_txn_id"),
-          col("txn_timestamp"), col("currency"), col("total_amount"),
+          col("txn_timestamp"), col("currency"),
+          col("total_amount").cast("double").as("total_amount"),
           col("is_valid"),
           array_join(col("anomaly_codes"), ",").as("anomaly_codes"),
           col("dup_cnt"), col("src_file"))
         .orderBy("canonical_txn_id"),
       s"""WITH ${OracleFrags.synthCtes}
 SELECT canonical_txn_id, client_id, source_system,
-  eff_txn_id AS source_txn_id, txn_timestamp, currency, total_amount,
+  eff_txn_id AS source_txn_id, txn_timestamp, currency,
+  cast(total_amount as double) AS total_amount,
   is_valid, anomaly_codes, dup_cnt, src_file
 FROM surv ORDER BY canonical_txn_id"""),
 
@@ -137,7 +153,9 @@ FROM lines_all ORDER BY canonical_txn_id, line_number"""),
         val src = o.filter(col("o_orderkey") % 4 === 0)
           .select(key, col("o_totalprice").cast("decimal(18,2)")
             .as("total_amount"), lit("v2").as("version"))
-        MergeUpsert.upsert(tgt, src, Seq("merge_key")).orderBy("merge_key")
+        MergeUpsert.upsert(tgt, src, Seq("merge_key"))
+          .withColumn("total_amount", col("total_amount").cast("double"))
+          .orderBy("merge_key")
       },
       """WITH tgt AS (
         |  SELECT 'K' || cast(o_orderkey as varchar) AS merge_key,
@@ -148,7 +166,7 @@ FROM lines_all ORDER BY canonical_txn_id, line_number"""),
         |    cast(o_totalprice as decimal(18,2)) AS total_amount,
         |    'v2' AS version FROM orders WHERE o_orderkey % 4 = 0)
         |SELECT coalesce(s.merge_key, t.merge_key) AS merge_key,
-        |  coalesce(s.total_amount, t.total_amount) AS total_amount,
+        |  cast(coalesce(s.total_amount, t.total_amount) as double) AS total_amount,
         |  coalesce(s.version, t.version) AS version,
         |  CASE WHEN s.merge_key IS NOT NULL AND t.merge_key IS NOT NULL THEN 'updated'
         |       WHEN s.merge_key IS NOT NULL THEN 'inserted'

@@ -17,6 +17,10 @@ object Relational {
 
   // Shorthands used across the oracle SQL: decimal-exact sum / stable avg.
   private def sqlSum(e: String) = s"sum(cast(($e) as decimal(38,9)))"
+  // final outputs surface as double: the exact decimal sum converts to the
+  // same double in both engines, and a uniform dtype keeps the driver's
+  // sorted-hash compare stable (pandas Decimal vs duckdb float64 would not)
+  private def sqlSumD(e: String) = s"cast(${sqlSum(e)} as double)"
   private def sqlAvg(e: String) =
     s"round(cast(${sqlSum(e)} as double) / count(*), 6)"
 
@@ -28,12 +32,12 @@ object Relational {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_quantity")).cast("double").as("sum_qty"),
+            dsum(col("l_extendedprice")).cast("double").as("sum_base_price"),
             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("sum_disc_price"),
+              .cast("double").as("sum_disc_price"),
             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-              (lit(1.0) + col("l_tax"))).as("sum_charge"),
+              (lit(1.0) + col("l_tax"))).cast("double").as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_extendedprice")).as("avg_price"),
             davg(col("l_discount")).as("avg_disc"),
@@ -41,10 +45,10 @@ object Relational {
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlSum("l_quantity")} AS sum_qty,
-         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
-         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-         |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlSumD("l_quantity")} AS sum_qty,
+         |  ${sqlSumD("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSumD("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSumD("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
          |  ${sqlAvg("l_quantity")} AS avg_qty,
          |  ${sqlAvg("l_extendedprice")} AS avg_price,
          |  ${sqlAvg("l_discount")} AS avg_disc,
@@ -69,12 +73,12 @@ object Relational {
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
-         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  ${sqlSumD("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM customer
          |JOIN orders   ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -106,10 +110,10 @@ object Relational {
           .join(broadcast(dim), ord("o_custkey") === dim("c_custkey"))
           .groupBy(col("n_name"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"))
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      s"""SELECT n_name, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      s"""SELECT n_name, ${sqlSumD("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM region
          |JOIN nation   ON n_regionkey = r_regionkey
          |JOIN customer ON c_nationkey = n_nationkey
@@ -129,9 +133,9 @@ object Relational {
             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
             col("l_quantity") < 24)
           .agg(
-            dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            dsum(col("l_extendedprice") * col("l_discount")).cast("double").as("revenue"),
             count(lit(1)).as("cnt")),
-      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue, count(*) AS cnt
+      s"""SELECT ${sqlSumD("l_extendedprice * l_discount")} AS revenue, count(*) AS cnt
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -179,11 +183,11 @@ object Relational {
           .groupBy(col("c_custkey"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+            dsum(coalesce(col("o_totalprice"), lit(0.0))).cast("double").as("total_spent"))
           .orderBy("c_custkey")
       },
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-         |  ${sqlSum("coalesce(o_totalprice, 0.0)")} AS total_spent
+         |  ${sqlSumD("coalesce(o_totalprice, 0.0)")} AS total_spent
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
@@ -215,14 +219,14 @@ object Relational {
         Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
             col("o_totalprice"))
-          .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w))
+          .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
           .drop("o_totalprice")
           .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
       },
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  sum(cast(o_totalprice as decimal(38,9))) OVER (
+        |  cast(sum(cast(o_totalprice as decimal(38,9))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
@@ -247,7 +251,7 @@ object Relational {
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
             count(lit(1)).as("cnt"),
-            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_quantity")).cast("double").as("sum_qty"),
             grouping(col("l_returnflag")).as("g_flag"),
             grouping(col("l_linestatus")).as("g_status"))
           .select(
@@ -257,7 +261,7 @@ object Relational {
           .orderBy("returnflag", "linestatus"),
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  count(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty,
+         |  count(*) AS cnt, ${sqlSumD("l_quantity")} AS sum_qty,
          |  cast(grouping(l_returnflag) as tinyint) AS g_flag,
          |  cast(grouping(l_linestatus) as tinyint) AS g_status
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -268,7 +272,7 @@ object Relational {
       (s, d) =>
         Tables.orders(s, d)
           .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).cast("double").as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -276,7 +280,7 @@ object Relational {
           .orderBy("status", "priority"),
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
          |  coalesce(o_orderpriority, 'ALL') AS priority,
-         |  count(*) AS cnt, ${sqlSum("o_totalprice")} AS total
+         |  count(*) AS cnt, ${sqlSumD("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin),
 
@@ -391,7 +395,8 @@ object Relational {
             round((col("revenue") - col("prev_revenue")).cast("double") /
               col("prev_revenue").cast("double"), 6))
           .filter(col("prev_revenue").isNotNull)
-          .select("month", "revenue", "prev_revenue", "growth")
+          .select(col("month"), col("revenue").cast("double").as("revenue"),
+            col("prev_revenue").cast("double").as("prev_revenue"), col("growth"))
           .orderBy("month")
       },
       s"""WITH monthly AS (
@@ -402,7 +407,8 @@ object Relational {
          |  SELECT month, revenue,
          |         lag(revenue) OVER (ORDER BY month) AS prev_revenue
          |  FROM monthly)
-         |SELECT month, revenue, prev_revenue,
+         |SELECT month, cast(revenue as double) AS revenue,
+         |  cast(prev_revenue as double) AS prev_revenue,
          |  round(cast(revenue - prev_revenue as double) /
          |        cast(prev_revenue as double), 6) AS growth
          |FROM chained WHERE prev_revenue IS NOT NULL ORDER BY month""".stripMargin),
@@ -484,10 +490,10 @@ object Relational {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).cast("double").as("total"))
           .filter(col("n_orders") >= 12)
           .orderBy("o_custkey"),
-      s"""SELECT o_custkey, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+      s"""SELECT o_custkey, count(*) AS n_orders, ${sqlSumD("o_totalprice")} AS total
          |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
          |ORDER BY o_custkey""".stripMargin),
 
@@ -498,15 +504,15 @@ object Relational {
           .groupBy(col("o_orderpriority"))
           .agg(
             sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
-              .otherwise(decZero)).as("finished_total"),
+              .otherwise(decZero)).cast("double").as("finished_total"),
             sum(when(col("o_orderstatus") === "O", lit(1L)).otherwise(lit(0L)))
               .as("open_cnt"),
             count(lit(1)).as("cnt"))
           .orderBy("o_orderpriority"),
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F'
+        |  cast(sum(CASE WHEN o_orderstatus = 'F'
         |           THEN cast(o_totalprice as decimal(38,9))
-        |           ELSE cast(0 as decimal(38,9)) END) AS finished_total,
+        |           ELSE cast(0 as decimal(38,9)) END) as double) AS finished_total,
         |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS open_cnt,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
@@ -522,10 +528,10 @@ object Relational {
         Tables.orders(s, d)
           .join(broadcast(tiers), col("o_orderpriority") === col("priority"))
           .groupBy(col("tier"))
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).cast("double").as("total"))
           .orderBy("tier")
       },
-      s"""SELECT tier, count(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+      s"""SELECT tier, count(*) AS n_orders, ${sqlSumD("o_totalprice")} AS total
          |FROM orders
          |JOIN (VALUES ('1-URGENT','hot'), ('2-HIGH','hot'), ('3-MEDIUM','warm'),
          |             ('4-NOT SPECIFIED','cold'), ('5-LOW','cold')) AS t(priority, tier)

@@ -15,9 +15,9 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q3_topk returns exactly 10 rows in descending revenue order") {
-    val rev = run("q3_topk").collect().map(_.getAs[java.math.BigDecimal]("revenue"))
+    val rev = run("q3_topk").collect().map(_.getAs[Double]("revenue"))
     assert(rev.length == 10)
-    assert(rev.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+    assert(rev.sliding(2).forall(p => p(0) >= p(1)))
   }
 
   test("q_semijoin + q_antijoin partition is consistent") {
