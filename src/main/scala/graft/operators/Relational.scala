@@ -335,14 +335,14 @@ object Relational {
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
         val p = Tables.events(s, d)
-          .groupBy(to_date(col("ts")).as("event_date"))
+          .groupBy(date_trunc("day", col("ts")).as("event_date"))
           .pivot("event_type", types)
           .count()
         p.select(col("event_date") +: types.map(t =>
             coalesce(col(t), lit(0L)).as(t)): _*)
           .orderBy("event_date")
       },
-      """SELECT cast(ts AS date) AS event_date,
+      """SELECT date_trunc('day', ts) AS event_date,
         |  count(*) FILTER (WHERE event_type = 'click')    AS click,
         |  count(*) FILTER (WHERE event_type = 'error')    AS error,
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,

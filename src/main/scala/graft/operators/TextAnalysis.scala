@@ -26,7 +26,7 @@ object TextAnalysis {
   private val langOrder = Seq("en", "de", "es", "fr", "zh")
 
   private def hits(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+    size(filter(toks, t => t.isInCollection(stopwords(lang)))).cast("long")
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -76,7 +76,7 @@ object TextAnalysis {
         val allStops = stopwords.values.flatten.toSeq.distinct
         docs(s, d)
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
           .withColumn("n_chars_m", length(col("text")))
           .withColumn("stop_ratio",
             size(filter(col("toks"), t => t.isInCollection(allStops)))
@@ -115,10 +115,11 @@ object TextAnalysis {
     // chars-per-token ratio (the usual tokens≈chars/4 sanity signal).
     "doc_token_count" -> Q(
       (s, d) => docs(s, d)
-        .withColumn("ws_tokens", size(TextOps.tokens(col("text"))))
+        .withColumn("ws_tokens", size(TextOps.tokens(col("text"))).cast("long"))
         .withColumn("re_tokens",
-          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
-        .withColumn("n_chars_seen", length(col("text")))
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long"))
+        .withColumn("n_chars_seen", length(col("text")).cast("long"))
         .withColumn("chars_per_token",
           col("n_chars_seen").cast("double") / col("re_tokens"))
         .select("doc_id", "ws_tokens", "re_tokens", "n_chars_seen",
@@ -127,7 +128,7 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(string_split(trim(text), ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
-        |  length(text) AS n_chars_seen,
+        |  cast(length(text) as bigint) AS n_chars_seen,
         |  cast(length(text) as double)
         |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |    AS chars_per_token

@@ -53,7 +53,8 @@ object Timeseries {
               lag(unix_micros(col("ts")), 1).over(byUser) > gapUs, 1)
               .when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
           .withColumn("session_num",
-            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("long"))
         flagged.groupBy("user_id", "session_num")
           .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
             count(lit(1)).as("n_events"),
@@ -67,8 +68,8 @@ object Timeseries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_num
+        |  SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) as bigint) AS session_num
         |  FROM flagged)
         |SELECT user_id, session_num, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events,
