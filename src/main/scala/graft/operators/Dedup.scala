@@ -40,7 +40,15 @@ object Dedup {
     * re-join onto the deduped pairs afterwards — a per-doc-keyed join that
     * AQE broadcasts when the sig table is small.
     */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      lshCandidatesUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def lshCandidatesUncached(s: SparkSession, d: String): DataFrame = {
     val sg = sigs(s, d)
     val banded = sg
       .select(col("doc_id"), explode(TextOps.bandHashes(col("sig"), K, Bands)).as("b"))
@@ -120,8 +128,12 @@ object Dedup {
     // set-intersection cost.
     "doc_ngram_jaccard" -> Q(
       (s, d) => {
+        // intersect 64-bit shingle hashes, not strings: same Jaccard up to
+        // a ~2^-58 collision chance, at a fraction of the comparison cost
         val sets = docs(s, d)
-          .select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
+          .select(col("doc_id"),
+            array_distinct(transform(TextOps.shingleSet(col("text")),
+              x => xxhash64(x))).as("sh"))
         // verify-stage pruning: only candidates whose MinHash estimate is
         // within slack of the threshold pay the exact set-intersection cost
         val cand = lshCandidates(s, d)
