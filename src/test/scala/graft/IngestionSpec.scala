@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the ingestion/canonical pipeline (SURVEY §2.A):
+  * every engineered defect class in RawSynth must surface through the
+  * matching quality mechanism, exactly as the reference's anomaly matrix
+  * does (sql/03/06).
+  */
+class IngestionSpec extends SparkSpec {
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("missing source ids fall back to the payload hash as canonical key") {
+    // %97 orders omit the txn id; survivorship key = sha256 payload hash
+    val fallback = run("canon_header")
+      .filter(col("source_txn_id").rlike("^[0-9a-f]{64}$"))
+    assert(fallback.count() > 0)
+  }
+
+  test("amount and timestamp defects surface as MISSING_REQUIRED / NEGATIVE_AMOUNT") {
+    val codes = run("anomaly_header").select("anomaly_code").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(codes.contains("MISSING_REQUIRED")) // %101 "N/A" amounts
+    assert(codes.contains("NEGATIVE_AMOUNT"))  // %89 negated amounts
+    assert(codes.contains("DUPLICATE_TXN"))    // paired orderkeys
+  }
+
+  test("negative line quantities surface as NEGATIVE_QTY at the line grain") {
+    val lineCodes = run("anomaly_line").select("anomaly_code").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(lineCodes.contains("NEGATIVE_QTY")) // lineitem %113
+    val bad = run("anomaly_line").filter(col("line_number").isNull)
+    assert(bad.count() == 0) // line anomalies always carry a line number
+  }
+
+  test("truncated payloads fail parsing and reach the load audit") {
+    val audit = run("ing_load_audit")
+    val withErrors = audit.filter(col("errors_seen") > 0)
+    assert(withErrors.count() > 0) // %103 truncation
+    val statuses = audit.select("load_status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses.contains("PARTIALLY_LOADED"))
+    // parsed = loaded + errors, per file
+    assert(audit.filter(col("rows_parsed") =!=
+      col("rows_loaded") + col("errors_seen")).count() == 0)
+  }
+
+  test("survivorship keeps exactly one row per canonical key, latest wins") {
+    val h = run("canon_header")
+    assert(h.groupBy("canonical_txn_id").count().filter(col("count") > 1)
+      .count() == 0)
+    // every duplicated key reports dup_cnt > 1 on its survivor
+    assert(h.filter(col("dup_cnt") > 1).count() > 0)
+  }
+
+  test("merge_upsert labels actions consistently with key overlap") {
+    val m = run("merge_upsert").collect()
+    val actions = m.groupBy(_.getAs[String]("merge_action")).map {
+      case (k, v) => k -> v.length
+    }
+    assert(actions.keySet == Set("updated", "inserted", "retained"))
+    // updated rows carry the source version
+    m.filter(_.getAs[String]("merge_action") == "updated")
+      .foreach(r => assert(r.getAs[String]("version") == "v2"))
+    m.filter(_.getAs[String]("merge_action") == "retained")
+      .foreach(r => assert(r.getAs[String]("version") == "v1"))
+  }
+
+  test("XML branch parses every synthesized document's fields") {
+    val x = run("ing_xml_normalize")
+    assert(x.filter(!col("parse_ok")).count() == 0)
+    assert(x.filter(col("source_txn_id").isNull ||
+      col("txn_timestamp").isNull || col("total_amount").isNull ||
+      col("currency").isNull).count() == 0)
+    // lowercase raw currencies were uppercased
+    assert(x.filter(col("currency") =!= upper(col("currency"))).count() == 0)
+  }
+
+  test("canonical ids are deterministic across independent runs") {
+    val a = run("canon_header").select("canonical_txn_id").collect().map(_.getString(0))
+    val b = run("canon_header").select("canonical_txn_id").collect().map(_.getString(0))
+    assert(a.sameElements(b))
+  }
+}
