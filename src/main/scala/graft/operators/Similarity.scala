@@ -87,6 +87,28 @@ object Similarity {
         .orderBy("q_id", "rank"),
       None),
 
+    // Per-label embedding statistics: dimension-wise centroid via
+    // posexplode + partial-aggregated groupBy — the distributed form of a
+    // k-means M-step (no vector ever holds a whole partition's data).
+    "emb_label_stats" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8) // leading dims keep the oracled output compact
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          // round: a double mean's accumulation order varies with
+          // partitioning; 6 dp absorbs the ~1e-15 wobble on both engines
+          round(avg(col("v").cast("double")), 6).as("mean_v"),
+          min(col("v").cast("double")).as("min_v"),
+          max(col("v").cast("double")).as("max_v"))
+        .orderBy("label", "dim"),
+      """SELECT label, cast(t.i - 1 as int) AS dim, count(*) AS n,
+        |  round(avg(cast(embedding[t.i] as double)), 6) AS mean_v,
+        |  min(cast(embedding[t.i] as double)) AS min_v,
+        |  max(cast(embedding[t.i] as double)) AS max_v
+        |FROM embeddings, generate_series(1, 8) AS t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+
     // IVF-style ANN: assign every vector to its nearest centroid (broadcast,
     // map-only), probe the top `Probes` centroids per query, rank only the
     // probed clusters' members. Scales as corpus/n_clusters per query.

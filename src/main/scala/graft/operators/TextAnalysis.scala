@@ -134,6 +134,29 @@ object TextAnalysis {
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Corpus statistics: global top-k bigrams by document frequency —
+    // explode is map-only; the count groupBy shuffles (ngram) keys and
+    // the global top-k runs as TakeOrderedAndProject.
+    "doc_topk_ngrams" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("total_freq"))
+        .orderBy(col("doc_freq").desc, col("total_freq").desc, col("bigram"))
+        .limit(50),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |    for i in generate_series(1, len(w) - 1)]) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(DISTINCT doc_id) AS doc_freq,
+        |  count(*) AS total_freq
+        |FROM grams GROUP BY bigram
+        |ORDER BY doc_freq DESC, total_freq DESC, bigram LIMIT 50""".stripMargin),
+
     // Winnowing fingerprints (k=8 char-grams, window 4), exploded to the
     // (doc, fingerprint) grain — the unit a cross-corpus plagiarism /
     // near-dup index is built on. Rows-only: DuckDB lacks xxhash64.

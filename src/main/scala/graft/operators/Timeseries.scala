@@ -128,6 +128,39 @@ object Timeseries {
         |  last_click_ts
         |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
 
+    // Weekly cohort retention: cohort = week of first signup, activity =
+    // distinct active weeks per user. Two aggregations + one join, all
+    // keyed on user_id.
+    "ev_retention" -> Q(
+      (s, d) => {
+        val cohorts = ev(s, d).filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val active = ev(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+          .distinct()
+        cohorts.join(active, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("activity_week"), col("cohort_week")) / 7).cast("long"))
+          .filter(col("week_offset") >= 0)
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  cast(date_diff('day', cohort_week, activity_week) // 7 as bigint)
+        |    AS week_offset,
+        |  count(DISTINCT c.user_id) AS n_active
+        |FROM cohorts c JOIN active a ON c.user_id = a.user_id
+        |WHERE activity_week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Ordered funnel view -> click -> purchase: stepwise conditional minima.
     // Three aggregations + joins all keyed on user_id — AQE reuses the
     // exchange; no step touches more than the filtered event subset.
