@@ -128,6 +128,28 @@ object Timeseries {
         |  last_click_ts
         |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
 
+    // Semi-structured props parsing over the events stream's real JSON
+    // column: one from_json per row (no repeated per-field re-parsing),
+    // try-cast semantics, aggregated per event type.
+    "ev_props_parse" -> Q(
+      (s, d) => ev(s, d)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
+            "k string")).getField("k"))
+        .withColumn("k_num", expr("try_cast(k as bigint)"))
+        .groupBy("event_type")
+        .agg(count(col("k_num")).as("n_parsed"),
+          sum(col("k_num")).as("k_sum"),
+          min(col("k_num")).as("k_min"),
+          max(col("k_num")).as("k_max"))
+        .orderBy("event_type"),
+      """SELECT event_type,
+        |  count(try_cast(json_extract_string(props, '$.k') as bigint)) AS n_parsed,
+        |  sum(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_sum,
+        |  min(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_min,
+        |  max(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Weekly cohort retention: cohort = week of first signup, activity =
     // distinct active weeks per user. Two aggregations + one join, all
     // keyed on user_id.
