@@ -128,6 +128,36 @@ object Timeseries {
         |  last_click_ts
         |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
 
+    // The SAME as-of semantics through the custom whole-operator path
+    // (graft.plans.AsOfJoinPlan: logical node + strategy + sort-merge
+    // physical exec), hash-checked against the identical DuckDB oracle as
+    // the window formulation above.
+    "ev_asof_custom" -> Q(
+      (s, d) => {
+        val purchases = ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val clicks = ev(s, d).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("last_click_ts"))
+        graft.plans.AsOfJoin(purchases, clicks,
+          purchases("user_id"), clicks("c_user"),
+          purchases("purchase_ts"), clicks("last_click_ts"))
+          .select("purchase_id", "user_id", "purchase_ts", "last_click_ts")
+          .orderBy("purchase_id")
+      },
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    cast(event_type = 'purchase' as int) AS is_p
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT *, last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  last_click_ts
+        |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
+
     // Semi-structured props parsing over the events stream's real JSON
     // column: one from_json per row (no repeated per-field re-parsing),
     // try-cast semantics, aggregated per event type.

@@ -59,6 +59,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(dedup) <= 2)
   }
 
+  test("ev_asof_custom plans through AsOfJoinExec and equals the window formulation") {
+    val custom = SparkEntry.queries("ev_asof_custom")(spark, sf)
+    assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val window = SparkEntry.queries("ev_asof_join")(spark, sf)
+    val a = custom.collect().map(_.toString).toSet
+    val b = window.collect().map(_.toString).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
     // 2 branches (json from orders+lineitem, csv from orders+lineitem);
