@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: initialize codegen, parquet readers, and the JIT so
+    // the first measured query isn't charged the JVM's startup tax
+    try SparkEntry.queries("q6_filter_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>

@@ -22,7 +22,10 @@ object TextOps {
     */
   def shingleSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-grams as space-joined strings. */
+  /** Word n-grams as space-joined strings. Pass a BOUND column (not an
+    * inlined tokenizer expression): the lambdas reference `toks` per
+    * element, so an inlined split would re-run once per token.
+    */
   def ngrams(toks: Column, n: Int): Column =
     filter(
       transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),

@@ -139,8 +139,11 @@ object TextAnalysis {
     // the global top-k runs as TakeOrderedAndProject.
     "doc_topk_ngrams" -> Q(
       (s, d) => docs(s, d)
+        // tokens bound as a column first: ngrams' lambdas reference the
+        // token array, and an inlined split would re-run per element
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("bigram"))
+          explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(countDistinct(col("doc_id")).as("doc_freq"),
           count(lit(1)).as("total_freq"))
