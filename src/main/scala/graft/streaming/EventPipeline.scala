@@ -82,6 +82,19 @@ object EventPipeline {
       }
   }
 
+  /** Stream-stream interval join: purchases ⋈ clicks by the same user
+    * within the preceding attribution window. In streaming, the watermarks
+    * + the time-range condition bound both sides' state (Spark evicts rows
+    * older than purchase_ts - window); in batch the same plan is a
+    * sort-merge equi-join on user_id with a range residual.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("purchase_ts") &&
+        col("c_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("c_ts"))
+
   /** Idempotent merge-upsert sink: each micro-batch merges into the parquet
     * target keyed on event_id, latest-wins — replays are no-ops.
     */
@@ -110,6 +123,29 @@ object EventPipeline {
     // Batch-equivalent of the watermarked streaming agg (withWatermark is a
     // no-op in batch): the driver oracles it; StreamingSpec runs the same
     // transform under MemoryStream and checks equivalence.
+    // Batch-equivalent of the stream-stream interval join, aggregated to
+    // one row per purchase (attributed click count + latest click).
+    "stream_click_attrib" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        clickAttribution(purchases, clicks)
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(count(lit(1)).as("n_clicks"), max(col("c_ts")).as("last_click_ts"))
+          .orderBy("purchase_id")
+      },
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  count(*) AS n_clicks, max(c.ts) AS last_click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin),
+
     "stream_window_counts" -> Q(
       (s, d) => windowCounts(Tables.events(s, d))
         .orderBy("window_start", "event_type"),

@@ -71,6 +71,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sc = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    val purchases = pIn.toDF().withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = cIn.toDF().withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val q = EventPipeline.clickAttribution(purchases, clicks)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      val all = eventsData
+      pIn.addData(all.filter(_.event_type == "purchase"))
+      cIn.addData(all.filter(_.event_type == "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj").count()
+      val batch = SparkEntry.queries("stream_click_attrib")(spark, sf)
+        .agg(sum("n_clicks")).collect()(0).getLong(0)
+      assert(streamed == batch && streamed > 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch merge-upsert sink is idempotent under replay") {
     implicit val sc = spark.sqlContext
     val target = java.nio.file.Files
