@@ -87,6 +87,28 @@ object Similarity {
         .orderBy("q_id", "rank"),
       None),
 
+    // L2 normalization — the standard pre-step before cosine/ANN indexing.
+    // Map-only; the oracled output surfaces the norm and leading normalized
+    // components as scalars (identical double arithmetic both engines).
+    "emb_normalize" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+        .select(col("vec_id"), col("nrm"),
+          (element_at(col("embedding"), 1).cast("double") / col("nrm")).as("u0"),
+          (element_at(col("embedding"), 2).cast("double") / col("nrm")).as("u1"),
+          (element_at(col("embedding"), 3).cast("double") / col("nrm")).as("u2"))
+        .orderBy("vec_id"),
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> cast(x as double) * cast(x as double)))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, nrm,
+        |  cast(embedding[1] as double) / nrm AS u0,
+        |  cast(embedding[2] as double) / nrm AS u1,
+        |  cast(embedding[3] as double) / nrm AS u2
+        |FROM e ORDER BY vec_id""".stripMargin),
+
     // Per-label embedding statistics: dimension-wise centroid via
     // posexplode + partial-aggregated groupBy — the distributed form of a
     // k-means M-step (no vector ever holds a whole partition's data).

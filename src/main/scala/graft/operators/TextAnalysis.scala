@@ -160,6 +160,44 @@ object TextAnalysis {
         |FROM grams GROUP BY bigram
         |ORDER BY doc_freq DESC, total_freq DESC, bigram LIMIT 50""".stripMargin),
 
+    // Composite curation pipeline: exact-dedup survivorship + quality gate
+    // feeding per-source corpus statistics — the end-to-end shape of a
+    // training-data filter stage (each stage is the operator defined above).
+    "doc_curation" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")
+        Tables.documents(s, d).select("doc_id", "text", "source")
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("distinct_ratio",
+            size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+          .withColumn("norm_hash", sha2(TextOps.normalized(col("text")), 256))
+          .withColumn("keep",
+            col("doc_id") === min("doc_id").over(w) && col("distinct_ratio") >= 0.3)
+          .filter(col("keep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("distinct_ratio")), 6).as("avg_distinct_ratio"))
+          .orderBy("source")
+      },
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(trim(text), ' ')) AS n_tokens,
+        |    cast(len(list_distinct(string_split(trim(text), ' '))) as double)
+        |      / len(string_split(trim(text), ' ')) AS distinct_ratio,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY norm_hash) AS canon
+        |    FROM scored)
+        |  WHERE doc_id = canon AND distinct_ratio >= 0.3)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_tokens) as bigint) AS total_tokens,
+        |  round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+
     // Winnowing fingerprints (k=8 char-grams, window 4), exploded to the
     // (doc, fingerprint) grain — the unit a cross-corpus plagiarism /
     // near-dup index is built on. Rows-only: DuckDB lacks xxhash64.
