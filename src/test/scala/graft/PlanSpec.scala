@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("stream_click_attrib plans as an equi-join with range residual, not a cross join") {
+    val p = plan("stream_click_attrib")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
     // 2 branches (json from orders+lineitem, csv from orders+lineitem);
