@@ -331,6 +331,19 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Quantile sketch (Greenwald-Khanna): engine-specific estimates, so
+    // rows-only; RelationalSpec bounds the error against exact percentiles.
+    "q_approx_percentile" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // ----------------------------------------------------------------
     "q_pivot" -> Q(
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")

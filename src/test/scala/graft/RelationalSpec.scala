@@ -49,6 +49,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_percentile is within 5% of the exact quantile") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    run("q_approx_percentile").collect().foreach { r =>
+      val ex = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - ex) / ex < 0.05)
+    }
+  }
+
   test("q_rollup grand total row equals table count") {
     val all = run("q_rollup")
       .filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
