@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
 
 /** Multi-format header normalization (reference sql/03_transform_headers.sql):
   * wide COALESCE key pathing, TRY_TO_* resilient casts, UPPER(currency),
@@ -40,7 +41,16 @@ object HeaderNormalizer {
     "client_id", "source_system", "source_txn_id", "txn_timestamp", "currency",
     "total_amount", "customer_id", "account_id", "merchant",
     "src_file", "src_row_number", "ingest_ts", "payload_hash", "parse_ok",
-    "file_type", "line_items", "raw_currency")
+    "file_type", "line_items", "raw_currency", "attributes")
+
+  /** VARIANT analogue (reference sql/03 OBJECT_CONSTRUCT('raw_payload', …,
+    * 'source_format', …), sql/02_canonical_ddl.sql:21,39): the raw payload
+    * rides the canonical grain as a JSON string, keeping the RAW layer
+    * re-processable from CAN_TXN alone. Field order and escaping are plain
+    * JSON, so the DuckDB oracle rebuilds identical bytes via struct_pack.
+    */
+  private def attrs(payloadKey: String, fmt: String): Column =
+    to_json(struct(col("payload").as(payloadKey), lit(fmt).as("source_format")))
 
   /** TRY_TO_TIMESTAMP / TRY_TO_NUMBER equivalents: null on bad input, never
     * an ANSI error. Applied over an intermediate column so the try_cast SQL
@@ -74,7 +84,8 @@ object HeaderNormalizer {
       col("parsed._corrupt").isNull.as("parse_ok"),
       col("file_type"),
       col("parsed.line_items").as("line_items"),
-      coalesce(col("parsed.currency"), col("parsed.ccy")).as("raw_currency")))
+      coalesce(col("parsed.currency"), col("parsed.ccy")).as("raw_currency"),
+      attrs("raw_payload", "JSON").as("attributes")))
   }
 
   /** CSV branch: raw (payload array<string>, positional) → header staging.
@@ -100,21 +111,28 @@ object HeaderNormalizer {
         headerSchema("line_items").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType))
         .as("line_items"),
       at(3).as("raw_currency"),
+      attrs("csv_payload", "CSV").as("attributes"),
       // CSV line fields ride along for LineFlattener's positional branch
       at(8).as("csv_item"), at(9).as("csv_desc"), at(10).as("csv_qty"),
       at(11).as("csv_price"), at(12).as("csv_amount")))
   }
 
   /** XML branch via Spark 4 native from_xml: header fields as attributes
-    * (`_`-prefixed), nested <line> children.
+    * (`_`-prefixed), nested <line> children (reference sql/03 xml_hdr).
+    * A corrupt-record column marks structurally-broken documents (the
+    * COPY ON_ERROR=CONTINUE analogue), feeding parse_ok and load audit.
     */
   def fromXml(raw: DataFrame): DataFrame = {
     val xmlSchema = StructType.fromDDL(
       """_transaction_id string, _transaction_ts string, _currency string,
-        |_total_amount string, _customer_id string,
-        |line array<struct<_item_id:string,_quantity:string,_unit_price:string,_line_amount:string>>"""
+        |_total_amount string, _customer_id string, _account_id string,
+        |_merchant string,
+        |line array<struct<_item_id:string,_description:string,_quantity:string,_unit_price:string,_line_amount:string>>,
+        |_corrupt string"""
         .stripMargin.replaceAll("\n", " "))
-    tryCasts(raw.withColumn("parsed", from_xml(col("payload"), xmlSchema))
+    tryCasts(raw.withColumn("parsed",
+      from_xml(col("payload"), xmlSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt").asJava))
       .select(
         col("client_id"),
         lit("XML").as("source_system"),
@@ -123,11 +141,14 @@ object HeaderNormalizer {
         upper(col("parsed._currency")).as("currency"),
         col("parsed._total_amount").as("amt_raw"),
         col("parsed._customer_id").as("customer_id"),
+        col("parsed._account_id").as("account_id"),
+        col("parsed._merchant").as("merchant"),
         col("src_file"), col("src_row_number"), col("ingest_ts"),
         sha2(col("payload"), 256).as("payload_hash"),
-        col("parsed").isNotNull.as("parse_ok"),
+        col("parsed._corrupt").isNull.as("parse_ok"),
         col("file_type"),
         col("parsed.line").as("xml_lines"),
-        col("parsed._currency").as("raw_currency")))
+        col("parsed._currency").as("raw_currency"),
+        attrs("raw_payload", "XML").as("attributes")))
   }
 }

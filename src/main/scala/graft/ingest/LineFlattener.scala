@@ -6,12 +6,21 @@ import org.apache.spark.sql.functions._
 /** Nested line-item normalization (reference sql/04_transform_lines.sql):
   * LATERAL FLATTEN ≡ posexplode_outer, with the reference's index-fallback
   * line numbering (`COALESCE(value:line_number, index + 1)`) and
-  * line-currency inheritance from the header payload.
+  * line-currency inheritance from the header payload. All three source
+  * branches (JSON / XML / CSV-positional) flatten to the same grain.
   *
   * Operates on the already-canonicalized survivor rows, so the line grain
   * inherits canonical_txn_id without a re-join (the reference re-joins the
   * staged header to the raw table; doing it in one pass avoids a second
   * shuffle of the raw data at scale).
+  *
+  * `attributes` is the line-grain VARIANT analogue (reference sql/04
+  * OBJECT_CONSTRUCT('raw_line', li.value, 'source_format', …)). Snowflake's
+  * li.value is itself a re-serialized parse (not original payload bytes),
+  * so the faithful equivalent is the NORMALIZED field snapshot: the
+  * post-cast values rendered at canonical scale — deterministic across
+  * engines, unlike raw JSON number tokens which Jackson re-renders through
+  * double. Nulls are serialized explicitly (ignoreNullFields=false).
   */
 object LineFlattener {
 
@@ -23,6 +32,15 @@ object LineFlattener {
     // scale 4: line_amount = price(2dp) × (1-discount(2dp)) is exact at 4dp;
     // parsing at the payload's native scale avoids any midpoint rounding
     .withColumn("line_amount", expr("try_cast(amt_raw as decimal(18,4))"))
+    .withColumn("attributes", to_json(
+      struct(
+        struct(col("line_number").cast("string").as("line_number"),
+          col("line_txn_id"), col("item_id"), col("description"),
+          col("quantity").cast("string").as("quantity"),
+          col("unit_price").cast("string").as("unit_price"),
+          col("line_amount").cast("string").as("line_amount")).as("raw_line"),
+        col("source_system").as("source_format")),
+      Map("ignoreNullFields" -> "false")))
     .drop("ln_raw", "qty_raw", "price_raw", "amt_raw", "pos")
 
   /** JSON survivors → canonical line rows. */
@@ -45,6 +63,31 @@ object LineFlattener {
       coalesce(col("li.unit_price"), col("li.price")).as("price_raw"),
       coalesce(col("li.line_amount"), col("li.amount"), col("li.total")).as("amt_raw"),
       coalesce(upper(col("li.currency")), col("hdr_currency")).as("currency"),
+      col("src_file"), col("ingest_ts")))
+  }
+
+  /** XML survivors → canonical line rows (reference sql/04 xml_line:
+    * attribute-addressed fields, index-fallback numbering, header-currency
+    * inheritance).
+    */
+  def fromXmlSurvivors(survivors: DataFrame): DataFrame = {
+    val exploded = survivors
+      .select(
+        col("canonical_txn_id"), col("client_id"), col("source_system"),
+        col("src_file"), col("ingest_ts"), col("currency").as("hdr_currency"),
+        posexplode_outer(col("xml_lines")).as(Seq("pos", "li")))
+      .filter(col("li").isNotNull)
+    tryCasts(exploded.select(
+      col("canonical_txn_id"), col("client_id"), col("source_system"),
+      lit(null).cast("string").as("ln_raw"),
+      col("pos"),
+      lit(null).cast("string").as("line_txn_id"),
+      col("li._item_id").as("item_id"),
+      col("li._description").as("description"),
+      col("li._quantity").as("qty_raw"),
+      col("li._unit_price").as("price_raw"),
+      col("li._line_amount").as("amt_raw"),
+      col("hdr_currency").as("currency"),
       col("src_file"), col("ingest_ts")))
   }
 

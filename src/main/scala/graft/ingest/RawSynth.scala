@@ -11,11 +11,15 @@ import org.apache.spark.sql.types.DecimalType
   * The reference ingests financial transactions from JSON/XML/CSV client
   * files (reference sql/01_raw_ingestion.sql). The driver's test schema has
   * no such files, so we synthesize byte-deterministic payloads from
-  * `orders`/`lineitem`: orders %3∈{0,1} become JSON documents (two key-name
+  * `orders`/`lineitem`: orders %3=0 become JSON documents (two key-name
   * dialects to exercise the COALESCE pathing of sql/03_transform_headers.sql),
-  * orders %3=2 become positional CSV rows (sql/04 csv branch), and the same
-  * corpus is re-rendered as XML for the Spark-native XML path. Engineered
-  * defects mirror the reference's anomaly matrix:
+  * orders %3=1 become XML documents (attribute headers + <line> children,
+  * the sql/03 xml_hdr branch), orders %3=2 become positional CSV rows
+  * (sql/04 csv branch). Because pair = orderkey DIV 2 spans mod-3 classes,
+  * the same (client_id, source_txn_id) arrives through different formats —
+  * cross-source survivorship, exactly the reference's all_hdr union shape.
+  * Engineered defects mirror the reference's anomaly matrix (all three
+  * formats):
   *   - %97: source id omitted  → payload-hash fallback key
   *   - %101: amount "N/A"      → TRY_TO_NUMBER null → MISSING_REQUIRED
   *   - %89: negative amount    → NEGATIVE_AMOUNT
@@ -94,7 +98,7 @@ object RawSynth {
         transform(array_sort(collect_list(struct(col("pos"), col("obj")))),
           x => x.getField("obj")), ",").as("lines_json"))
 
-    val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 =!= 2))
+    val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 === 0))
       .join(ljson, col("o_orderkey") === col("l_orderkey"), "left")
 
     val payload = concat(lit("{"), concat_ws(",",
@@ -167,13 +171,18 @@ object RawSynth {
         .otherwise(fields).as("payload"))
   }
 
-  /** XML raw batch (header attributes + <line> children), for the Spark 4
-    * native XML parse path. Rows-only (DuckDB has no XML).
+  /** XML raw batch (header attributes + <line> children), the third source
+    * branch of the canonical pipeline (reference sql/03 xml_hdr + sql/04
+    * xml_line). DuckDB has no XML type, but every payload is a deterministic
+    * string concat, so the oracle rebuilds identical bytes (and sha2 hashes)
+    * without parsing XML — parsed-field expectations derive straight from
+    * `orders` ground truth.
     */
   def xmlRaw(sp: SparkSession, dir: String): DataFrame = {
     val lp = linesWithPos(sp, dir)
     val lxml = lp.withColumn("obj",
       concat(lit("<line item_id=\"ITEM"), s(col("l_partkey")),
+        lit("\" description=\"part "), s(col("l_partkey")),
         lit("\" quantity=\""), qtyStr,
         lit("\" unit_price=\""), d2s(col("l_extendedprice")),
         lit("\" line_amount=\""), lineAmtStr,
@@ -182,8 +191,22 @@ object RawSynth {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("obj")))),
           x => x.getField("obj")), "").as("lines_xml"))
-    val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 =!= 2))
+    val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 === 1))
       .join(lxml, col("o_orderkey") === col("l_orderkey"), "left")
+    val payload = concat(
+      lit("<txn "),
+      when(col("o_orderkey") % 97 === 0, lit(""))
+        .otherwise(concat(lit("transaction_id=\"TXN"), s(col("pair")), lit("\" "))),
+      lit("transaction_ts=\""), s(col("o_orderdate")),
+      lit("\" currency=\""), col("ccy_raw"),
+      lit("\" total_amount=\""),
+      when(col("o_orderkey") % 101 === 0, lit("N/A"))
+        .when(col("o_orderkey") % 89 === 0, concat(lit("-"), d2s(col("o_totalprice"))))
+        .otherwise(d2s(col("o_totalprice"))),
+      lit("\" customer_id=\"CUST"), s(col("o_custkey")),
+      lit("\" account_id=\"ACC"), s(col("o_custkey")),
+      lit("\" merchant=\"M"), s(col("o_custkey") % 50),
+      lit("\">"), coalesce(col("lines_xml"), lit("")), lit("</txn>"))
     o.select(
       col("o_orderkey").as("src_row_number"),
       col("client_id"),
@@ -191,12 +214,7 @@ object RawSynth {
         s(col("o_orderkey") % 10), lit(".xml")).as("src_file"),
       col("ingest_ts"),
       lit("XML").as("file_type"),
-      concat(
-        lit("<txn transaction_id=\"TXN"), s(col("pair")),
-        lit("\" transaction_ts=\""), s(col("o_orderdate")),
-        lit("\" currency=\""), col("ccy_raw"),
-        lit("\" total_amount=\""), d2s(col("o_totalprice")),
-        lit("\" customer_id=\"CUST"), s(col("o_custkey")),
-        lit("\">"), coalesce(col("lines_xml"), lit("")), lit("</txn>")).as("payload"))
+      when(col("o_orderkey") % 103 === 0, substring(payload, 1, 20))
+        .otherwise(payload).as("payload"))
   }
 }

@@ -23,6 +23,9 @@ object Ingestion {
   private def csvHeaders(s: SparkSession, d: String): DataFrame =
     HeaderNormalizer.fromCsv(RawSynth.csvRaw(s, d))
 
+  private def xmlHeaders(s: SparkSession, d: String): DataFrame =
+    HeaderNormalizer.fromXml(RawSynth.xmlRaw(s, d))
+
   /** Materialized staging/canonical tables, one per (session, source dir).
     *
     * The reference MERGEs the canonical model into STORED tables once per
@@ -40,9 +43,15 @@ object Ingestion {
     matCache.getOrElseUpdate((s.sparkContext.applicationId, d, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The reference's all_hdr: JSON ∪ XML ∪ CSV staging rows
+    * (sql/03_transform_headers.sql:26,59) — survivorship and every
+    * downstream grain see all three sources.
+    */
   private def allHeaders(s: SparkSession, d: String): DataFrame =
     materialize(s, d, "headers") {
-      jsonHeaders(s, d).unionByName(csvHeaders(s, d), allowMissingColumns = true)
+      jsonHeaders(s, d)
+        .unionByName(xmlHeaders(s, d), allowMissingColumns = true)
+        .unionByName(csvHeaders(s, d), allowMissingColumns = true)
     }
 
   private def survivors(s: SparkSession, d: String): DataFrame =
@@ -53,6 +62,8 @@ object Ingestion {
   private def linesFrom(surv: DataFrame): DataFrame =
     LineFlattener.fromJsonSurvivors(
         surv.filter(col("source_system") === "JSON" && col("parse_ok")))
+      .unionByName(LineFlattener.fromXmlSurvivors(
+        surv.filter(col("source_system") === "XML" && col("parse_ok"))))
       .unionByName(LineFlattener.fromCsvSurvivors(
         surv.filter(col("source_system") === "CSV" && col("parse_ok"))))
 
@@ -105,15 +116,23 @@ FROM jhdr ORDER BY src_row_number"""),
 SELECT $headerOutSql
 FROM chdr ORDER BY src_row_number"""),
 
+    // Fully oracled despite DuckDB lacking XML: the expected parsed fields
+    // derive from `orders` ground truth and the payload (for the sha2 hash)
+    // is rebuilt byte-for-byte as a string (OracleFrags.xhdr).
     "ing_xml_normalize" -> Q(
-      (s, d) => HeaderNormalizer.fromXml(RawSynth.xmlRaw(s, d))
+      (s, d) => xmlHeaders(s, d)
         .select(col("client_id"), col("source_system"), col("source_txn_id"),
           col("txn_timestamp"), col("currency"),
           col("total_amount").cast("double").as("total_amount"),
-          col("customer_id"), col("src_file"), col("src_row_number"),
+          col("customer_id"), col("account_id"), col("merchant"),
+          col("src_file"), col("src_row_number"), col("payload_hash"),
           col("parse_ok"))
         .orderBy("src_row_number"),
-      None),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT client_id, source_system, source_txn_id, txn_timestamp, currency,
+  cast(total_amount as double) AS total_amount, customer_id, account_id,
+  merchant, src_file, src_row_number, payload_hash, parse_ok
+FROM xhdr ORDER BY src_row_number"""),
 
     "ing_load_audit" -> Q(
       (s, d) => LoadAudit.audit(allHeaders(s, d))
@@ -123,6 +142,7 @@ SELECT src_file, file_type, count(*) AS rows_parsed,
   cast(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) as bigint) AS rows_loaded,
   cast(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) as bigint) AS errors_seen,
   min(CASE WHEN NOT parse_ok THEN src_row_number END) AS first_error_row,
+  max(ingest_ts) AS load_ts,
   CASE WHEN sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) = 0 THEN 'LOADED'
        WHEN sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) = 0 THEN 'LOAD_FAILED'
        ELSE 'PARTIALLY_LOADED' END AS load_status
@@ -136,13 +156,13 @@ FROM hdr GROUP BY src_file, file_type ORDER BY src_file"""),
           col("total_amount").cast("double").as("total_amount"),
           col("is_valid"),
           array_join(col("anomaly_codes"), ",").as("anomaly_codes"),
-          col("dup_cnt"), col("src_file"))
+          col("dup_cnt"), col("src_file"), col("attributes"))
         .orderBy("canonical_txn_id"),
       s"""WITH ${OracleFrags.synthCtes}
 SELECT canonical_txn_id, client_id, source_system,
   eff_txn_id AS source_txn_id, txn_timestamp, currency,
   cast(total_amount as double) AS total_amount,
-  is_valid, anomaly_codes, dup_cnt, src_file
+  is_valid, anomaly_codes, dup_cnt, src_file, attributes
 FROM surv ORDER BY canonical_txn_id"""),
 
     // measures as double BOTH sides: values are exact ≤4-dp decimals (same
@@ -155,13 +175,13 @@ FROM surv ORDER BY canonical_txn_id"""),
           col("quantity").cast("double").as("quantity"),
           col("unit_price").cast("double").as("unit_price"),
           col("line_amount").cast("double").as("line_amount"),
-          col("currency"), col("src_file"))
+          col("currency"), col("src_file"), col("attributes"))
         .orderBy("canonical_txn_id", "line_number"),
       s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes}
 SELECT canonical_txn_id, line_number, line_txn_id, item_id, description,
   cast(quantity as double) AS quantity,
   cast(unit_price as double) AS unit_price,
-  cast(line_amount as double) AS line_amount, currency, src_file
+  cast(line_amount as double) AS line_amount, currency, src_file, attributes
 FROM lines_all ORDER BY canonical_txn_id, line_number"""),
 
     "merge_upsert" -> Q(
@@ -229,12 +249,15 @@ ORDER BY canonical_txn_id, line_number"""),
         .agg(count(lit(1)).as("batch_count"),
           sum(col("rows_parsed")).as("total_rows_parsed"),
           sum(col("rows_loaded")).as("total_rows_loaded"),
-          sum(col("errors_seen")).as("total_errors_seen"))
+          sum(col("errors_seen")).as("total_errors_seen"),
+          // VW_LOAD_AUDIT_SUMMARY.latest_load_ts (sql/07_ops_views.sql:12)
+          max(col("load_ts")).as("latest_load_ts"))
         .orderBy("file_type", "load_status"),
       s"""WITH ${OracleFrags.synthCtes}, audit AS (
   SELECT src_file, file_type, count(*) AS rows_parsed,
     sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS rows_loaded,
     sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS errors_seen,
+    max(ingest_ts) AS load_ts,
     CASE WHEN sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) = 0 THEN 'LOADED'
          WHEN sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) = 0 THEN 'LOAD_FAILED'
          ELSE 'PARTIALLY_LOADED' END AS load_status
@@ -242,7 +265,8 @@ ORDER BY canonical_txn_id, line_number"""),
 SELECT file_type, load_status, count(*) AS batch_count,
   cast(sum(rows_parsed) as bigint) AS total_rows_parsed,
   cast(sum(rows_loaded) as bigint) AS total_rows_loaded,
-  cast(sum(errors_seen) as bigint) AS total_errors_seen
+  cast(sum(errors_seen) as bigint) AS total_errors_seen,
+  max(load_ts) AS latest_load_ts
 FROM audit GROUP BY file_type, load_status
 ORDER BY file_type, load_status"""),
 

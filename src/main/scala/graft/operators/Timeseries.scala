@@ -175,7 +175,7 @@ object Timeseries {
         .orderBy("event_type"),
       """SELECT event_type,
         |  count(try_cast(json_extract_string(props, '$.k') as bigint)) AS n_parsed,
-        |  sum(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_sum,
+        |  cast(sum(try_cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS k_sum,
         |  min(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_min,
         |  max(try_cast(json_extract_string(props, '$.k') as bigint)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),

@@ -19,7 +19,11 @@ object LoadAudit {
       count(lit(1)).as("rows_parsed"),
       sum(when(col("parse_ok"), 1L).otherwise(0L)).as("rows_loaded"),
       sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors_seen"),
-      min(when(!col("parse_ok"), col("src_row_number"))).as("first_error_row"))
+      min(when(!col("parse_ok"), col("src_row_number"))).as("first_error_row"),
+      // RAW_LOAD_AUDIT.load_ts analogue (reference sql/01:57): wall-clock
+      // load time isn't reproducible, so the deterministic stand-in is the
+      // latest ingest timestamp the file contributed.
+      max(col("ingest_ts")).as("load_ts"))
     .withColumn("load_status",
       when(col("errors_seen") === 0, "LOADED")
         .when(col("rows_loaded") === 0, "LOAD_FAILED")

@@ -66,14 +66,53 @@ class IngestionSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[String]("version") == "v1"))
   }
 
-  test("XML branch parses every synthesized document's fields") {
+  test("XML branch parses fields and surfaces the engineered defect matrix") {
     val x = run("ing_xml_normalize")
-    assert(x.filter(!col("parse_ok")).count() == 0)
-    assert(x.filter(col("source_txn_id").isNull ||
-      col("txn_timestamp").isNull || col("total_amount").isNull ||
-      col("currency").isNull).count() == 0)
+    // %103: truncated documents are structurally corrupt — and ONLY those
+    assert(x.filter(!col("parse_ok") && col("src_row_number") % 103 =!= 0)
+      .count() == 0)
+    assert(x.filter(!col("parse_ok")).count() ==
+      x.filter(col("src_row_number") % 103 === 0).count())
+    // %97: id attribute omitted → null source_txn_id (hash-fallback key)
+    assert(x.filter(col("parse_ok") && col("source_txn_id").isNull &&
+      col("src_row_number") % 97 =!= 0).count() == 0)
+    // %101: "N/A" amount survives parse but try_casts to null
+    assert(x.filter(col("parse_ok") && col("total_amount").isNull &&
+      col("src_row_number") % 101 =!= 0).count() == 0)
+    // clean rows parse completely
+    assert(x.filter(col("parse_ok") && col("src_row_number") % 97 =!= 0 &&
+      col("src_row_number") % 101 =!= 0)
+      .filter(col("source_txn_id").isNull || col("txn_timestamp").isNull ||
+        col("total_amount").isNull || col("currency").isNull ||
+        col("account_id").isNull || col("merchant").isNull)
+      .count() == 0)
     // lowercase raw currencies were uppercased
     assert(x.filter(col("currency") =!= upper(col("currency"))).count() == 0)
+  }
+
+  test("canonical model integrates all three source systems") {
+    val srcs = run("canon_header").select("source_system").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(srcs == Set("JSON", "XML", "CSV"))
+    // cross-source survivorship: some surviving keys report dup_cnt > 1
+    // with duplicates arriving through different formats (pair spans mod-3)
+    val lineSrcs = run("canon_lines").selectExpr(
+      "get_json_object(attributes, '$.source_format') AS f")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(lineSrcs == Set("JSON", "XML", "CSV"))
+  }
+
+  test("attributes retains the raw payload on the canonical header grain") {
+    val h = run("canon_header").selectExpr("source_system",
+      "get_json_object(attributes, '$.source_format') AS fmt",
+      "get_json_object(attributes, '$.raw_payload') AS raw",
+      "get_json_object(attributes, '$.csv_payload') AS craw")
+    // source_format matches the branch; the raw payload rides along
+    assert(h.filter(col("source_system") =!= col("fmt")).count() == 0)
+    assert(h.filter(col("source_system") =!= "CSV" && col("raw").isNull)
+      .count() == 0)
+    assert(h.filter(col("source_system") === "CSV" && col("craw").isNull)
+      .count() == 0)
   }
 
   test("canonical ids are deterministic across independent runs") {

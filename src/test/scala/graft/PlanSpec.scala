@@ -77,10 +77,10 @@ class PlanSpec extends SparkSpec {
 
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
-    // 2 branches (json from orders+lineitem, csv from orders+lineitem);
+    // 3 branches (json/xml/csv, each from orders+lineitem);
     // detail entries look like "(1) Scan parquet" (tree lines would double-count)
     val scans = p.linesIterator.count(l =>
       l.trim.startsWith("(") && l.contains("Scan parquet"))
-    assert(scans <= 4, s"$scans parquet scans")
+    assert(scans <= 6, s"$scans parquet scans")
   }
 }
