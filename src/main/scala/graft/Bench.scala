@@ -1,32 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Hygiene: an untimed warmup, the three one-time materializations (stored
+  * canonical tables, LSH candidates, IVF index fit) timed as explicit
+  * `build:*` line items, then SPARK_GRAFT_ITERS (default 3) timed runs per
+  * query reporting the per-query MEDIAN — a single-iteration number can't
+  * distinguish a regression from box noise (round-1 runs varied ±25%).
+  * `value` (the headline total) = builds + sum of medians, so the
+  * build-once cost stays in the comparison against the re-derive-per-query
+  * baseline.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // untimed warmup: initialize codegen, parquet readers, and the JIT so
     // the first measured query isn't charged the JVM's startup tax
     try SparkEntry.queries("q6_filter_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+
+    // one-time materializations, timed individually
+    val builds = Seq(
+      "build:canonical" -> timed(operators.Ingestion.buildCanonical(spark, sfDir)),
+      "build:lsh_candidates" -> timed(operators.Dedup.buildCandidates(spark, sfDir)),
+      "build:ivf_index" -> timed(operators.Similarity.buildIndex(spark, sfDir)))
+
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = selected.map { case (name, fn) =>
+      name -> median((1 to iters).map(_ => timed(fn(spark, sfDir).count())))
+    }
+
+    val entries = builds ++ medians.toSeq
+    val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = entries.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,29 +1,23 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** Dev scratchpad: cross-engine parity / parser behavior checks. Not part
-  * of the driver contract.
+/** Dev scratchpad: ad-hoc recall / parity measurements. Not part of the
+  * driver contract.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("probe")
-    import spark.implicits._
-    val df = Seq(
-      """{"a":12.50,"b":"x","n":5}""",      // number into string field?
-      """{"a":"N/A","b":"y","n":"bad"}""",  // bad value into long field?
-      """{"a":1,"b":"z"""                   // truncated
-    ).toDF("payload")
-    df.select(
-      col("payload"),
-      from_json(col("payload"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "a string, b string, n long, _corrupt string"),
-        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("p"),
-      get_json_object(col("payload"), "$").isNotNull.as("gjo_ok"),
-      get_json_object(col("payload"), "$.a").as("gjo_a")
-    ).select("payload", "p.a", "p.b", "p.n", "p._corrupt", "gjo_ok", "gjo_a")
-      .show(false)
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("emb_ann_topk")
+    val ivf = pairs("emb_ann_ivf")
+    println(s"PROBE ivf_recall=${exact.intersect(ivf).size.toDouble / exact.size}")
+    val sizes = operators.Similarity.clusterSizes(spark, sf)
+      .collect().map(r => r.getLong(1)).sorted.reverse
+    val n = sizes.sum.toDouble
+    println(s"PROBE clusters=${sizes.length} sizes=${sizes.mkString(",")} " +
+      s"top2_frac=${(sizes.take(2).sum / n)}")
     spark.stop()
   }
 }

@@ -25,7 +25,11 @@ object Tables {
     * `cast(ts as timestamp)` truncation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // sessions built by Engine/Verify/Bench set this at construction; only
+    // patch sessions that missed it (avoids re-mutating shared config on
+    // every call, which could race concurrently-planned reads)
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }

@@ -17,10 +17,24 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Distinct unigram shingle set (the similarity unit the corpus exhibits;
-    * swap for n-gram shingles via `ngrams`).
+  /** Word n-gram size for the dedup family. Unigrams make any vocabulary
+    * overlap look like similarity (avg cross-doc Jaccard ~0.6 on prose),
+    * flooding LSH buckets; 3-grams drive the cross-doc baseline to ~0 so
+    * candidate volume scales with TRUE near-dups — the cost driver at
+    * 100 TB.
     */
-  def shingleSet(text: Column): Column = array_distinct(tokens(text))
+  val ShingleN = 3
+
+  /** Distinct word-3-gram shingle set over a BOUND tokens column (the
+    * ngrams lambda re-evaluates `toks` per element if handed an inline
+    * tokenizer — bind `tokens(text)` as its own column first).
+    */
+  def shingles(toks: Column): Column = array_distinct(ngrams(toks, ShingleN))
+
+  /** Convenience for tests/small inputs ONLY: inlines the tokenizer into
+    * the ngram lambda (quadratic re-tokenization — never in a hot path).
+    */
+  def shingleSet(text: Column): Column = shingles(tokens(text))
 
   /** Word n-grams as space-joined strings. Pass a BOUND column (not an
     * inlined tokenizer expression): the lambdas reference `toks` per

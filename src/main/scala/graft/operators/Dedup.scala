@@ -25,14 +25,23 @@ object Dedup {
     Tables.documents(s, d).select("doc_id", "text")
 
   private val K = 32       // minhash signature length
-  private val Bands = 4    // 4 bands × 8 rows: tuned for the near-dup tail
+  // 8 bands × 4 rows: candidate probability 1-(1-j⁴)⁸ ≈ 0.99 at j=0.8
+  // (the verify threshold) and ~0 at the 3-gram cross-doc baseline j≈0
+  private val Bands = 8
   val JaccardThreshold = 0.8
+
+  /** Per-doc 3-gram shingle sets. Tokens bind as their own column first —
+    * the ngram lambda would otherwise re-tokenize per element (O(n²)).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
 
   /** Per-doc MinHash signatures (map-only). */
   private def sigs(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"),
-        TextOps.minhashSignature(TextOps.shingleSet(col("text")), K).as("sig"))
+    shingleSets(s, d)
+      .select(col("doc_id"), TextOps.minhashSignature(col("sh"), K).as("sig"))
 
   /** Candidate pairs from LSH buckets with signature-estimated Jaccard.
     * The band self-join carries doc ids ONLY (the heavy signature arrays
@@ -68,6 +77,10 @@ object Dedup {
           .cast("double") / K)
       .drop("sig_a", "sig_b")
   }
+
+  /** Force the one-time LSH candidate materialization (Bench line item). */
+  def buildCandidates(s: SparkSession, d: String): Long =
+    lshCandidates(s, d).count()
 
   val defs: Map[String, Q] = Map(
     // Exact dedup on the normalized-text sha2: group id = hash, canonical
@@ -130,10 +143,9 @@ object Dedup {
       (s, d) => {
         // intersect 64-bit shingle hashes, not strings: same Jaccard up to
         // a ~2^-58 collision chance, at a fraction of the comparison cost
-        val sets = docs(s, d)
+        val sets = shingleSets(s, d)
           .select(col("doc_id"),
-            array_distinct(transform(TextOps.shingleSet(col("text")),
-              x => xxhash64(x))).as("sh"))
+            array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
         // verify-stage pruning: only candidates whose MinHash estimate is
         // within slack of the threshold pay the exact set-intersection cost
         val cand = lshCandidates(s, d)

@@ -79,6 +79,16 @@ object Ingestion {
     anomaliesFrom(surv, linesFrom(surv))
   }
 
+  /** Force the one-time canonical materialization (the stored-CAN_TXN
+    * analogue) — Bench times this as its own line item so per-query numbers
+    * reflect steady state, mirroring the reference's build-once-read-many
+    * design.
+    */
+  def buildCanonical(s: SparkSession, d: String): Long = {
+    allHeaders(s, d).count()
+    survivors(s, d).count()
+  }
+
   private val headerOutCols = Seq("client_id", "source_system", "source_txn_id",
     "txn_timestamp", "currency", "total_amount", "customer_id", "account_id",
     "merchant", "src_file", "src_row_number", "payload_hash", "parse_ok")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.VectorOps
+import graft.functions.{HashExprs, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,6 +16,17 @@ object Similarity {
   val CosineThreshold = 0.35
   val TopK = 10
   val Probes = 2 // IVF clusters probed per query
+  val Dim = 64   // embedding dimensionality of the corpus
+
+  // SRP-LSH banding: P(sign-bit match) = 1 − θ/π ≈ 0.61 at cosine 0.35,
+  // so 4-bit bands hit 0.142 per band → 20 bands give ~0.96 recall at the
+  // threshold. Candidate density is corpus-driven: this synthetic corpus
+  // has NO cosine gap (qualifying pairs sit barely above 0.35, background
+  // 99.9th pct = 0.377), the adversarial case for any cosine LSH; on a
+  // real near-dup corpus (cosine ≥ 0.7 dups vs ~0 background) the same
+  // banding prunes candidates by orders of magnitude.
+  val SrpBits = 4
+  val SrpBands = 20
 
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -28,13 +39,75 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
 
-  /** Deterministic IVF centroids: every 50th vector (a k-means fit would
-    * slot in here; centroid choice is orthogonal to the probe plumbing).
+  val KmeansIters = 2
+
+  /** IVF centroids: deterministic seeds (every 50th vector — C scales with
+    * corpus size) refined by `KmeansIters` Lloyd iterations, entirely as
+    * DataFrame ops. E-step = broadcast-centroid nearest assignment
+    * (map-only, the n×C expansion collapses via partial agg); M-step =
+    * dimension-wise mean through posexplode + groupBy — the same
+    * distributed shape as emb_label_stats, so no step ever materializes a
+    * partition-sized vector on one node.
+    *
+    * Measured on sf0.01 (isotropic synthetic clusters): raw sample seeds
+    * 0.98 recall@10, Lloyd-refined 0.88, identical cluster balance — the
+    * sample happens to land in every synthetic cluster. The fit stays the
+    * default anyway: on real corpora the sample inherits the data's skew
+    * and unbalanced cells destroy probe cost, which is why production IVF
+    * trains centroids. Recall is tunable via `Probes` at ~n/C scan cost
+    * per extra probe.
+    */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** The fitted index is trained once per (session, corpus) and persisted —
+    * the in-process analogue of storing a trained IVF index; every probe
+    * re-deriving the Lloyd chain would re-pay the fit.
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    embs(s, d).filter(col("vec_id") % 50 === 0)
+    centCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      fitCentroids(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def fitCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val seeds = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
+    (1 to KmeansIters).foldLeft(seeds) { (c, _) =>
+      val assigned = e.join(broadcast(c), lit(true))
+        .withColumn("ccos", VectorOps.cosinePre(
+          col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
+          first(col("embedding")).as("embedding"))
+      assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m").cast("float")).as("c_emb"))
+        .select(col("c_id"), col("c_emb"),
+          VectorOps.norm(col("c_emb")).as("c_nrm"))
+    }
+  }
+
+  /** Force the one-time IVF index fit (Bench line item). */
+  def buildIndex(s: SparkSession, d: String): Long =
+    centroids(s, d).count()
+
+  /** Diagnostic: member count per IVF cluster (probe-cost driver). */
+  def clusterSizes(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val c = centroids(s, d)
+    e.join(broadcast(c), lit(true))
+      .withColumn("ccos", VectorOps.cosinePre(
+        col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), col("ccos")).as("c_id"))
+      .groupBy("c_id").count()
+  }
 
   /** Rank rows by cosine against a broadcast probe side, keep top-k each. */
   private def topkAgainst(base: DataFrame, probe: DataFrame, k: Int): DataFrame = {
@@ -79,6 +152,37 @@ object Similarity {
          |    z -> cast(z[1] as double) * cast(z[2] as double)))
          |    / (a.nrm * b.nrm) >= $CosineThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin),
+
+    // Bucketed cosine near-dup pairs — the 100 TB path for emb_cosine_pairs.
+    // Sign-random-projection band keys (one codegen'd map-only pass), an
+    // equi-join on band buckets carrying ids only, pair dedup, then exact
+    // cosine verification on the candidates. Shuffle is keyed on band
+    // buckets, so cost scales with bucket occupancy — never an O(n²)
+    // BroadcastNestedLoopJoin (PipelineSpec asserts both the plan shape and
+    // ≥95% recall vs the brute-force twin).
+    "emb_cosine_lsh" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val keyed = e.select(col("vec_id"),
+          explode(HashExprs.srpBands(col("embedding"), Dim, SrpBits, SrpBands))
+            .as("bk"))
+        val cand = keyed
+          .join(keyed.select(col("vec_id").as("vec_id_b"), col("bk")), Seq("bk"))
+          .filter(col("vec_id") < col("vec_id_b"))
+          .select(col("vec_id").as("vec_id_a"), col("vec_id_b"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("vec_id_a"),
+            col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_id_a")
+          .join(e.select(col("vec_id").as("vec_id_b"),
+            col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_id_b")
+          .withColumn("cosine", VectorOps.cosinePre(
+            col("emb_a"), col("nrm_a"), col("emb_b"), col("nrm_b")))
+          .filter(col("cosine") >= CosineThreshold)
+          .select("vec_id_a", "vec_id_b", "cosine")
+          .orderBy("vec_id_a", "vec_id_b")
+      },
+      None),
 
     // Brute-force cosine top-k per query: broadcast the (small) query set
     // against the full corpus — one scan, per-group heap via window+filter.

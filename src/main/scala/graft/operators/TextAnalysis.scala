@@ -53,7 +53,7 @@ object TextAnalysis {
       }, {
         val hitSql = stopwords.map { case (l, ws) =>
           val set = ws.map(w => s"'$w'").mkString(", ")
-          l -> s"len(list_filter(string_split(trim(text), ' '), t -> t IN ($set)))"
+          l -> s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ($set)))"
         }
         val best = langOrder.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
         val pred = langOrder.map(l =>
@@ -95,7 +95,7 @@ object TextAnalysis {
         val allStops = stopwords.values.flatten.toSeq.distinct
           .map(w => s"'$w'").mkString(", ")
         s"""WITH t AS (
-           |  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
            |    length(text) AS nc
            |  FROM documents),
            |m AS (
@@ -126,7 +126,7 @@ object TextAnalysis {
           "chars_per_token")
         .orderBy("doc_id"),
       """SELECT doc_id,
-        |  len(string_split(trim(text), ' ')) AS ws_tokens,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
         |  cast(length(text) as bigint) AS n_chars_seen,
         |  cast(length(text) as double)
@@ -150,7 +150,7 @@ object TextAnalysis {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("bigram"))
         .limit(50),
       """WITH toks AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |grams AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
         |    for i in generate_series(1, len(w) - 1)]) AS bigram
@@ -183,9 +183,9 @@ object TextAnalysis {
       },
       """WITH scored AS (
         |  SELECT doc_id, source,
-        |    len(string_split(trim(text), ' ')) AS n_tokens,
-        |    cast(len(list_distinct(string_split(trim(text), ' '))) as double)
-        |      / len(string_split(trim(text), ' ')) AS distinct_ratio,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    cast(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) as double)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio,
         |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
         |  FROM documents),
         |kept AS (

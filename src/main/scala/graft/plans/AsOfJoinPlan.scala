@@ -69,7 +69,30 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
+  /** zipPartitions is only correct when partition i of BOTH sides holds the
+    * same key space. Two ClusteredDistributions don't force that by
+    * themselves (e.g. an existing RangePartitioning on one side satisfies
+    * clustering but aligns nothing), so require identical-arity
+    * HashPartitioning on both children and fail loudly otherwise.
+    */
+  private def requireCoPartitioned(): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.{CoalescedHashPartitioning, HashPartitioning}
+    (left.outputPartitioning, right.outputPartitioning) match {
+      case (l: HashPartitioning, r: HashPartitioning)
+        if l.numPartitions == r.numPartitions &&
+          l.expressions.length == r.expressions.length => ()
+      // AQE-coalesced reads stay aligned only when both sides coalesced to
+      // the SAME boundaries over the same pre-coalesce partition count
+      case (l: CoalescedHashPartitioning, r: CoalescedHashPartitioning)
+        if l.from.numPartitions == r.from.numPartitions &&
+          l.partitions == r.partitions => ()
+      case (l, r) => throw new IllegalStateException(
+        s"AsOfJoinExec needs hash-co-partitioned children, got $l / $r")
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    requireCoPartitioned()
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
@@ -88,21 +111,36 @@ case class AsOfJoinExec(
         private var pendingTime = 0L
         private var rightDone = false
 
+        // null-keyed/null-timed right rows can never be an as-of match
+        // (SQL null semantics) — skip them instead of unboxing null to 0L
+        // and aliasing them onto real key/time 0
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          while (rIter.hasNext) {
             val row = rIter.next()
-            pendingKey = rk.eval(row).asInstanceOf[Long]
-            pendingTime = rt.eval(row).asInstanceOf[Long]
-            pendingRight = row
-          } else { rightDone = true; pendingRight = null }
+            val k = rk.eval(row)
+            val t = rt.eval(row)
+            if (k != null && t != null) {
+              pendingKey = k.asInstanceOf[Long]
+              pendingTime = t.asInstanceOf[Long]
+              pendingRight = row
+              return
+            }
+          }
+          rightDone = true; pendingRight = null
         }
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val key = lk.eval(lRow).asInstanceOf[Long]
-          val time = lt.eval(lRow).asInstanceOf[Long]
+          val keyAny = lk.eval(lRow)
+          val timeAny = lt.eval(lRow)
+          // null-keyed/null-timed left rows match nothing; emit null-right
+          // without consuming the right cursor (nulls sort first, so no
+          // right rows could have been skipped)
+          if (keyAny == null || timeAny == null) return joined(lRow, nullRight)
+          val key = keyAny.asInstanceOf[Long]
+          val time = timeAny.asInstanceOf[Long]
           // consume right rows up to and including (key, time)
           while (!rightDone && (pendingKey < key ||
               (pendingKey == key && pendingTime <= time))) {

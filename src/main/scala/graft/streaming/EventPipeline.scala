@@ -48,11 +48,14 @@ object EventPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
 
-  /** Streaming dedup on the event key; the watermark lets Spark evict seen
-    * keys once they can no longer recur.
+  /** Streaming dedup on the event key. dropDuplicatesWithinWatermark (not
+    * plain dropDuplicates("event_id"), whose key subset excludes the event
+    * time and therefore never ages out) lets the 1-hour watermark actually
+    * evict seen keys — bounded state at any stream length.
     */
   def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based stateful sessionization via flatMapGroupsWithState: state per
     * user is (start, last, count) — constant size. Out-of-order arrivals
@@ -95,23 +98,59 @@ object EventPipeline {
         col("c_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("c_ts"))
 
-  /** Idempotent merge-upsert sink: each micro-batch merges into the parquet
-    * target keyed on event_id, latest-wins — replays are no-ops.
+  val SinkBuckets = 8
+
+  /** Idempotent BUCKETED merge-upsert sink: the target is hash-bucketed on
+    * the merge key into `bucket=N` partition directories, and each
+    * micro-batch rewrites ONLY the buckets its keys touch — per-batch cost
+    * scales with batch-key spread, never with total target size (the
+    * whole-target rewrite was the scale-killer in the naive formulation).
+    * Replays merge to the same rows → no-ops.
+    *
+    * Bucket swaps are crash-safe on a POSIX FS: write hidden tmp → rename
+    * live aside → rename tmp live → drop old (rename results checked;
+    * dot-prefixed dirs are invisible to parquet readers, so a reader never
+    * sees a half-written bucket). This java.io.File orchestration is the
+    * local-FS test-grade analogue of a Delta/Iceberg MERGE commit — on a
+    * cluster the same bucket layout commits through the table format's
+    * atomic metadata swap instead of directory renames.
     */
   def mergeUpsertSink(target: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val incoming = batch.select("event_id", "ts", "user_id", "event_type", "value")
-    val merged =
-      if (new java.io.File(target).exists) {
-        val existing = spark.read.parquet(target)
-        graft.ingest.MergeUpsert.upsert(existing, incoming, Seq("event_id"))
-          .select("event_id", "ts", "user_id", "event_type", "value")
-      } else incoming
-    val tmp = target + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val t = new java.io.File(target)
-    delete(t)
-    new java.io.File(tmp).renameTo(t)
+    val incoming = batch
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("_bucket", pmod(xxhash64(col("event_id")), lit(SinkBuckets)))
+      .persist()
+    try {
+      val touched = incoming.select("_bucket").distinct()
+        .collect().map(_.getLong(0))
+      touched.foreach { b =>
+        val dir = new java.io.File(target, s"bucket=$b")
+        val inc = incoming.filter(col("_bucket") === b).drop("_bucket")
+        val merged =
+          if (dir.exists) {
+            graft.ingest.MergeUpsert
+              .upsert(spark.read.parquet(dir.toString), inc, Seq("event_id"))
+              .select("event_id", "ts", "user_id", "event_type", "value")
+          } else inc
+        val tmp = new java.io.File(target, s".tmp_bucket_$b")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        swapIn(dir, tmp)
+      }
+    } finally { incoming.unpersist(); () }
+  }
+
+  /** tmp → live with the previous live renamed aside first; every rename
+    * checked so a failure surfaces instead of silently losing the table.
+    */
+  private def swapIn(live: java.io.File, tmp: java.io.File): Unit = {
+    val old = new java.io.File(live.getParentFile, "." + live.getName + ".old")
+    if (old.exists) delete(old)
+    if (live.exists && !live.renameTo(old))
+      throw new java.io.IOException(s"cannot set aside $live")
+    if (!tmp.renameTo(live))
+      throw new java.io.IOException(s"cannot promote $tmp to $live")
+    delete(old)
   }
 
   private def delete(f: java.io.File): Unit = {

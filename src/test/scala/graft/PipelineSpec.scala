@@ -21,7 +21,8 @@ class PipelineSpec extends SparkSpec {
 
   test("doc_minhash_lsh estimates track exact Jaccard") {
     val sets = Tables.documents(spark, sf)
-      .select(col("doc_id"), TextOps.shingleSet(col("text")).as("sh"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
     val est = run("doc_minhash_lsh").limit(500)
     val joined = est
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -67,14 +68,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("emb_ann_ivf achieves positive recall against brute force") {
+  test("emb_ann_ivf achieves high recall@10 against brute force") {
     val exact = run("emb_ann_topk").select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = run("emb_ann_ivf").select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall > 0.2, s"IVF recall $recall")
+    // Lloyd-refined centroids measure 0.88 recall@10 on sf0.01 at 2 probes
+    // (~24% of the corpus scanned per query); see Similarity.centroids for
+    // the measured fit-vs-sample tradeoff on this corpus
+    assert(recall >= 0.8, s"IVF recall@10 $recall")
+  }
+
+  test("emb_cosine_lsh recalls brute-force pairs without a nested-loop join") {
+    def pairs(name: String) = run(name).select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("emb_cosine_pairs")
+    val lsh = pairs("emb_cosine_lsh")
+    // exact-cosine verification stage → candidates never over-report
+    assert(lsh.subsetOf(exact))
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"SRP-LSH recall $recall")
+    // the scale path must be a bucketed equi-join, not an O(n²) loop
+    val plan = SparkEntry.queries("emb_cosine_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop in scale path")
   }
 
   test("emb_cosine_pairs matches a driver-side recompute") {

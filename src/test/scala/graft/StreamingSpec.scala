@@ -94,6 +94,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed sink rewrites only the buckets a micro-batch touches") {
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_b").resolve("t").toString
+
+    def snapshot(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles.filterNot(_.getName.startsWith(".")).flatMap(walk).toSeq
+        else Seq(f)
+      val root = new java.io.File(target)
+      if (!root.exists) Map.empty
+      else walk(root).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        f.getPath.stripPrefix(target) -> md5.map("%02x".format(_)).mkString
+      }.toMap
+    }
+
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch(EventPipeline.mergeUpsertSink(target) _)
+      .outputMode("append").start()
+    try {
+      val sample = eventsData.take(100)
+      in.addData(sample)
+      q.processAllAvailable()
+      val before = snapshot()
+
+      val one = sample.head
+      val touchedBucket = spark.range(1)
+        .select(pmod(xxhash64(lit(one.event_id)), lit(EventPipeline.SinkBuckets)))
+        .head.getLong(0)
+      in.addData(Seq(one)) // single-key micro-batch
+      q.processAllAvailable()
+      val after = snapshot()
+
+      val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$touchedBucket"))
+      val untouchedAfter = after.filterNot(_._1.contains(s"bucket=$touchedBucket"))
+      // untouched buckets: byte-identical files, same names
+      assert(untouchedBefore == untouchedAfter && untouchedBefore.nonEmpty)
+      // and the merge stayed idempotent
+      val out = spark.read.parquet(target)
+      assert(out.count() == 100)
+      assert(out.select("event_id").distinct().count() == 100)
+    } finally q.stop()
+  }
+
   test("foreachBatch merge-upsert sink is idempotent under replay") {
     implicit val sc = spark.sqlContext
     val target = java.nio.file.Files
