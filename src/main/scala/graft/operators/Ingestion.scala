@@ -1,9 +1,9 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{CanTxn, CanTxnAnomaly, CanTxnLine, Q, Tables}
 import graft.ingest._
 import graft.sources.LoadAudit
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingestion & canonical modeling operators (SURVEY §2.A) — the reference's
@@ -77,6 +77,35 @@ object Ingestion {
   private def allAnomalies(s: SparkSession, d: String): DataFrame = {
     val surv = survivors(s, d)
     anomaliesFrom(surv, linesFrom(surv))
+  }
+
+  // ------------------------------------------------------------------
+  // Typed canonical model (Dataset[T] face of the same plans; SURVEY §3)
+  // ------------------------------------------------------------------
+  def canTxn(s: SparkSession, d: String): Dataset[CanTxn] = {
+    import s.implicits._
+    survivors(s, d).select(
+      col("canonical_txn_id"), col("client_id"), col("source_system"),
+      col("effective_source_txn_id").as("source_txn_id"),
+      col("txn_timestamp"), col("currency"), col("total_amount"),
+      col("customer_id"), col("account_id"), col("merchant"),
+      col("src_file"), col("ingest_ts"), col("dup_cnt"),
+      col("anomaly_codes"), col("is_valid"), col("attributes")).as[CanTxn]
+  }
+
+  def canTxnLines(s: SparkSession, d: String): Dataset[CanTxnLine] = {
+    import s.implicits._
+    allLines(s, d).select(
+      col("canonical_txn_id"), col("client_id"), col("source_system"),
+      col("line_number"), col("line_txn_id"), col("item_id"),
+      col("description"), col("quantity"), col("unit_price"),
+      col("line_amount"), col("currency"), col("src_file"),
+      col("ingest_ts"), col("attributes")).as[CanTxnLine]
+  }
+
+  def canTxnAnomalies(s: SparkSession, d: String): Dataset[CanTxnAnomaly] = {
+    import s.implicits._
+    allAnomalies(s, d).as[CanTxnAnomaly]
   }
 
   /** Force the one-time canonical materialization (the stored-CAN_TXN

@@ -115,6 +115,21 @@ class IngestionSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("typed canonical Datasets expose the same grains as the DataFrames") {
+    val txns = operators.Ingestion.canTxn(spark, sf)
+    assert(txns.count() == run("canon_header").count())
+    val v = txns.filter(_.is_valid).head()
+    assert(v.canonical_txn_id.length == 64 && v.anomaly_codes.isEmpty)
+    assert(operators.Ingestion.canTxnLines(spark, sf).count() ==
+      run("canon_lines").count())
+    val an = operators.Ingestion.canTxnAnomalies(spark, sf)
+    assert(an.count() ==
+      run("anomaly_header").count() + run("anomaly_line").count())
+    // header-grain anomalies carry no line number; line-grain always do
+    assert(an.filter(_.line_number.isEmpty).count() ==
+      run("anomaly_header").count())
+  }
+
   test("canonical ids are deterministic across independent runs") {
     val a = run("canon_header").select("canonical_txn_id").collect().map(_.getString(0))
     val b = run("canon_header").select("canonical_txn_id").collect().map(_.getString(0))
