@@ -29,6 +29,8 @@ object Dedup {
   // (the verify threshold) and ~0 at the 3-gram cross-doc baseline j≈0
   private val Bands = 8
   val JaccardThreshold = 0.8
+  val MaxFpDf = 20      // stop-fingerprint document-frequency cutoff
+  val MinSharedFp = 5   // shared fingerprints to call a candidate pair
 
   /** Per-doc 3-gram shingle sets. Tokens bind as their own column first —
     * the ngram lambda would otherwise re-tokenize per element (O(n²)).
@@ -132,6 +134,32 @@ object Dedup {
           .filter(col("hamming") <= 3)
           .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
           .agg(first("hamming").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Fingerprint-overlap candidate pairs: the fourth near-dup modality
+    // (char-level winnowing, catches word-reordering edits MinHash word
+    // shingles miss). Stop-fingerprints (document frequency > MaxFpDf) are
+    // dropped BEFORE pairing — a fingerprint shared by thousands of docs
+    // carries no near-dup signal but would blow the bucket join up
+    // quadratically; this prune is what keeps the operator 100 TB-safe.
+    "doc_fingerprint_pairs" -> Q(
+      (s, d) => {
+        val fps = docs(s, d)
+          .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
+          .select(col("doc_id"),
+            explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
+          .distinct()
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxFpDf).select("fp")
+        val keyed = fps.join(rare, "fp")
+        keyed
+          .join(keyed.select(col("doc_id").as("doc_id_b"), col("fp")), Seq("fp"))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MinSharedFp)
           .orderBy("doc_a", "doc_b")
       },
       None),

@@ -230,6 +230,34 @@ object Relational {
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // RANGE frame (value-based, not row-based): trailing-30-day spend per
+    // customer. The frame is expressed over epoch-day numbers so both
+    // engines bound it identically; ties (same customer+date) are frame
+    // peers in both. Same one-shuffle window cost as the ROWS variant.
+    "q_window_range" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"))
+          .rangeBetween(-30, 0)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"),
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("day"))
+          .withColumn("spend_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+          .withColumn("n_orders_30d", count(lit(1)).over(w))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "spend_30d",
+            "n_orders_30d")
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  cast(sum(cast(o_totalprice as decimal(38,9))) OVER w as double) AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY cast(o_orderdate as date)
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_window_lag" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))

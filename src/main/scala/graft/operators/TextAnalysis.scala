@@ -25,6 +25,14 @@ object TextAnalysis {
 
   private val langOrder = Seq("en", "de", "es", "fr", "zh")
 
+  // shared-dialect PII regexes (char classes + bounded repeats only, so
+  // java.util.regex and DuckDB's RE2 agree on every match)
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val PhoneRe = "555-[0-9][0-9][0-9][0-9]"
+  val Ipv4Re = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  val ContamN = 8 // decontamination n-gram size
+
   private def hits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isInCollection(stopwords(lang)))).cast("long")
 
@@ -197,6 +205,107 @@ object TextAnalysis {
         |  cast(sum(n_tokens) as bigint) AS total_tokens,
         |  round(avg(distinct_ratio), 6) AS avg_distinct_ratio
         |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+
+    // PII scrubbing — the redaction stage of a training-data pipeline.
+    // The synthetic corpus carries no PII, so deterministic email/phone/IP
+    // tokens are injected from doc_id first (oracle rebuilds identical
+    // bytes), then redacted with shared-dialect regexes. The sha2 of the
+    // redacted text makes the oracle verify the redaction BYTE-FOR-BYTE,
+    // not just the counts. Map-only at any scale.
+    "doc_pii_redact" -> Q(
+      (s, d) => {
+        val enriched = docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now")))
+              .when(col("doc_id") % 3 === 1,
+                concat(lit(" call 555-"),
+                  lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                  lit(" today")))
+              .otherwise(concat(lit(" host 10.0."),
+                (col("doc_id") % 256).cast("string"),
+                lit("."), (col("doc_id") * 7 % 256).cast("string"),
+                lit(" up")))).as("t"))
+        val redacted = enriched
+          .withColumn("n_emails", regexp_count(col("t"), lit(EmailRe)))
+          .withColumn("n_phones", regexp_count(col("t"), lit(PhoneRe)))
+          .withColumn("n_ips", regexp_count(col("t"), lit(Ipv4Re)))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]"))
+        redacted.select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"),
+          length(col("clean")).cast("long").as("clean_len"),
+          sha2(col("clean"), 256).as("clean_hash"))
+          .orderBy("doc_id")
+      },
+      s"""WITH enr AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || cast(doc_id as varchar) || '@example.com now'
+         |         WHEN doc_id % 3 = 1
+         |         THEN ' call 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') || ' today'
+         |         ELSE ' host 10.0.' || cast(doc_id % 256 as varchar) || '.'
+         |              || cast(doc_id * 7 % 256 as varchar) || ' up' END AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+         |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+         |    len(regexp_extract_all(t, '$Ipv4Re')) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |      '$Ipv4Re', '[IP]', 'g') AS clean
+         |  FROM enr)
+         |SELECT doc_id, cast(n_emails as bigint) AS n_emails,
+         |  cast(n_phones as bigint) AS n_phones, cast(n_ips as bigint) AS n_ips,
+         |  cast(length(clean) as bigint) AS clean_len,
+         |  sha256(clean) AS clean_hash
+         |FROM red ORDER BY doc_id""".stripMargin),
+
+    // Benchmark decontamination — flag documents sharing any 8-gram with a
+    // benchmark set (here: every 100th doc stands in for an eval set). The
+    // benchmark gram table is tiny → broadcast; corpus grams stream
+    // map-only into the semi-join, so cost is one corpus pass at any scale.
+    "doc_contamination" -> Q(
+      (s, d) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(TextOps.ngrams(col("toks"), ContamN)).as("g"))
+          .distinct()
+        val bench = grams.filter(col("doc_id") % 100 === 0)
+          .select(col("g")).distinct()
+        val hits = grams.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        docs(s, d).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") % 100 === 0).as("is_benchmark"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+${ContamN - 1}], ' ')
+         |      for i in generate_series(1, len(w) - ${ContamN - 1})]) AS g
+         |    FROM toks)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits
+         |  FROM grams JOIN bench USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, d.doc_id % 100 = 0 AS is_benchmark,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     // Winnowing fingerprints (k=8 char-grams, window 4), exploded to the
     // (doc, fingerprint) grain — the unit a cross-corpus plagiarism /

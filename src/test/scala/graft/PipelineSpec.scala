@@ -113,6 +113,23 @@ class PipelineSpec extends SparkSpec {
       Tables.documents(spark, sf).count())
   }
 
+  test("doc_fingerprint_pairs: canonical order, floor respected, catches word-level near-dups") {
+    val pairs = run("doc_fingerprint_pairs").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= operators.Dedup.MinSharedFp)
+    }
+    // Cross-modality recall: pairs that are word-shingle near-dups
+    // (exact Jaccard >= 0.8) share long char runs, so the char-level
+    // winnowing index must rediscover nearly all of them.
+    val wordDups = run("doc_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fpPairs = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = wordDups.intersect(fpPairs).size.toDouble / wordDups.size
+    assert(recall >= 0.9, s"fingerprint-pair recall of word near-dups: $recall")
+  }
+
   test("doc_lang_id predicts only known languages") {
     val langs = Set("en", "de", "es", "fr", "zh", "und")
     assert(run("doc_lang_id").collect().forall(r => langs(r.getAs[String]("pred_lang"))))
