@@ -41,6 +41,7 @@ object Bench {
     val builds = Seq(
       "build:canonical" -> timed(operators.Ingestion.buildCanonical(spark, sfDir)),
       "build:lsh_candidates" -> timed(operators.Dedup.buildCandidates(spark, sfDir)),
+      "build:fingerprints" -> timed(operators.Dedup.buildFingerprints(spark, sfDir)),
       "build:ivf_index" -> timed(operators.Similarity.buildIndex(spark, sfDir)))
 
     // dev-only subset filter; unset (driver default) = all queries

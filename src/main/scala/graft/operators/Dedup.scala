@@ -84,6 +84,36 @@ object Dedup {
   def buildCandidates(s: SparkSession, d: String): Long =
     lshCandidates(s, d).count()
 
+  /** Rare winnowing fingerprints per doc — the (fp, doc_id) index behind
+    * doc_fingerprint_pairs. Materialized per session like the LSH
+    * candidates: the pair query self-joins this table, and without the
+    * persist BOTH join sides would recompute the char-gram hash + winnow
+    * subtree (the dominant cost).
+    */
+  private val fpCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def rareFingerprints(s: SparkSession, d: String): DataFrame =
+    fpCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      // df-filter as a window count over the fp shuffle: one pass over the
+      // corpus (hash + winnow + explode + distinct + one shuffle), no
+      // groupBy-then-rejoin second pass
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      docs(s, d)
+        .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
+        .select(col("doc_id"),
+          explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
+        .distinct()
+        .withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= MaxFpDf)
+        .drop("df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Force the one-time fingerprint-index build (Bench line item). */
+  def buildFingerprints(s: SparkSession, d: String): Long =
+    rareFingerprints(s, d).count()
+
   val defs: Map[String, Q] = Map(
     // Exact dedup on the normalized-text sha2: group id = hash, canonical
     // survivor = min doc_id per group.
@@ -146,14 +176,7 @@ object Dedup {
     // quadratically; this prune is what keeps the operator 100 TB-safe.
     "doc_fingerprint_pairs" -> Q(
       (s, d) => {
-        val fps = docs(s, d)
-          .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
-          .select(col("doc_id"),
-            explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
-          .distinct()
-        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxFpDf).select("fp")
-        val keyed = fps.join(rare, "fp")
+        val keyed = rareFingerprints(s, d)
         keyed
           .join(keyed.select(col("doc_id").as("doc_id_b"), col("fp")), Seq("fp"))
           .filter(col("doc_id") < col("doc_id_b"))
