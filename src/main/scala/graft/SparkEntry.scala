@@ -12,6 +12,7 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.TextAnalysis.defs,
+    operators.Curation.defs,
     operators.Multimodal.defs,
     streaming.EventPipeline.defs
   )

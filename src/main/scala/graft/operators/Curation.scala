@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the training-data pipeline (SURVEY §2.D):
+  * deterministic stratified sampling, sequence packing, TF-IDF term
+  * ranking, and near-dup cluster resolution.
+  *
+  * Scale notes (100 TB):
+  *   - Sampling is map-only: the per-stratum rate table broadcasts and the
+  *     keep decision is pure row-local arithmetic — no shuffle at all.
+  *   - Chunk packing is map-only (explode multiplies rows ~4× but never
+  *     shuffles); downstream training shards partition on (doc_id, chunk).
+  *   - TF-IDF shuffles twice (doc-term counts, term df) — both partial-agg
+  *     collapsed map-side; the df table is vocabulary-sized and broadcasts
+  *     back onto the doc-term grain.
+  *   - Cluster resolution is iterative min-label propagation, one
+  *     hash-shuffle per round, rounds bounded by component diameter (near-
+  *     dup clusters are shallow; 100 TB deployments alternate large-star /
+  *     small-star to cap per-key fan-in — noted inline).
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Deterministic per-row sampling hash. An LCG on doc_id rather than
+    * xxhash64 so the DuckDB oracle can reproduce it exactly; a production
+    * deployment with opaque ids uses xxhash64(id) % 1000 instead (same
+    * shape, still map-only).
+    */
+  private val SampleMod = 1000L
+
+  val ChunkTokens = 16 // training-sequence length in whitespace tokens
+  val TfIdfTopK = 5
+
+  val defs: Map[String, Q] = Map(
+    // ----------------------------------------------------------------
+    // Stratified sampling: per-source keep rates from a broadcast config
+    // dim. The rate table is tiny (one row per stratum) and the keep
+    // decision is row-local, so the whole operator is one map-only pass.
+    "doc_sample_stratified" -> Q(
+      (s, d) => {
+        val rates = s.range(20).select(
+          concat(lit("src"), col("id").cast("string")).as("source"),
+          (lit(200) + (col("id") % 5) * 150).as("rate_permille"))
+        docs(s, d)
+          .join(broadcast(rates), "source")
+          .filter((col("doc_id") * 1103515245L + 12345L) % SampleMod
+            < col("rate_permille"))
+          .select(col("doc_id"), col("source"), col("rate_permille"))
+          .orderBy("doc_id")
+      },
+      """WITH rates AS (
+        |  SELECT 'src' || cast(i as varchar) AS source,
+        |    200 + (i % 5) * 150 AS rate_permille
+        |  FROM generate_series(0, 19) t(i))
+        |SELECT doc_id, d.source, rate_permille
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE (doc_id * 1103515245 + 12345) % 1000 < rate_permille
+        |ORDER BY doc_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Sequence packing: split each document into fixed-token training
+    // chunks. Map-only (sequence + slice over a BOUND token column —
+    // inlining the tokenizer would re-split per chunk).
+    "doc_chunk_pack" -> Q(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        toks
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0),
+              ((size(col("w")) - 1) / ChunkTokens).cast("int"))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            least(lit(ChunkTokens),
+              size(col("w")) - col("chunk_id") * ChunkTokens)
+              .cast("long").as("chunk_tokens"),
+            array_join(slice(col("w"),
+              col("chunk_id") * ChunkTokens + 1, lit(ChunkTokens)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, w,
+         |    unnest(generate_series(0, (len(w) - 1) // $ChunkTokens)) AS chunk_id
+         |  FROM toks)
+         |SELECT doc_id, chunk_id,
+         |  least($ChunkTokens, len(w) - chunk_id * $ChunkTokens) AS chunk_tokens,
+         |  array_to_string(w[chunk_id * $ChunkTokens + 1 : chunk_id * $ChunkTokens + $ChunkTokens], ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // TF-IDF top-k terms per document. Two partial-agg shuffles (doc-term
+    // tf, term df); the df table is vocabulary-sized so the re-join onto
+    // the doc-term grain broadcasts. Scores round to 6dp in BOTH engines
+    // (ln differs in the last ulp across libm implementations); ranking
+    // ties break on the raw score then term, which is cross-engine stable
+    // because equal (tf, df) pairs produce bit-equal scores.
+    "doc_tfidf_topk" -> Q(
+      (s, d) => {
+        val terms = docs(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf").cast("double") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+        scored
+          .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("term"))))
+          .filter(col("rnk") <= TfIdfTopK)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+            col("term"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    cast(tf as double) * ln(cast(n_docs + 1 as double) / (df + 1)) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, term, tf, df, round(tfidf, 6) AS tfidf
+         |FROM ranked WHERE rnk <= $TfIdfTopK
+         |ORDER BY doc_id, rnk""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Near-dup cluster resolution: connected components over the union of
+    // the exact-dup edges and the Jaccard-verified near-dup edges, via
+    // min-label propagation. Each round is one shuffle (edge join + min
+    // agg); rounds are bounded by component diameter, and the loop exits
+    // as soon as a round changes nothing. At 100 TB the same loop runs
+    // with large-star/small-star alternation so a mega-cluster's hub key
+    // can't concentrate a whole component on one reducer.
+    // Rows-only: recursive reachability isn't expressible in the oracle
+    // harness; PipelineSpec checks against a driver-side union-find.
+    "doc_dedup_clusters" -> Q(
+      (s, d) => {
+        val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
+          .filter(col("is_dup"))
+          .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
+        val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val edges = exactPairs.unionByName(nearPairs)
+          .union(exactPairs.unionByName(nearPairs)
+            .select(col("b").as("a"), col("a").as("b")))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        var labels = docs(s, d)
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val neighborMin = edges
+            .join(labels.select(col("doc_id").as("b"),
+              col("cluster_id").as("nbr_label")), "b")
+            .groupBy(col("a").as("doc_id"))
+            .agg(min("nbr_label").as("nbr_min"))
+          val next = labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"),
+                col("cluster_id"))).as("cluster_id"),
+              (coalesce(col("nbr_min"), col("cluster_id"))
+                < col("cluster_id")).as("chg"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          changed = next.filter(col("chg")).count()
+          labels.unpersist()
+          labels = next.drop("chg")
+          rounds += 1
+        }
+        edges.unpersist()
+        val sizes = Window.partitionBy("cluster_id")
+        labels
+          .withColumn("cluster_size", count(lit(1)).over(sizes))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

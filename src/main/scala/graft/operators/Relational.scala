@@ -211,6 +211,32 @@ object Relational {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Distribution windows: ntile/percent_rank/cume_dist per priority
+    // class. percent_rank and cume_dist are exact small-int ratios, so the
+    // doubles are bit-identical across engines without rounding. One
+    // shuffle on the partition key; the unique o_orderkey tiebreak makes
+    // every rank deterministic.
+    "q_window_ntile" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+          .drop("o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4)       OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist()    OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_window_running" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))

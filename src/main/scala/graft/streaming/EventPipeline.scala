@@ -98,6 +98,16 @@ object EventPipeline {
         col("c_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("c_ts"))
 
+  /** Stream-static enrichment join: every event looks up its user's static
+    * profile row. The static side broadcasts into each micro-batch — a
+    * stateless per-batch hash join, the canonical dimension-enrichment
+    * shape (no streaming state, no watermark needed on the dim side).
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+
   val SinkBuckets = 8
 
   /** Idempotent BUCKETED merge-upsert sink: the target is hash-bucketed on
@@ -184,6 +194,22 @@ object EventPipeline {
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin),
+
+    // Batch-equivalent of the stream-static enrichment, aggregated to
+    // per-segment event-type counts (the streaming path — MemoryStream +
+    // broadcast dim per micro-batch — runs in StreamingSpec).
+    "stream_enrich" -> Q(
+      (s, d) => {
+        val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        enrich(Tables.events(s, d), dim)
+          .groupBy("segment", "event_type")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("segment", "event_type")
+      },
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  e.event_type, count(*) AS n_events
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "stream_window_counts" -> Q(
       (s, d) => windowCounts(Tables.events(s, d))

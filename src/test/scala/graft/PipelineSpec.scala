@@ -130,6 +130,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"fingerprint-pair recall of word near-dups: $recall")
   }
 
+  test("doc_dedup_clusters matches a driver-side union-find over the same edges") {
+    val exact = run("doc_dedup_exact").filter(col("is_dup"))
+      .select("canonical_doc_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val near = run("doc_ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (exact ++ near).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = run("doc_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (doc, cl) =>
+      assert(cl == find(doc), s"doc $doc: cluster $cl want ${find(doc)}")
+    }
+    // canonical flag marks exactly the cluster-min docs
+    run("doc_dedup_clusters").collect().foreach { r =>
+      assert(r.getAs[Boolean]("is_canonical") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+    }
+  }
+
   test("doc_lang_id predicts only known languages") {
     val langs = Set("en", "de", "es", "fr", "zh", "und")
     assert(run("doc_lang_id").collect().forall(r => langs(r.getAs[String]("pred_lang"))))

@@ -94,6 +94,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join") {
+    implicit val sc = spark.sqlContext
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      in.addData(eventsData.take(500))
+      q.processAllAvailable()
+      val streamed = spark.table("enr").collect().map(_.toString).toSet
+      val batch = EventPipeline.enrich(
+        spark.createDataset(eventsData.take(500)).toDF(), dim)
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bucketed sink rewrites only the buckets a micro-batch touches") {
     implicit val sc = spark.sqlContext
     val target = java.nio.file.Files
