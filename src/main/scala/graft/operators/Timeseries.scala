@@ -259,6 +259,105 @@ object Timeseries {
         |LEFT JOIN v ON b.user_id = v.user_id
         |LEFT JOIN c ON b.user_id = c.user_id
         |LEFT JOIN p ON b.user_id = p.user_id
-        |ORDER BY b.user_id""".stripMargin)
+        |ORDER BY b.user_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Gap-filled hourly resample with forward fill: each user's hourly
+    // value series is densified over a generated calendar spine (sequence
+    // per user — rows scale with span, not with a global calendar cross
+    // join), then last-non-null forward fill. Two shuffles (hourly agg,
+    // spine join) both keyed on user_id; the fill window reuses the join's
+    // partitioning.
+    "ev_gap_fill" -> Q(
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(valDec).as("v"), count(lit(1)).as("n"))
+        val spine = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val fill = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h").as("hour"),
+            col("n").isNull.as("is_gap"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            last(col("v"), ignoreNulls = true).over(fill)
+              .cast("double").as("filled_value"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    sum(cast(value as decimal(18,2))) AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h),
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT s.user_id, s.h AS hour, n IS NULL AS is_gap,
+        |  coalesce(n, 0) AS n_events,
+        |  cast(last_value(v IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.h ROWS UNBOUNDED PRECEDING) as double) AS filled_value
+        |FROM spine s LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY user_id, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Rolling z-score anomaly flags on hourly event-type counts. The
+    // trailing-24h mean/std derive from EXACT integer rolling sums
+    // (sum x, sum x², n — order-independent), so the double arithmetic is
+    // the same expression over identical inputs in both engines —
+    // bit-identical without rounding. One shuffle on event_type.
+    "ev_anomaly_zscore" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-23, 0)
+        ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("n_frame", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("mean", col("sx").cast("double") / col("n_frame"))
+          .withColumn("variance",
+            when(col("n_frame") >= 2,
+              greatest((col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx") / col("n_frame"))
+                / (col("n_frame") - 1), lit(0.0))))
+          .withColumn("z",
+            when(col("n_frame") >= 12 && col("variance") > 0,
+              (col("x").cast("double") - col("mean")) / sqrt(col("variance"))))
+          .select(col("event_type"), col("h").as("hour"), col("x").as("n_events"),
+            col("n_frame"), col("mean"), col("z"),
+            (abs(coalesce(col("z"), lit(0.0))) > 3).as("is_anomaly"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rolled AS (
+        |  SELECT event_type, h, x,
+        |    count(*) OVER w AS n_frame,
+        |    sum(x) OVER w AS sx,
+        |    sum(x * x) OVER w AS sxx
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT event_type, h, x, n_frame,
+        |    cast(sx as double) / n_frame AS mean,
+        |    CASE WHEN n_frame >= 2
+        |      THEN greatest((cast(sxx as double)
+        |        - cast(sx as double) * sx / n_frame) / (n_frame - 1), 0.0)
+        |      END AS variance
+        |  FROM rolled)
+        |SELECT event_type, h AS hour, x AS n_events, n_frame, mean,
+        |  CASE WHEN n_frame >= 12 AND variance > 0
+        |       THEN (cast(x as double) - mean) / sqrt(variance) END AS z,
+        |  abs(coalesce(CASE WHEN n_frame >= 12 AND variance > 0
+        |       THEN (cast(x as double) - mean) / sqrt(variance) END, 0.0)) > 3
+        |    AS is_anomaly
+        |FROM scored ORDER BY event_type, hour""".stripMargin)
   )
 }

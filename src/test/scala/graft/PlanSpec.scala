@@ -75,6 +75,23 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("doc_sample_stratified broadcasts the rate dim and stays map-side") {
+    val p = plan("doc_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // broadcast build + presentation sort only — no data-sized shuffle
+    val df = SparkEntry.queries("doc_sample_stratified")(spark, sf)
+    assert(exchanges(df) <= 2, df.queryExecution.executedPlan.toString)
+  }
+
+  test("stream_enrich batch plan broadcasts the customer dim") {
+    assert(plan("stream_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("doc_chunk_pack is map-only before the presentation sort") {
+    val df = SparkEntry.queries("doc_chunk_pack")(spark, sf)
+    assert(exchanges(df) <= 1, df.queryExecution.executedPlan.toString)
+  }
+
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
     // 3 branches (json/xml/csv, each from orders+lineitem);
