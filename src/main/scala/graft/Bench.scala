@@ -33,9 +33,21 @@ object Bench {
     }
 
     // untimed warmup: initialize codegen, parquet readers, and the JIT so
-    // the first measured query isn't charged the JVM's startup tax
-    try SparkEntry.queries("q6_filter_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // the first measured query isn't charged the JVM's startup tax. The
+    // one-time builds warm on the TINY sf dir — identical generated code
+    // (codegen caches by source), different data — so the timed builds
+    // below measure steady-state execution, not first-compile of the
+    // synthesis/parse expression trees.
+    try {
+      SparkEntry.queries("q6_filter_agg")(spark, sfDir).count()
+      val warmDir = "/root/testdata/sf0.001"
+      if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+        operators.Ingestion.buildCanonical(spark, warmDir)
+        operators.Dedup.buildCandidates(spark, warmDir)
+        operators.Dedup.buildFingerprints(spark, warmDir)
+        operators.Similarity.buildIndex(spark, warmDir)
+      }
+    } catch { case _: Throwable => () }
 
     // one-time materializations, timed individually
     val builds = Seq(
