@@ -143,6 +143,80 @@ object Curation {
          |ORDER BY doc_id, rnk""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Distributed heavy hitters over the token stream: per-partition
+    // space-saving sketches (bounded M entries each — a bounded-memory
+    // streaming sketch is the one shape built-in aggregates can't express,
+    // so this is a justified mapPartitions), candidates unioned and
+    // broadcast back for an EXACT recount, then top-k. The full-cardinality
+    // groupBy this replaces shuffles every distinct key; here the shuffle
+    // carries only ≤ M×partitions candidate keys + the recount's
+    // candidate-filtered partials. Zipfian data puts every true heavy
+    // hitter far above the n/M sketch error, which the spec verifies
+    // against the exact top-k.
+    "doc_heavy_hitters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val topK = 20
+        val m = 512
+        val toks = docs(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("term")).as[String]
+        val candidates = toks.mapPartitions { it =>
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { k =>
+            if (counts.contains(k) || counts.size < m)
+              counts(k) = counts.getOrElse(k, 0L) + 1
+            else { // space-saving eviction: new key inherits min count + 1
+              val (mk, mv) = counts.minBy(_._2)
+              counts.remove(mk)
+              counts(k) = mv + 1
+            }
+          }
+          counts.keysIterator
+        }.toDF("term").distinct()
+        toks.toDF("term")
+          .join(broadcast(candidates), "term")
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(topK)
+      },
+      None),
+
+    // ----------------------------------------------------------------
+    // Unigram language-model quality score: corpus-trained add-one-
+    // smoothed token probabilities, each document scored by mean negative
+    // log-likelihood (low = in-distribution, the classic perplexity-filter
+    // stage). Two partial-agg shuffles (term counts, doc score); the
+    // per-term nll is exact-int-derived and the order-dependent double sum
+    // rounds to 6dp on both engines.
+    "doc_lm_score" -> Q(
+      (s, d) => {
+        val terms = docs(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val unigram = terms.groupBy("term").agg(count(lit(1)).as("c"))
+        val totals = unigram.agg(sum("c").as("t_tokens"),
+          count(lit(1)).as("vocab"))
+        tf.join(unigram, "term").crossJoin(broadcast(totals))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).cast("long").as("n_tokens"),
+            round((sum(col("tf").cast("double") *
+              log((col("t_tokens") + col("vocab")).cast("double") / (col("c") + 1))) /
+              sum(col("tf"))), 6).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |unigram AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+        |totals AS (SELECT sum(c) AS t_tokens, count(*) AS vocab FROM unigram)
+        |SELECT doc_id, cast(sum(tf) as bigint) AS n_tokens,
+        |  round(sum(cast(tf as double) *
+        |    ln(cast(t_tokens + vocab as double) / (c + 1))) / sum(tf), 6)
+        |    AS avg_nll
+        |FROM tf JOIN unigram USING (term) CROSS JOIN totals
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Near-dup cluster resolution: connected components over the union of
     // the exact-dup edges and the Jaccard-verified near-dup edges, via
     // min-label propagation. Each round is one shuffle (edge join + min

@@ -158,6 +158,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("doc_heavy_hitters equals the exact full-shuffle top-k") {
+    val approx = run("doc_heavy_hitters").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
+    val exact = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
+    assert(approx == exact && approx.size == 20)
+  }
+
   test("doc_lang_id predicts only known languages") {
     val langs = Set("en", "de", "es", "fr", "zh", "und")
     assert(run("doc_lang_id").collect().forall(r => langs(r.getAs[String]("pred_lang"))))
