@@ -54,6 +54,13 @@ object Dedup {
   private val candCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  graft.Caches.register { app =>
+    candCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+    fpCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+  }
+
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       lshCandidatesUncached(s, d)

@@ -38,6 +38,11 @@ object Ingestion {
   private val matCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
+  graft.Caches.register { app =>
+    matCache.filterInPlace { case ((a, _, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+  }
+
   private def materialize(s: SparkSession, d: String, key: String)
       (build: => DataFrame): DataFrame =
     matCache.getOrElseUpdate((s.sparkContext.applicationId, d, key),

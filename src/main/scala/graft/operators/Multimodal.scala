@@ -79,7 +79,51 @@ object Multimodal {
     }(enc)
   }
 
+  val FrameBytes = 64
+  val FrameStride = 4
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_bytes", IntegerType),
+    StructField("f0", FloatType)))
+
+  /** Strided frame sampling: each payload is treated as a stream of fixed-
+    * size frames; every FrameStride-th frame is sliced DECLARATIVELY
+    * (sequence + binary substr — map-only, codegen'd, no decode cost for
+    * skipped frames) and only the sampled frames pay the per-frame decode
+    * in the partition pass. This is the video-keyframe shape: slice cheap,
+    * decode expensive, so sample before decoding.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val frames = mediaTable(s, d)
+      .select(col("doc_id"), col("payload"), col("meta"),
+        explode(sequence(lit(0L),
+          expr(s"(length(payload) - 1) div $FrameBytes"),
+          lit(FrameStride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("meta"),
+        expr(s"substr(payload, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)")
+          .as("frame"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    frames.mapPartitions { rows =>
+      rows.map { r =>
+        val frame = r.getAs[Array[Byte]](3)
+        val meta = r.getStruct(2)
+        val feats = fakeDecode(frame, meta.getInt(1), meta.getInt(2))
+        Row(r.getLong(0), r.getLong(1), frame.length, feats(0))
+      }
+    }(enc)
+  }
+
   val defs: Map[String, Q] = Map(
+    // Sampled-frame features, one row per (doc, kept frame). Rows-only:
+    // the stub decoder has no SQL analogue; PipelineSpec locks the frame
+    // arithmetic and determinism.
+    "mm_frame_sample" -> Q(
+      (s, d) => frameSample(s, d).orderBy("doc_id", "frame_idx"),
+      None),
+
     // Flattened to scalar columns for the driver's parquet dump.
     "mm_decode_pipeline" -> Q(
       (s, d) => decodePipeline(s, d)

@@ -60,6 +60,11 @@ object Similarity {
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  graft.Caches.register { app =>
+    centCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+  }
+
   /** The fitted index is trained once per (session, corpus) and persisted —
     * the in-process analogue of storing a trained IVF index; every probe
     * re-deriving the Lloyd chain would re-pay the fit.

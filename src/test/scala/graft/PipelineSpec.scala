@@ -185,6 +185,35 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("mm_frame_sample keeps every stride-th frame and is deterministic") {
+    import operators.Multimodal.{FrameBytes, FrameStride}
+    val rows = run("mm_frame_sample").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, fr) =>
+      val nFrames = (lens(doc) - 1) / FrameBytes + 1
+      val expected = (0L until nFrames by FrameStride.toLong).toSeq
+      assert(fr.map(_.getAs[Long]("frame_idx")).sorted.toSeq == expected)
+      // all but possibly the tail frame are full-size
+      assert(fr.count(_.getAs[Int]("frame_bytes") < FrameBytes) <= 1)
+    }
+    val again = run("mm_frame_sample").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("Caches.release unpersists session-scoped materialized tables and rebuilds on demand") {
+    run("doc_minhash_lsh").count() // force the LSH candidate materialization
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0)
+    Caches.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size < before)
+    // transparent rebuild after release
+    assert(run("doc_minhash_lsh").count() > 0)
+  }
+
   test("winnow fingerprints of identical text are identical") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
