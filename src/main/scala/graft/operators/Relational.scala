@@ -284,6 +284,39 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Array/HOF battery: per-order quantity vectors through sort/distinct/
+    // aggregate/filter lambdas — the collection-function surface. One
+    // partial-agg shuffle builds the arrays; everything after is map-only
+    // codegen'd HOF work. Sizes cast long (size() is int32, DuckDB len is
+    // bigint).
+    "q_array_funcs" -> Q(
+      (s, d) => {
+        val arrs = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity").cast("int"))).as("q"))
+        arrs.select(
+          col("l_orderkey"),
+          size(col("q")).cast("long").as("n"),
+          size(array_distinct(col("q"))).cast("long").as("distinct_n"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("total"),
+          array_min(col("q")).as("mn"),
+          array_max(col("q")).as("mx"),
+          size(filter(col("q"), x => x % 2 === 0)).cast("long").as("evens"))
+          .orderBy("l_orderkey")
+      },
+      """WITH a AS (
+        |  SELECT l_orderkey, list_sort(list(cast(l_quantity as int))) AS q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  len(q) AS n,
+        |  len(list_distinct(q)) AS distinct_n,
+        |  cast(list_sum(q) as bigint) AS total,
+        |  list_min(q) AS mn,
+        |  list_max(q) AS mx,
+        |  len(list_filter(q, x -> x % 2 = 0)) AS evens
+        |FROM a ORDER BY l_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_window_lag" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))

@@ -92,6 +92,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(df) <= 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("new aggregation operators stay within their shuffle budgets") {
+    // gap_fill: hourly agg + spine join + presentation sort
+    assert(exchanges(SparkEntry.queries("ev_gap_fill")(spark, sf)) <= 4)
+    // zscore: hourly agg + window repartition + presentation sort
+    assert(exchanges(SparkEntry.queries("ev_anomaly_zscore")(spark, sf)) <= 3)
+    // array battery: one partial-agg shuffle + presentation sort
+    assert(exchanges(SparkEntry.queries("q_array_funcs")(spark, sf)) <= 2)
+    // tfidf: no cartesian blowup — the only nested-loop is the broadcast
+    // single-row totals
+    val p = plan("doc_tfidf_topk")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
     // 3 branches (json/xml/csv, each from orders+lineitem);
