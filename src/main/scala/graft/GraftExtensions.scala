@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark extensions entry point — the production registration path for the
+  * engine's custom planner pieces (today: the sort-merge as-of join
+  * strategy, plans/AsOfJoinPlan.scala).
+  *
+  * Wire it either way:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)   // in-code
+  *   --conf spark.sql.extensions=graft.GraftExtensions            // cluster
+  * }}}
+  * `AsOfJoin.apply` also self-registers through
+  * `experimental.extraStrategies` for ad-hoc sessions, so both paths stay
+  * equivalent; the extensions route is the one a deployment should use
+  * (applies to every session built from the config, survives
+  * `newSession()`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+  }
+}

@@ -135,4 +135,33 @@ class IngestionSpec extends SparkSpec {
     val b = run("canon_header").select("canonical_txn_id").collect().map(_.getString(0))
     assert(a.sameElements(b))
   }
+
+  test("file-based ingestion parses identically to the in-memory raw batches") {
+    import java.nio.file.{Files, Paths}
+    // write the synthesized JSON payloads out as real JSONL client files
+    val raw = ingest.RawSynth.jsonRaw(spark, sf)
+      .select("src_file", "src_row_number", "payload")
+      .collect()
+    val dir = Files.createTempDirectory("graft_files")
+    raw.groupBy(_.getString(0)).foreach { case (srcFile, rows) =>
+      val name = srcFile.replace('/', '_')
+      val lines = rows.sortBy(_.getLong(1))
+        .map(r => Option(r.getString(2)).getOrElse("")).mkString("\n")
+      Files.write(Paths.get(dir.toString, name), lines.getBytes("UTF-8"))
+      ()
+    }
+    val fromFiles = ingest.HeaderNormalizer.fromJson(
+      sources.FileIngest.jsonLines(spark, dir.toString))
+    val inMemory = ingest.HeaderNormalizer.fromJson(
+      ingest.RawSynth.jsonRaw(spark, sf))
+    // compare every parsed business field (file/row/ts provenance differs
+    // by construction: files carry their own positions and mtimes)
+    val cols = Seq("client_id", "source_txn_id", "txn_timestamp", "currency",
+      "total_amount", "customer_id", "account_id", "merchant",
+      "payload_hash", "parse_ok")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(_.toString).sorted.toSeq
+    assert(key(fromFiles) == key(inMemory) && fromFiles.count() > 0)
+  }
 }

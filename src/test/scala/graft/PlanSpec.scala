@@ -68,6 +68,24 @@ class PlanSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("GraftExtensions registers the as-of strategy via SparkSessionExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force shared-session init before clearing
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2.sessionState.planner.strategies.contains(plans.AsOfJoinStrategy))
+      // the plain shared session (no extensions, no manual register calls
+      // yet in that session) relies on AsOfJoin.apply's self-registration —
+      // the two wiring paths must agree on the resulting physical plan
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("stream_click_attrib plans as an equi-join with range residual, not a cross join") {
     val p = plan("stream_click_attrib")
     assert(!p.contains("CartesianProduct"), p.take(1500))
