@@ -26,9 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(f: => Unit): Double = {
+    // a failing query must surface in the output, not masquerade as a
+    // fast run — failures are collected and emitted in the JSON
+    val failures = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timed(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
+      try f catch { case _: Throwable => failures += name; () }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -51,10 +54,14 @@ object Bench {
 
     // one-time materializations, timed individually
     val builds = Seq(
-      "build:canonical" -> timed(operators.Ingestion.buildCanonical(spark, sfDir)),
-      "build:lsh_candidates" -> timed(operators.Dedup.buildCandidates(spark, sfDir)),
-      "build:fingerprints" -> timed(operators.Dedup.buildFingerprints(spark, sfDir)),
-      "build:ivf_index" -> timed(operators.Similarity.buildIndex(spark, sfDir)))
+      "build:canonical" -> timed("build:canonical")(
+        operators.Ingestion.buildCanonical(spark, sfDir)),
+      "build:lsh_candidates" -> timed("build:lsh_candidates")(
+        operators.Dedup.buildCandidates(spark, sfDir)),
+      "build:fingerprints" -> timed("build:fingerprints")(
+        operators.Dedup.buildFingerprints(spark, sfDir)),
+      "build:ivf_index" -> timed("build:ivf_index")(
+        operators.Similarity.buildIndex(spark, sfDir)))
 
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -66,14 +73,15 @@ object Bench {
       s(s.length / 2)
     }
     val medians = selected.map { case (name, fn) =>
-      name -> median((1 to iters).map(_ => timed(fn(spark, sfDir).count())))
+      name -> median((1 to iters).map(_ => timed(name)(fn(spark, sfDir).count())))
     }
 
     val entries = builds ++ medians.toSeq
     val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = entries.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"sf":"$sfDir"}""")
+    val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
