@@ -317,6 +317,34 @@ object Relational {
         |FROM a ORDER BY l_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Error-safe arithmetic under ANSI mode: try_divide / try_cast return
+    // null where strict evaluation would abort the job — the dirty-data
+    // battery. Map-only; the oracle mirrors null-on-zero/null-on-garbage
+    // with CASE guards (DuckDB doubles divide to inf, not error).
+    "q_try_arith" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 10).cast("double").as("div0"),
+          when(col("o_orderkey") % 5 === 0, lit("N/A"))
+            .otherwise(col("o_totalprice").cast("string")).as("amt_raw"))
+        .select(col("o_orderkey"),
+          try_divide(lit(100.0), col("div0")).as("safe_div"),
+          try_element_at(array(lit(10L), lit(20L)),
+            (col("o_orderkey") % 4 + 1).cast("int")).as("safe_elem"),
+          col("amt_raw").try_cast("double").as("parsed_amt"),
+          col("amt_raw").try_cast("double").isNull.as("is_dirty"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  CASE WHEN cast(o_custkey % 10 as double) = 0 THEN NULL
+        |       ELSE 100.0 / cast(o_custkey % 10 as double) END AS safe_div,
+        |  ([cast(10 as bigint), cast(20 as bigint)])[cast(o_orderkey % 4 + 1 as int)] AS safe_elem,
+        |  try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
+        |    ELSE cast(o_totalprice as varchar) END as double) AS parsed_amt,
+        |  try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
+        |    ELSE cast(o_totalprice as varchar) END as double) IS NULL AS is_dirty
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_window_lag" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))

@@ -304,6 +304,72 @@ object Timeseries {
         |ORDER BY user_id, hour""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Linear interpolation over the gap-filled spine: missing hours take
+    // prev + (next - prev) · elapsed/gap between the surrounding non-null
+    // points. Every input to the double math is exact (decimal endpoints,
+    // integer hour offsets), so both engines compute identical bits. Same
+    // two-shuffle shape as ev_gap_fill; boundary gaps stay null.
+    "ev_interp_linear" -> Q(
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(valDec).as("v"))
+        val spine = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val byUser = Window.partitionBy("user_id").orderBy("h")
+        val back = byUser.rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = byUser.rowsBetween(0, Window.unboundedFollowing)
+        spine.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("ph", last(when(col("v").isNotNull, col("h")),
+            ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", first(when(col("v").isNotNull, col("h")),
+            ignoreNulls = true).over(fwd))
+          .select(col("user_id"), col("h").as("hour"),
+            col("v").isNull.as("is_gap"),
+            when(col("v").isNotNull, col("v").cast("double"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv").cast("double") +
+                  (col("nv").cast("double") - col("pv").cast("double")) *
+                  ((unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast("double") /
+                    (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))))
+              .as("value_interp"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    sum(cast(value as decimal(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h),
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.h, v,
+        |    last_value(v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER back AS ph,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+        |      OVER fwd AS nh
+        |  FROM spine s LEFT JOIN hourly USING (user_id, h)
+        |  WINDOW back AS (PARTITION BY s.user_id ORDER BY s.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY s.user_id ORDER BY s.h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h AS hour, v IS NULL AS is_gap,
+        |  CASE WHEN v IS NOT NULL THEN cast(v as double)
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN cast(pv as double) + (cast(nv as double) - cast(pv as double))
+        |         * (cast(epoch(h) - epoch(ph) as double) / (epoch(nh) - epoch(ph)))
+        |       END AS value_interp
+        |FROM j ORDER BY user_id, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Rolling z-score anomaly flags on hourly event-type counts. The
     // trailing-24h mean/std derive from EXACT integer rolling sums
     // (sum x, sum x², n — order-independent), so the double arithmetic is
