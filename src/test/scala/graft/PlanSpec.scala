@@ -123,6 +123,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB pattern for repeated fact-fact joins on one key: bucket
+    // both tables by the key at write time; every later join is
+    // exchange-free (sort-merge over pre-bucketed scans)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    Seq("ev_bucketed", "totals_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists) rm(loc)
+    }
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    ev.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("ev_bucketed")
+    ev.groupBy("user_id").agg(sum("value").as("total")).write
+      .mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("totals_bucketed")
+    // disable auto-broadcast so the plan shows the bucket path (at real
+    // scale neither side fits a broadcast — that is the case bucketing
+    // exists for)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("totals_bucketed"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("ingestion header chain scans each raw table once per source branch") {
     val p = plan("canon_header")
     // 3 branches (json/xml/csv, each from orders+lineitem);
