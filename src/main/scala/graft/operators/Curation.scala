@@ -143,6 +143,28 @@ object Curation {
          |ORDER BY doc_id, rnk""".stripMargin),
 
     // ----------------------------------------------------------------
+    // End-to-end corpus dedup: resolve near-dup clusters, keep each
+    // cluster's canonical doc, report per-source retention — the summary a
+    // curation run publishes. Composes the cluster operator (its iterative
+    // cost is already session-bounded) with one broadcast-sized join and
+    // one aggregate shuffle. Rows-only: inherits the clusters' recursive
+    // reachability.
+    "doc_corpus_dedup" -> Q(
+      (s, d) => {
+        val cl = defs("doc_dedup_clusters").fn(s, d)
+          .select("doc_id", "is_canonical")
+        docs(s, d).select("doc_id", "source")
+          .join(cl, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("retention",
+            round(col("n_kept").cast("double") / col("n_docs"), 6))
+          .orderBy("source")
+      },
+      None),
+
+    // ----------------------------------------------------------------
     // Distributed heavy hitters over the token stream: per-partition
     // space-saving sketches (bounded M entries each — a bounded-memory
     // streaming sketch is the one shape built-in aggregates can't express,

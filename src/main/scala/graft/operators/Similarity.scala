@@ -197,6 +197,25 @@ object Similarity {
       None),
 
     // L2 normalization — the standard pre-step before cosine/ANN indexing.
+    // Int8 scalar quantization: per-vector (min, max) affine codes — the
+    // 4× storage/bandwidth reduction step before ANN sharding. Map-only at
+    // any scale. Rows-only (per-element rounding midpoints make a byte-
+    // exact SQL oracle a lottery); PipelineSpec bounds the reconstruction
+    // error at the quantization step size.
+    "emb_quantize" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("mn", array_min(col("embedding")).cast("double"))
+        .withColumn("mx", array_max(col("embedding")).cast("double"))
+        .withColumn("scale",
+          when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0)
+            .otherwise(lit(1.0)))
+        .select(col("vec_id"), col("mn"), col("scale"),
+          transform(col("embedding"), x =>
+            round((x.cast("double") - col("mn")) / col("scale"))
+              .cast("int") - 128).as("codes"))
+        .orderBy("vec_id"),
+      None),
+
     // Map-only; the oracled output surfaces the norm and leading normalized
     // components as scalars (identical double arithmetic both engines).
     "emb_normalize" -> Q(

@@ -169,6 +169,37 @@ class PipelineSpec extends SparkSpec {
     assert(approx == exact && approx.size == 20)
   }
 
+  test("emb_quantize codes reconstruct within the quantization step") {
+    val rows = run("emb_quantize").collect()
+    val orig = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, scale) = (r.getAs[Double]("mn"), r.getAs[Double]("scale"))
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      val e = orig(r.getAs[Long]("vec_id"))
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      e.zip(codes).foreach { case (x, c) =>
+        val dequant = (c + 128) * scale + mn
+        assert(math.abs(dequant - x) <= scale / 2 + 1e-9,
+          s"err ${math.abs(dequant - x)} vs step $scale")
+      }
+    }
+  }
+
+  test("doc_corpus_dedup retention is consistent with the cluster resolution") {
+    val stats = run("doc_corpus_dedup").collect()
+    val cl = run("doc_dedup_clusters")
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == cl.count())
+    assert(stats.map(_.getAs[Long]("n_kept")).sum ==
+      cl.filter(col("is_canonical")).count())
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("retention") <= 1.0)
+    }
+  }
+
   test("doc_lang_id predicts only known languages") {
     val langs = Set("en", "de", "es", "fr", "zh", "und")
     assert(run("doc_lang_id").collect().forall(r => langs(r.getAs[String]("pred_lang"))))
