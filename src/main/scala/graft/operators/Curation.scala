@@ -38,6 +38,68 @@ object Curation {
   val ChunkTokens = 16 // training-sequence length in whitespace tokens
   val TfIdfTopK = 5
 
+  /** Converged min-label propagation over the near-dup edge set, resolved
+    * once per (session, dir) and persisted — the final labels previously
+    * leaked one persisted DF per run; the cache makes them a shared index
+    * like the LSH candidates (released via [[graft.Caches]]).
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  graft.Caches.register { app =>
+    clusterCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+  }
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
+        .filter(col("is_dup"))
+        .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
+      val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = exactPairs.unionByName(nearPairs)
+        .union(exactPairs.unionByName(nearPairs)
+          .select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // `unpersist` releases only the EXACT persisted plan — track that
+      // handle separately from the `drop("chg")` projection the next round
+      // consumes, or every iteration's cache entry leaks
+      var persisted = docs(s, d)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = persisted
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("b"),
+            col("cluster_id").as("nbr_label")), "b")
+          .groupBy(col("a").as("doc_id"))
+          .agg(min("nbr_label").as("nbr_min"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"),
+              col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id"))
+              < col("cluster_id")).as("chg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.filter(col("chg")).count()
+        persisted.unpersist()
+        persisted = next
+        labels = next.drop("chg")
+        rounds += 1
+      }
+      val resolved = labels
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resolved.count()
+      persisted.unpersist()
+      edges.unpersist()
+      resolved
+    })
+
   val defs: Map[String, Q] = Map(
     // ----------------------------------------------------------------
     // Stratified sampling: per-source keep rates from a broadcast config
@@ -250,43 +312,8 @@ object Curation {
     // harness; PipelineSpec checks against a driver-side union-find.
     "doc_dedup_clusters" -> Q(
       (s, d) => {
-        val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
-          .filter(col("is_dup"))
-          .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
-        val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        val edges = exactPairs.unionByName(nearPairs)
-          .union(exactPairs.unionByName(nearPairs)
-            .select(col("b").as("a"), col("a").as("b")))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-        var labels = docs(s, d)
-          .select(col("doc_id"), col("doc_id").as("cluster_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 20) {
-          val neighborMin = edges
-            .join(labels.select(col("doc_id").as("b"),
-              col("cluster_id").as("nbr_label")), "b")
-            .groupBy(col("a").as("doc_id"))
-            .agg(min("nbr_label").as("nbr_min"))
-          val next = labels.join(neighborMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbr_min"),
-                col("cluster_id"))).as("cluster_id"),
-              (coalesce(col("nbr_min"), col("cluster_id"))
-                < col("cluster_id")).as("chg"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          changed = next.filter(col("chg")).count()
-          labels.unpersist()
-          labels = next.drop("chg")
-          rounds += 1
-        }
-        edges.unpersist()
         val sizes = Window.partitionBy("cluster_id")
-        labels
+        clusterLabels(s, d)
           .withColumn("cluster_size", count(lit(1)).over(sizes))
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             (col("doc_id") === col("cluster_id")).as("is_canonical"))

@@ -123,6 +123,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    import org.apache.spark.sql.functions._
+    // the other write-time layout lever: partition the canonical table by
+    // its routing column and a filtered read never opens the other
+    // partitions' files
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("t").toString
+    SparkEntry.queries("canon_header")(spark, sf)
+      .write.partitionBy("source_system").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("source_system") === "XML")
+    val scan = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("source_system"), scan)
+    assert(!scan.contains("PartitionFilters: []"), scan)
+    assert(pruned.count() > 0)
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     import org.apache.spark.sql.functions._
     // the 100 TB pattern for repeated fact-fact joins on one key: bucket
