@@ -102,15 +102,15 @@ object Dedup {
 
   private def rareFingerprints(s: SparkSession, d: String): DataFrame =
     fpCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      // df-filter as a window count over the fp shuffle: one pass over the
-      // corpus (hash + winnow + explode + distinct + one shuffle), no
-      // groupBy-then-rejoin second pass
+      // df-filter as a window count over the fp shuffle: ONE pass over the
+      // corpus and ONE shuffle (winnowFromHashes already array_distincts
+      // per doc, so the exploded (doc, fp) pairs are unique — no global
+      // distinct needed), no groupBy-then-rejoin second pass
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
       docs(s, d)
         .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
-        .distinct()
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxFpDf)
         .drop("df")
