@@ -317,6 +317,47 @@ object Relational {
         |FROM a ORDER BY l_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // JSON path extraction battery: documents built byte-identically in
+    // both engines (explicit concat, no engine JSON serializer), then
+    // pulled apart with each engine's native path functions — nested
+    // object paths, array indexing, array length, null on missing path.
+    // Map-only.
+    "q_json_funcs" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat(lit("{\"k\":"), col("o_orderkey").cast("string"),
+            lit(",\"nested\":{\"c\":"), col("o_custkey").cast("string"),
+            lit(",\"p\":\""), col("o_orderpriority"),
+            lit("\"},\"arr\":["), (col("o_orderkey") % 7).cast("string"),
+            lit(","), (col("o_custkey") % 5).cast("string"),
+            lit("]}")).as("j"))
+        .select(col("o_orderkey"),
+          get_json_object(col("j"), "$.k").cast("long").as("k"),
+          get_json_object(col("j"), "$.nested.p").as("p"),
+          get_json_object(col("j"), "$.nested.c").cast("long").as("c"),
+          get_json_object(col("j"), "$.arr[1]").cast("long").as("arr_1"),
+          json_array_length(get_json_object(col("j"), "$.arr"))
+            .cast("long").as("arr_len"),
+          get_json_object(col("j"), "$.missing").isNull.as("missing_is_null"))
+        .orderBy("o_orderkey"),
+      """WITH built AS (
+        |  SELECT o_orderkey,
+        |    '{"k":' || cast(o_orderkey as varchar) ||
+        |    ',"nested":{"c":' || cast(o_custkey as varchar) ||
+        |    ',"p":"' || o_orderpriority ||
+        |    '"},"arr":[' || cast(o_orderkey % 7 as varchar) ||
+        |    ',' || cast(o_custkey % 5 as varchar) || ']}' AS j
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  cast(json_extract_string(j, '$.k') as bigint) AS k,
+        |  json_extract_string(j, '$.nested.p') AS p,
+        |  cast(json_extract_string(j, '$.nested.c') as bigint) AS c,
+        |  cast(json_extract_string(j, '$.arr[1]') as bigint) AS arr_1,
+        |  cast(json_array_length(j, '$.arr') as bigint) AS arr_len,
+        |  json_extract_string(j, '$.missing') IS NULL AS missing_is_null
+        |FROM built ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Error-safe arithmetic under ANSI mode: try_divide / try_cast return
     // null where strict evaluation would abort the job — the dirty-data
     // battery. Map-only; the oracle mirrors null-on-zero/null-on-garbage
