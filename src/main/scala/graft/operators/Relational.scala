@@ -707,6 +707,86 @@ object Relational {
          |ORDER BY status, priority""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Wide→long reshape via the native unpivot operator (the inverse of
+    // q_pivot): measures melt into (measure, value) rows. Map-only after
+    // the aggregate — the melt itself never shuffles.
+    "q_unpivot" -> Q(
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).cast("double").as("sum_qty"),
+            dsum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+            count(lit(1)).cast("double").as("n_items"))
+        base.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_price"), col("n_items")),
+          "measure", "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      s"""WITH base AS (
+         |  SELECT l_returnflag,
+         |    ${sqlSumD("l_quantity")} AS sum_qty,
+         |    ${sqlSumD("l_extendedprice")} AS sum_base_price,
+         |    cast(count(*) as double) AS n_items
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, cast(value as double) AS value
+         |FROM base UNPIVOT (value FOR measure IN (sum_qty, sum_base_price, n_items))
+         |ORDER BY l_returnflag, measure""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    // decorrelates both predicates into a left-semi and a left-anti join
+    // on o_custkey — same one-shuffle shape as q_semijoin/q_antijoin, but
+    // exercising the subquery-rewrite path rather than hand-built joins.
+    "q_exists_correlated" -> Q(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+        Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+        s.sql("""
+          SELECT c_custkey, c_name FROM customer_ex c
+          WHERE EXISTS (SELECT 1 FROM orders_ex o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 150000)
+            AND NOT EXISTS (SELECT 1 FROM orders_ex o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Salted two-stage distinct-count: the skew-mitigation pattern for
+    // COUNT(DISTINCT x) on a hot group key. Stage 1 groups on
+    // (key, hash(x) % 16) so one hot key's distinct set spreads across 16
+    // reducers; stage 2 sums the disjoint partial counts (hash-partitioned
+    // salts make buckets disjoint, so the sum is exact). Plain partial
+    // aggregation can't collapse DISTINCT map-side — salting is the
+    // standard 100 TB fix, verified here against the direct formulation.
+    "q_salted_agg" -> Q(
+      (s, d) => {
+        val salted = Tables.lineitem(s, d)
+          .select("l_suppkey", "l_partkey")
+          .groupBy(col("l_suppkey"),
+            pmod(hash(col("l_partkey")), lit(16)).as("salt"))
+          .agg(countDistinct(col("l_partkey")).as("pc"),
+            count(lit(1)).as("rc"))
+        salted.groupBy("l_suppkey")
+          .agg(sum(col("pc")).cast("long").as("n_parts"),
+            sum(col("rc")).cast("long").as("n_rows"))
+          .orderBy("l_suppkey")
+      },
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_values_lookup" -> Q(
       (s, d) => {
         import s.implicits._

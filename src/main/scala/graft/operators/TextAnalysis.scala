@@ -307,6 +307,55 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin),
 
+    // Within-document repetition signals (the Gopher-style quality rules):
+    // duplicate-token and duplicate-n-gram fractions flag boilerplate and
+    // degenerate generations. Pure map work — token and n-gram arrays are
+    // bound once per row, ratios are int/int divisions (identical IEEE ops
+    // both engines). No shuffle except the presentation sort.
+    "doc_repetition" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("bi", TextOps.ngrams(col("toks"), 2))
+        .withColumn("tri", TextOps.ngrams(col("toks"), 3))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks"))).as("dup_token_frac"),
+          when(size(col("bi")) > 0,
+            lit(1.0) - size(array_distinct(col("bi"))).cast("double")
+              / size(col("bi"))).as("dup_bigram_frac"),
+          when(size(col("tri")) > 0,
+            lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+              / size(col("tri"))).as("dup_trigram_frac"))
+        .withColumn("is_repetitive",
+          coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.2 ||
+            col("dup_token_frac") > 0.7)
+        .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] AS bi,
+        |    [array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, len(w) - 2)] AS tri
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id, cast(len(w) as bigint) AS n_tokens,
+        |    1.0 - cast(len(list_distinct(w)) as double) / len(w) AS dup_token_frac,
+        |    CASE WHEN len(bi) > 0 THEN
+        |      1.0 - cast(len(list_distinct(bi)) as double) / len(bi)
+        |    END AS dup_bigram_frac,
+        |    CASE WHEN len(tri) > 0 THEN
+        |      1.0 - cast(len(list_distinct(tri)) as double) / len(tri)
+        |    END AS dup_trigram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+        |  dup_trigram_frac,
+        |  coalesce(dup_trigram_frac, 0.0) > 0.2 OR dup_token_frac > 0.7
+        |    AS is_repetitive
+        |FROM m ORDER BY doc_id""".stripMargin),
+
     // Winnowing fingerprints (k=8 char-grams, window 4), exploded to the
     // (doc, fingerprint) grain — the unit a cross-corpus plagiarism /
     // near-dup index is built on. Rows-only: DuckDB lacks xxhash64.

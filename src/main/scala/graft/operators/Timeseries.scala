@@ -424,6 +424,43 @@ object Timeseries {
         |  abs(coalesce(CASE WHEN n_frame >= 12 AND variance > 0
         |       THEN (cast(x as double) - mean) / sqrt(variance) END, 0.0)) > 3
         |    AS is_anomaly
-        |FROM scored ORDER BY event_type, hour""".stripMargin)
+        |FROM scored ORDER BY event_type, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Exponentially weighted moving average over hourly per-user counts:
+    // the recursion e_t = α·x_t + (1-α)·e_{t-1} expressed as a declarative
+    // fold over the trailing 24-row frame (collect_list + aggregate HOF —
+    // codegen-friendly, no UDF). α = 0.5 keeps every weight a dyadic
+    // rational, so with integer inputs the double arithmetic is exact and
+    // order-independent — bit-identical cross-engine (the DuckDB oracle
+    // computes the same weighted sum in closed form). One shuffle on
+    // user_id; the fold is per-row map work over a ≤24-element array.
+    "ev_ewma" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(-23, 0)
+        ev(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("vals", collect_list(col("x")).over(w))
+          .withColumn("ewma",
+            expr("aggregate(vals, cast(0 as double), (acc, v) -> acc * 0.5 + v * 0.5)"))
+          .select(col("user_id"), col("h").as("hour"), col("x").as("n_events"),
+            size(col("vals")).cast("long").as("n_frame"), col("ewma"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |listed AS (
+        |  SELECT user_id, h, x,
+        |    list(x) OVER (PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM hourly)
+        |SELECT user_id, h AS hour, x AS n_events,
+        |  cast(len(vals) as bigint) AS n_frame,
+        |  list_sum(list_transform(vals,
+        |    (v, i) -> v * power(0.5, len(vals) - i + 1))) AS ewma
+        |FROM listed ORDER BY user_id, hour""".stripMargin)
   )
 }

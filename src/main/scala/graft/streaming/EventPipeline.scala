@@ -48,6 +48,21 @@ object EventPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Native session windows (30-minute gap): the built-in merging-window
+    * aggregate — in streaming, state merges adjacent windows and the
+    * watermark closes + evicts finished sessions; in batch the same plan is
+    * one shuffle on user_id. `window.end` is last event time + gap by
+    * session-window semantics (end-exclusive).
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Streaming dedup on the event key. dropDuplicatesWithinWatermark (not
     * plain dropDuplicates("event_id"), whose key subset excludes the event
     * time and therefore never ages out) lets the 1-hour watermark actually
@@ -210,6 +225,30 @@ object EventPipeline {
         |  e.event_type, count(*) AS n_events
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Batch-equivalent of the native session-window aggregate. The oracle
+    // reconstructs session-window semantics relationally: new session when
+    // the gap is >= 30 min (session windows are end-exclusive), session_end
+    // = last event + gap. StreamingSpec runs the same transform under
+    // MemoryStream and checks equivalence.
+    "stream_session_window" -> Q(
+      (s, d) => sessionWindowCounts(Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, cast(value as decimal(18,2)) AS v,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, cast(sum(v) as double) AS total_value
+        |FROM sess GROUP BY user_id, sn
+        |ORDER BY user_id, session_start""".stripMargin),
 
     "stream_window_counts" -> Q(
       (s, d) => windowCounts(Tables.events(s, d))

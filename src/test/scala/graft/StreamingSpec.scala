@@ -31,6 +31,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch run") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.sessionWindowCounts(in.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    try {
+      in.addData(eventsData)
+      q.processAllAvailable()
+      val streamed = spark.table("sw").collect().map(_.toString).toSet
+      val batch = EventPipeline.sessionWindowCounts(Tables.events(spark, sf))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
