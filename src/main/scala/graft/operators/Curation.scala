@@ -51,17 +51,24 @@ object Curation {
       if (a == app) df.unpersist() else (); a != app }
   }
 
+  /** Symmetric distinct near-dup edge set (exact-dup + Jaccard-verified),
+    * shared by both connected-components formulations.
+    */
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
+      .filter(col("is_dup"))
+      .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
+    val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    exactPairs.unionByName(nearPairs)
+      .union(exactPairs.unionByName(nearPairs)
+        .select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+  }
+
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
-        .filter(col("is_dup"))
-        .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
-      val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val edges = exactPairs.unionByName(nearPairs)
-        .union(exactPairs.unionByName(nearPairs)
-          .select(col("b").as("a"), col("a").as("b")))
-        .distinct()
+      val edges = nearDupEdges(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // `unpersist` releases only the EXACT persisted plan — track that
@@ -99,6 +106,82 @@ object Curation {
       edges.unpersist()
       resolved
     })
+
+  /** Large-star: every node links its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Per-key fan-in is one adjacency
+    * list; emitted edges always point DOWNWARD, so a mega-cluster's
+    * smallest label never accumulates the whole component on one reducer
+    * within a single round — the property the plain min-label loop lacks.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Small-star: edges oriented large→small; each node and its smaller
+    * neighbors all link to the neighborhood minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, "u").select(col("v").as("a"), col("m").as("b"))
+      .union(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the formulation that holds at 100 TB: O(log²) rounds and bounded
+    * per-key fan-in on mega-clusters. Convergence = the edge set's
+    * (count, order-independent hash checksum) fixed point.
+    */
+  private def bigStarLabels(s: SparkSession, d: String): DataFrame = {
+    var edges = nearDupEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // order-independent set checksum (edges are distinct): XOR never
+    // overflows under ANSI arithmetic, unlike a long sum
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, 0L)
+    var cur = checksum(edges)
+    var rounds = 0
+    while (cur != prev && rounds < 15) {
+      val next = smallStar(largeStar(edges))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prev = cur
+      cur = checksum(next)
+      edges.unpersist()
+      edges = next
+      rounds += 1
+    }
+    // at the fixed point the edge set is a star forest: each non-root node
+    // carries one downward edge to its component's minimum label (the min
+    // agg is a no-op then; it also keeps the join 1:1 under the round cap)
+    val roots = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("root"))
+    val labels = docs(s, d).select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    edges.unpersist()
+    out
+  }
+
+  private def bigStarCached(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, d + "#bigstar"), bigStarLabels(s, d))
 
   val defs: Map[String, Q] = Map(
     // ----------------------------------------------------------------
@@ -314,6 +397,22 @@ object Curation {
       (s, d) => {
         val sizes = Window.partitionBy("cluster_id")
         clusterLabels(s, d)
+          .withColumn("cluster_size", count(lit(1)).over(sizes))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ----------------------------------------------------------------
+    // The SAME component resolution via alternating large-star/small-star
+    // — the 100 TB formulation (bounded per-key fan-in, O(log²) rounds)
+    // §5 commits to. Same output grain as doc_dedup_clusters; PipelineSpec
+    // asserts the two labelings are identical.
+    "doc_cc_bigstar" -> Q(
+      (s, d) => {
+        val sizes = Window.partitionBy("cluster_id")
+        bigStarCached(s, d)
           .withColumn("cluster_size", count(lit(1)).over(sizes))
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             (col("doc_id") === col("cluster_id")).as("is_canonical"))

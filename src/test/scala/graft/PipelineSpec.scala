@@ -158,6 +158,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("doc_cc_bigstar labels are identical to the min-label propagation") {
+    val minLabel = run("doc_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical"))).toSet
+    val bigStar = run("doc_cc_bigstar").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical"))).toSet
+    assert(bigStar.nonEmpty && bigStar == minLabel)
+  }
+
   test("doc_heavy_hitters equals the exact full-shuffle top-k") {
     val approx = run("doc_heavy_hitters").collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
