@@ -787,6 +787,37 @@ object Relational {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Partial-aggregate re-merge — the incremental-rollup pattern: daily
+    // partials (sum/count/min/max are all mergeable) roll up to monthly
+    // WITHOUT touching base rows again. At 100 TB this is how rollup
+    // tables stay incremental: each day aggregates once, months re-merge
+    // day partials. Verified against the direct monthly aggregation.
+    "q_reaggregate" -> Q(
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+            col("o_orderstatus"))
+          .agg(dsum(col("o_totalprice")).as("p_sum"),
+            count(lit(1)).as("p_n"),
+            min(col("o_totalprice")).as("p_min"),
+            max(col("o_totalprice")).as("p_max"))
+        daily
+          .groupBy(date_trunc("month", col("day")).as("month"),
+            col("o_orderstatus"))
+          .agg(sum(col("p_sum")).cast("double").as("total"),
+            sum(col("p_n")).cast("long").as("n_orders"),
+            min(col("p_min")).cast("double").as("min_price"),
+            max(col("p_max")).cast("double").as("max_price"))
+          .orderBy("month", "o_orderstatus")
+      },
+      s"""SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+         |  ${sqlSumD("o_totalprice")} AS total,
+         |  count(*) AS n_orders,
+         |  cast(min(o_totalprice) as double) AS min_price,
+         |  cast(max(o_totalprice) as double) AS max_price
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ----------------------------------------------------------------
     "q_values_lookup" -> Q(
       (s, d) => {
         import s.implicits._

@@ -461,6 +461,27 @@ object Timeseries {
         |  cast(len(vals) as bigint) AS n_frame,
         |  list_sum(list_transform(vals,
         |    (v, i) -> v * power(0.5, len(vals) - i + 1))) AS ewma
-        |FROM listed ORDER BY user_id, hour""".stripMargin)
+        |FROM listed ORDER BY user_id, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Distinct users per event type via MERGED daily HLL sketches — the
+    // reaggregatable form of COUNT(DISTINCT): each day sketches once
+    // (partial-agg, map-side combined), periods union day sketches without
+    // touching base rows. The exact-distinct equivalent reshuffles every
+    // base row per period; the sketch union moves only ~KB-sized state —
+    // the 100 TB distinct-count shape. Rows-only (DuckDB's HLL is a
+    // different sketch); TimeseriesSpec asserts the merged estimate equals
+    // the direct single-pass sketch bit-for-bit and bounds error vs exact.
+    "ev_hll_users" -> Q(
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None)
   )
 }

@@ -38,6 +38,28 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_hll_users: merged daily sketches equal the direct sketch, near exact") {
+    val merged = run("ev_hll_users").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users"))
+      .toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("a"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("a"))
+      .toMap
+    // same sketch algorithm + deterministic hashing → merging day sketches
+    // must reproduce the single-pass sketch exactly
+    assert(merged.nonEmpty && merged == direct)
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n"))
+      .toMap
+    merged.foreach { case (et, est) =>
+      val err = math.abs(est.toDouble - exact(et)) / exact(et)
+      assert(err <= 0.05, s"$et: estimate $est vs exact ${exact(et)}")
+    }
+  }
+
   test("ev_dedup_latest keeps exactly one row per (user, type)") {
     val d = run("ev_dedup_latest")
     assert(d.groupBy("user_id", "event_type").count()
