@@ -123,6 +123,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark's runtime row-level filtering injects a bloom filter built from
+    // the selective dim side into the fact scan BEFORE the shuffle — the
+    // semi-join-reduction pattern that cuts shuffle volume at 100 TB. The
+    // size thresholds exist for small inputs, so drop them to observe the
+    // rewrite on test data; production leaves the defaults.
+    val conf = spark.conf
+    val overrides = Seq(
+      // creation side must be SMALLER than this cap → raise it
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // application-side scan must be LARGER than this floor → drop it
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val dim = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val joined = fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter")
+        || p.contains("might_contain"), p.take(3000))
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     import org.apache.spark.sql.functions._
     // the other write-time layout lever: partition the canonical table by
