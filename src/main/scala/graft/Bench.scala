@@ -49,6 +49,7 @@ object Bench {
         operators.Dedup.buildCandidates(spark, warmDir)
         operators.Dedup.buildFingerprints(spark, warmDir)
         operators.Similarity.buildIndex(spark, warmDir)
+        operators.Curation.buildClusters(spark, warmDir)
       }
     } catch { case _: Throwable => () }
 
@@ -61,7 +62,9 @@ object Bench {
       "build:fingerprints" -> timed("build:fingerprints")(
         operators.Dedup.buildFingerprints(spark, sfDir)),
       "build:ivf_index" -> timed("build:ivf_index")(
-        operators.Similarity.buildIndex(spark, sfDir)))
+        operators.Similarity.buildIndex(spark, sfDir)),
+      "build:cc_labels" -> timed("build:cc_labels")(
+        operators.Curation.buildClusters(spark, sfDir)))
 
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

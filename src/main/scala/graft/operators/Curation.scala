@@ -52,32 +52,34 @@ object Curation {
   }
 
   /** Symmetric distinct near-dup edge set (exact-dup + Jaccard-verified),
-    * shared by both connected-components formulations.
+    * shared by both connected-components formulations — materialized once
+    * per (session, dir) so the second labeling doesn't re-run the whole
+    * dedup pipeline (localCheckpoint: both consumers iterate on it).
     */
-  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
-      .filter(col("is_dup"))
-      .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
-    val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    exactPairs.unionByName(nearPairs)
-      .union(exactPairs.unionByName(nearPairs)
-        .select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-  }
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#edges"), {
+      val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
+        .filter(col("is_dup"))
+        .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
+      val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      exactPairs.unionByName(nearPairs)
+        .union(exactPairs.unionByName(nearPairs)
+          .select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .localCheckpoint()
+    })
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      // localCheckpoint per round truncates the iterative lineage (labels
+      // feeds its own next round twice → 2^rounds raw plan growth) so
+      // planning stays O(1) per round; it also replaces the per-round
+      // persist/unpersist handle bookkeeping.
       val edges = nearDupEdges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-      // `unpersist` releases only the EXACT persisted plan — track that
-      // handle separately from the `drop("chg")` projection the next round
-      // consumes, or every iteration's cache entry leaks
-      var persisted = docs(s, d)
+      var labels = docs(s, d)
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = persisted
+        .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -92,18 +94,14 @@ object Curation {
               col("cluster_id"))).as("cluster_id"),
             (coalesce(col("nbr_min"), col("cluster_id"))
               < col("cluster_id")).as("chg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         changed = next.filter(col("chg")).count()
-        persisted.unpersist()
-        persisted = next
         labels = next.drop("chg")
         rounds += 1
       }
       val resolved = labels
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolved.count()
-      persisted.unpersist()
-      edges.unpersist()
       resolved
     })
 
@@ -118,9 +116,11 @@ object Curation {
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // no distinct here: small-star's orientation pass dedups anyway, so
+    // deduping twice would just add a shuffle per round
     sym.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
   }
 
   /** Small-star: edges oriented large→small; each node and its smaller
@@ -143,8 +143,13 @@ object Curation {
     * (count, order-independent hash checksum) fixed point.
     */
   private def bigStarLabels(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (not persist) each round: every round references the
+    // previous edge set ~5×, so raw lineage grows exponentially and
+    // RE-PLANNING — not execution — dominates (the sf0.01 plan reached
+    // ~66k nodes). Truncating to the materialized RDD keeps per-round
+    // planning O(1); a cluster deployment uses reliable checkpoint() for
+    // the same reason plus fault tolerance.
     var edges = nearDupEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // order-independent set checksum (edges are distinct): XOR never
     // overflows under ANSI arithmetic, unlike a long sum
     def checksum(e: DataFrame): (Long, Long) = {
@@ -156,11 +161,9 @@ object Curation {
     var cur = checksum(edges)
     var rounds = 0
     while (cur != prev && rounds < 15) {
-      val next = smallStar(largeStar(edges))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       prev = cur
       cur = checksum(next)
-      edges.unpersist()
       edges = next
       rounds += 1
     }
@@ -175,13 +178,20 @@ object Curation {
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
     val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    edges.unpersist()
     out
   }
 
   private def bigStarCached(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate(
       (s.sparkContext.applicationId, d + "#bigstar"), bigStarLabels(s, d))
+
+  /** One-time label resolutions, exposed so Bench can time them as
+    * explicit `build:*` line items instead of hiding the cost inside the
+    * first timed iteration.
+    */
+  def buildClusters(s: SparkSession, d: String): Unit = {
+    clusterLabels(s, d); bigStarCached(s, d); ()
+  }
 
   val defs: Map[String, Q] = Map(
     // ----------------------------------------------------------------

@@ -379,6 +379,35 @@ anoms AS (
 SELECT 'CAN_TXN' AS object_name, count(*) AS row_count FROM surv
 UNION ALL SELECT 'CAN_TXN_ANOMALY', count(*) FROM anoms
 UNION ALL SELECT 'CAN_TXN_LINE', count(*) FROM lines_all
-ORDER BY object_name""")
+ORDER BY object_name"""),
+
+    // ----------------------------------------------------------------
+    // ORC round-trip parity: the canonical header table written to ORC
+    // and read back must aggregate identically to the parquet-derived
+    // pipeline — a lossless decimal/timestamp/array round-trip through the
+    // second columnar format (multi-format sink/source surface). Written
+    // once per (session, dir); the oracle never sees ORC, which is the
+    // point: losslessness means the digest is format-independent.
+    "ing_orc_roundtrip" -> Q(
+      (s, d) => {
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_orc_${s.sparkContext.applicationId}_${math.abs(d.hashCode).toHexString}")
+        if (!dir.exists)
+          survivors(s, d).write.mode("overwrite").orc(dir.toString)
+        s.read.orc(dir.toString)
+          .groupBy("client_id", "source_system")
+          .agg(count(lit(1)).as("txn_count"),
+            countDistinct(col("canonical_txn_id")).as("distinct_txns"),
+            sum(col("total_amount").cast("decimal(38,9)"))
+              .cast("double").as("total_amount"))
+          .orderBy("client_id", "source_system")
+      },
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT client_id, source_system, count(*) AS txn_count,
+  count(DISTINCT canonical_txn_id) AS distinct_txns,
+  cast(sum(cast(total_amount as decimal(38,9))) as double) AS total_amount
+FROM surv GROUP BY client_id, source_system
+ORDER BY client_id, source_system""")
   )
 }

@@ -464,6 +464,50 @@ object Timeseries {
         |FROM listed ORDER BY user_id, hour""".stripMargin),
 
     // ----------------------------------------------------------------
+    // OHLC resampling — the classic financial bar aggregation: per
+    // (event_type, hour), open/close are the first/last value in event-time
+    // order (unique (ts, event_id) tie-break), high/low/volume are plain
+    // min/max/count. One shuffle on the bar key; both edge windows reuse
+    // the aggregation's partitioning.
+    "ev_resample_ohlc" -> Q(
+      (s, d) => {
+        val asc = Window.partitionBy("event_type", "h")
+          .orderBy(col("ts"), col("event_id"))
+        val desc = Window.partitionBy("event_type", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("ts"), col("event_id"), valDec.as("v"))
+          .withColumn("rn_a", row_number().over(asc))
+          .withColumn("rn_d", row_number().over(desc))
+          .groupBy(col("event_type"), col("h").as("hour"))
+          .agg(max(when(col("rn_a") === 1, col("v"))).cast("double").as("open"),
+            max(col("v")).cast("double").as("high"),
+            min(col("v")).cast("double").as("low"),
+            max(when(col("rn_d") === 1, col("v"))).cast("double").as("close"),
+            count(lit(1)).as("volume"),
+            sum(col("v")).cast("double").as("turnover"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id,
+        |    cast(value as decimal(18,2)) AS v,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, h AS hour,
+        |  cast(max(CASE WHEN rn_a = 1 THEN v END) as double) AS open,
+        |  cast(max(v) as double) AS high,
+        |  cast(min(v) as double) AS low,
+        |  cast(max(CASE WHEN rn_d = 1 THEN v END) as double) AS close,
+        |  count(*) AS volume,
+        |  cast(sum(v) as double) AS turnover
+        |FROM base GROUP BY event_type, h
+        |ORDER BY event_type, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Distinct users per event type via MERGED daily HLL sketches — the
     // reaggregatable form of COUNT(DISTINCT): each day sketches once
     // (partial-agg, map-side combined), periods union day sketches without
