@@ -221,6 +221,36 @@ object Dedup {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      None)
+      None),
+
+    // Fuzzy key matching — the entity-resolution shape: short record keys
+    // (here the first 24 chars of each doc) pair only within a prefix
+    // block (equi-join shuffle keyed on the block, never O(n²)), then the
+    // survivors pay the edit-distance verify. Both engines ship the same
+    // Levenshtein, so the operator is fully oracled.
+    "doc_fuzzy_match" -> Q(
+      (s, d) => {
+        val keys = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+          .withColumn("blk", substring(col("k"), 1, 8))
+        keys
+          .join(keys.select(col("doc_id").as("doc_id_b"), col("k").as("k_b"),
+            col("blk")), Seq("blk"))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .withColumn("dist", levenshtein(col("k"), col("k_b")))
+          .filter(col("dist") <= 3)
+          .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH keys AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS k,
+        |    substring(text, 1, 8) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(levenshtein(a.k, b.k) as bigint) AS dist
+        |FROM keys a JOIN keys b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

@@ -508,6 +508,46 @@ object Timeseries {
         |ORDER BY event_type, hour""".stripMargin),
 
     // ----------------------------------------------------------------
+    // SCD Type-2 history build — the warehouse pattern for canonical
+    // dimensions: collapse each user's event-type stream into validity
+    // intervals (change detection via lag, interval close via lead,
+    // version numbering) — [valid_from, valid_to) with an open current
+    // row. One shuffle on user_id; all three windows share it.
+    "ev_scd2" -> Q(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        val byUserChg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes
+          .withColumn("valid_to", lead(col("ts"), 1).over(byUserChg))
+          .withColumn("version", row_number().over(byUserChg).cast("long"))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT * FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  cast(row_number() OVER w as bigint) AS version,
+        |  event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Distinct users per event type via MERGED daily HLL sketches — the
     // reaggregatable form of COUNT(DISTINCT): each day sketches once
     // (partial-agg, map-side combined), periods union day sketches without
