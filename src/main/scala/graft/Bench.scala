@@ -50,6 +50,7 @@ object Bench {
         operators.Dedup.buildFingerprints(spark, warmDir)
         operators.Similarity.buildIndex(spark, warmDir)
         operators.Curation.buildClusters(spark, warmDir)
+        operators.Similarity.buildPca(spark, warmDir)
       }
     } catch { case _: Throwable => () }
 
@@ -64,7 +65,9 @@ object Bench {
       "build:ivf_index" -> timed("build:ivf_index")(
         operators.Similarity.buildIndex(spark, sfDir)),
       "build:cc_labels" -> timed("build:cc_labels")(
-        operators.Curation.buildClusters(spark, sfDir)))
+        operators.Curation.buildClusters(spark, sfDir)),
+      "build:pca" -> timed("build:pca")(
+        operators.Similarity.buildPca(spark, sfDir)))
 
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -382,6 +382,38 @@ UNION ALL SELECT 'CAN_TXN_LINE', count(*) FROM lines_all
 ORDER BY object_name"""),
 
     // ----------------------------------------------------------------
+    // Data-quality profile of the canonical header table — the
+    // observability summary an ops dashboard publishes per load: row and
+    // key cardinalities, per-column null counts, measure bounds. One
+    // aggregate pass over the stored table.
+    "canon_dq_profile" -> Q(
+      (s, d) => survivors(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("canonical_txn_id")).as("n_txn_ids"),
+          countDistinct(col("client_id")).as("n_clients"),
+          countDistinct(col("source_system")).as("n_sources"),
+          sum(when(col("txn_timestamp").isNull, 1L).otherwise(0L))
+            .as("null_ts"),
+          sum(when(col("total_amount").isNull, 1L).otherwise(0L))
+            .as("null_amount"),
+          countDistinct(col("currency")).as("n_currencies"),
+          min(col("total_amount")).cast("double").as("min_amount"),
+          max(col("total_amount")).cast("double").as("max_amount"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid")),
+      s"""WITH ${OracleFrags.synthCtes}
+SELECT count(*) AS n_rows,
+  count(DISTINCT canonical_txn_id) AS n_txn_ids,
+  count(DISTINCT client_id) AS n_clients,
+  count(DISTINCT source_system) AS n_sources,
+  cast(sum(CASE WHEN txn_timestamp IS NULL THEN 1 ELSE 0 END) as bigint) AS null_ts,
+  cast(sum(CASE WHEN total_amount IS NULL THEN 1 ELSE 0 END) as bigint) AS null_amount,
+  count(DISTINCT currency) AS n_currencies,
+  cast(min(total_amount) as double) AS min_amount,
+  cast(max(total_amount) as double) AS max_amount,
+  cast(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) as bigint) AS n_valid
+FROM surv"""),
+
+    // ----------------------------------------------------------------
     // ORC round-trip parity: the canonical header table written to ORC
     // and read back must aggregate identically to the parquet-derived
     // pipeline — a lossless decimal/timestamp/array round-trip through the

@@ -508,6 +508,26 @@ object Timeseries {
         |ORDER BY event_type, hour""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Hopping (sliding) windows: 1-hour windows every 15 minutes — each
+    // event lands in exactly 4 overlapping windows. Spark expands the
+    // window set map-side then aggregates once; the oracle reconstructs
+    // the same window starts with an explicit offset unnest.
+    "ev_window_sliding" -> Q(
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"))
+        .orderBy("window_start", "event_type"),
+      """WITH hopped AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - o * INTERVAL '15 minutes' AS window_start, event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o))
+        |SELECT window_start, event_type, count(*) AS n_events
+        |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ----------------------------------------------------------------
     // SCD Type-2 history build — the warehouse pattern for canonical
     // dimensions: collapse each user's event-type stream into validity
     // intervals (change detection via lag, interval close via lead,

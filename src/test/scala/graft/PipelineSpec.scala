@@ -168,6 +168,37 @@ class PipelineSpec extends SparkSpec {
     assert(bigStar.nonEmpty && bigStar == minLabel)
   }
 
+  test("emb_power_iteration converges to the dominant covariance eigenpair") {
+    val got = run("emb_power_iteration").orderBy("dim").collect()
+    val v = got.map(_.getAs[Double]("loading"))
+    val lambda = got.head.getAs[Double]("lambda")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // driver-side covariance of the same corpus
+    val X = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = X.length
+    val dim = X(0).length
+    val mu = Array.tabulate(dim)(j => X.map(_(j)).sum / n)
+    val C = Array.tabulate(dim, dim)((i, j) =>
+      X.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n)
+    def matvec(w: Array[Double]) =
+      Array.tabulate(dim)(i => (0 until dim).map(j => C(i)(j) * w(j)).sum)
+    // eigenpair residual: ||Cv − λv|| small relative to λ
+    val cv = matvec(v)
+    val resid = math.sqrt(
+      cv.zip(v).map { case (a, b) => val r = a - lambda * b; r * r }.sum)
+    assert(resid <= 0.05 * lambda, s"residual $resid vs lambda $lambda")
+    // λ matches a long-run driver reference iteration
+    var w = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var l1 = 0.0
+    for (_ <- 1 to 500) {
+      val cw = matvec(w)
+      l1 = math.sqrt(cw.map(x => x * x).sum)
+      w = cw.map(_ / l1)
+    }
+    assert(math.abs(lambda - l1) <= 0.02 * l1, s"$lambda vs reference $l1")
+  }
+
   test("doc_heavy_hitters equals the exact full-shuffle top-k") {
     val approx = run("doc_heavy_hitters").collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
