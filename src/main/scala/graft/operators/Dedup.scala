@@ -223,6 +223,35 @@ object Dedup {
       },
       None),
 
+    // Asymmetric containment scoring on the candidate pairs: |A∩B|/|A|
+    // catches a small document swallowed by a larger one, which symmetric
+    // Jaccard under-scores (J = |A|/|B| for A⊂B). Reuses the LSH
+    // candidates at a looser estimate cutoff; a dedicated containment
+    // index at 100 TB partitions bands by set size so small-in-large
+    // pairs keep their collision probability.
+    "doc_containment" -> Q(
+      (s, d) => {
+        val sets = shingleSets(s, d)
+          .select(col("doc_id"),
+            array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
+        lshCandidates(s, d)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter") / size(col("sh_a"))).as("containment_a"),
+            (col("inter") / size(col("sh_b"))).as("containment_b"),
+            (col("inter") / size(array_union(col("sh_a"), col("sh_b"))))
+              .as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
     // Fuzzy key matching — the entity-resolution shape: short record keys
     // (here the first 24 chars of each doc) pair only within a prefix
     // block (equi-join shuffle keyed on the block, never O(n²)), then the

@@ -168,6 +168,33 @@ class PipelineSpec extends SparkSpec {
     assert(bigStar.nonEmpty && bigStar == minLabel)
   }
 
+  test("doc_containment dominates Jaccard and is exact on exact-dup pairs") {
+    val rows = run("doc_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb, j) = (r.getAs[Double]("containment_a"),
+        r.getAs[Double]("containment_b"), r.getAs[Double]("jaccard"))
+      assert(ca >= j - 1e-12 && cb >= j - 1e-12 && ca <= 1.0 && cb <= 1.0)
+    }
+    // exact duplicates (when this sf has any) must score containment 1
+    // in both directions
+    val exact = run("doc_dedup_exact").filter(col("is_dup"))
+      .select(col("canonical_doc_id"), col("doc_id")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))).toMap
+    exact.filter(byPair.contains).foreach { p =>
+      val (ca, cb) = byPair(p)
+      assert(ca == 1.0 && cb == 1.0, s"$p: $ca/$cb")
+    }
+    // and identical shingle sets (jaccard 1) imply containment 1
+    rows.filter(_.getAs[Double]("jaccard") >= 1.0).foreach { r =>
+      assert(r.getAs[Double]("containment_a") == 1.0 &&
+        r.getAs[Double]("containment_b") == 1.0)
+    }
+  }
+
   test("emb_power_iteration converges to the dominant covariance eigenpair") {
     val got = run("emb_power_iteration").orderBy("dim").collect()
     val v = got.map(_.getAs[Double]("loading"))
