@@ -440,6 +440,44 @@ SELECT client_id, source_system, count(*) AS txn_count,
   count(DISTINCT canonical_txn_id) AS distinct_txns,
   cast(sum(cast(total_amount as decimal(38,9))) as double) AS total_amount
 FROM surv GROUP BY client_id, source_system
-ORDER BY client_id, source_system""")
+ORDER BY client_id, source_system"""),
+
+    // ----------------------------------------------------------------
+    // Schema evolution across landed batches: an early batch without a
+    // later-added column and a new batch with it read together under
+    // mergeSchema — the long-lived-pipeline reality (fields appear over
+    // time; old files backfill null). The aggregate proves the unified
+    // read: LEGACY rows are exactly the old-schema files' rows.
+    "ing_schema_evolution" -> Q(
+      (s, d) => {
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_evo_${s.sparkContext.applicationId}_${math.abs(d.hashCode).toHexString}")
+        val v1 = new java.io.File(base, "v1")
+        val v2 = new java.io.File(base, "v2")
+        if (!base.exists) {
+          val o = Tables.orders(s, d)
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite").parquet(v1.toString)
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").parquet(v2.toString)
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(v1.toString, v2.toString)
+          .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(38,9)"))
+              .cast("double").as("total"))
+          .orderBy("priority")
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |            ELSE 'LEGACY' END AS priority,
+        |  count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(38,9))) as double) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

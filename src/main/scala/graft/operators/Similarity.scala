@@ -136,7 +136,9 @@ object Similarity {
       val n = centered.count().toDouble
       var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
       var lambda = 0.0
-      for (_ <- 1 to PowerIters) {
+      var it = 0
+      var converged = false
+      while (it < PowerIters && !converged) {
         val vLit = array(v.map(lit): _*)
         val av = centered
           .withColumn("dt", aggregate(
@@ -146,8 +148,13 @@ object Similarity {
           .groupBy("j").agg(sum(col("xj") * col("dt")).as("avj"))
           .orderBy("j").collect().map(_.getDouble(1))
         val cv = av.map(_ / n)
-        lambda = math.sqrt(cv.map(x => x * x).sum)
+        val next = math.sqrt(cv.map(x => x * x).sum)
+        // λ converges quadratically in the eigengap; a relative fixed
+        // point means further distributed passes buy nothing
+        converged = it > 0 && math.abs(next - lambda) <= 1e-9 * next
+        lambda = next
         v = cv.map(_ / lambda)
+        it += 1
       }
       val out = v.zipWithIndex
         .map { case (x, j) => (j, x, lambda) }.toSeq

@@ -528,6 +528,82 @@ object Timeseries {
         |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Largest-triangle downsampling (LTTB-style, fixed anchors): per
+    // (event_type, 6h bucket) keep the point spanning the largest triangle
+    // against the neighbor buckets' anchor points (bucket midpoint x,
+    // bucket mean y) — the standard lossy reduction for plotting huge
+    // series. Anchors from fixed midpoints keep the selection one
+    // data-parallel pass (true LTTB chains on the previous selection);
+    // every input to the double math is exact (epoch micros, decimal
+    // means), so the scoring is bit-identical cross-engine. Two shuffles:
+    // bucket stats, then the per-bucket argmax window.
+    "ev_downsample" -> Q(
+      (s, d) => {
+        val buckUs = 21600000000L // 6 hours in micros
+        val pts = ev(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"), valDec.as("v"))
+          .withColumn("bucket", expr(s"t div $buckUs"))
+        val bstats = pts.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n_points"), sum(col("v")).as("sv"))
+          .withColumn("mv", col("sv").cast("double") / col("n_points"))
+        val wB = Window.partitionBy("event_type").orderBy("bucket")
+        val ctx = bstats
+          .withColumn("pb", lag(col("bucket"), 1).over(wB))
+          .withColumn("py", lag(col("mv"), 1).over(wB))
+          .withColumn("nb", lead(col("bucket"), 1).over(wB))
+          .withColumn("ny", lead(col("mv"), 1).over(wB))
+          .select(col("event_type"), col("bucket"), col("n_points"),
+            ((col("pb") + 0.5) * buckUs).as("px"), col("py"),
+            ((col("nb") + 0.5) * buckUs).as("nx"), col("ny"))
+        val wSel = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("area").desc_nulls_last, col("t"), col("event_id"))
+        pts.join(ctx, Seq("event_type", "bucket"))
+          .withColumn("area",
+            when(col("px").isNotNull && col("nx").isNotNull,
+              abs((col("t").cast("double") - col("px")) * (col("ny") - col("py"))
+                - (col("nx") - col("px"))
+                  * (col("v").cast("double") - col("py")))))
+          .withColumn("rn", row_number().over(wSel))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("bucket"), col("event_id"),
+            col("t"), col("v").cast("double").as("value"),
+            col("n_points"), col("area"))
+          .orderBy("event_type", "bucket")
+      },
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id,
+        |    cast(value as decimal(18,2)) AS v,
+        |    epoch_us(ts) // 21600000000 AS bucket
+        |  FROM events),
+        |bstats AS (
+        |  SELECT event_type, bucket, count(*) AS n_points,
+        |    cast(sum(v) as double) / count(*) AS mv
+        |  FROM pts GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT event_type, bucket, n_points,
+        |    (lag(bucket) OVER w + 0.5) * 21600000000 AS px,
+        |    lag(mv) OVER w AS py,
+        |    (lead(bucket) OVER w + 0.5) * 21600000000 AS nx,
+        |    lead(mv) OVER w AS ny
+        |  FROM bstats
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |scored AS (
+        |  SELECT p.event_type, p.bucket, p.event_id, p.t, p.v, c.n_points,
+        |    CASE WHEN c.px IS NOT NULL AND c.nx IS NOT NULL THEN
+        |      abs((cast(p.t as double) - c.px) * (c.ny - c.py)
+        |        - (c.nx - c.px) * (cast(p.v as double) - c.py))
+        |    END AS area
+        |  FROM pts p JOIN ctx c USING (event_type, bucket)),
+        |sel AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY area DESC NULLS LAST, t, event_id) AS rn
+        |  FROM scored)
+        |SELECT event_type, bucket, event_id, t,
+        |  cast(v as double) AS value, n_points, area
+        |FROM sel WHERE rn = 1
+        |ORDER BY event_type, bucket""".stripMargin),
+
+    // ----------------------------------------------------------------
     // SCD Type-2 history build — the warehouse pattern for canonical
     // dimensions: collapse each user's event-type stream into validity
     // intervals (change detection via lag, interval close via lead,
