@@ -54,7 +54,10 @@ object Curation {
   /** Symmetric distinct near-dup edge set (exact-dup + Jaccard-verified),
     * shared by both connected-components formulations — materialized once
     * per (session, dir) so the second labeling doesn't re-run the whole
-    * dedup pipeline (localCheckpoint: both consumers iterate on it).
+    * dedup pipeline. persist (not localCheckpoint): this is a fixed INPUT
+    * the loops read — it never self-references, so there is no lineage
+    * growth — and a persisted entry is actually releasable by the
+    * Caches hook (unpersist is a no-op on checkpoint-backed plans).
     */
   private def nearDupEdges(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#edges"), {
@@ -63,11 +66,13 @@ object Curation {
         .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
       val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      exactPairs.unionByName(nearPairs)
+      val e = exactPairs.unionByName(nearPairs)
         .union(exactPairs.unionByName(nearPairs)
           .select(col("b").as("a"), col("a").as("b")))
         .distinct()
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
     })
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
@@ -149,7 +154,10 @@ object Curation {
     // ~66k nodes). Truncating to the materialized RDD keeps per-round
     // planning O(1); a cluster deployment uses reliable checkpoint() for
     // the same reason plus fault tolerance.
-    var edges = nearDupEdges(s, d)
+    // the input is symmetric (both orientations present) but large-star's
+    // convention is one undirected edge per pair — it re-symmetrizes
+    // internally, so feeding both orientations would double round 1
+    var edges = nearDupEdges(s, d).filter(col("a") < col("b"))
     // order-independent set checksum (edges are distinct): XOR never
     // overflows under ANSI arithmetic, unlike a long sum
     def checksum(e: DataFrame): (Long, Long) = {

@@ -241,6 +241,10 @@ object Dedup {
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
             "doc_b")
+          // sub-3-token docs have EMPTY shingle sets (and sentinel MinHash
+          // signatures that collide in every band) — guard the divisions
+          // or ANSI mode turns 0/0 into a runtime crash
+          .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
           .withColumn("inter",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .select(col("doc_a"), col("doc_b"),

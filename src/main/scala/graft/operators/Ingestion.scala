@@ -143,6 +143,31 @@ object Ingestion {
   // ------------------------------------------------------------------
   // Query definitions
   // ------------------------------------------------------------------
+  /** Per-(session, dir) scratch materialization with a crash-safe
+    * "complete" marker and JVM-exit cleanup: the marker is written LAST,
+    * so a partially failed write is rebuilt on the next call instead of
+    * silently serving half the data; the shutdown hook keeps bench/test
+    * JVMs from accreting tmp dirs. The `_`-prefixed marker is invisible
+    * to Spark's file listing (same convention as _SUCCESS).
+    */
+  private def scratchDir(s: SparkSession, d: String, tag: String)(
+      write: java.io.File => Unit): java.io.File = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}_${math.abs(d.hashCode).toHexString}")
+    val ok = new java.io.File(dir, "_GRAFT_OK")
+    if (!ok.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists) rm(dir)
+      write(dir)
+      ok.createNewFile()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(dir)))
+    }
+    dir
+  }
+
   val defs: Map[String, Q] = Map(
     "ing_json_normalize" -> Q(
       (s, d) => jsonHeaders(s, d)
@@ -422,11 +447,8 @@ FROM surv"""),
     // point: losslessness means the digest is format-independent.
     "ing_orc_roundtrip" -> Q(
       (s, d) => {
-        val dir = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_orc_${s.sparkContext.applicationId}_${math.abs(d.hashCode).toHexString}")
-        if (!dir.exists)
-          survivors(s, d).write.mode("overwrite").orc(dir.toString)
+        val dir = scratchDir(s, d, "orc")(f =>
+          survivors(s, d).write.mode("overwrite").orc(f.toString))
         s.read.orc(dir.toString)
           .groupBy("client_id", "source_system")
           .agg(count(lit(1)).as("txn_count"),
@@ -450,23 +472,21 @@ ORDER BY client_id, source_system"""),
     // read: LEGACY rows are exactly the old-schema files' rows.
     "ing_schema_evolution" -> Q(
       (s, d) => {
-        val base = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_evo_${s.sparkContext.applicationId}_${math.abs(d.hashCode).toHexString}")
-        val v1 = new java.io.File(base, "v1")
-        val v2 = new java.io.File(base, "v2")
-        if (!base.exists) {
+        val base = scratchDir(s, d, "evo") { f =>
           val o = Tables.orders(s, d)
           o.filter(col("o_orderkey") % 2 === 0)
             .select("o_orderkey", "o_custkey", "o_totalprice")
-            .write.mode("overwrite").parquet(v1.toString)
+            .write.mode("overwrite")
+            .parquet(new java.io.File(f, "v1").toString)
           o.filter(col("o_orderkey") % 2 === 1)
             .select(col("o_orderkey"), col("o_custkey"),
               col("o_totalprice"), col("o_orderpriority"))
-            .write.mode("overwrite").parquet(v2.toString)
+            .write.mode("overwrite")
+            .parquet(new java.io.File(f, "v2").toString)
         }
         s.read.option("mergeSchema", "true")
-          .parquet(v1.toString, v2.toString)
+          .parquet(new java.io.File(base, "v1").toString,
+            new java.io.File(base, "v2").toString)
           .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
             .as("priority"))
           .agg(count(lit(1)).as("n_orders"),

@@ -611,16 +611,18 @@ object Timeseries {
     // row. One shuffle on user_id; all three windows share it.
     "ev_scd2" -> Q(
       (s, d) => {
+        // one window spec, applied pre- and post-filter: over `changes` it
+        // ranks only the surviving change rows (same partitioning, so the
+        // filter and both windows share one user_id shuffle)
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val changes = ev(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
           .filter(col("prev_type").isNull ||
             col("prev_type") =!= col("event_type"))
-        val byUserChg = Window.partitionBy("user_id").orderBy("ts", "event_id")
         changes
-          .withColumn("valid_to", lead(col("ts"), 1).over(byUserChg))
-          .withColumn("version", row_number().over(byUserChg).cast("long"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+          .withColumn("version", row_number().over(byUser).cast("long"))
           .select(col("user_id"), col("version"), col("event_type"),
             col("ts").as("valid_from"), col("valid_to"),
             col("valid_to").isNull.as("is_current"))

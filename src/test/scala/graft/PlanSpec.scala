@@ -135,11 +135,11 @@ class PlanSpec extends SparkSpec {
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
       // application-side scan must be LARGER than this floor → drop it
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
     val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
     try {
       overrides.foreach { case (k, v) => conf.set(k, v) }
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
       val dim = Tables.orders(spark, sf)
         .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
@@ -152,7 +152,6 @@ class PlanSpec extends SparkSpec {
     } finally {
       saved.foreach { case (k, v) =>
         v.fold(conf.unset(k))(conf.set(k, _)) }
-      conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
