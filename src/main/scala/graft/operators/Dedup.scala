@@ -59,7 +59,29 @@ object Dedup {
       if (a == app) df.unpersist() else (); a != app }
     fpCache.filterInPlace { case ((a, _), df) =>
       if (a == app) df.unpersist() else (); a != app }
+    shCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
   }
+
+  /** Hashed shingle sets (64-bit per shingle), materialized per
+    * (session, dir): the verify-stage operators join this table on BOTH
+    * pair sides, and without the persist each side would re-run the
+    * tokenize→3-gram→hash chain — the dominant per-doc cost — twice per
+    * query. Forced by `buildCandidates` so Bench charges it to the
+    * candidate-index build, not a hidden first iteration.
+    */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val df = shingleSets(s, d)
+        .select(col("doc_id"),
+          array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s.sparkContext.applicationId, d),
@@ -87,9 +109,11 @@ object Dedup {
       .drop("sig_a", "sig_b")
   }
 
-  /** Force the one-time LSH candidate materialization (Bench line item). */
+  /** Force the one-time LSH candidate + hashed-shingle materializations
+    * (Bench line item).
+    */
   def buildCandidates(s: SparkSession, d: String): Long =
-    lshCandidates(s, d).count()
+    lshCandidates(s, d).count() + hashedShingles(s, d).count()
 
   /** Rare winnowing fingerprints per doc — the (fp, doc_id) index behind
     * doc_fingerprint_pairs. Materialized per session like the LSH
@@ -201,9 +225,7 @@ object Dedup {
       (s, d) => {
         // intersect 64-bit shingle hashes, not strings: same Jaccard up to
         // a ~2^-58 collision chance, at a fraction of the comparison cost
-        val sets = shingleSets(s, d)
-          .select(col("doc_id"),
-            array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
+        val sets = hashedShingles(s, d)
         // verify-stage pruning: only candidates whose MinHash estimate is
         // within slack of the threshold pay the exact set-intersection cost
         val cand = lshCandidates(s, d)
@@ -231,9 +253,7 @@ object Dedup {
     // pairs keep their collision probability.
     "doc_containment" -> Q(
       (s, d) => {
-        val sets = shingleSets(s, d)
-          .select(col("doc_id"),
-            array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
+        val sets = hashedShingles(s, d)
         lshCandidates(s, d)
           .filter(col("est_jaccard") >= 0.5)
           .select("doc_a", "doc_b")

@@ -358,6 +358,40 @@ object Relational {
         |FROM built ORDER BY o_orderkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Map-type battery: construction, extraction, concat, key listing,
+    // and the map HOFs (transform_values / map_filter). Values are
+    // deterministic functions of base columns, so the oracle checks the
+    // results as ground-truth scalars — engine-neutral, no reliance on
+    // DuckDB's map dialect. Map-only.
+    "q_map_funcs" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("m", map(lit("qty"), col("o_orderkey") % 7,
+          lit("cust"), col("o_custkey") % 5))
+        .withColumn("m2", map_concat(col("m"), map(lit("flag"), lit(1L))))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "qty").as("qty_val"),
+          element_at(col("m"), "cust").as("cust_val"),
+          size(col("m2")).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("m2"))), ",").as("keys"),
+          expr("map_contains_key(m, 'qty')").as("has_qty"),
+          element_at(expr("transform_values(m, (k, v) -> v * 2)"), "qty")
+            .as("qty_doubled"),
+          size(expr("map_filter(m, (k, v) -> v > 2)")).cast("long")
+            .as("n_gt2"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  o_orderkey % 7 AS qty_val,
+        |  o_custkey % 5 AS cust_val,
+        |  cast(3 as bigint) AS n_keys,
+        |  'cust,flag,qty' AS keys,
+        |  true AS has_qty,
+        |  (o_orderkey % 7) * 2 AS qty_doubled,
+        |  cast(CASE WHEN o_orderkey % 7 > 2 THEN 1 ELSE 0 END
+        |     + CASE WHEN o_custkey % 5 > 2 THEN 1 ELSE 0 END as bigint)
+        |    AS n_gt2
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Error-safe arithmetic under ANSI mode: try_divide / try_cast return
     // null where strict evaluation would abort the job — the dirty-data
     // battery. Map-only; the oracle mirrors null-on-zero/null-on-garbage
