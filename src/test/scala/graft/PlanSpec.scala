@@ -121,6 +121,22 @@ class PlanSpec extends SparkSpec {
     // single-row totals
     val p = plan("doc_tfidf_topk")
     assert(!p.contains("CartesianProduct"), p.take(1200))
+    // scd2 / ewma / ohlc: all windows + aggregation share ONE key shuffle,
+    // plus only the presentation sort
+    assert(exchanges(SparkEntry.queries("ev_scd2")(spark, sf)) <= 2)
+    assert(exchanges(SparkEntry.queries("ev_ewma")(spark, sf)) <= 3)
+    assert(exchanges(SparkEntry.queries("ev_resample_ohlc")(spark, sf)) <= 3)
+    // salted distinct: stage-1 mixed distinct agg (Spark plans it as
+    // expand + two-phase = 2 exchanges), stage-2 merge, presentation sort
+    assert(exchanges(SparkEntry.queries("q_salted_agg")(spark, sf)) <= 4)
+    // repetition signals: map-only + presentation sort
+    assert(exchanges(SparkEntry.queries("doc_repetition")(spark, sf)) <= 1)
+    // sliding windows: map-side expansion, one agg shuffle + sort
+    assert(exchanges(SparkEntry.queries("ev_window_sliding")(spark, sf)) <= 2)
+    // fuzzy match + downsample: equi-join/bucket shuffles only, no
+    // nested-loop pairing in any scale path
+    assert(!plan("doc_fuzzy_match").contains("NestedLoop"))
+    assert(!plan("ev_downsample").contains("NestedLoop"))
   }
 
   test("runtime bloom filter prunes the fact side of a selective dim join") {
