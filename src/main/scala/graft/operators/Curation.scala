@@ -262,6 +262,25 @@ object Curation {
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
 
     // ----------------------------------------------------------------
+    // k-anonymity suppression — the privacy gate of a data release: any
+    // document whose quasi-identifier combination (source, lang) matches
+    // fewer than K rows is suppressed, so no released row is identifiable
+    // within a group smaller than K. One window count over the
+    // quasi-identifier shuffle (no groupBy-then-rejoin second pass).
+    "doc_kanon_suppress" -> Q(
+      (s, d) => {
+        val grp = Window.partitionBy("source", "lang")
+        docs(s, d).select("doc_id", "source", "lang")
+          .withColumn("group_size", count(lit(1)).over(grp))
+          .withColumn("suppressed", col("group_size") < 10)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source, lang,
+        |  count(*) OVER (PARTITION BY source, lang) AS group_size,
+        |  count(*) OVER (PARTITION BY source, lang) < 10 AS suppressed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ----------------------------------------------------------------
     // TF-IDF top-k terms per document. Two partial-agg shuffles (doc-term
     // tf, term df); the df table is vocabulary-sized so the re-join onto
     // the doc-term grain broadcasts. Scores round to 6dp in BOTH engines
