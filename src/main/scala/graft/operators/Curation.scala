@@ -77,14 +77,15 @@ object Curation {
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      // localCheckpoint per round truncates the iterative lineage (labels
-      // feeds its own next round twice → 2^rounds raw plan growth) so
-      // planning stays O(1) per round; it also replaces the per-round
-      // persist/unpersist handle bookkeeping.
+      // checkpoint per round (Iterate.checkpoint: reliable when the
+      // session has a checkpoint dir, local otherwise) truncates the
+      // iterative lineage (labels feeds its own next round twice →
+      // 2^rounds raw plan growth) so planning stays O(1) per round; it
+      // also replaces the per-round persist/unpersist handle bookkeeping.
       val edges = nearDupEdges(s, d)
       var labels = docs(s, d)
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint()
+        .transform(graft.Iterate.checkpoint)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -99,7 +100,7 @@ object Curation {
               col("cluster_id"))).as("cluster_id"),
             (coalesce(col("nbr_min"), col("cluster_id"))
               < col("cluster_id")).as("chg"))
-          .localCheckpoint()
+          .transform(graft.Iterate.checkpoint)
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
         rounds += 1
@@ -148,12 +149,12 @@ object Curation {
     * (count, order-independent hash checksum) fixed point.
     */
   private def bigStarLabels(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (not persist) each round: every round references the
+    // checkpoint (not persist) each round: every round references the
     // previous edge set ~5×, so raw lineage grows exponentially and
     // RE-PLANNING — not execution — dominates (the sf0.01 plan reached
-    // ~66k nodes). Truncating to the materialized RDD keeps per-round
-    // planning O(1); a cluster deployment uses reliable checkpoint() for
-    // the same reason plus fault tolerance.
+    // ~66k nodes). Iterate.checkpoint truncates to the materialized RDD,
+    // keeping per-round planning O(1) — reliably on a cluster with a
+    // checkpoint dir, locally otherwise.
     // the input is symmetric (both orientations present) but large-star's
     // convention is one undirected edge per pair — it re-symmetrizes
     // internally, so feeding both orientations would double round 1
@@ -169,7 +170,7 @@ object Curation {
     var cur = checksum(edges)
     var rounds = 0
     while (cur != prev && rounds < 15) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).transform(graft.Iterate.checkpoint)
       prev = cur
       cur = checksum(next)
       edges = next
@@ -260,6 +261,32 @@ object Curation {
          |  array_to_string(w[chunk_id * $ChunkTokens + 1 : chunk_id * $ChunkTokens + $ChunkTokens], ' ')
          |    AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Training-shard manifest: deterministic hash-sharding of the corpus
+    // plus the per-shard statistics a training job reads before pulling
+    // data (doc/token counts, source mix, id range). Map-only assignment
+    // + one aggregate shuffle on the shard key; real deployments swap the
+    // oracle-reproducible LCG for xxhash64(id) % shards.
+    "doc_shard_manifest" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("shard", (col("doc_id") * 1103515245L + 12345L) % 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("shard"),
+      """SELECT (doc_id * 1103515245 + 12345) % 16 AS shard,
+        |  count(*) AS n_docs,
+        |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint)
+        |    AS total_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ----------------------------------------------------------------
     // k-anonymity suppression — the privacy gate of a data release: any

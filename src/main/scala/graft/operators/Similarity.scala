@@ -118,8 +118,8 @@ object Similarity {
     * codegen'd HOF fold, the matvec Σ x·(x·v) collapses through a
     * 64-key partial-agg shuffle, and the driver holds only the 64-double
     * iterate (the MLlib-style sync point — never row data). The centered
-    * matrix is localCheckpoint'ed once; the fitted component is cached per
-    * (session, corpus) like the IVF index.
+    * matrix is checkpointed once (Iterate.checkpoint); the fitted
+    * component is cached per (session, corpus) like the IVF index.
     */
   private def dominantComponent(s: SparkSession, d: String): DataFrame =
     pcaCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
@@ -132,7 +132,7 @@ object Similarity {
       val centered = raw.select(
         zip_with(col("embedding"), muLit, (a, b) => a.cast("double") - b)
           .as("c"))
-        .localCheckpoint()
+        .transform(graft.Iterate.checkpoint)
       val n = centered.count().toDouble
       var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
       var lambda = 0.0

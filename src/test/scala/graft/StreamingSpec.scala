@@ -174,6 +174,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a file-source backlog and terminates") {
+    // the batch-backfill mode: process everything currently landed, then
+    // stop — no long-running query for a catch-up job
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_avnow").resolve("ev").toString
+    spark.createDataset(eventsData).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventPipeline.windowCounts(stream)
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      val streamed = spark.table("avnow").collect().toSet
+      val batch = EventPipeline.windowCounts(
+        spark.createDataset(eventsData).toDF()).collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch merge-upsert sink is idempotent under replay") {
     implicit val sc = spark.sqlContext
     val target = java.nio.file.Files
