@@ -29,6 +29,7 @@ object Dedup {
   // (the verify threshold) and ~0 at the 3-gram cross-doc baseline j≈0
   private val Bands = 8
   val JaccardThreshold = 0.8
+  val ContainmentThreshold = 0.8
   val MaxFpDf = 20      // stop-fingerprint document-frequency cutoff
   val MinSharedFp = 5   // shared fingerprints to call a candidate pair
 
@@ -272,6 +273,46 @@ object Dedup {
             (col("inter") / size(col("sh_b"))).as("containment_b"),
             (col("inter") / size(array_union(col("sh_a"), col("sh_b"))))
               .as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Containment-aware candidate generation — the piece Jaccard-LSH
+    // can't provide: a small doc inside a large one has LOW Jaccard, so
+    // minhash bands rarely collide, but it shares ALL its shingles with
+    // the container. A rare-shingle inverted index (stop-shingles with
+    // df > cutoff pruned BEFORE the self-join, same discipline as the
+    // winnowing index) generates candidates whose bucket cost scales
+    // with rare-shingle df, then exact containment verifies. Spec:
+    // recall vs brute-force all-pairs containment, precision exact.
+    "doc_containment_lsh" -> Q(
+      (s, d) => {
+        val sets = hashedShingles(s, d)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        val rare = sets
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= MaxFpDf)
+          .select("doc_id", "g")
+        val cand = rare
+          .join(rare.select(col("doc_id").as("doc_id_b"), col("g")), Seq("g"))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            "doc_b")
+          .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("containment",
+            greatest(col("inter") / size(col("sh_a")),
+              col("inter") / size(col("sh_b"))))
+          .filter(col("containment") >= ContainmentThreshold)
+          .select("doc_a", "doc_b", "containment")
           .orderBy("doc_a", "doc_b")
       },
       None),

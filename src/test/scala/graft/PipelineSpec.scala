@@ -195,6 +195,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("doc_containment_lsh: exact precision, high recall vs brute force") {
+    val got = run("doc_containment_lsh").collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    // brute-force all-pairs containment over the same hashed shingle sets
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          TextOps.shingles(TextOps.tokens(col("text"))),
+          x => xxhash64(x))).as("sh"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= operators.Dedup.ContainmentThreshold
+    } yield (a, b) -> c).toMap
+    assert(brute.nonEmpty && got.nonEmpty)
+    // precision is exact: every emitted pair is a true containment pair
+    got.foreach { case (p, c) =>
+      assert(brute.contains(p) && math.abs(brute(p) - c) < 1e-9, s"$p")
+    }
+    // rare-shingle blocking recall
+    val recall = brute.keySet.intersect(got.keySet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"containment recall $recall")
+  }
+
   test("emb_power_iteration converges to the dominant covariance eigenpair") {
     val got = run("emb_power_iteration").orderBy("dim").collect()
     val v = got.map(_.getAs[Double]("loading"))
