@@ -174,6 +174,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    // the production state backend for large state (spillable, incremental
+    // checkpoints) — the same watermarked agg must produce identical
+    // results under it
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventPipeline.windowCounts(in.toDF())
+        .writeStream.format("memory").queryName("rocks")
+        .outputMode("complete").start()
+      try {
+        in.addData(eventsData)
+        q.processAllAvailable()
+        val streamed = spark.table("rocks").collect().toSet
+        val batch = EventPipeline.windowCounts(Tables.events(spark, sf))
+          .collect().toSet
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("Trigger.AvailableNow drains a file-source backlog and terminates") {
     // the batch-backfill mode: process everything currently landed, then
     // stop — no long-running query for a catch-up job
