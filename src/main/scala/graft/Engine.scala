@@ -24,9 +24,17 @@ object Engine {
       // events.parquet carries TIMESTAMP(NANOS); set once at construction
       // (a mid-session toggle could race concurrently-planned reads)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim superseded reliable-checkpoint files (Iterate.checkpoint
+      // rounds) once their RDDs are GC'd — otherwise a long-lived session
+      // accretes one dataset-sized dir per iterative round
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt into reliable per-round checkpointing (Iterate.checkpoint) —
+    // on a cluster this is an HDFS/object-store path
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark
   }
 

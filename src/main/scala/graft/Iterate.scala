@@ -17,7 +17,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterate {
   def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist first: Dataset.checkpoint's eager count materializes into
+      // the cache, so the checkpoint-write job reads cached blocks instead
+      // of re-running the whole round's lineage (RDD.checkpoint's
+      // documented double-compute). Superseded round files are reclaimed
+      // by the ContextCleaner — Engine sets
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true.
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = p.checkpoint()
+      p.unpersist()
+      out
+    } else df.localCheckpoint()
 }

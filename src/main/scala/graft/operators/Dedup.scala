@@ -74,15 +74,14 @@ object Dedup {
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  // lazily persisted: buildCandidates (or the first consuming query)
+  // forces the single materializing scan
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val df = shingleSets(s, d)
+    shCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      shingleSets(s, d)
         .select(col("doc_id"),
           array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
     candCache.getOrElseUpdate((s.sparkContext.applicationId, d),
