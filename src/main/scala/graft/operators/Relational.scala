@@ -796,6 +796,32 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Correlated LATERAL join: top-2 orders per customer through the
+    // LATERAL SQL surface — Catalyst decorrelates the per-row subquery
+    // (ORDER BY + LIMIT inside) into a ranked window join, the same
+    // one-shuffle shape as q_window_rank but arrived at by the optimizer.
+    "q_lateral" -> Q(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+        Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+        s.sql("""
+          SELECT c.c_custkey, l.o_orderkey,
+                 cast(l.o_totalprice as double) AS price
+          FROM customer_lat c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          ORDER BY c.c_custkey, price DESC, l.o_orderkey""")
+      },
+      """SELECT c.c_custkey, l.o_orderkey,
+        |  cast(l.o_totalprice as double) AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c.c_custkey, price DESC, l.o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Salted two-stage distinct-count: the skew-mitigation pattern for
     // COUNT(DISTINCT x) on a hot group key. Stage 1 groups on
     // (key, hash(x) % 16) so one hot key's distinct set spreads across 16

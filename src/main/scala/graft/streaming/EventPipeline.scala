@@ -113,6 +113,20 @@ object EventPipeline {
         col("c_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("c_ts"))
 
+  /** LEFT OUTER stream-stream interval join: purchases with NO click in
+    * the window still emit, with nulls — in streaming, the unmatched side
+    * is held until the watermark proves no match can still arrive, then
+    * released with nulls (the semantics that make outer stream joins
+    * watermark-mandatory). Batch: an ordinary left outer join.
+    */
+  def clickAttributionOuter(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("purchase_ts") &&
+        col("c_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("c_ts"))
+
   /** Stream-static enrichment join: every event looks up its user's static
     * profile row. The static side broadcasts into each micro-batch — a
     * stateless per-batch hash join, the canonical dimension-enrichment
@@ -208,6 +222,32 @@ object EventPipeline {
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin),
+
+    // Batch-equivalent of the LEFT OUTER stream-stream interval join:
+    // every purchase emits — unattributed ones with zero clicks. The
+    // streaming path (null emission on watermark advance) runs in
+    // StreamingSpec.
+    "stream_attrib_outer" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        clickAttributionOuter(purchases, clicks)
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(count(col("c_ts")).as("n_clicks"),
+            max(col("c_ts")).as("last_click_ts"))
+          .orderBy("purchase_id")
+      },
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  count(c.ts) AS n_clicks, max(c.ts) AS last_click_ts
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin),
 
     // Batch-equivalent of the stream-static enrichment, aggregated to

@@ -109,6 +109,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join releases unmatched purchases after watermark") {
+    implicit val sc = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    val purchases = pIn.toDF().withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = cIn.toDF().withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val q = EventPipeline.clickAttributionOuter(purchases, clicks)
+      .writeStream.format("memory").queryName("ssoj").outputMode("append").start()
+    try {
+      val all = eventsData
+      pIn.addData(all.filter(_.event_type == "purchase"))
+      cIn.addData(all.filter(_.event_type == "click"))
+      q.processAllAvailable()
+      // outer results for unmatched rows are held until the watermark
+      // proves no match can arrive — advance it with a far-future sentinel
+      val maxTs = all.map(_.ts.getTime).max
+      val flushTs = new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000)
+      pIn.addData(Seq(Ev(999999901L, flushTs, -1L, "sentinel", 0.0)))
+      cIn.addData(Seq(Ev(999999902L, flushTs, -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ssoj").filter(col("user_id") =!= -1L)
+        .collect().map(_.toString).toSet
+      val ev = Tables.events(spark, sf)
+      val batch = EventPipeline.clickAttributionOuter(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts")))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // and the outer semantics actually exercised: null-click rows exist
+      assert(spark.table("ssoj").filter(col("c_ts").isNull &&
+        col("user_id") =!= -1L).count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     implicit val sc = spark.sqlContext
     val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
