@@ -604,6 +604,57 @@ object Timeseries {
         |ORDER BY event_type, bucket""".stripMargin),
 
     // ----------------------------------------------------------------
+    // CUSUM changepoint flags on hourly counts: the recursion
+    // S⁺_t = max(0, S⁺_{t-1} + d_t) rewrites as P_t − min_{j≤t} P_j over
+    // the prefix sums — two windows sharing one event_type shuffle, no
+    // sequential state. Deviations are scaled to integers (d = 2n·x − 3S
+    // ⇒ drift k = μ/2 without division), so every value is exact and the
+    // oracle matches bit-for-bit. Flag when the statistic exceeds 6S
+    // (≈ 3 mean-hours of cumulative upward drift).
+    "ev_cusum" -> Q(
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val stats = hourly.groupBy("event_type")
+          .agg(sum(col("x")).as("st"), count(lit(1)).as("nt"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hourly.join(broadcast(stats), "event_type")
+          .withColumn("dd",
+            lit(2) * col("nt") * col("x") - lit(3) * col("st"))
+          .withColumn("p", sum(col("dd")).over(w))
+          .withColumn("m", min(col("p")).over(w))
+          .select(col("event_type"), col("h").as("hour"),
+            col("x").as("n_events"),
+            (col("p") - col("m")).as("cusum_scaled"),
+            ((col("p") - col("m")) > lit(6) * col("st")).as("is_shift"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, sum(x) AS st, count(*) AS nt
+        |  FROM hourly GROUP BY 1),
+        |j AS (
+        |  SELECT h.event_type, h.h, h.x, st,
+        |    2 * nt * x - 3 * st AS dd
+        |  FROM hourly h JOIN stats USING (event_type)),
+        |r1 AS (
+        |  SELECT *, cast(sum(dd) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) as bigint) AS p
+        |  FROM j),
+        |r2 AS (
+        |  SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM r1)
+        |SELECT event_type, h AS hour, x AS n_events,
+        |  p - m AS cusum_scaled,
+        |  (p - m) > 6 * st AS is_shift
+        |FROM r2 ORDER BY event_type, hour""".stripMargin),
+
+    // ----------------------------------------------------------------
     // SCD Type-2 history build — the warehouse pattern for canonical
     // dimensions: collapse each user's event-type stream into validity
     // intervals (change detection via lag, interval close via lead,
