@@ -195,6 +195,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash primitives hold their invariants on seeded random text (property)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "jul", "kilo", "lima", "mike", "nov")
+    val texts = (1 to 100).map { i =>
+      (i.toLong, (1 to (3 + rng.nextInt(40)))
+        .map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", TextOps.shingles(col("toks")))
+      .withColumn("hs", TextOps.kgramHashes(col("text"), k = 8))
+      .withColumn("fp", TextOps.winnowFromHashes(col("hs"), w = 4))
+      .withColumn("sig", TextOps.minhashSignature(col("sh"), 32))
+      .withColumn("sim", TextOps.simhash64(col("toks")))
+      .collect()
+    df.foreach { r =>
+      val hs = r.getSeq[Long](r.fieldIndex("hs")).toSet
+      val fp = r.getSeq[Long](r.fieldIndex("fp"))
+      // winnowing: fingerprints are a nonempty subset of the k-gram hashes
+      assert(fp.nonEmpty && fp.toSet.subsetOf(hs), s"doc ${r.getLong(0)}")
+      // and distinct (array_distinct in the definition)
+      assert(fp.distinct.size == fp.size)
+      // minhash: fixed signature length, defined for nonempty shingle sets
+      val sh = r.getSeq[String](r.fieldIndex("sh"))
+      val sig = r.getSeq[Long](r.fieldIndex("sig"))
+      if (sh.nonEmpty) assert(sig.size == 32)
+    }
+    // identical texts hash identically; different texts (almost surely)
+    // differ in simhash OR shingles
+    val simIdx = df.head.fieldIndex("sim")
+    val sigIdx = df.head.fieldIndex("sig")
+    df.groupBy(_.getString(1)).values.filter(_.size > 1).foreach { rows =>
+      assert(rows.map(_.getLong(simIdx)).toSet.size == 1)
+      assert(rows.map(_.getSeq[Long](sigIdx).toList).toSet.size == 1)
+    }
+  }
+
   test("doc_containment_lsh: exact precision, high recall vs brute force") {
     val got = run("doc_containment_lsh").collect()
       .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
