@@ -158,6 +158,72 @@ object Timeseries {
         |  last_click_ts
         |FROM r WHERE is_p = 1 ORDER BY purchase_id""".stripMargin),
 
+    // Nearest-in-time as-of variant: each purchase matches the click
+    // minimizing |Δt| within ±1 hour (ties → the earlier click). Same
+    // union-sort-window shape as the backward as-of join — one shuffle on
+    // user_id — with a second, forward-looking window over the SAME sort;
+    // the nearest pick is a row-local comparison of the two candidates.
+    "ev_asof_nearest" -> Q(
+      (s, d) => {
+        val order = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_p"), col("event_id"))
+        val back = order.rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = order.rowsBetween(0, Window.unboundedFollowing)
+        val hourUs = 3600000000L
+        val u = ev(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (col("event_type") === "purchase").cast("int").as("is_p"))
+          .withColumn("t", unix_micros(col("ts")))
+          .withColumn("prev_click",
+            last(when(col("is_p") === 0, col("t")), ignoreNulls = true)
+              .over(back))
+          .withColumn("next_click",
+            first(when(col("is_p") === 0, col("t")), ignoreNulls = true)
+              .over(fwd))
+        u.filter(col("is_p") === 1)
+          .withColumn("d_prev", col("t") - col("prev_click"))
+          .withColumn("d_next", col("next_click") - col("t"))
+          .withColumn("nearest_t",
+            when(col("d_prev").isNotNull &&
+              (col("d_next").isNull || col("d_prev") <= col("d_next")),
+              col("prev_click")).otherwise(col("next_click")))
+          .withColumn("nearest_t",
+            when(abs(col("nearest_t") - col("t")) <= hourUs,
+              col("nearest_t")))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            timestamp_micros(col("nearest_t")).as("nearest_click_ts"),
+            (col("nearest_t") - col("t")).as("delta_us"))
+          .orderBy("purchase_id")
+      },
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+        |    cast(event_type = 'purchase' as int) AS is_p
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_p = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS prev_click,
+        |    first_value(CASE WHEN is_p = 0 THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_click
+        |  FROM u),
+        |p AS (
+        |  SELECT *, t - prev_click AS d_prev, next_click - t AS d_next,
+        |    CASE WHEN prev_click IS NOT NULL
+        |           AND (next_click IS NULL OR t - prev_click <= next_click - t)
+        |         THEN prev_click ELSE next_click END AS nearest_raw
+        |  FROM r WHERE is_p = 1)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  make_timestamp(CASE WHEN abs(nearest_raw - t) <= 3600000000
+        |                      THEN nearest_raw END) AS nearest_click_ts,
+        |  CASE WHEN abs(nearest_raw - t) <= 3600000000
+        |       THEN nearest_raw - t END AS delta_us
+        |FROM p ORDER BY purchase_id""".stripMargin),
+
     // Semi-structured props parsing over the events stream's real JSON
     // column: one from_json per row (no repeated per-field re-parsing),
     // try-cast semantics, aggregated per event type.
