@@ -139,6 +139,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan("ev_downsample").contains("NestedLoop"))
   }
 
+  test("correlated SQL operators decorrelate: no per-row re-execution") {
+    // EXISTS / NOT EXISTS must plan as semi + anti joins
+    val ex = plan("q_exists_correlated")
+    assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex.take(1500))
+    // LATERAL (ORDER BY + LIMIT) must decorrelate to a ranked join —
+    // never a cartesian product per outer row
+    val lat = plan("q_lateral")
+    assert(!lat.contains("CartesianProduct"), lat.take(1500))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // Spark's runtime row-level filtering injects a bloom filter built from
     // the selective dim side into the fact scan BEFORE the shuffle — the
