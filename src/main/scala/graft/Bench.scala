@@ -27,12 +27,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // a failing query must surface in the output, not masquerade as a
-    // fast run — failures are collected and emitted in the JSON
+    // fast run — failures are collected and emitted in the JSON, and a
+    // failed iteration contributes NO elapsed time (a fail-fast throw is
+    // near-instant, which would deflate the median and the headline)
     val failures = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timed(name: String)(f: => Unit): Double = {
+    def timed(name: String)(f: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => failures += name; () }
-      (System.nanoTime() - t0) / 1e9
+      try { f; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => failures += name; None }
     }
 
     // untimed warmup: initialize codegen, parquet readers, and the JIT so
@@ -54,7 +56,8 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
-    // one-time materializations, timed individually
+    // one-time materializations, timed individually; a failed build
+    // reports -1, never a misleading near-zero elapsed
     val builds = Seq(
       "build:canonical" -> timed("build:canonical")(
         operators.Ingestion.buildCanonical(spark, sfDir)),
@@ -68,6 +71,7 @@ object Bench {
         operators.Curation.buildClusters(spark, sfDir)),
       "build:pca" -> timed("build:pca")(
         operators.Similarity.buildPca(spark, sfDir)))
+      .map { case (k, v) => k -> v.getOrElse(-1.0) }
 
     // dev-only subset filter; unset (driver default) = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -78,16 +82,29 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
+    // a query with ANY failed iteration reports -1: timings are never
+    // computed from a mix of completed and aborted runs
     val medians = selected.map { case (name, fn) =>
-      name -> median((1 to iters).map(_ => timed(name)(fn(spark, sfDir).count())))
+      val runs = (1 to iters).flatMap(_ => timed(name)(fn(spark, sfDir).count()))
+      name -> (if (runs.length < iters) -1.0 else median(runs))
     }
 
     val entries = builds ++ medians.toSeq
     val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = entries.map(_._2).sum
+    // headline total sums only successful entries; failures are visible
+    // in `errors` and as -1 per-query values
+    val total = entries.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // the driver parses stdout, which sbt interleaves with log noise (the
+    // round-2 dump survived only as a truncated tail) — persist the JSON
+    // to a file as the authoritative copy, then print it as the very last
+    // line after spark.stop() so no executor shutdown logs follow it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   *     small-star to cap per-key fan-in — noted inline).
   */
 object Curation {
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Both CC loops carry hard round caps as a runaway backstop; an exit
+    * via the cap (not the convergence condition) means labels may be
+    * WRONG for deep components — that must never be silent, because the
+    * downstream dedup retention stats would be quietly wrong too.
+    */
+  private def warnUnconverged(loop: String, rounds: Int, converged: Boolean): Unit =
+    if (!converged)
+      logger.warn(s"connected-components $loop hit its $rounds-round cap WITHOUT " +
+        "converging — cluster labels may be incomplete for deep components")
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -105,6 +116,7 @@ object Curation {
         labels = next.drop("chg")
         rounds += 1
       }
+      warnUnconverged("min-label", rounds, converged = changed == 0)
       val resolved = labels
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolved.count()
@@ -176,6 +188,7 @@ object Curation {
       edges = next
       rounds += 1
     }
+    warnUnconverged("large-star/small-star", rounds, converged = cur == prev)
     // at the fixed point the edge set is a star forest: each non-root node
     // carries one downward edge to its component's minimum label (the min
     // agg is a no-op then; it also keeps the join 1:1 under the round cap)

@@ -236,6 +236,12 @@ object Dedup {
             .withColumnRenamed("sh", "sh_a"), "doc_a")
           .join(sets.withColumnRenamed("doc_id", "doc_b")
             .withColumnRenamed("sh", "sh_b"), "doc_b")
+          // sub-3-token docs have empty shingle sets whose sentinel MinHash
+          // signatures collide in every band; without this guard the
+          // division yields 0.0/0 = NaN, and Spark sorts NaN ABOVE all
+          // numbers so NaN >= threshold passes — spuriously merging
+          // unrelated tiny docs downstream in the cluster queries
+          .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
           .withColumn("jaccard",
             size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               size(array_union(col("sh_a"), col("sh_b"))))

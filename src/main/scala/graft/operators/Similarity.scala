@@ -262,12 +262,15 @@ object Similarity {
         .orderBy("q_id", "rank"),
       None),
 
-    // L2 normalization — the standard pre-step before cosine/ANN indexing.
     // Int8 scalar quantization: per-vector (min, max) affine codes — the
     // 4× storage/bandwidth reduction step before ANN sharding. Map-only at
-    // any scale. Rows-only (per-element rounding midpoints make a byte-
-    // exact SQL oracle a lottery); PipelineSpec bounds the reconstruction
-    // error at the quantization step size.
+    // any scale. Quantizes with floor(v + 0.5) (half-up), NOT round():
+    // both engines then run the identical IEEE double sequence, so the
+    // exploded (vec_id, j, code) rows hash-match the DuckDB unnest oracle
+    // bit-for-bit (round()'s midpoint convention differs across engines,
+    // and an array<int> column breaks the driver's pandas-based compare).
+    // PipelineSpec additionally bounds the reconstruction error at the
+    // quantization step size.
     "emb_quantize" -> Q(
       (s, d) => Tables.embeddings(s, d)
         .withColumn("mn", array_min(col("embedding")).cast("double"))
@@ -276,11 +279,26 @@ object Similarity {
           when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0)
             .otherwise(lit(1.0)))
         .select(col("vec_id"), col("mn"), col("scale"),
-          transform(col("embedding"), x =>
-            round((x.cast("double") - col("mn")) / col("scale"))
-              .cast("int") - 128).as("codes"))
-        .orderBy("vec_id"),
-      None),
+          posexplode(transform(col("embedding"), x =>
+            floor((x.cast("double") - col("mn")) / col("scale") + lit(0.5))
+              .cast("int") - 128)))
+        .withColumnRenamed("pos", "j")
+        .withColumnRenamed("col", "code")
+        .orderBy("vec_id", "j"),
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    cast(list_min(embedding) as double) AS mn,
+        |    cast(list_max(embedding) as double) AS mx
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, embedding, mn,
+        |    CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+        |  FROM e)
+        |SELECT vec_id, mn, scale, cast(gs.j - 1 as int) AS j,
+        |  cast(floor((cast(embedding[gs.j] as double) - mn) / scale + 0.5)
+        |    as int) - 128 AS code
+        |FROM p, unnest(generate_series(1, len(embedding))) AS gs(j)
+        |ORDER BY vec_id, j""".stripMargin),
 
     // Map-only; the oracled output surfaces the norm and leading normalized
     // components as scalars (identical double arithmetic both engines).

@@ -690,7 +690,10 @@ object Timeseries {
           .withColumn("dd",
             lit(2) * col("nt") * col("x") - lit(3) * col("st"))
           .withColumn("p", sum(col("dd")).over(w))
-          .withColumn("m", min(col("p")).over(w))
+          // the max(0, S+d) recursion has an implicit P_0 = 0: the running
+          // min must include it, or a series whose prefix sum is positive
+          // from the first row understates the statistic by min(P)
+          .withColumn("m", least(min(col("p")).over(w), lit(0L)))
           .select(col("event_type"), col("h").as("hour"),
             col("x").as("n_events"),
             (col("p") - col("m")).as("cusum_scaled"),
@@ -712,8 +715,8 @@ object Timeseries {
         |    ROWS UNBOUNDED PRECEDING) as bigint) AS p
         |  FROM j),
         |r2 AS (
-        |  SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY h
-        |    ROWS UNBOUNDED PRECEDING) AS m
+        |  SELECT *, least(min(p) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING), 0) AS m
         |  FROM r1)
         |SELECT event_type, h AS hour, x AS n_events,
         |  p - m AS cusum_scaled,

@@ -165,6 +165,12 @@ object EventPipeline {
         .collect().map(_.getLong(0))
       touched.foreach { b =>
         val dir = new java.io.File(target, s"bucket=$b")
+        // recover an interrupted swap BEFORE deciding whether the bucket
+        // is fresh: a crash between set-aside and promote leaves live
+        // missing with .old holding the only copy — treating that as a
+        // fresh bucket would merge against nothing and the next swapIn
+        // would delete the .old backup, silently losing the prior rows
+        recoverSwap(dir)
         val inc = incoming.filter(col("_bucket") === b).drop("_bucket")
         val merged =
           if (dir.exists) {
@@ -182,6 +188,21 @@ object EventPipeline {
   /** tmp → live with the previous live renamed aside first; every rename
     * checked so a failure surfaces instead of silently losing the table.
     */
+  /** Undo a swap that crashed between set-aside and promote: live missing
+    * but .old present → restore .old (and drop any half-written .tmp).
+    * A crash after promote (live AND .old present) just leaves a stale
+    * backup; swapIn clears it on the next write.
+    */
+  private def recoverSwap(live: java.io.File): Unit = {
+    val old = new java.io.File(live.getParentFile, "." + live.getName + ".old")
+    if (!live.exists && old.exists) {
+      val tmp = new java.io.File(live.getParentFile, ".tmp_" + live.getName.replace('=', '_'))
+      if (tmp.exists) delete(tmp)
+      if (!old.renameTo(live))
+        throw new java.io.IOException(s"cannot restore $old to $live")
+    }
+  }
+
   private def swapIn(live: java.io.File, tmp: java.io.File): Unit = {
     val old = new java.io.File(live.getParentFile, "." + live.getName + ".old")
     if (old.exists) delete(old)

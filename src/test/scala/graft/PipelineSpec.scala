@@ -310,16 +310,16 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
     assert(rows.nonEmpty)
+    // exploded shape: one (vec_id, j, code) row per element
+    assert(rows.length == orig.values.map(_.length).sum)
     rows.foreach { r =>
       val (mn, scale) = (r.getAs[Double]("mn"), r.getAs[Double]("scale"))
-      val codes = r.getSeq[Int](r.fieldIndex("codes"))
-      val e = orig(r.getAs[Long]("vec_id"))
-      assert(codes.forall(c => c >= -128 && c <= 127))
-      e.zip(codes).foreach { case (x, c) =>
-        val dequant = (c + 128) * scale + mn
-        assert(math.abs(dequant - x) <= scale / 2 + 1e-9,
-          s"err ${math.abs(dequant - x)} vs step $scale")
-      }
+      val c = r.getAs[Int]("code")
+      val x = orig(r.getAs[Long]("vec_id"))(r.getAs[Int]("j"))
+      assert(c >= -128 && c <= 127)
+      val dequant = (c + 128) * scale + mn
+      assert(math.abs(dequant - x) <= scale / 2 + 1e-9,
+        s"err ${math.abs(dequant - x)} vs step $scale")
     }
   }
 
