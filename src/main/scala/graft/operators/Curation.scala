@@ -215,6 +215,51 @@ object Curation {
     clusterLabels(s, d); bigStarCached(s, d); ()
   }
 
+  /** DuckDB CTEs `exg`/`ep`: exact-dup edges (canonical = min doc_id per
+    * normalized-text group), mirroring doc_dedup_exact. Non-interpolated
+    * so the regex backslash survives.
+    */
+  private val exactEdgeCtes: String =
+    """exg AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon
+      |  FROM documents),
+      |ep AS (SELECT canon AS a, doc_id AS b FROM exg WHERE doc_id <> canon)"""
+      .stripMargin
+
+  /** WITH RECURSIVE prelude ending in CTE `lab(doc_id, cluster_id)`: the
+    * near-dup edge set (exact-dup ∪ brute-force Jaccard ≥ threshold — the
+    * same set the engine's LSH+verify provably recovers, asserted by
+    * doc_ngram_jaccard's own oracle) resolved to components by transitive
+    * closure + min — re-deriving BOTH engine CC formulations (min-label and
+    * large-star/small-star are label-identical at convergence).
+    */
+  private val clusterOracleCtes: String =
+    s"""WITH RECURSIVE ${Dedup.shingleCtes},
+       |jp AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND cast(len(list_intersect(a.sh, b.sh)) as double) /
+       |        len(list_distinct(list_concat(a.sh, b.sh)))
+       |        >= ${Dedup.JaccardThreshold}),
+       |$exactEdgeCtes,
+       |und AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep),
+       |edges AS (SELECT a, b FROM und UNION SELECT b AS a, a AS b FROM und),
+       |r AS (
+       |  SELECT doc_id, doc_id AS reach FROM documents
+       |  UNION
+       |  SELECT r.doc_id, e.b AS reach FROM r JOIN edges e ON r.reach = e.a),
+       |lab AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id)"""
+      .stripMargin
+
+  private val clusterLabelOracle: String =
+    s"""$clusterOracleCtes
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // ----------------------------------------------------------------
     // Stratified sampling: per-source keep rates from a broadcast config
@@ -369,8 +414,7 @@ object Curation {
     // cluster's canonical doc, report per-source retention — the summary a
     // curation run publishes. Composes the cluster operator (its iterative
     // cost is already session-bounded) with one broadcast-sized join and
-    // one aggregate shuffle. Rows-only: inherits the clusters' recursive
-    // reachability.
+    // one aggregate shuffle. Oracled through the recursive-closure labels.
     "doc_corpus_dedup" -> Q(
       (s, d) => {
         val cl = defs("doc_dedup_clusters").fn(s, d)
@@ -384,7 +428,14 @@ object Curation {
             round(col("n_kept").cast("double") / col("n_docs"), 6))
           .orderBy("source")
       },
-      None),
+      s"""$clusterOracleCtes
+         |SELECT d.source, count(*) AS n_docs,
+         |  cast(sum(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END)
+         |    as bigint) AS n_kept,
+         |  round(cast(sum(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END)
+         |    as double) / count(*), 6) AS retention
+         |FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // ----------------------------------------------------------------
     // Distributed heavy hitters over the token stream: per-partition
@@ -422,7 +473,14 @@ object Curation {
           .groupBy("term").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("term")).limit(topK)
       },
-      None),
+      // exact-recount oracle: hash-matching asserts the space-saving
+      // candidate set contains every true heavy hitter (its standard
+      // guarantee — all top-k here sit far above the n/M sketch error)
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n FROM toks GROUP BY term
+        |ORDER BY n DESC, term LIMIT 20""".stripMargin),
 
     // ----------------------------------------------------------------
     // Unigram language-model quality score: corpus-trained add-one-
@@ -468,8 +526,9 @@ object Curation {
     // as soon as a round changes nothing. At 100 TB the same loop runs
     // with large-star/small-star alternation so a mega-cluster's hub key
     // can't concentrate a whole component on one reducer.
-    // Rows-only: recursive reachability isn't expressible in the oracle
-    // harness; PipelineSpec checks against a driver-side union-find.
+    // Oracled: DuckDB re-derives the labels by recursive transitive
+    // closure over the same edge set; PipelineSpec additionally checks a
+    // driver-side union-find.
     "doc_dedup_clusters" -> Q(
       (s, d) => {
         val sizes = Window.partitionBy("cluster_id")
@@ -479,7 +538,7 @@ object Curation {
             (col("doc_id") === col("cluster_id")).as("is_canonical"))
           .orderBy("doc_id")
       },
-      None),
+      clusterLabelOracle),
 
     // ----------------------------------------------------------------
     // The SAME component resolution via alternating large-star/small-star
@@ -495,6 +554,6 @@ object Curation {
             (col("doc_id") === col("cluster_id")).as("is_canonical"))
           .orderBy("doc_id")
       },
-      None)
+      clusterLabelOracle)
   )
 }

@@ -145,6 +145,55 @@ object Dedup {
   def buildFingerprints(s: SparkSession, d: String): Long =
     rareFingerprints(s, d).count()
 
+  /** Deterministic containment candidates: pairs sharing ≥ 2 rare shingles
+    * (df ≤ MaxFpDf) from the inverted index. No hashing randomness is
+    * involved, so the blocking is exactly re-derivable by the SQL oracle —
+    * the property that lets both containment operators hash-match DuckDB.
+    */
+  private def containmentCandidates(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val rare = hashedShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= MaxFpDf)
+      .select("doc_id", "g")
+    rare
+      .join(rare.select(col("doc_id").as("doc_id_b"), col("g")), Seq("g"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select("doc_a", "doc_b")
+  }
+
+  /** DuckDB CTEs `t`, `s`: per-doc distinct word-3-gram shingle sets in
+    * STRING form — set cardinalities (and so Jaccard/containment) match the
+    * engine's xxhash64-hashed sets exactly unless a 64-bit hash collides
+    * (absent at oracle scale; a collision would surface as a hash mismatch).
+    * Mirrors TextOps.tokens/shingles: whitespace split, 3-gram, distinct.
+    */
+  private[operators] val shingleCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t)""".stripMargin
+
+  /** DuckDB CTEs `ex`→`cand`: the rare-shingle blocking of
+    * [[containmentCandidates]] re-derived over the string shingle sets.
+    */
+  private[operators] val containmentCandCtes: String =
+    s"""ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |dfq AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex),
+       |rare AS (SELECT doc_id, g FROM dfq WHERE df <= $MaxFpDf),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // Exact dedup on the normalized-text sha2: group id = hash, canonical
     // survivor = min doc_id per group.
@@ -249,26 +298,38 @@ object Dedup {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // brute-force all-pairs oracle: hash-matching it asserts the LSH
+      // candidate stage has FULL recall at the threshold on the gate data —
+      // a stronger check than rows-only (a recall drop now turns the gate
+      // red instead of passing silently)
+      s"""WITH $shingleCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(len(list_intersect(a.sh, b.sh)) as double) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // Asymmetric containment scoring on the candidate pairs: |A∩B|/|A|
-    // catches a small document swallowed by a larger one, which symmetric
-    // Jaccard under-scores (J = |A|/|B| for A⊂B). Reuses the LSH
-    // candidates at a looser estimate cutoff; a dedicated containment
-    // index at 100 TB partitions bands by set size so small-in-large
-    // pairs keep their collision probability.
+    // Asymmetric containment scoring: |A∩B|/|A| catches a small document
+    // swallowed by a larger one, which symmetric Jaccard under-scores
+    // (J = |A|/|B| for A⊂B). Candidates come from the deterministic
+    // rare-shingle inverted index (shared with doc_containment_lsh) rather
+    // than MinHash banding: Jaccard-tuned bands rarely collide for
+    // small-in-large pairs — exactly the pairs containment exists to find —
+    // and the exact blocking makes the whole operator SQL-re-derivable, so
+    // the oracle hash-checks it instead of a rows-only count.
     "doc_containment" -> Q(
       (s, d) => {
         val sets = hashedShingles(s, d)
-        lshCandidates(s, d)
-          .filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
+        containmentCandidates(s, d)
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
             "doc_b")
-          // sub-3-token docs have EMPTY shingle sets (and sentinel MinHash
-          // signatures that collide in every band) — guard the divisions
+          // sub-3-token docs have EMPTY shingle sets — guard the divisions
           // or ANSI mode turns 0/0 into a runtime crash
           .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
           .withColumn("inter",
@@ -280,7 +341,19 @@ object Dedup {
               .as("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      s"""WITH $shingleCtes,
+         |$containmentCandCtes,
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |    cast(len(list_intersect(sa.sh, sb.sh)) as double) AS inter,
+         |    len(sa.sh) AS la, len(sb.sh) AS lb,
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS lu
+         |  FROM cand JOIN s sa ON cand.doc_a = sa.doc_id
+         |            JOIN s sb ON cand.doc_b = sb.doc_id
+         |  WHERE len(sa.sh) > 0 AND len(sb.sh) > 0)
+         |SELECT doc_a, doc_b, inter / la AS containment_a,
+         |  inter / lb AS containment_b, inter / lu AS jaccard
+         |FROM sc ORDER BY doc_a, doc_b""".stripMargin),
 
     // Containment-aware candidate generation — the piece Jaccard-LSH
     // can't provide: a small doc inside a large one has LOW Jaccard, so
@@ -293,19 +366,7 @@ object Dedup {
     "doc_containment_lsh" -> Q(
       (s, d) => {
         val sets = hashedShingles(s, d)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-        val rare = sets
-          .select(col("doc_id"), explode(col("sh")).as("g"))
-          .withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= MaxFpDf)
-          .select("doc_id", "g")
-        val cand = rare
-          .join(rare.select(col("doc_id").as("doc_id_b"), col("g")), Seq("g"))
-          .filter(col("doc_id") < col("doc_id_b"))
-          .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2)
-        cand
+        containmentCandidates(s, d)
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
@@ -320,7 +381,18 @@ object Dedup {
           .select("doc_a", "doc_b", "containment")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      s"""WITH $shingleCtes,
+         |$containmentCandCtes,
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |    cast(len(list_intersect(sa.sh, sb.sh)) as double) AS inter,
+         |    len(sa.sh) AS la, len(sb.sh) AS lb
+         |  FROM cand JOIN s sa ON cand.doc_a = sa.doc_id
+         |            JOIN s sb ON cand.doc_b = sb.doc_id
+         |  WHERE len(sa.sh) > 0 AND len(sb.sh) > 0)
+         |SELECT doc_a, doc_b, greatest(inter / la, inter / lb) AS containment
+         |FROM sc WHERE greatest(inter / la, inter / lb) >= $ContainmentThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Fuzzy key matching — the entity-resolution shape: short record keys
     // (here the first 24 chars of each doc) pair only within a prefix

@@ -493,16 +493,31 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ----------------------------------------------------------------
-    // HLL sketch counts: engine-specific estimates, so rows-only.
+    // HLL sketch counts. The estimates are engine-specific, so the output
+    // surfaces the EXACT counts (hash-matched) plus the 10% error bound as
+    // a boolean the oracle emits as literal `true` — sketch drift past the
+    // bound turns the driver gate red instead of passing a rows-only check.
     "q_approx_distinct" -> Q(
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+            approx_count_distinct(col("l_partkey")).as("ap"),
+            approx_count_distinct(col("l_orderkey")).as("ao"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 0.10).as("parts_within_10pct"),
+            (abs(col("ao") - col("exact_orders")).cast("double")
+              / col("exact_orders") <= 0.10).as("orders_within_10pct"))
           .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS parts_within_10pct,
+        |  true AS orders_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ----------------------------------------------------------------
     "q_percentiles" -> Q(
@@ -521,17 +536,32 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ----------------------------------------------------------------
-    // Quantile sketch (Greenwald-Khanna): engine-specific estimates, so
-    // rows-only; RelationalSpec bounds the error against exact percentiles.
+    // Quantile sketch (Greenwald-Khanna). Same oracle pattern as
+    // q_approx_distinct: exact interpolated percentiles hash-match, the
+    // sketch's 2%-relative-error bound rides along as a boolean the oracle
+    // pins to literal `true` (accuracy=1000 → ~0.1% rank error, far inside
+    // 2% value error on this price distribution).
     "q_approx_percentile" -> Q(
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("exact_p95"))
+          .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+            (abs(col("ap50") - col("exact_p50")).cast("double")
+              / col("exact_p50") <= 0.02).as("p50_within_2pct"),
+            (abs(col("ap95") - col("exact_p95")).cast("double")
+              / col("exact_p95") <= 0.02).as("p95_within_2pct"))
           .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5),  6) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+        |  true AS p50_within_2pct,
+        |  true AS p95_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ----------------------------------------------------------------
     "q_pivot" -> Q(

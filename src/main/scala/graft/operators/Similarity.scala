@@ -257,10 +257,31 @@ object Similarity {
 
     // Brute-force cosine top-k per query: broadcast the (small) query set
     // against the full corpus — one scan, per-group heap via window+filter.
+    // Fully deterministic (exact dot products, vec_id tie-break), so the
+    // DuckDB re-derivation hash-matches.
     "emb_ann_topk" -> Q(
       (s, d) => topkAgainst(embs(s, d), queries(s, d), TopK)
         .orderBy("q_id", "rank"),
-      None),
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> cast(x as double) * cast(x as double)))) AS nrm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM e WHERE vec_id % 100 = 0),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+         |      z -> cast(z[1] as double) * cast(z[2] as double)))
+         |      / (e.nrm * q.q_nrm) AS cosine
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT *, cast(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, neighbor_id) as int) AS rank
+         |  FROM sc)
+         |SELECT q_id, neighbor_id, rank, cosine FROM rk
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
 
     // Int8 scalar quantization: per-vector (min, max) affine codes — the
     // 4× storage/bandwidth reduction step before ANN sharding. Map-only at

@@ -771,19 +771,32 @@ object Timeseries {
     // (partial-agg, map-side combined), periods union day sketches without
     // touching base rows. The exact-distinct equivalent reshuffles every
     // base row per period; the sketch union moves only ~KB-sized state —
-    // the 100 TB distinct-count shape. Rows-only (DuckDB's HLL is a
-    // different sketch); TimeseriesSpec asserts the merged estimate equals
-    // the direct single-pass sketch bit-for-bit and bounds error vs exact.
+    // the 100 TB distinct-count shape. DuckDB's HLL is a different sketch,
+    // so the estimate itself can't be oracled — instead the output carries
+    // the EXACT side (hash-matched) plus the 5%-error assertion as data:
+    // the oracle emits literal `true`, so an estimate drifting past 5%
+    // turns the driver gate red. TimeseriesSpec still asserts the merged
+    // sketch equals the direct single-pass sketch bit-for-bit.
     "ev_hll_users" -> Q(
       (s, d) => {
         val daily = ev(s, d)
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        daily.groupBy("event_type")
+        val merged = daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
             hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        val exact = ev(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.05).as("est_within_5pct"))
           .orderBy("event_type")
       },
-      None)
+      """SELECT event_type,
+        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS est_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

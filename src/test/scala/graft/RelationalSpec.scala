@@ -40,23 +40,30 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q_approx_distinct is within 10% of exact") {
-    val approx = run("q_approx_distinct").collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val rows = run("q_approx_distinct").collect()
+    assert(rows.nonEmpty)
     val exact = run("q_distinct_agg").collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
-    exact.foreach { case (k, ex) =>
-      assert(math.abs(approx(k) - ex).toDouble / ex < 0.10, s"flag $k: $ex vs ${approx(k)}")
+    rows.foreach { r =>
+      val k = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Boolean]("parts_within_10pct"), s"flag $k parts drifted")
+      assert(r.getAs[Boolean]("orders_within_10pct"), s"flag $k orders drifted")
+      assert(r.getAs[Long]("exact_parts") == exact(k))
     }
   }
 
-  test("q_approx_percentile is within 5% of the exact quantile") {
+  test("q_approx_percentile is within 2% of the exact quantile") {
     val exact = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    run("q_approx_percentile").collect().foreach { r =>
-      val ex = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - ex) / ex < 0.05)
+    val rows = run("q_approx_percentile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Boolean]("p50_within_2pct"), s"flag $k p50 drifted")
+      assert(r.getAs[Boolean]("p95_within_2pct"), s"flag $k p95 drifted")
+      assert(r.getAs[Double]("exact_p50") == exact(k))
     }
   }
 
