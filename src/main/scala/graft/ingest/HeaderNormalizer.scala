@@ -41,7 +41,7 @@ object HeaderNormalizer {
     "client_id", "source_system", "source_txn_id", "txn_timestamp", "currency",
     "total_amount", "customer_id", "account_id", "merchant",
     "src_file", "src_row_number", "ingest_ts", "payload_hash", "parse_ok",
-    "file_type", "line_items", "raw_currency", "attributes")
+    "parse_error", "file_type", "line_items", "raw_currency", "attributes")
 
   /** VARIANT analogue (reference sql/03 OBJECT_CONSTRUCT('raw_payload', …,
     * 'source_format', …), sql/02_canonical_ddl.sql:21,39): the raw payload
@@ -82,6 +82,12 @@ object HeaderNormalizer {
       col("src_file"), col("src_row_number"), col("ingest_ts"),
       sha2(col("payload"), 256).as("payload_hash"),
       col("parsed._corrupt").isNull.as("parse_ok"),
+      // RAW_LOAD_AUDIT.first_error fidelity (reference sql/01:56): WHAT
+      // failed, with the offending bytes — the column an operator reads
+      // during an incident
+      when(col("parsed._corrupt").isNotNull,
+        concat(lit("malformed JSON: "), substring(col("payload"), 1, 48)))
+        .as("parse_error"),
       col("file_type"),
       col("parsed.line_items").as("line_items"),
       coalesce(col("parsed.currency"), col("parsed.ccy")).as("raw_currency"),
@@ -106,6 +112,9 @@ object HeaderNormalizer {
       col("src_file"), col("src_row_number"), col("ingest_ts"),
       sha2(array_join(col("payload"), "|"), 256).as("payload_hash"),
       (size(col("payload")) === 12).as("parse_ok"),
+      when(size(col("payload")) =!= 12,
+        concat(lit("expected 12 fields, got "),
+          size(col("payload")).cast("string"))).as("parse_error"),
       col("file_type"),
       lit(null).cast(org.apache.spark.sql.types.DataTypes.createArrayType(
         headerSchema("line_items").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType))
@@ -146,6 +155,9 @@ object HeaderNormalizer {
         col("src_file"), col("src_row_number"), col("ingest_ts"),
         sha2(col("payload"), 256).as("payload_hash"),
         col("parsed._corrupt").isNull.as("parse_ok"),
+        when(col("parsed._corrupt").isNotNull,
+          concat(lit("malformed XML: "), substring(col("payload"), 1, 48)))
+          .as("parse_error"),
         col("file_type"),
         col("parsed.line").as("xml_lines"),
         col("parsed._currency").as("raw_currency"),

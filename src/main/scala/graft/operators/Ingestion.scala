@@ -211,6 +211,8 @@ SELECT src_file, file_type, count(*) AS rows_parsed,
   cast(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) as bigint) AS rows_loaded,
   cast(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) as bigint) AS errors_seen,
   min(CASE WHEN NOT parse_ok THEN src_row_number END) AS first_error_row,
+  min_by(parse_error, src_row_number) FILTER (WHERE NOT parse_ok)
+    AS first_error,
   max(ingest_ts) AS load_ts,
   CASE WHEN sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) = 0 THEN 'LOADED'
        WHEN sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) = 0 THEN 'LOAD_FAILED'

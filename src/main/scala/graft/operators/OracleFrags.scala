@@ -193,7 +193,10 @@ object OracleFrags {
       |      json_extract_string(payload,'$.payee')) END AS merchant,
       |    src_file, src_row_number, ingest_ts,
       |    sha256(payload) AS payload_hash,
-      |    json_valid(payload) AS parse_ok, file_type,
+      |    json_valid(payload) AS parse_ok,
+      |    CASE WHEN NOT json_valid(payload)
+      |         THEN 'malformed JSON: ' || substr(payload, 1, 48) END
+      |      AS parse_error, file_type,
       |    '{"raw_payload":"' || replace(payload, '"', '\"')
       |      || '","source_format":"JSON"}' AS attributes
       |  FROM json_raw),
@@ -214,7 +217,10 @@ object OracleFrags {
       |         THEN 'M' || cast(o_custkey % 50 AS varchar) END AS merchant,
       |    src_file, src_row_number, ingest_ts,
       |    sha256(payload) AS payload_hash,
-      |    src_row_number % 103 <> 0 AS parse_ok, file_type,
+      |    src_row_number % 103 <> 0 AS parse_ok,
+      |    CASE WHEN src_row_number % 103 = 0
+      |         THEN 'malformed XML: ' || substr(payload, 1, 48) END
+      |      AS parse_error, file_type,
       |    '{"raw_payload":"' || replace(payload, '"', '\"')
       |      || '","source_format":"XML"}' AS attributes
       |  FROM xml_raw),
@@ -229,7 +235,10 @@ object OracleFrags {
       |    nullif(payload[7], '') AS merchant,
       |    src_file, src_row_number, ingest_ts,
       |    sha256(array_to_string(payload, '|')) AS payload_hash,
-      |    len(payload) = 12 AS parse_ok, file_type,
+      |    len(payload) = 12 AS parse_ok,
+      |    CASE WHEN len(payload) <> 12
+      |         THEN 'expected 12 fields, got ' || cast(len(payload) as varchar) END
+      |      AS parse_error, file_type,
       |    '{"csv_payload":["' || array_to_string(payload, '","')
       |      || '"],"source_format":"CSV"}' AS attributes
       |  FROM csv_raw),

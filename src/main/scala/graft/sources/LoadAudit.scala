@@ -20,6 +20,11 @@ object LoadAudit {
       sum(when(col("parse_ok"), 1L).otherwise(0L)).as("rows_loaded"),
       sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors_seen"),
       min(when(!col("parse_ok"), col("src_row_number"))).as("first_error_row"),
+      // RAW_LOAD_AUDIT.first_error (reference sql/01:56): the TEXT of the
+      // first error, not just its row — what an operator reads during an
+      // incident. min_by over the error rows only (FILTER).
+      expr("min_by(parse_error, src_row_number) FILTER (WHERE NOT parse_ok)")
+        .as("first_error"),
       // RAW_LOAD_AUDIT.load_ts analogue (reference sql/01:57): wall-clock
       // load time isn't reproducible, so the deterministic stand-in is the
       // latest ingest timestamp the file contributed.
