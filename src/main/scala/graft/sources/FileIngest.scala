@@ -34,9 +34,87 @@ object FileIngest {
   def xmlLines(s: SparkSession, path: String): DataFrame =
     textLines(s, path, "XML")
 
-  private def textLines(s: SparkSession, path: String, fmt: String): DataFrame = {
+  // ------------------------------------------------------------------
+  // COPY INTO-style load-history idempotence (reference
+  // sql/01_raw_ingestion.sql:66-75 relies on COPY silently skipping
+  // already-loaded files so the whole script is re-runnable). The ledger
+  // is a plain text file of loaded file NAMES, consulted BEFORE the read:
+  // already-loaded files are excluded from the scan path list entirely
+  // (file-granularity pushdown — a re-run reads zero bytes of old data,
+  // exactly COPY's behavior), and commits replace the ledger atomically.
+  // File listing is driver-side metadata, the same scale class as Spark's
+  // own file index; row data never touches the driver.
+  // ------------------------------------------------------------------
+
+  /** Outcome of an incremental load: rows of the NEW files only, plus the
+    * file names that were read and the ones skipped as already loaded.
+    * Call [[commitLoaded]] with `newFiles` after the rows are durably
+    * written; a crash before the commit re-reads those files next run
+    * (at-least-once, the COPY model) — never silently drops them.
+    */
+  final case class Incremental(rows: DataFrame, newFiles: Seq[String],
+    skippedFiles: Seq[String])
+
+  /** File names recorded as loaded (empty if the ledger doesn't exist). */
+  def ledgerContents(ledger: java.io.File): Set[String] =
+    if (!ledger.exists) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(ledger, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+
+  /** Record `files` as loaded: rewrite-and-atomic-rename of the (small)
+    * ledger, so readers never observe a partial ledger.
+    */
+  def commitLoaded(ledger: java.io.File, files: Seq[String]): Unit = {
+    val all = (ledgerContents(ledger) ++ files).toSeq.sorted
+    val tmp = new java.io.File(ledger.getParentFile, "." + ledger.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (all.mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, ledger.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Idempotent directory load: only files absent from the ledger are
+    * read. Re-running over an unchanged directory returns 0 rows and
+    * reports every file as skipped.
+    */
+  def incremental(s: SparkSession, dir: String, fmt: String,
+      ledger: java.io.File): Incremental = {
+    val all = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
+    val loaded = ledgerContents(ledger)
+    val (skip, fresh) = all.partition(loaded)
+    val base =
+      if (fresh.isEmpty) emptyLines(s)
+      else textLines(s, fresh.map(n => new java.io.File(dir, n).toString), fmt)
+    val rows = if (fmt == "CSV") base.withColumn("payload",
+      split(col("payload").cast("string"), ",")) else base
+    Incremental(rows, fresh, skip)
+  }
+
+  private def emptyLines(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("src_row_number", LongType),
+        StructField("client_id", StringType),
+        StructField("src_file", StringType),
+        StructField("ingest_ts", TimestampType),
+        StructField("file_type", StringType),
+        StructField("payload", StringType))))
+  }
+
+  private def textLines(s: SparkSession, path: String, fmt: String): DataFrame =
+    textLines(s, Seq(path), fmt)
+
+  private def textLines(s: SparkSession, paths: Seq[String], fmt: String): DataFrame = {
     val byFile = Window.partitionBy("src_file").orderBy("_read_pos")
-    s.read.text(path)
+    s.read.text(paths: _*)
       .select(
         col("value").as("payload"),
         col("_metadata.file_name").as("src_file"),

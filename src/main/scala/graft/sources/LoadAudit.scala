@@ -33,4 +33,24 @@ object LoadAudit {
       when(col("errors_seen") === 0, "LOADED")
         .when(col("rows_loaded") === 0, "LOAD_FAILED")
         .otherwise("PARTIALLY_LOADED"))
+
+  /** Audit including COPY-skip telemetry: files the ledger excluded from
+    * the read (FileIngest.incremental) surface as zero-row
+    * SKIPPED_ALREADY_LOADED entries, mirroring COPY INTO's load_history
+    * report on a re-run.
+    */
+  def auditWithSkips(headers: DataFrame,
+      skipped: Seq[(String, String)]): DataFrame = {
+    val s = headers.sparkSession
+    import s.implicits._
+    val skipDf = skipped.toDF("src_file", "file_type")
+      .withColumn("rows_parsed", lit(0L))
+      .withColumn("rows_loaded", lit(0L))
+      .withColumn("errors_seen", lit(0L))
+      .withColumn("first_error_row", lit(null).cast("long"))
+      .withColumn("first_error", lit(null).cast("string"))
+      .withColumn("load_ts", lit(null).cast("timestamp"))
+      .withColumn("load_status", lit("SKIPPED_ALREADY_LOADED"))
+    audit(headers).unionByName(skipDf)
+  }
 }

@@ -164,4 +164,39 @@ class IngestionSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq
     assert(key(fromFiles) == key(inMemory) && fromFiles.count() > 0)
   }
+
+  test("incremental ingest skips already-loaded files (COPY re-run semantics)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_ledger")
+    Files.write(Paths.get(dir.toString, "client_1_a.jsonl"),
+      "{\"transaction_id\":\"T1\"}\n{\"transaction_id\":\"T2\"}".getBytes("UTF-8"))
+    Files.write(Paths.get(dir.toString, "client_1_b.jsonl"),
+      "{\"transaction_id\":\"T3\"}".getBytes("UTF-8"))
+    val ledger = new java.io.File(dir.toFile, "_loaded_ledger")
+
+    // first run: everything is new
+    val first = sources.FileIngest.incremental(spark, dir.toString, "JSON", ledger)
+    assert(first.rows.count() == 3 && first.newFiles.size == 2 &&
+      first.skippedFiles.isEmpty)
+    sources.FileIngest.commitLoaded(ledger, first.newFiles)
+
+    // re-run over the same directory: 0 new rows, every file skipped, and
+    // the audit records the skips
+    val second = sources.FileIngest.incremental(spark, dir.toString, "JSON", ledger)
+    assert(second.rows.count() == 0 && second.newFiles.isEmpty &&
+      second.skippedFiles.sorted == first.newFiles.sorted)
+    val audit = sources.LoadAudit.auditWithSkips(
+      ingest.HeaderNormalizer.fromJson(second.rows),
+      second.skippedFiles.map(_ -> "JSON")).collect()
+    assert(audit.length == 2 &&
+      audit.forall(_.getAs[String]("load_status") == "SKIPPED_ALREADY_LOADED"))
+
+    // a file landing later is picked up without re-reading the old ones
+    Files.write(Paths.get(dir.toString, "client_1_c.jsonl"),
+      "{\"transaction_id\":\"T4\"}".getBytes("UTF-8"))
+    val third = sources.FileIngest.incremental(spark, dir.toString, "JSON", ledger)
+    assert(third.rows.count() == 1 &&
+      third.newFiles == Seq("client_1_c.jsonl") &&
+      third.skippedFiles.size == 2)
+  }
 }
