@@ -139,23 +139,29 @@ object EventPipeline {
 
   val SinkBuckets = 8
 
-  /** Idempotent BUCKETED merge-upsert sink: the target is hash-bucketed on
-    * the merge key into `bucket=N` partition directories, and each
-    * micro-batch rewrites ONLY the buckets its keys touch — per-batch cost
-    * scales with batch-key spread, never with total target size (the
-    * whole-target rewrite was the scale-killer in the naive formulation).
-    * Replays merge to the same rows → no-ops.
+  /** Idempotent BUCKETED merge-upsert sink over a [[graft.sources.ManifestTable]]:
+    * the target is hash-bucketed on the merge key, and each micro-batch
+    * rewrites ONLY the buckets its keys touch — per-batch cost scales with
+    * batch-key spread, never with total target size (the whole-target
+    * rewrite was the scale-killer in the naive formulation).
     *
-    * Bucket swaps are crash-safe on a POSIX FS: write hidden tmp → rename
-    * live aside → rename tmp live → drop old (rename results checked;
-    * dot-prefixed dirs are invisible to parquet readers, so a reader never
-    * sees a half-written bucket). This java.io.File orchestration is the
-    * local-FS test-grade analogue of a Delta/Iceberg MERGE commit — on a
-    * cluster the same bucket layout commits through the table format's
-    * atomic metadata swap instead of directory renames.
+    * Commit protocol (two-phase, the Delta/Iceberg shape with zero deps):
+    * merged bucket data is written to NEW immutable generation dirs that no
+    * reader can resolve, then one manifest file is atomically replaced to
+    * publish them all at once. A crash anywhere before the manifest rename
+    * leaves the previously-committed table fully intact — readers go
+    * through [[graft.sources.ManifestTable.readTable]] and can never
+    * observe a partial batch. Replayed batch ids (crash-restart re-delivery)
+    * are detected from the manifest and skipped as exact no-ops; even a
+    * same-data replay under a NEW batch id merges to identical rows because
+    * the upsert keys on event_id.
     */
   def mergeUpsertSink(target: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.ManifestTable
     val spark = batch.sparkSession
+    val root = new java.io.File(target)
+    val manifest = ManifestTable.read(root).getOrElse(ManifestTable.empty)
+    if (batchId <= manifest.lastBatch) return // replayed batch: already committed
     val incoming = batch
       .select("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("_bucket", pmod(xxhash64(col("event_id")), lit(SinkBuckets)))
@@ -163,59 +169,27 @@ object EventPipeline {
     try {
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getLong(0))
-      touched.foreach { b =>
-        val dir = new java.io.File(target, s"bucket=$b")
-        // recover an interrupted swap BEFORE deciding whether the bucket
-        // is fresh: a crash between set-aside and promote leaves live
-        // missing with .old holding the only copy — treating that as a
-        // fresh bucket would merge against nothing and the next swapIn
-        // would delete the .old backup, silently losing the prior rows
-        recoverSwap(dir)
+      val replaced = touched.map { b =>
         val inc = incoming.filter(col("_bucket") === b).drop("_bucket")
-        val merged =
-          if (dir.exists) {
+        val merged = manifest.buckets.get(b) match {
+          case Some(rel) =>
             graft.ingest.MergeUpsert
-              .upsert(spark.read.parquet(dir.toString), inc, Seq("event_id"))
+              .upsert(spark.read.parquet(new java.io.File(root, rel).toString),
+                inc, Seq("event_id"))
               .select("event_id", "ts", "user_id", "event_type", "value")
-          } else inc
-        val tmp = new java.io.File(target, s".tmp_bucket_$b")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        swapIn(dir, tmp)
-      }
+          case None => inc
+        }
+        // one immutable generation dir per (bucket, batch): a re-attempt of
+        // a crashed batch overwrites its own orphan, never a committed dir
+        val rel = s"data/b$b-$batchId"
+        merged.write.mode("overwrite")
+          .parquet(new java.io.File(root, rel).toString)
+        b -> rel
+      }.toMap
+      val next = manifest.advance(batchId, replaced)
+      ManifestTable.commit(root, next)
+      ManifestTable.gc(root, next)
     } finally { incoming.unpersist(); () }
-  }
-
-  /** tmp → live with the previous live renamed aside first; every rename
-    * checked so a failure surfaces instead of silently losing the table.
-    */
-  /** Undo a swap that crashed between set-aside and promote: live missing
-    * but .old present → restore .old (and drop any half-written .tmp).
-    * A crash after promote (live AND .old present) just leaves a stale
-    * backup; swapIn clears it on the next write.
-    */
-  private def recoverSwap(live: java.io.File): Unit = {
-    val old = new java.io.File(live.getParentFile, "." + live.getName + ".old")
-    if (!live.exists && old.exists) {
-      val tmp = new java.io.File(live.getParentFile, ".tmp_" + live.getName.replace('=', '_'))
-      if (tmp.exists) delete(tmp)
-      if (!old.renameTo(live))
-        throw new java.io.IOException(s"cannot restore $old to $live")
-    }
-  }
-
-  private def swapIn(live: java.io.File, tmp: java.io.File): Unit = {
-    val old = new java.io.File(live.getParentFile, "." + live.getName + ".old")
-    if (old.exists) delete(old)
-    if (live.exists && !live.renameTo(old))
-      throw new java.io.IOException(s"cannot set aside $live")
-    if (!tmp.renameTo(live))
-      throw new java.io.IOException(s"cannot promote $tmp to $live")
-    delete(old)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(delete)
-    f.delete(): Unit
   }
 
   val defs: Map[String, Q] = Map(

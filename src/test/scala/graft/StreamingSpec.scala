@@ -203,12 +203,15 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val after = snapshot()
 
-      val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$touchedBucket"))
-      val untouchedAfter = after.filterNot(_._1.contains(s"bucket=$touchedBucket"))
-      // untouched buckets: byte-identical files, same names
-      assert(untouchedBefore == untouchedAfter && untouchedBefore.nonEmpty)
+      // untouched buckets: byte-identical generation dirs, same names (the
+      // MANIFEST itself changes every commit — that's the design: one
+      // mutable pointer, immutable data)
+      def untouched(s: Map[String, String]) = s.filterNot { case (p, _) =>
+        p.contains(s"/b$touchedBucket-") || p.endsWith("/MANIFEST")
+      }
+      assert(untouched(before) == untouched(after) && untouched(before).nonEmpty)
       // and the merge stayed idempotent
-      val out = spark.read.parquet(target)
+      val out = graft.sources.ManifestTable.readTable(spark, target)
       assert(out.count() == 100)
       assert(out.select("event_id").distinct().count() == 100)
     } finally q.stop()
@@ -237,6 +240,43 @@ class StreamingSpec extends SparkSpec {
         assert(streamed == batch && streamed.nonEmpty)
       } finally q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("tuned RocksDB provider (changelog checkpointing, bounded memory) gives identical results") {
+    // the production configuration for large state: per-batch changelog
+    // uploads instead of full SST snapshots, and an off-heap memory cap
+    // across all store instances — results must be bit-identical to the
+    // default provider, and the stateful query must restart cleanly from
+    // a changelog checkpoint (dedup state surviving the restart proves the
+    // checkpoint actually restored)
+    implicit val sc = spark.sqlContext
+    graft.streaming.StateStoreTuning.withTuned(spark, maxMemoryMB = 256) {
+      val base = java.nio.file.Files.createTempDirectory("graft_rocks_tuned")
+      val ckpt = base.resolve("ckpt").toString
+      val outDir = base.resolve("out").toString
+      val in = MemoryStream[Ev]
+      val sample = eventsData.take(200)
+      // file sink, not memory: the memory sink refuses checkpoint recovery,
+      // and the restart-from-changelog path is exactly what's under test
+      def start() = EventPipeline.dedup(in.toDF())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      try {
+        in.addData(sample)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the changelog checkpoint; replay the same keys — the
+      // restored dedup state must drop all of them
+      val q2 = start()
+      try {
+        in.addData(sample.take(80))
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir)
+        assert(out.count() == 200)
+        assert(out.select("event_id").distinct().count() == 200)
+      } finally q2.stop()
+    }
   }
 
   test("Trigger.AvailableNow drains a file-source backlog and terminates") {
@@ -275,9 +315,61 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(sample) // full replay
       q.processAllAvailable()
-      val out = spark.read.parquet(target)
+      val out = graft.sources.ManifestTable.readTable(spark, target)
       assert(out.count() == 100)
       assert(out.select("event_id").distinct().count() == 100)
     } finally q.stop()
+  }
+
+  test("manifest commit: a crash between data write and commit is invisible to readers") {
+    import graft.sources.ManifestTable
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_m").resolve("t").toString
+    val root = new java.io.File(target)
+    val sample = eventsData.take(100)
+
+    // batch 0 commits normally through the sink
+    EventPipeline.mergeUpsertSink(target)(
+      spark.createDataset(sample).toDF(), 0L)
+    val committed = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    assert(committed.size == 100)
+    val manifestBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "MANIFEST").toPath).toSeq
+
+    // simulate batch 1 crashing AFTER its data write but BEFORE the
+    // manifest rename: exactly what a killed writer leaves behind —
+    // orphan generation dirs under data/, untouched MANIFEST
+    val extra = eventsData.slice(100, 150)
+    spark.createDataset(extra).toDF()
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, "data/b3-1").toString)
+
+    // readers resolve through the manifest only: the crashed write does
+    // not exist as far as the table is concerned
+    assert(ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet == committed)
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "MANIFEST").toPath).toSeq == manifestBytes)
+
+    // the streaming engine re-delivers batch 1 after restart; the re-run
+    // commits atomically and GC removes the orphan from the crashed attempt
+    EventPipeline.mergeUpsertSink(target)(
+      spark.createDataset(sample ++ extra).toDF(), 1L)
+    val after = ManifestTable.readTable(spark, target)
+    assert(after.count() == 150)
+    assert(after.select("event_id").distinct().count() == 150)
+    // every data dir on disk is referenced by the manifest (orphan GC'd)
+    val m = ManifestTable.read(root).get
+    val onDisk = new java.io.File(root, "data").listFiles.map(_.getName).toSet
+    assert(onDisk == m.buckets.values.map(_.stripPrefix("data/")).toSet)
+
+    // and a replayed, already-committed batch id is an exact no-op
+    val v = m.version
+    EventPipeline.mergeUpsertSink(target)(
+      spark.createDataset(extra).toDF(), 1L)
+    assert(ManifestTable.read(root).get.version == v)
   }
 }
