@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-margin data generator: replicates an sf dir K× with shifted keys so
+  * the heavy pipelines can be measured one decade above the bench scale
+  * (SURVEY "BENCH_sf1" section — the empirical check that the cost curves
+  * are near-linear, not just linear-by-plan-inspection).
+  *
+  * Replication must not distort the similarity structure the dedup/ANN
+  * operators key on — K exact copies of every document would turn the whole
+  * corpus into one near-dup blob and measure a pathology, not scale. So:
+  *   - documents: per-replica vowel permutation (`translate`) rewrites most
+  *     shingles — cross-replica Jaccard ≈ 0 — while preserving length,
+  *     whitespace, and within-replica dup structure exactly;
+  *   - embeddings: a hash-seeded ~half of each vector's components flip
+  *     sign per replica, which keeps the norm but drives expected cosine
+  *     between any two replicas of the same vector to ≈ 0 — far below the
+  *     0.35 pair threshold (flipping a small fixed fraction f only lowers
+  *     cosine to 1−2f, which at f=1/7 left every replica pair a near-dup
+  *     and measured a 45×-per-vector pair pathology, not scale);
+  *   - orders/lineitem: key shift only; the synthesis mod-classes (%97,
+  *     %101, ...) keep the same defect rates in every replica.
+  * Replica 0 is byte-faithful to the source rows (identity perm, no flips).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas]
+  */
+object ScaleUp {
+
+  /** Key offset between replicas — far above any sf0.1 key. Even, so the
+    * `pair = o_orderkey DIV 2` dup-pairing never spans replicas.
+    */
+  val Offset = 1000000000L
+
+  /** Ten distinct vowel permutations; index 0 is the identity. */
+  private val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+    "eaoui", "ieuao", "oaeui", "uoiea", "euoia")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "target/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until replicas).map(i => f(base, i)).reduce(_.union(_))
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name x$replicas -> $dst")
+    }
+
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+    }
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+        .withColumn("text",
+          translate(col("text"), "aeiouAEIOU", perms(i % perms.length) +
+            perms(i % perms.length).toUpperCase))
+    }
+    replicate("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, -x)
+              .otherwise(x)))
+    }
+
+    // remaining tables: straight file copy (dims + events keep one copy;
+    // nothing in the heavy set joins them at scale-dependent cardinality)
+    val copied = Seq("region", "nation", "customer", "supplier", "part", "events")
+    copied.foreach { name =>
+      val from = new java.io.File(s"$src/$name.parquet")
+      val to = new java.io.File(s"$dst/$name.parquet")
+      if (from.isDirectory) {
+        if (to.exists) graft.sources.ManifestTable.deleteRecursively(to)
+        copyTree(from, to)
+      } else {
+        to.getParentFile.mkdirs()
+        java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      println(s"[scaleup] $name copied")
+    }
+    spark.stop()
+  }
+
+  private def copyTree(from: java.io.File, to: java.io.File): Unit = {
+    to.mkdirs()
+    from.listFiles.foreach { f =>
+      val t = new java.io.File(to, f.getName)
+      if (f.isDirectory) copyTree(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+}
