@@ -554,6 +554,166 @@ object Curation {
             (col("doc_id") === col("cluster_id")).as("is_canonical"))
           .orderBy("doc_id")
       },
-      clusterLabelOracle)
+      clusterLabelOracle),
+
+    // ----------------------------------------------------------------
+    // DSIR-style importance weight (data selection via importance
+    // resampling): per-doc length-normalized log-likelihood ratio of a
+    // target unigram distribution (here: the lang='en' slice stands in for
+    // the high-quality target corpus) against the raw-corpus distribution,
+    // add-1 smoothed over the shared vocabulary. Docs scoring high look
+    // target-like and get up-sampled by a resampling pass.
+    // Scale: two partial-agg token-count shuffles build the LLR dim; in
+    // production the dim is bounded by HASHED n-gram buckets (2^20 slots,
+    // the DSIR formulation) so it broadcasts regardless of corpus size —
+    // raw terms are kept here so the oracle can re-derive the dim exactly.
+    // The per-doc score is then one broadcast join + one partial-agg sum.
+    "doc_importance_weight" -> Q(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+        val rawCnt = toks.groupBy("term").agg(count(lit(1)).as("c_raw"))
+        val tgtCnt = toks.filter(col("lang") === "en")
+          .groupBy("term").agg(count(lit(1)).as("c_tgt"))
+        val totals = rawCnt.agg(sum("c_raw").as("t_raw"),
+          count(lit(1)).as("vocab"))
+          .crossJoin(tgtCnt.agg(sum("c_tgt").as("t_tgt")))
+        val llr = rawCnt.join(tgtCnt, Seq("term"), "left")
+          .na.fill(0L, Seq("c_tgt"))
+          .crossJoin(broadcast(totals))
+          .select(col("term"),
+            (log((col("c_tgt") + 1).cast("double") /
+                (col("t_tgt") + col("vocab")).cast("double")) -
+              log((col("c_raw") + 1).cast("double") /
+                (col("t_raw") + col("vocab")).cast("double"))).as("llr"))
+        toks.join(broadcast(llr), "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(sum(col("llr")) / count(lit(1)), 6).as("llr_per_token"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |rawc AS (SELECT term, count(*) AS c_raw FROM toks GROUP BY 1),
+        |tgtc AS (SELECT term, count(*) AS c_tgt FROM toks
+        |         WHERE lang = 'en' GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT sum(c_raw) FROM rawc) AS t_raw,
+        |    (SELECT count(*) FROM rawc) AS vocab,
+        |    (SELECT sum(c_tgt) FROM tgtc) AS t_tgt),
+        |llr AS (
+        |  SELECT r.term,
+        |    ln(cast(coalesce(t.c_tgt, 0) + 1 as double) /
+        |       cast(tt.t_tgt + tt.vocab as double)) -
+        |    ln(cast(r.c_raw + 1 as double) /
+        |       cast(tt.t_raw + tt.vocab as double)) AS llr
+        |  FROM rawc r LEFT JOIN tgtc t USING (term) CROSS JOIN totals tt)
+        |SELECT toks.doc_id, cast(count(*) as bigint) AS n_tokens,
+        |  round(sum(llr.llr) / count(*), 6) AS llr_per_token
+        |FROM toks JOIN llr USING (term)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Temperature-scaled domain mixing (the multilingual/UniMax recipe):
+    // per-source sampling weights w_s ∝ p_s^τ with τ = 0.7, where p_s is
+    // the source's token share — τ < 1 flattens the distribution so
+    // high-resource sources are down-sampled and the tail is boosted;
+    // `factor` (= w_s / p_s) is the per-source up/down-sampling multiplier
+    // a sampler applies. One partial-agg shuffle to source grain (tiny),
+    // then broadcast total arithmetic — the whole op is dimension-sized.
+    "doc_domain_mix" -> Q(
+      (s, d) => {
+        val tau = lit(0.7)
+        val bySrc = docs(s, d)
+          .select(col("source"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        val tot = bySrc.agg(sum("n_tokens").as("t_tokens"))
+        val p = bySrc.crossJoin(broadcast(tot))
+          .withColumn("p", col("n_tokens").cast("double") / col("t_tokens"))
+          .withColumn("pw", pow(col("p"), tau))
+        val z = p.agg(sum("pw").as("z"))
+        p.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("p"), 6).as("p"),
+            round(col("pw") / col("z"), 6).as("w"),
+            round(col("pw") / col("z") / col("p"), 6).as("factor"))
+          .orderBy("source")
+      },
+      """WITH by_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT *, cast(n_tokens as double) /
+        |    (SELECT sum(n_tokens) FROM by_src) AS p
+        |  FROM by_src),
+        |pw AS (SELECT *, pow(p, 0.7) AS pw FROM p)
+        |SELECT source, n_docs, cast(n_tokens as bigint) AS n_tokens,
+        |  round(p, 6) AS p,
+        |  round(pw / (SELECT sum(pw) FROM pw), 6) AS w,
+        |  round(pw / (SELECT sum(pw) FROM pw) / p, 6) AS factor
+        |FROM pw ORDER BY source""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // CCNet-style perplexity bucketing: within each language, rank docs by
+    // unigram-LM average NLL (doc_lm_score's statistic) and split into
+    // head/middle/tail tertiles — the classic "keep head+middle, drop or
+    // re-filter tail" curation gate. ntile over a per-lang window = one
+    // hash shuffle on lang; the NLL build is doc_lm_score's two
+    // partial-agg shuffles.
+    "doc_ccnet_bucket" -> Q(
+      (s, d) => {
+        val terms = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "lang", "term")
+          .agg(count(lit(1)).as("tf"))
+        val unigram = terms.groupBy("term").agg(count(lit(1)).as("c"))
+        val totals = unigram.agg(sum("c").as("t_tokens"),
+          count(lit(1)).as("vocab"))
+        val nll = tf.join(unigram, "term").crossJoin(broadcast(totals))
+          .groupBy("doc_id", "lang")
+          .agg(round((sum(col("tf").cast("double") *
+            log((col("t_tokens") + col("vocab")).cast("double") / (col("c") + 1))) /
+            sum(col("tf"))), 6).as("avg_nll"))
+        nll
+          .withColumn("tertile", ntile(3).over(Window.partitionBy("lang")
+            .orderBy(col("avg_nll"), col("doc_id"))))
+          .withColumn("bucket",
+            when(col("tertile") === 1, lit("head"))
+              .when(col("tertile") === 2, lit("middle"))
+              .otherwise(lit("tail")))
+          .select(col("doc_id"), col("lang"), col("avg_nll"),
+            col("tertile").cast("long").as("tertile"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      """WITH terms AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*) AS tf
+        |       FROM terms GROUP BY 1, 2, 3),
+        |unigram AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+        |totals AS (SELECT sum(c) AS t_tokens, count(*) AS vocab FROM unigram),
+        |nll AS (
+        |  SELECT doc_id, lang,
+        |    round(sum(cast(tf as double) *
+        |      ln(cast(t_tokens + vocab as double) / (c + 1))) / sum(tf), 6)
+        |      AS avg_nll
+        |  FROM tf JOIN unigram USING (term) CROSS JOIN totals
+        |  GROUP BY 1, 2),
+        |bucketed AS (
+        |  SELECT *, ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_nll, doc_id) AS tertile
+        |  FROM nll)
+        |SELECT doc_id, lang, avg_nll, cast(tertile as bigint) AS tertile,
+        |  CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM bucketed ORDER BY doc_id""".stripMargin)
   )
 }

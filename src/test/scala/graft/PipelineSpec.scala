@@ -323,6 +323,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("doc_importance_weight ranks target-language docs above the rest") {
+    val rows = run("doc_importance_weight").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val (en, rest) = rows.partition(r => langOf(r.getAs[Long]("doc_id")) == "en")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    // the LLR is trained with lang='en' as the target: en docs must score
+    // higher on average than non-target docs (the resampling signal)
+    assert(mean(en.map(_.getAs[Double]("llr_per_token"))) >
+      mean(rest.map(_.getAs[Double]("llr_per_token"))))
+  }
+
+  test("doc_domain_mix weights normalize and flatten the distribution") {
+    val rows = run("doc_domain_mix").collect()
+    val (ps, ws) = (rows.map(_.getAs[Double]("p")), rows.map(_.getAs[Double]("w")))
+    assert(math.abs(ps.sum - 1.0) < 1e-3 && math.abs(ws.sum - 1.0) < 1e-3)
+    // τ < 1 flattens: the largest source is down-sampled, the smallest
+    // boosted (factor = w/p below/above 1 respectively)
+    val byP = rows.sortBy(_.getAs[Double]("p"))
+    assert(byP.last.getAs[Double]("factor") < 1.0)
+    assert(byP.head.getAs[Double]("factor") > 1.0)
+  }
+
+  test("doc_ccnet_bucket tertiles are balanced within each language") {
+    val rows = run("doc_ccnet_bucket").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("tertile")).view.mapValues(_.length)
+      // ntile(3) bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      // head has the lowest NLL (most target-like), tail the highest
+      def avg(t: Long) = { val x = rs.filter(_.getAs[Long]("tertile") == t)
+        x.map(_.getAs[Double]("avg_nll")).sum / x.length }
+      if (sizes.keySet == Set(1L, 2L, 3L)) assert(avg(1L) <= avg(3L))
+    }
+  }
+
   test("doc_corpus_dedup retention is consistent with the cluster resolution") {
     val stats = run("doc_corpus_dedup").collect()
     val cl = run("doc_dedup_clusters")
