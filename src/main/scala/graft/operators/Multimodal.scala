@@ -124,6 +124,47 @@ object Multimodal {
       (s, d) => frameSample(s, d).orderBy("doc_id", "frame_idx"),
       None),
 
+    // Media-lake accounting over the binary column: per-format volumes,
+    // payload byte totals (length() on binary — bytes never leave the
+    // executors), metadata dimension means, and how many frames the strided
+    // sampler would decode — the planning query a video/image pipeline runs
+    // BEFORE paying for decode. Fully declarative → DuckDB-oracled
+    // (octet_length over the same UTF-8 bytes, same frame arithmetic).
+    "mm_media_stats" -> Q(
+      (s, d) => {
+        mediaTable(s, d)
+          .select(col("meta.media_format").as("media_format"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"))
+          .withColumn("n_frames_sampled",
+            expr(s"((n_bytes - 1) div $FrameBytes) div $FrameStride + 1"))
+          .groupBy("media_format")
+          .agg(count(lit(1)).as("n_media"),
+            sum("n_bytes").cast("long").as("total_bytes"),
+            round(avg("n_bytes"), 6).as("avg_bytes"),
+            round(avg("width"), 6).as("avg_width"),
+            round(avg("height"), 6).as("avg_height"),
+            sum("n_frames_sampled").cast("long").as("n_frames_sampled"))
+          .orderBy("media_format")
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    list_extract(['jpeg', 'png', 'wav'],
+         |      cast(doc_id % 3 + 1 as int)) AS media_format,
+         |    cast(octet_length(encode(text)) as bigint) AS n_bytes,
+         |    cast(n_chars % 640 + 32 as bigint) AS width,
+         |    cast(n_chars % 480 + 32 as bigint) AS height
+         |  FROM documents)
+         |SELECT media_format, count(*) AS n_media,
+         |  cast(sum(n_bytes) as bigint) AS total_bytes,
+         |  round(avg(n_bytes), 6) AS avg_bytes,
+         |  round(avg(width), 6) AS avg_width,
+         |  round(avg(height), 6) AS avg_height,
+         |  cast(sum((n_bytes - 1) // $FrameBytes // $FrameStride + 1) as bigint)
+         |    AS n_frames_sampled
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Flattened to scalar columns for the driver's parquet dump.
     "mm_decode_pipeline" -> Q(
       (s, d) => decodePipeline(s, d)

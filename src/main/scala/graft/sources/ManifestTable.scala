@@ -68,42 +68,85 @@ object ManifestTable {
     else Some(parse(new String(Files.readAllBytes(f.toPath), UTF_8)))
   }
 
-  /** Publish: write the new manifest beside the live one, then one atomic
+  /** Snapshots retained by [[gc]]: readers may time-travel this many
+    * versions back (current + RetainVersions-1 older), and a reader still
+    * iterating a recent pre-GC snapshot keeps its files — the same
+    * retention contract a Delta VACUUM window provides.
+    */
+  val RetainVersions = 3
+
+  /** Publish: write the immutable per-version manifest (`.v{N}`, the
+    * time-travel handle), then the live pointer beside it and one atomic
     * rename. REPLACE_EXISTING + ATOMIC_MOVE means a reader either sees the
     * old complete manifest or the new complete manifest, never a partial
-    * write and never a missing file.
+    * write and never a missing file. Crash between the two writes leaves
+    * an unreferenced `.v` file the next gc clears — never a corrupt table.
     */
   def commit(root: File, m: Manifest): Unit = {
     Files.createDirectories(root.toPath)
+    Files.write(versionFile(root, m.version).toPath, render(m).getBytes(UTF_8))
     val tmp = new File(root, s".${ManifestName}.tmp")
     Files.write(tmp.toPath, render(m).getBytes(UTF_8))
     Files.move(tmp.toPath, new File(root, ManifestName).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
-  /** Drop every directory under `data/` the current manifest doesn't
-    * reference: superseded generations and orphans from crashed writers.
-    * Runs strictly AFTER a successful commit, so nothing a reader can
-    * resolve is ever deleted. (Local caveat, as in any snapshot table
-    * without retention: a reader still iterating a pre-GC snapshot loses
-    * its files — real deployments keep N snapshots before vacuuming.)
+  private def versionFile(root: File, v: Long): File =
+    new File(root, s"$ManifestName.v$v")
+
+  /** Bucket paths a retained version resolves; Nil if the version's
+    * manifest is gone (aged out or never published).
+    */
+  def readVersionBuckets(root: File, v: Long): Seq[String] = {
+    val f = versionFile(root, v)
+    if (f.exists)
+      parse(new String(Files.readAllBytes(f.toPath), UTF_8)).buckets.values.toSeq
+    else Nil
+  }
+
+  private def retainedVersions(root: File, current: Long): Seq[Long] =
+    ((current - RetainVersions + 1) max 0) to current
+
+  /** Vacuum: drop every `data/` directory no RETAINED snapshot references
+    * (superseded generations past the retention window, and orphans from
+    * crashed writers), plus per-version manifests that aged out of the
+    * window or were never published. Runs strictly AFTER a successful
+    * commit, so nothing a retained snapshot resolves is ever deleted.
     */
   def gc(root: File, m: Manifest): Unit = {
-    val live = m.buckets.values.toSet
-    val dataDir = new File(root, "data")
-    val children = dataDir.listFiles
+    val retained = retainedVersions(root, m.version)
+    val live: Set[String] =
+      retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.buckets.values
+    val children = new File(root, "data").listFiles
     if (children != null)
       children.filterNot(d => live.contains(s"data/${d.getName}"))
         .foreach(deleteRecursively)
+    val stale = root.listFiles
+    if (stale != null)
+      stale.filter { f =>
+        val n = f.getName
+        n.startsWith(s"$ManifestName.v") &&
+          !retained.contains(n.stripPrefix(s"$ManifestName.v").toLong)
+      }.foreach(deleteRecursively)
   }
 
-  /** Resolve the committed snapshot. Missing manifest or zero buckets →
-    * empty-table semantics are the caller's concern; here it's an error to
-    * read a table that was never committed.
+  /** Resolve a committed snapshot — the live one, or `version` within the
+    * retention window (time travel). Missing manifest or evicted version →
+    * clean error, never a partial read.
     */
-  def readTable(spark: SparkSession, root: String): DataFrame = {
-    val m = read(new File(root)).getOrElse(
-      throw new java.io.FileNotFoundException(s"no $ManifestName under $root"))
+  def readTable(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val rootF = new File(root)
+    val m = version match {
+      case None =>
+        read(rootF).getOrElse(throw new java.io.FileNotFoundException(
+          s"no $ManifestName under $root"))
+      case Some(v) =>
+        val f = versionFile(rootF, v)
+        if (!f.exists) throw new java.io.FileNotFoundException(
+          s"version $v of $root is not retained (window $RetainVersions)")
+        parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+    }
     val dirs = m.buckets.values.toSeq.sorted.map(rel => new File(root, rel).toString)
     spark.read.parquet(dirs: _*)
   }

@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSpec {
       // MANIFEST itself changes every commit — that's the design: one
       // mutable pointer, immutable data)
       def untouched(s: Map[String, String]) = s.filterNot { case (p, _) =>
-        p.contains(s"/b$touchedBucket-") || p.endsWith("/MANIFEST")
+        p.contains(s"/b$touchedBucket-") || p.contains("/MANIFEST")
       }
       assert(untouched(before) == untouched(after) && untouched(before).nonEmpty)
       // and the merge stayed idempotent
@@ -361,15 +361,59 @@ class StreamingSpec extends SparkSpec {
     val after = ManifestTable.readTable(spark, target)
     assert(after.count() == 150)
     assert(after.select("event_id").distinct().count() == 150)
-    // every data dir on disk is referenced by the manifest (orphan GC'd)
+    // every data dir on disk is referenced by a RETAINED snapshot (the
+    // crashed attempt's orphan was overwritten by the re-run; superseded
+    // generations stay within the retention window for time travel)
     val m = ManifestTable.read(root).get
+    val retained = (math.max(m.version - ManifestTable.RetainVersions + 1, 0)
+      to m.version)
+      .flatMap(v => ManifestTable.readVersionBuckets(root, v)).toSet
     val onDisk = new java.io.File(root, "data").listFiles.map(_.getName).toSet
-    assert(onDisk == m.buckets.values.map(_.stripPrefix("data/")).toSet)
+    assert(onDisk == retained.map(_.stripPrefix("data/")))
+    assert(m.buckets.values.toSet.subsetOf(retained))
 
     // and a replayed, already-committed batch id is an exact no-op
     val v = m.version
     EventPipeline.mergeUpsertSink(target)(
       spark.createDataset(extra).toDF(), 1L)
     assert(ManifestTable.read(root).get.version == v)
+  }
+
+  test("manifest time travel: retained snapshots read back exactly, evicted ones error") {
+    import graft.sources.ManifestTable
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_tt").resolve("t").toString
+    val root = new java.io.File(target)
+
+    // five batches of 40 rows each → versions 1..5
+    val snapshots = (0 until 5).map { b =>
+      val slice = eventsData.slice(b * 40, b * 40 + 40)
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(slice).toDF(), b.toLong)
+      ManifestTable.readTable(spark, target).count()
+    }
+    assert(snapshots == Seq(40L, 80L, 120L, 160L, 200L))
+    val cur = ManifestTable.read(root).get.version
+    assert(cur == 5L)
+
+    // within the retention window: each retained version reads back the
+    // exact row count its commit published
+    val oldest = cur - ManifestTable.RetainVersions + 1
+    (oldest to cur).foreach { v =>
+      assert(ManifestTable.readTable(spark, target, Some(v)).count()
+        == snapshots(v.toInt - 1), s"version $v")
+    }
+
+    // past the window: clean error, and the evicted versions' superseded
+    // generation dirs are vacuumed (no unreferenced data dirs on disk)
+    intercept[java.io.FileNotFoundException] {
+      ManifestTable.readTable(spark, target, Some(oldest - 1))
+    }
+    val live = (oldest to cur)
+      .flatMap(ManifestTable.readVersionBuckets(root, _))
+      .map(_.stripPrefix("data/")).toSet
+    val onDisk = new java.io.File(root, "data").listFiles.map(_.getName).toSet
+    assert(onDisk == live)
   }
 }
