@@ -407,6 +407,44 @@ object Similarity {
     // eigenvalue against a long-run reference iteration.
     "emb_power_iteration" -> Q(
       (s, d) => dominantComponent(s, d).orderBy("dim"),
+      None),
+
+    // SemDeDup (semantic deduplication, Abbas et al. 2023): assign every
+    // vector to its IVF centroid, then score pairs ONLY within a cluster —
+    // the clustering bounds pair cost by cluster occupancy instead of
+    // O(n²), which is the whole trick at 100 TB. A vector is dropped when
+    // any lower-id vector in its cluster is within the cosine threshold;
+    // min-id-wins is deterministic and guarantees no two KEPT vectors in
+    // one cluster are near-dups (a higher-id member of such a pair would
+    // have been dropped by the lower one). Rows-only: the k-means fit has
+    // no SQL analogue; PipelineSpec proves both invariants directly.
+    "emb_semantic_dedup" -> Q(
+      (s, d) => {
+        val e = embs(s, d)
+        val c = centroids(s, d)
+        val assigned = e.join(broadcast(c), lit(true))
+          .withColumn("ccos", VectorOps.cosinePre(
+            col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"), col("ccos")).as("cluster_id"),
+            first(col("embedding")).as("embedding"),
+            first(col("nrm")).as("nrm"))
+        val lhs = assigned.select(col("cluster_id"), col("vec_id"),
+          col("embedding"), col("nrm"))
+        val rhs = assigned.select(col("cluster_id"),
+          col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm"))
+        val dropped = lhs.join(rhs, Seq("cluster_id"))
+          .filter(col("b_id") < col("vec_id"))
+          .filter(VectorOps.cosinePre(col("embedding"), col("nrm"),
+            col("b_emb"), col("b_nrm")) >= CosineThreshold)
+          .select("vec_id").distinct()
+          .withColumn("is_dropped", lit(true))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster_id"),
+            coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+          .orderBy("vec_id")
+      },
       None)
   )
 }

@@ -151,6 +151,35 @@ object ManifestTable {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Manifest-level file skipping for point lookups: the sink hash-buckets
+    * its rows on the merge key, so a key can only live in ONE bucket — a
+    * lookup resolves just the covering bucket dirs from the manifest and
+    * never opens the rest (the bucketed-table analogue of partition
+    * pruning, done at the table-metadata layer). `numBuckets` must match
+    * the writer's bucketing.
+    */
+  def bucketsForKeys(spark: SparkSession, keys: Seq[Long],
+      numBuckets: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    keys.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  def readTableForKeys(spark: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long], numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = read(new File(root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no $ManifestName under $root"))
+    val covering = bucketsForKeys(spark, keys, numBuckets).toSet
+    val dirs = m.buckets.filter { case (b, _) => covering.contains(b) }
+      .values.toSeq.sorted.map(rel => new File(root, rel).toString)
+    if (dirs.isEmpty) readTable(spark, root).limit(0)
+    else spark.read.parquet(dirs: _*)
+      .filter(col(keyCol).isin(keys: _*))
+  }
+
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
     f.delete(): Unit

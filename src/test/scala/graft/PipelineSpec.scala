@@ -323,6 +323,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("emb_semantic_dedup: kept vectors are pairwise distinct, drops are justified") {
+    val rows = run("emb_semantic_dedup").collect()
+    val embAll = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    assert(rows.length == embAll.size)
+    assert(rows.exists(_.getAs[Boolean]("is_dropped")),
+      "threshold never fired — the spec would be vacuous")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val t = operators.Similarity.CosineThreshold
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, cl) =>
+      val (dropped, kept) = cl.partition(_.getAs[Boolean]("is_dropped"))
+      val keptIds = kept.map(_.getAs[Long]("vec_id")).sorted
+      // invariant 1: no two KEPT vectors in one cluster are near-dups
+      for (i <- keptIds.indices; j <- 0 until i)
+        assert(cos(embAll(keptIds(i)), embAll(keptIds(j))) < t,
+          s"kept near-dup pair ${keptIds(j)},${keptIds(i)}")
+      // invariant 2: every drop is justified by a lower-id cluster member
+      val ids = cl.map(_.getAs[Long]("vec_id"))
+      dropped.map(_.getAs[Long]("vec_id")).foreach { d =>
+        assert(ids.exists(o => o < d && cos(embAll(o), embAll(d)) >= t),
+          s"unjustified drop $d")
+      }
+    }
+  }
+
   test("doc_importance_weight ranks target-language docs above the rest") {
     val rows = run("doc_importance_weight").collect()
     assert(rows.length == Tables.documents(spark, sf).count())

@@ -379,6 +379,31 @@ class StreamingSpec extends SparkSpec {
     assert(ManifestTable.read(root).get.version == v)
   }
 
+  test("manifest point lookup prunes to covering buckets and matches a full scan") {
+    import graft.sources.ManifestTable
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_pl").resolve("t").toString
+    val sample = eventsData.take(200)
+    EventPipeline.mergeUpsertSink(target)(
+      spark.createDataset(sample).toDF(), 0L)
+
+    val keys = sample.take(5).map(_.event_id)
+    // the lookup resolves strictly fewer buckets than the table holds —
+    // the manifest-level file skipping a point read is for
+    val covering = ManifestTable.bucketsForKeys(spark, keys,
+      EventPipeline.SinkBuckets)
+    assert(covering.size < EventPipeline.SinkBuckets && covering.nonEmpty)
+
+    val viaLookup = ManifestTable.readTableForKeys(spark, target,
+      "event_id", keys, EventPipeline.SinkBuckets)
+      .collect().map(_.toString).toSet
+    val viaScan = ManifestTable.readTable(spark, target)
+      .filter(col("event_id").isin(keys: _*))
+      .collect().map(_.toString).toSet
+    assert(viaLookup == viaScan && viaLookup.size == keys.length)
+  }
+
   test("manifest time travel: retained snapshots read back exactly, evicted ones error") {
     import graft.sources.ManifestTable
     implicit val sc = spark.sqlContext
