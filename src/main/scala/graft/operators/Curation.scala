@@ -491,13 +491,17 @@ object Curation {
     // rounds to 6dp on both engines.
     "doc_lm_score" -> Q(
       (s, d) => {
-        val terms = docs(s, d)
+        // single corpus scan: unigram model + totals derive from the
+        // (doc, term) grain rather than re-exploding the corpus, and the
+        // vocab-grain dim broadcasts back onto it
+        val w = Window.partitionBy(lit(1))
+        val tf = docs(s, d)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val unigram = terms.groupBy("term").agg(count(lit(1)).as("c"))
-        val totals = unigram.agg(sum("c").as("t_tokens"),
-          count(lit(1)).as("vocab"))
-        tf.join(unigram, "term").crossJoin(broadcast(totals))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
+          .withColumn("t_tokens", sum("c").over(w))
+          .withColumn("vocab", count(lit(1)).over(w))
+        tf.join(broadcast(unigram), "term")
           .groupBy("doc_id")
           .agg(sum(col("tf")).cast("long").as("n_tokens"),
             round((sum(col("tf").cast("double") *
@@ -570,27 +574,31 @@ object Curation {
     // The per-doc score is then one broadcast join + one partial-agg sum.
     "doc_importance_weight" -> Q(
       (s, d) => {
-        val toks = docs(s, d)
+        // ONE corpus scan: (doc, term) counts feed both the vocab-grain
+        // LLR dim (conditional agg folds target + raw counts into one
+        // pass; whole-frame windows over the VOCAB grain — bounded by
+        // hashed buckets in production — replace re-aggregated totals)
+        // and the per-doc scoring join (sum tf·llr ≡ per-token sum)
+        val w = Window.partitionBy(lit(1))
+        val tf = docs(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("term"))
-        val rawCnt = toks.groupBy("term").agg(count(lit(1)).as("c_raw"))
-        val tgtCnt = toks.filter(col("lang") === "en")
-          .groupBy("term").agg(count(lit(1)).as("c_tgt"))
-        val totals = rawCnt.agg(sum("c_raw").as("t_raw"),
-          count(lit(1)).as("vocab"))
-          .crossJoin(tgtCnt.agg(sum("c_tgt").as("t_tgt")))
-        val llr = rawCnt.join(tgtCnt, Seq("term"), "left")
-          .na.fill(0L, Seq("c_tgt"))
-          .crossJoin(broadcast(totals))
+          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        val llr = tf.groupBy("term")
+          .agg(sum("tf").as("c_raw"),
+            sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_tgt"))
+          .withColumn("t_raw", sum("c_raw").over(w))
+          .withColumn("t_tgt", sum("c_tgt").over(w))
+          .withColumn("vocab", count(lit(1)).over(w))
           .select(col("term"),
             (log((col("c_tgt") + 1).cast("double") /
                 (col("t_tgt") + col("vocab")).cast("double")) -
               log((col("c_raw") + 1).cast("double") /
                 (col("t_raw") + col("vocab")).cast("double"))).as("llr"))
-        toks.join(broadcast(llr), "term")
+        tf.join(broadcast(llr), "term")
           .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_tokens"),
-            round(sum(col("llr")) / count(lit(1)), 6).as("llr_per_token"))
+          .agg(sum("tf").cast("long").as("n_tokens"),
+            round(sum(col("llr") * col("tf")) / sum("tf"), 6).as("llr_per_token"))
           .orderBy("doc_id")
       },
       """WITH toks AS (
@@ -627,17 +635,21 @@ object Curation {
     "doc_domain_mix" -> Q(
       (s, d) => {
         val tau = lit(0.7)
-        val bySrc = docs(s, d)
-          .select(col("source"), col("doc_id"),
+        // ONE corpus-grain aggregate; the normalizations then run as
+        // whole-frame windows over the source grain, which is
+        // dimension-sized by contract — re-deriving the corpus agg per
+        // normalization (the crossJoin-an-agg formulation) scans the
+        // corpus three times (PlanSpec locks the exchange budget)
+        val w = Window.partitionBy(lit(1))
+        docs(s, d)
+          .select(col("source"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-        val tot = bySrc.agg(sum("n_tokens").as("t_tokens"))
-        val p = bySrc.crossJoin(broadcast(tot))
-          .withColumn("p", col("n_tokens").cast("double") / col("t_tokens"))
+          .withColumn("p",
+            col("n_tokens").cast("double") / sum("n_tokens").over(w))
           .withColumn("pw", pow(col("p"), tau))
-        val z = p.agg(sum("pw").as("z"))
-        p.crossJoin(broadcast(z))
+          .withColumn("z", sum("pw").over(w))
           .select(col("source"), col("n_docs"), col("n_tokens"),
             round(col("p"), 6).as("p"),
             round(col("pw") / col("z"), 6).as("w"),
@@ -668,15 +680,19 @@ object Curation {
     // partial-agg shuffles.
     "doc_ccnet_bucket" -> Q(
       (s, d) => {
-        val terms = docs(s, d)
+        // single corpus scan: unigram counts + corpus totals derive from
+        // the (doc, term) grain (totals as whole-frame windows over the
+        // vocab grain), then the NLL join broadcasts the vocab dim back
+        val w = Window.partitionBy(lit(1))
+        val tf = docs(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = terms.groupBy("doc_id", "lang", "term")
+          .groupBy("doc_id", "lang", "term")
           .agg(count(lit(1)).as("tf"))
-        val unigram = terms.groupBy("term").agg(count(lit(1)).as("c"))
-        val totals = unigram.agg(sum("c").as("t_tokens"),
-          count(lit(1)).as("vocab"))
-        val nll = tf.join(unigram, "term").crossJoin(broadcast(totals))
+        val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
+          .withColumn("t_tokens", sum("c").over(w))
+          .withColumn("vocab", count(lit(1)).over(w))
+        val nll = tf.join(broadcast(unigram), "term")
           .groupBy("doc_id", "lang")
           .agg(round((sum(col("tf").cast("double") *
             log((col("t_tokens") + col("vocab")).cast("double") / (col("c") + 1))) /

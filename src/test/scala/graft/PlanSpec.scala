@@ -139,6 +139,49 @@ class PlanSpec extends SparkSpec {
     assert(!plan("ev_downsample").contains("NestedLoop"))
   }
 
+  test("doc_importance_weight broadcasts the LLR dim onto the token stream") {
+    // the per-doc scoring join must be a broadcast of the vocabulary-sized
+    // LLR table (bounded by hashing in production), never a shuffle of the
+    // full token stream against it
+    assert(plan("doc_importance_weight").contains("BroadcastHashJoin"))
+  }
+
+  test("emb_semantic_dedup scores pairs via a cluster-bucketed equi-join") {
+    // the SemDeDup contract: pair scoring joins on cluster_id (hash or
+    // sort-merge — bounded by cluster occupancy), NOT an unkeyed
+    // nested-loop over all vector pairs. The only nested-loop allowed is
+    // the broadcast centroid assignment (C-sized build side).
+    val p = plan("emb_semantic_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    // no unkeyed CartesianProduct anywhere; nested-loop joins may appear
+    // only as the broadcast centroid assignment (C-sized build side,
+    // repeated across the re-derived subtrees)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus-accounting and LM-scoring operators stay within scan/shuffle budgets") {
+    def scans(df: DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // accounting queries: ONE scan → partial agg → one exchange to the
+    // final grain (+ presentation sort); re-deriving the corpus agg per
+    // normalization (the crossJoin-an-agg shape) would show extra scans
+    Seq("mm_media_stats", "doc_domain_mix").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(scans(df) <= 1 && exchanges(df) <= 4,
+        s"$q: scans=${scans(df)} ex=${exchanges(df)}")
+    }
+    // LM-scoring queries are two-pass by nature (fit the vocab dim, score
+    // the corpus against it) — TWO pruned scans, vocab totals as windows
+    // over the vocab grain (never re-aggregated from the corpus), dim
+    // broadcast back; a third scan or a corpus-grain totals re-derivation
+    // busts the budget
+    Seq("doc_importance_weight", "doc_lm_score", "doc_ccnet_bucket").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(scans(df) <= 2 && exchanges(df) <= 8,
+        s"$q: scans=${scans(df)} ex=${exchanges(df)}")
+    }
+  }
+
   test("correlated SQL operators decorrelate: no per-row re-execution") {
     // EXISTS / NOT EXISTS must plan as semi + anti joins
     val ex = plan("q_exists_correlated")
