@@ -441,6 +441,124 @@ object Timeseries {
     // (sum x, sum x², n — order-independent), so the double arithmetic is
     // the same expression over identical inputs in both engines —
     // bit-identical without rounding. One shuffle on event_type.
+    // Seasonal-naive baseline (hour-of-week profile): each hourly count is
+    // compared against the mean of the same (weekday, hour) slot across
+    // the whole series — the standard pre-forecasting decomposition and
+    // the baseline behind "is this Tuesday 3pm unusual?" alerts. Two
+    // window-free shuffles: hourly agg, then a slot-grain window mean
+    // (slot cardinality is fixed at 168 per event type). Residuals round
+    // to 6dp for cross-engine double parity.
+    "ev_seasonal_baseline" -> Q(
+      (s, d) => {
+        val slot = Window.partitionBy("event_type", "dow", "hod")
+        ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", dayofweek(col("h")).cast("long"))
+          .withColumn("hod", hour(col("h")).cast("long"))
+          .withColumn("baseline", round(avg(col("x")).over(slot), 6))
+          .select(col("event_type"), col("h").as("hour"), col("dow"),
+            col("hod"), col("x").as("n_events"), col("baseline"),
+            round(col("x") - col("baseline"), 6).as("residual"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |slotted AS (
+        |  SELECT event_type, h, x,
+        |    cast(dayofweek(h) + 1 as bigint) AS dow,
+        |    cast(hour(h) as bigint) AS hod
+        |  FROM hourly)
+        |SELECT event_type, h AS hour, dow, hod, x AS n_events,
+        |  round(avg(x) OVER (PARTITION BY event_type, dow, hod), 6)
+        |    AS baseline,
+        |  round(x - round(avg(x) OVER (PARTITION BY event_type, dow, hod), 6), 6)
+        |    AS residual
+        |FROM slotted ORDER BY event_type, hour""".stripMargin),
+
+    // Event-lateness audit — the query that TUNES a streaming watermark:
+    // per event, lateness = how far behind the maximum event time already
+    // seen (in arrival order = event_id here) it arrived; the histogram's
+    // tail tells you what `withWatermark` delay keeps completeness at any
+    // chosen percentile. One running-max window + one tiny bucket agg.
+    "ev_late_arrivals" -> Q(
+      (s, d) => {
+        val arrival = Window.orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .select(col("event_id"), col("ts"))
+          .withColumn("hwm", max(unix_micros(col("ts"))).over(arrival))
+          // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+          // 60.5 s lateness would then bucket differently than the
+          // oracle's integer floor-division
+          .withColumn("late_s",
+            greatest(expr("(hwm - unix_micros(ts)) div 1000000"), lit(0L)))
+          .withColumn("bucket",
+            when(col("hwm").isNull || col("late_s") === 0, "on_time")
+              .when(col("late_s") <= 60, "within_1m")
+              .when(col("late_s") <= 600, "within_10m")
+              .when(col("late_s") <= 3600, "within_1h")
+              .otherwise("over_1h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late_s")).cast("long").as("max_late_s"))
+          .orderBy("bucket")
+      },
+      """WITH hw AS (
+        |  SELECT event_id, ts,
+        |    max(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |lat AS (
+        |  SELECT event_id,
+        |    greatest((hwm - epoch_us(ts)) // 1000000, 0) AS late_s,
+        |    CASE WHEN hwm IS NULL OR (hwm - epoch_us(ts)) <= 0 THEN 'on_time'
+        |      WHEN (hwm - epoch_us(ts)) // 1000000 <= 60 THEN 'within_1m'
+        |      WHEN (hwm - epoch_us(ts)) // 1000000 <= 600 THEN 'within_10m'
+        |      WHEN (hwm - epoch_us(ts)) // 1000000 <= 3600 THEN 'within_1h'
+        |      ELSE 'over_1h' END AS bucket
+        |  FROM hw)
+        |SELECT bucket, count(*) AS n_events,
+        |  cast(max(late_s) as bigint) AS max_late_s
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Rolling exact quantiles (p50/p95 over a 20-event sliding frame per
+    // event type) — the monitoring primitive behind latency dashboards and
+    // SLO burn alerts. Both engines index the SAME explicitly sorted frame
+    // array, so the quantile convention is identical by construction (no
+    // reliance on engine-specific interpolation); values are selected, not
+    // computed, so doubles hash-match bit-for-bit. Scale: the frame is
+    // constant-size (20), so per-row state is O(frame), one hash shuffle
+    // on the partition key — the same shape as the z-score roll.
+    "ev_rolling_quantile" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+        ev(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .withColumn("sorted", array_sort(collect_list(col("value")).over(w)))
+          .withColumn("n", size(col("sorted")).cast("long"))
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+            col("n"),
+            element_at(col("sorted"),
+              ceil(col("n") * 0.5).cast("int")).as("p50"),
+            element_at(col("sorted"),
+              ceil(col("n") * 0.95).cast("int")).as("p95"))
+          .orderBy("event_type", "ts", "event_id")
+      },
+      """WITH rolled AS (
+        |  SELECT event_id, ts, event_type, value,
+        |    list_sort(list(value) OVER w) AS sorted,
+        |    count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, ts, event_type, value, cast(n as bigint) AS n,
+        |  sorted[cast(ceil(n * 0.5) as int)] AS p50,
+        |  sorted[cast(ceil(n * 0.95) as int)] AS p95
+        |FROM rolled ORDER BY event_type, ts, event_id""".stripMargin),
+
     "ev_anomaly_zscore" -> Q(
       (s, d) => {
         val w = Window.partitionBy("event_type").orderBy("h")
