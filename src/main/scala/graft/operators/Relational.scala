@@ -877,6 +877,41 @@ object Relational {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Salted JOIN — the companion skew pattern to q_salted_agg, for when
+    // one hot key of a fact-fact join concentrates a reducer and the other
+    // side is too big to broadcast: the skewed side salts its key with a
+    // row-local deterministic hash, the other side explodes once per salt
+    // value, and the join runs on (key, salt) so the hot key spreads over
+    // SaltBuckets reducers. Replication cost = |other side| × SaltBuckets
+    // — the explicit trade AQE's skew split makes adaptively (PlanSpec
+    // locks that rewrite); this is the manual form for the plans AQE can't
+    // touch. Verified ≡ the plain unsalted join via the oracle.
+    "q_salted_join" -> Q(
+      (s, d) => {
+        val SaltBuckets = 8
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+            pmod(hash(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+              lit(SaltBuckets)).as("salt"))
+        val dim = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("salt",
+            explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("rev")).cast("double").as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+         |  ${sqlSumD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Partial-aggregate re-merge — the incremental-rollup pattern: daily
     // partials (sum/count/min/max are all mergeable) roll up to monthly
     // WITHOUT touching base rows again. At 100 TB this is how rollup
