@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{HashExprs, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,70 @@ object Similarity {
   /** Force the one-time IVF index fit (Bench line item). */
   def buildIndex(s: SparkSession, d: String): Long =
     centroids(s, d).count()
+
+  // ------------------------------------------------------------------
+  // Product quantization (the FAISS-style ANN compression): vectors split
+  // into PqM subspaces, each quantized against its own PqK-codeword
+  // codebook → dim floats become PqM 4-bit codes (here 64·4B → 8·½B, a
+  // 64× shrink), with reconstruction error far below one global codebook.
+  // ------------------------------------------------------------------
+  val PqM = 8      // subspaces (64-dim → 8 dims each)
+  val PqK = 16     // codewords per subspace (4-bit codes)
+  val PqIters = 2  // Lloyd refinements per subspace
+
+  /** Subvector grain: (vec_id, m, sv) — one row per vector per subspace,
+    * sliced declaratively (map-only).
+    */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * (64 / PqM) + 1, 64 / PqM).as("sv"))): _*))
+        .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Squared-distance argmin term: |sv − cw|² = |sv|² − 2·sv·cw + |cw|²;
+    * |sv|² is constant per row, so the argmin only needs −2·dot + |cw|².
+    */
+  private def d2(sv: Column, cw: Column, cwn2: Column): Column =
+    cwn2 - lit(2.0) * VectorOps.dot(sv, cw)
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  graft.Caches.register { app =>
+    pqCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+  }
+
+  /** Per-subspace codebooks, k-means-fitted distributively exactly like the
+    * IVF centroids (deterministic seeds, Lloyd via broadcast E-step +
+    * posexplode-mean M-step — the codebook is PqM·PqK rows, always
+    * broadcastable), trained once per (session, corpus).
+    */
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val sub = subvectors(embs(s, d))
+      val seeds = sub
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 50L * PqK)
+        .select(col("m"), (col("vec_id") / 50).cast("int").as("code"),
+          col("sv").as("cw"))
+      (1 to PqIters).foldLeft(seeds) { (cb, _) =>
+        val cbn = cb.withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
+        sub.join(broadcast(cbn), Seq("m"))
+          .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
+          .groupBy("vec_id", "m")
+          // struct min: deterministic tie-break on the lower code id
+          .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"),
+            first(col("sv")).as("sv"))
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .groupBy("m", "code", "dim")
+          .agg(avg(col("v").cast("double")).as("mv"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+            x => x.getField("mv").cast("float")).as("cw"))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   val PowerIters = 25
 
@@ -444,6 +508,26 @@ object Similarity {
           .select(col("vec_id"), col("cluster_id"),
             coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
           .orderBy("vec_id")
+      },
+      None),
+
+    // PQ code assignment: every (vector, subspace) pair gets the id of its
+    // nearest codeword — one broadcast join + one keyed agg, map-shaped at
+    // any corpus size since the codebook is PqM·PqK rows. Rows-only (the
+    // k-means fit has no SQL analogue); PipelineSpec re-derives the argmin
+    // on a driver sample and bounds reconstruction error against the
+    // one-codeword baseline.
+    "emb_pq_codes" -> Q(
+      (s, d) => {
+        val cb = pqCodebook(s, d)
+          .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
+        subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
+          .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+          .select(col("vec_id"), col("m").cast("long").as("m"),
+            col("code").cast("long").as("code"))
+          .orderBy("vec_id", "m")
       },
       None)
   )

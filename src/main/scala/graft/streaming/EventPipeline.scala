@@ -100,6 +100,54 @@ object EventPipeline {
       }
   }
 
+  /** Gap-sessionization with EVENT-TIME TIMEOUT — closes the gap
+    * [[sessionize]] leaves: a user's LAST session only emits there when a
+    * later event from the same user arrives, so idle/tail sessions hang in
+    * state forever. Here every state update arms a timeout at
+    * last-event-time + gap; when the watermark passes it, Spark invokes
+    * the function with hasTimedOut=true, the session emits, and the state
+    * is removed — bounded state AND complete output, the production
+    * sessionization contract. Input must carry a watermark (the timeout
+    * clock IS the watermark).
+    */
+  def sessionizeTimeout(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(Session(userId, fromMicros(st.start), fromMicros(st.last), st.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              if (st == null) st = SessionState(t, t, 1)
+              else if (t - st.last > GapMicros) {
+                closed += Session(userId, fromMicros(st.start), fromMicros(st.last), st.n)
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // arm the gap timeout; must stay strictly above the current
+              // watermark (late batches can arrive with last+gap already
+              // passed — fire on the very next trigger, not never)
+              val fireAt = (st.last + GapMicros) / 1000
+              state.setTimeoutTimestamp(
+                math.max(fireAt, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks by the same user
     * within the preceding attribution window. In streaming, the watermarks
     * + the time-range condition bound both sides' state (Spark evicts rows

@@ -323,6 +323,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("emb_pq_codes: assignments are argmin codewords and beat the 1-codeword baseline") {
+    val codes = run("emb_pq_codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("m")) -> r.getAs[Long]("code"))
+      .toMap
+    val embAll = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val M = operators.Similarity.PqM
+    val sd = 64 / M
+    assert(codes.size == embAll.size * M)
+    assert(codes.values.forall(c => c >= 0 && c < operators.Similarity.PqK))
+    val cb = operators.Similarity.pqCodebook(spark, sf).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+        r.getSeq[Float](r.fieldIndex("cw")).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * sd, m * sd + sd)
+    // argmin re-derivation on a deterministic sample
+    embAll.keys.toSeq.sorted.take(25).foreach { id =>
+      (0 until M).foreach { m =>
+        val sv = sub(embAll(id), m)
+        val best = cb.collect { case ((mm, c), cw) if mm == m => c -> l2(sv, cw) }
+          .minBy { case (c, dd) => (dd, c) }._1
+        assert(codes((id, m.toLong)) == best, s"vec $id subspace $m")
+      }
+    }
+    // reconstruction beats quantizing every subvector to its subspace mean
+    val subAll = embAll.toSeq.flatMap { case (id, v) =>
+      (0 until M).map(m => (m, sub(v, m))) }
+    val meanBySub = subAll.groupBy(_._1).map { case (m, xs) =>
+      val n = xs.size
+      m -> xs.map(_._2).transpose.map(_.sum / n).toArray }
+    val pqErr = embAll.keys.toSeq.flatMap { id =>
+      (0 until M).map { m =>
+        l2(sub(embAll(id), m), cb((m, codes((id, m.toLong)).toInt))) } }.sum
+    val baseErr = subAll.map { case (m, sv) => l2(sv, meanBySub(m)) }.sum
+    assert(pqErr < baseErr * 0.9, s"pq $pqErr vs baseline $baseErr")
+  }
+
   test("emb_semantic_dedup: kept vectors are pairwise distinct, drops are justified") {
     val rows = run("emb_semantic_dedup").collect()
     val embAll = Tables.embeddings(spark, sf).collect()

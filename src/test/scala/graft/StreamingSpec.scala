@@ -86,6 +86,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization emits COMPLETE sessions once the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventPipeline.sessionizeTimeout(in.toDS())
+      .writeStream.format("memory").queryName("sessto").outputMode("append").start()
+    try {
+      in.addData(eventsData)
+      q.processAllAvailable()
+      // a far-future sentinel (different user) advances the watermark past
+      // every session's last+gap: idle sessions must now TIME OUT and emit
+      // — the tail sessions plain sessionize never releases
+      val maxTs = eventsData.map(_.ts.getTime).max
+      val flush = new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000)
+      in.addData(Seq(Ev(999999903L, flush, -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      in.addData(Seq(Ev(999999904L, flush, -2L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sessto")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toString).toSet
+      // equivalence against ALL batch sessions — including each user's
+      // final one (the closed-only comparison sessionize is limited to)
+      val batch = SparkEntry.queries("ev_sessionize")(spark, sf)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     implicit val sc = spark.sqlContext
     val pIn = MemoryStream[Ev]
