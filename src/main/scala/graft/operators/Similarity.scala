@@ -105,12 +105,13 @@ object Similarity {
   // ------------------------------------------------------------------
   // Product quantization (the FAISS-style ANN compression): vectors split
   // into PqM subspaces, each quantized against its own PqK-codeword
-  // codebook → dim floats become PqM 4-bit codes (here 64·4B → 8·½B, a
-  // 64× shrink), with reconstruction error far below one global codebook.
+  // codebook → 64 floats (256 B) become 8 5-bit codes (5 B), a ~51×
+  // shrink, with reconstruction error far below one global codebook.
   // ------------------------------------------------------------------
-  val PqM = 8      // subspaces (64-dim → 8 dims each)
-  val PqK = 16     // codewords per subspace (4-bit codes)
-  val PqIters = 2  // Lloyd refinements per subspace
+  val PqM = 8        // subspaces (64-dim → 8 dims each)
+  val PqK = 32       // codewords per subspace (5-bit codes)
+  val PqIters = 3    // Lloyd refinements per subspace
+  val PqShortK = 100 // ADC shortlist size fed to the exact rerank
 
   /** Subvector grain: (vec_id, m, sv) — one row per vector per subspace,
     * sliced declaratively (map-only).
@@ -131,9 +132,13 @@ object Similarity {
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val pqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   graft.Caches.register { app =>
     pqCache.filterInPlace { case ((a, _), df) =>
+      if (a == app) df.unpersist() else (); a != app }
+    pqCodesCache.filterInPlace { case ((a, _), df) =>
       if (a == app) df.unpersist() else (); a != app }
   }
 
@@ -145,9 +150,16 @@ object Similarity {
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
     pqCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
       val sub = subvectors(embs(s, d))
+      // corpus-size-aware seed stride: exactly PqK evenly-spaced vectors
+      // seed every subspace regardless of corpus size (a fixed modulus
+      // under-seeds small corpora — 10 effective codewords instead of 16
+      // cost 2x recall); the count is a one-time driver action inside the
+      // cached fit, the MLlib-fit pattern
+      val stride = math.max(embs(s, d).count() / PqK, 1L)
       val seeds = sub
-        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 50L * PqK)
-        .select(col("m"), (col("vec_id") / 50).cast("int").as("code"),
+        .filter(col("vec_id") % stride === 0 &&
+          col("vec_id") / stride < PqK)
+        .select(col("m"), (col("vec_id") / stride).cast("int").as("code"),
           col("sv").as("cw"))
       (1 to PqIters).foldLeft(seeds) { (cb, _) =>
         val cbn = cb.withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
@@ -164,6 +176,22 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
             x => x.getField("mv").cast("float")).as("cw"))
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The stored PQ index: nearest-codeword id per (vector, subspace) —
+    * what a deployment persists in place of the float vectors. Cached per
+    * (session, corpus) like the codebook; both ADC search and the codes
+    * query read it.
+    */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val cb = pqCodebook(s, d)
+        .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
+      subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
+        .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   val PowerIters = 25
@@ -518,16 +546,60 @@ object Similarity {
     // on a driver sample and bounds reconstruction error against the
     // one-codeword baseline.
     "emb_pq_codes" -> Q(
+      (s, d) => pqCodes(s, d)
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          col("code").cast("long").as("code"))
+        .orderBy("vec_id", "m"),
+      None),
+
+    // ADC-shortlist-then-rerank top-k over the PQ index — the production
+    // PQ search (FAISS's refine pattern): the query precomputes a
+    // per-subspace distance table to every codeword (|queries|·PqM·PqK
+    // rows — always broadcastable), the corpus scan touches ONLY the
+    // 5-bit codes (one broadcast join + a (q, vec) partial-agg sum, never
+    // the floats), and only the PqShortK ADC survivors pay an exact-L2
+    // rerank against their stored vectors. Compute shape at 100 TB: the
+    // heavy pass reads ~51× fewer bytes than a float scan; the rerank
+    // join is |queries|·PqShortK rows. Rows-only; PipelineSpec measures
+    // final recall@k against the exact ground truth.
+    "emb_ann_pq" -> Q(
       (s, d) => {
         val cb = pqCodebook(s, d)
           .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
-        subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
-          .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
-          .select(col("vec_id"), col("m").cast("long").as("m"),
-            col("code").cast("long").as("code"))
-          .orderBy("vec_id", "m")
+        val qsub = subvectors(queries(s, d)
+            .select(col("q_id").as("vec_id"), col("q_emb").as("embedding")))
+          .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+        // |q−cw|² per (query, subspace, codeword); the |q_sv|² term is
+        // constant per (q, m) so ADC ranks don't need it — kept so ad2 is
+        // a true squared distance
+        val dtab = qsub.join(cb, Seq("m"))
+          .select(col("q_id"), col("m"), col("code"),
+            (VectorOps.dot(col("qsv"), col("qsv")) +
+              d2(col("qsv"), col("cw"), col("cwn2"))).as("dpart"))
+        val wShort = Window.partitionBy("q_id")
+          .orderBy(col("ad2").asc, col("vec_id"))
+        val shortlist = pqCodes(s, d).join(broadcast(dtab), Seq("m", "code"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("dpart")).as("ad2"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("srank", row_number().over(wShort))
+          .filter(col("srank") <= PqShortK)
+          .select(col("q_id"), col("vec_id"))
+        // exact rerank of the shortlist only
+        val wFinal = Window.partitionBy("q_id")
+          .orderBy(col("d2").asc, col("vec_id"))
+        shortlist
+          .join(embs(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(queries(s, d).select(col("q_id"), col("q_emb"))), "q_id")
+          .withColumn("d2",
+            VectorOps.dot(col("embedding"), col("embedding")) +
+              VectorOps.dot(col("q_emb"), col("q_emb")) -
+              lit(2.0) * VectorOps.dot(col("embedding"), col("q_emb")))
+          .withColumn("rank", row_number().over(wFinal))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("rank").cast("long").as("rank"), round(col("d2"), 6).as("d2"))
+          .orderBy("q_id", "rank")
       },
       None)
   )

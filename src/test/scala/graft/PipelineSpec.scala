@@ -362,6 +362,31 @@ class PipelineSpec extends SparkSpec {
     assert(pqErr < baseErr * 0.9, s"pq $pqErr vs baseline $baseErr")
   }
 
+  test("emb_ann_pq: ADC search recalls the exact L2 neighbors") {
+    val pq = run("emb_ann_pq").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val embAll = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val k = operators.Similarity.TopK
+    assert(pq.nonEmpty && pq.values.forall(_.size == k))
+    val recalls = pq.map { case (q, approx) =>
+      val exact = embAll.toSeq.filter(_._1 != q)
+        .map { case (id, v) => id -> l2(embAll(q), v) }
+        .sortBy { case (id, dd) => (dd, id) }.take(k).map(_._1).toSet
+      approx.intersect(exact).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    // ADC-shortlist(100) + exact rerank measured 0.90 recall@10 on this
+    // corpus (a weak-structure near-isotropic case); 0.75 leaves margin
+    // for seed-stride variation while still proving the shortlist carries
+    // the true neighborhood
+    assert(avg >= 0.75, s"avg recall@$k $avg (${recalls.toSeq.sorted})")
+  }
+
   test("emb_semantic_dedup: kept vectors are pairwise distinct, drops are justified") {
     val rows = run("emb_semantic_dedup").collect()
     val embAll = Tables.embeddings(spark, sf).collect()
