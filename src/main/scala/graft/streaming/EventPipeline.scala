@@ -148,6 +148,70 @@ object EventPipeline {
       }
   }
 
+  /** The same timeout sessionization on `transformWithState` — Spark 4's
+    * arbitrary-state API (typed state handles + first-class event-time
+    * timers on the RocksDB provider, the successor to
+    * flatMapGroupsWithState). Timers are registered per state update and
+    * checked for staleness on expiry (a superseded timer fires and is
+    * ignored) rather than deleted eagerly — delete would need the exact
+    * previously-registered value, which also depended on the watermark at
+    * registration time.
+    */
+  class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else null
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        if (st == null) st = SessionState(t, t, 1)
+        else if (t - st.last > GapMicros) {
+          closed += Session(key, fromMicros(st.start), fromMicros(st.last), st.n)
+          st = SessionState(t, t, 1)
+        } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
+      }
+      if (st != null) {
+        state.update(st)
+        getHandle.registerTimer(math.max((st.last + GapMicros) / 1000 + 1,
+          tv.getCurrentWatermarkInMs + 1))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (state.exists()) {
+        val st = state.get()
+        // staleness check: only close when the session is REALLY idle past
+        // the gap under the current watermark
+        if (tv.getCurrentWatermarkInMs >= (st.last + GapMicros) / 1000) {
+          state.clear()
+          Iterator(Session(key, fromMicros(st.start), fromMicros(st.last), st.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[Session])
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks by the same user
     * within the preceding attribution window. In streaming, the watermarks
     * + the time-range condition bound both sides' state (Spark evicts rows

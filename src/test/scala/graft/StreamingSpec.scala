@@ -117,6 +117,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the batch sessions end-to-end") {
+    // Spark 4's arbitrary-state API (typed handles + event-time timers);
+    // requires the RocksDB provider — run under the tuned configuration
+    implicit val sc = spark.sqlContext
+    graft.streaming.StateStoreTuning.withTuned(spark) {
+      val in = MemoryStream[Ev]
+      val q = EventPipeline.sessionizeTws(in.toDS())
+        .writeStream.format("memory").queryName("sesstws").outputMode("append").start()
+      try {
+        in.addData(eventsData)
+        q.processAllAvailable()
+        val maxTs = eventsData.map(_.ts.getTime).max
+        val flush = new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000)
+        in.addData(Seq(Ev(999999905L, flush, -1L, "sentinel", 0.0)))
+        q.processAllAvailable()
+        in.addData(Seq(Ev(999999906L, flush, -2L, "sentinel", 0.0)))
+        q.processAllAvailable()
+        val streamed = spark.table("sesstws")
+          .filter(col("user_id") >= 0)
+          .select("user_id", "session_start", "session_end", "n_events")
+          .collect().map(_.toString).toSet
+        val batch = SparkEntry.queries("ev_sessionize")(spark, sf)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .collect().map(_.toString).toSet
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join matches the batch join") {
     implicit val sc = spark.sqlContext
     val pIn = MemoryStream[Ev]
