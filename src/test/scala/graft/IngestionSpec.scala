@@ -199,4 +199,27 @@ class IngestionSpec extends SparkSpec {
       third.newFiles == Seq("client_1_c.jsonl") &&
       third.skippedFiles.size == 2)
   }
+
+  test("Views registers the SQL surface: canonical model and operators query via spark.sql") {
+    Views.register(spark, sf)
+    // canonical model through SQL == the typed Dataset surface
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, count(DISTINCT canonical_txn_id) AS k FROM graft_can_txn")
+      .collect()(0)
+    val ds = operators.Ingestion.canTxn(spark, sf)
+    assert(viaSql.getAs[Long]("n") == ds.count())
+    assert(viaSql.getAs[Long]("k") ==
+      ds.select("canonical_txn_id").distinct().count())
+    // cross-view SQL join: headers x their line items
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM graft_can_txn h
+        |JOIN graft_can_txn_line l ON h.canonical_txn_id = l.canonical_txn_id"""
+        .stripMargin).collect()(0).getAs[Long]("n")
+    assert(joined > 0)
+    // any operator result on demand
+    Views.registerQuery(spark, sf, "q1_agg")
+    val opRows = spark.sql("SELECT * FROM graft_q1_agg").collect().map(_.toString)
+    assert(opRows.sameElements(SparkEntry.queries("q1_agg")(spark, sf)
+      .collect().map(_.toString)))
+  }
 }
