@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Views {
 
+  // events is NOT in this list: its TIMESTAMP(NANOS) column needs the
+  // nanosAsLong conversion Tables.events applies — a raw Tables.table read
+  // throws on schema inference in any session that hasn't set the legacy
+  // conf yet (exactly the fresh-session case register is for)
   private val baseTables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+    "part", "orders", "lineitem", "documents", "embeddings")
 
   /** `graft_<table>` for every base table and `graft_can_txn` /
     * `graft_can_txn_line` / `graft_can_txn_anomaly` for the canonical

@@ -272,8 +272,12 @@ object Curation {
           (lit(200) + (col("id") % 5) * 150).as("rate_permille"))
         docs(s, d)
           .join(broadcast(rates), "source")
-          .filter((col("doc_id") * 1103515245L + 12345L) % SampleMod
-            < col("rate_permille"))
+          // doc_id reduced mod a prime BEFORE the LCG multiply: raw
+          // billion-range ids overflow Long under ANSI (the sf1 failure),
+          // and the reduction keeps the keep-decision row-local + exact
+          // in both engines
+          .filter(((col("doc_id") % 1000000007L) * 1103515245L + 12345L)
+            % SampleMod < col("rate_permille"))
           .select(col("doc_id"), col("source"), col("rate_permille"))
           .orderBy("doc_id")
       },
@@ -283,7 +287,7 @@ object Curation {
         |  FROM generate_series(0, 19) t(i))
         |SELECT doc_id, d.source, rate_permille
         |FROM documents d JOIN rates r ON d.source = r.source
-        |WHERE (doc_id * 1103515245 + 12345) % 1000 < rate_permille
+        |WHERE ((doc_id % 1000000007) * 1103515245 + 12345) % 1000 < rate_permille
         |ORDER BY doc_id""".stripMargin),
 
     // ----------------------------------------------------------------
@@ -330,7 +334,10 @@ object Curation {
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("source"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("shard", (col("doc_id") * 1103515245L + 12345L) % 16)
+        // mod-prime reduction before the LCG multiply — see
+        // doc_sample_stratified (raw billion-range ids overflow under ANSI)
+        .withColumn("shard",
+          ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 16)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -338,7 +345,7 @@ object Curation {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("shard"),
-      """SELECT (doc_id * 1103515245 + 12345) % 16 AS shard,
+      """SELECT ((doc_id % 1000000007) * 1103515245 + 12345) % 16 AS shard,
         |  count(*) AS n_docs,
         |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint)
         |    AS total_tokens,

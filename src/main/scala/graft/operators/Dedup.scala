@@ -146,9 +146,18 @@ object Dedup {
     rareFingerprints(s, d).count()
 
   /** Deterministic containment candidates: pairs sharing ≥ 2 rare shingles
-    * (df ≤ MaxFpDf) from the inverted index. No hashing randomness is
-    * involved, so the blocking is exactly re-derivable by the SQL oracle —
-    * the property that lets both containment operators hash-match DuckDB.
+    * (df ≤ MaxFpDf) from the inverted index, UNIONed with each exact-dup
+    * group's (canonical, member) pairs. No hashing randomness is involved,
+    * so the blocking is exactly re-derivable by the SQL oracle — the
+    * property that lets both containment operators hash-match DuckDB.
+    *
+    * Why the union: the df-prune is what bounds bucket occupancy at scale,
+    * but it also means a document duplicated MORE than MaxFpDf times has
+    * no rare shingles at all — its dup pairs would silently vanish from
+    * the candidate set, precisely the high-volume boilerplate case a
+    * containment dedup exists to catch. The exact-dup supplement restores
+    * those pairs at linear cost (one pair per group member, via the
+    * group's min-id canonical — never the quadratic all-pairs).
     */
   private def containmentCandidates(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
@@ -157,13 +166,20 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= MaxFpDf)
       .select("doc_id", "g")
-    rare
+    val shingled = rare
       .join(rare.select(col("doc_id").as("doc_id_b"), col("g")), Seq("g"))
       .filter(col("doc_id") < col("doc_id_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select("doc_a", "doc_b")
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")
+    val exact = docs(s, d)
+      .withColumn("norm_hash", sha2(TextOps.normalized(col("text")), 256))
+      .withColumn("canon", min("doc_id").over(wx))
+      .filter(col("doc_id") > col("canon"))
+      .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"))
+    shingled.union(exact).distinct()
   }
 
   /** DuckDB CTEs `t`, `s`: per-doc distinct word-3-gram shingle sets in
@@ -189,10 +205,16 @@ object Dedup {
     s"""ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
        |dfq AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex),
        |rare AS (SELECT doc_id, g FROM dfq WHERE df <= $MaxFpDf),
+       |xg AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY
+       |    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+       |  FROM documents),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |  UNION
+       |  SELECT canon AS doc_a, doc_id AS doc_b FROM xg WHERE doc_id > canon)""".stripMargin
 
   val defs: Map[String, Q] = Map(
     // Exact dedup on the normalized-text sha2: group id = hash, canonical

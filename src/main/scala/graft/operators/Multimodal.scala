@@ -137,8 +137,14 @@ object Multimodal {
             length(col("payload")).cast("long").as("n_bytes"),
             col("meta.width").cast("long").as("width"),
             col("meta.height").cast("long").as("height"))
+          // greatest(n_bytes, 1): an empty payload still yields one
+          // zero-length frame in frameSample (sequence(0, 0, stride)),
+          // and without the clamp Spark's div (truncate toward zero) and
+          // DuckDB's // (floor) disagree on (0-1)/64 — a latent oracle
+          // mismatch on any corpus with an empty document
           .withColumn("n_frames_sampled",
-            expr(s"((n_bytes - 1) div $FrameBytes) div $FrameStride + 1"))
+            expr(s"((greatest(n_bytes, 1) - 1) div $FrameBytes)" +
+              s" div $FrameStride + 1"))
           .groupBy("media_format")
           .agg(count(lit(1)).as("n_media"),
             sum("n_bytes").cast("long").as("total_bytes"),
@@ -161,8 +167,8 @@ object Multimodal {
          |  round(avg(n_bytes), 6) AS avg_bytes,
          |  round(avg(width), 6) AS avg_width,
          |  round(avg(height), 6) AS avg_height,
-         |  cast(sum((n_bytes - 1) // $FrameBytes // $FrameStride + 1) as bigint)
-         |    AS n_frames_sampled
+         |  cast(sum((greatest(n_bytes, 1) - 1) // $FrameBytes // $FrameStride + 1)
+         |    as bigint) AS n_frames_sampled
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Flattened to scalar columns for the driver's parquet dump.

@@ -481,21 +481,38 @@ object Timeseries {
     // per event, lateness = how far behind the maximum event time already
     // seen (in arrival order = event_id here) it arrived; the histogram's
     // tail tells you what `withWatermark` delay keeps completeness at any
-    // chosen percentile. One running-max window + one tiny bucket agg.
+    // chosen percentile. The global running max is computed in TWO passes
+    // (per-chunk exclusive running max + an exclusive prefix max over the
+    // tiny chunk-grain table, broadcast back) — an unpartitioned window
+    // would funnel the whole table through ONE task, the canonical
+    // prefix-scan scale-killer. Buckets test the RAW micro lateness, as
+    // the oracle does: `late_s == 0` would misfile sub-second-late events
+    // as on-time.
     "ev_late_arrivals" -> Q(
       (s, d) => {
-        val arrival = Window.orderBy("event_id")
+        val chunkSize = 65536L
+        val base = ev(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("chunk", expr(s"event_id div $chunkSize"))
+        val wIn = Window.partitionBy("chunk").orderBy("event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        ev(s, d)
-          .select(col("event_id"), col("ts"))
-          .withColumn("hwm", max(unix_micros(col("ts"))).over(arrival))
-          // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
-          // 60.5 s lateness would then bucket differently than the
-          // oracle's integer floor-division
+        // chunk grain is |events|/65536 rows — the single-partition prefix
+        // window is over THAT, not the events
+        val wPrev = Window.orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunkPrev = base.groupBy("chunk").agg(max("us").as("cmax"))
+          .withColumn("pmax", max("cmax").over(wPrev))
+          .select("chunk", "pmax")
+        base
+          .join(broadcast(chunkPrev), "chunk")
+          // greatest skips nulls: first row of a chunk has no inner max,
+          // chunk 0 has no prefix max, the overall first row has neither
+          .withColumn("hwm", greatest(max(col("us")).over(wIn), col("pmax")))
+          .withColumn("late_us", col("hwm") - col("us"))
           .withColumn("late_s",
-            greatest(expr("(hwm - unix_micros(ts)) div 1000000"), lit(0L)))
+            greatest(expr("late_us div 1000000"), lit(0L)))
           .withColumn("bucket",
-            when(col("hwm").isNull || col("late_s") === 0, "on_time")
+            when(col("hwm").isNull || col("late_us") <= 0, "on_time")
               .when(col("late_s") <= 60, "within_1m")
               .when(col("late_s") <= 600, "within_10m")
               .when(col("late_s") <= 3600, "within_1h")

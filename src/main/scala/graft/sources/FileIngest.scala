@@ -23,12 +23,17 @@ object FileIngest {
   def jsonLines(s: SparkSession, path: String): DataFrame =
     textLines(s, path, "JSON")
 
-  /** Positional CSV: payload surfaces as array<string>, the same shape the
-    * CSV HeaderNormalizer branch consumes.
+  /** The CSV payload contract in ONE place: positional split to
+    * array<string>, the shape the CSV HeaderNormalizer branch consumes —
+    * both the full-load and incremental paths route through it so a
+    * future delimiter/quote change can't drift between them.
     */
+  private def csvPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", split(col("payload").cast("string"), ","))
+
+  /** Positional CSV: payload surfaces as array<string>. */
   def csvLines(s: SparkSession, path: String): DataFrame =
-    textLines(s, path, "CSV")
-      .withColumn("payload", split(col("payload"), ","))
+    csvPayload(textLines(s, path, "CSV"))
 
   /** One XML document per line. */
   def xmlLines(s: SparkSession, path: String): DataFrame =
@@ -92,8 +97,7 @@ object FileIngest {
     val base =
       if (fresh.isEmpty) emptyLines(s)
       else textLines(s, fresh.map(n => new java.io.File(dir, n).toString), fmt)
-    val rows = if (fmt == "CSV") base.withColumn("payload",
-      split(col("payload").cast("string"), ",")) else base
+    val rows = if (fmt == "CSV") csvPayload(base) else base
     Incremental(rows, fresh, skip)
   }
 

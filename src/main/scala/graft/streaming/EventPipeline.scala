@@ -281,6 +281,11 @@ object EventPipeline {
     try {
       val touched = incoming.select("_bucket").distinct()
         .collect().map(_.getLong(0))
+      // an empty micro-batch (Spark does deliver them) must NOT commit: a
+      // zero-bucket manifest would make readTable throw on schema
+      // inference, and re-running the empty batch is a harmless no-op, so
+      // skipping the lastBatch advance is safe
+      if (touched.isEmpty) return
       val replaced = touched.map { b =>
         val inc = incoming.filter(col("_bucket") === b).drop("_bucket")
         val merged = manifest.buckets.get(b) match {

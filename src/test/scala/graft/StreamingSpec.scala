@@ -327,11 +327,13 @@ class StreamingSpec extends SparkSpec {
         in.addData(sample)
         q1.processAllAvailable()
       } finally q1.stop()
-      // restart from the changelog checkpoint; replay the same keys — the
-      // restored dedup state must drop all of them
+      // restart from the changelog checkpoint; replay keys from the
+      // NEWEST events — the oldest ones sit below the recovered watermark
+      // and would be dropped as late whether or not state was restored,
+      // proving nothing about the checkpoint
       val q2 = start()
       try {
-        in.addData(sample.take(80))
+        in.addData(sample.takeRight(80))
         q2.processAllAvailable()
         val out = spark.read.parquet(outDir)
         assert(out.count() == 200)
@@ -438,6 +440,13 @@ class StreamingSpec extends SparkSpec {
     EventPipeline.mergeUpsertSink(target)(
       spark.createDataset(extra).toDF(), 1L)
     assert(ManifestTable.read(root).get.version == v)
+
+    // an EMPTY micro-batch (Spark delivers them) must not commit a new
+    // version — a zero-bucket manifest would break every reader
+    EventPipeline.mergeUpsertSink(target)(
+      spark.createDataset(Seq.empty[Ev]).toDF(), 2L)
+    assert(ManifestTable.read(root).get.version == v)
+    assert(ManifestTable.readTable(spark, target).count() == 150)
   }
 
   test("manifest point lookup prunes to covering buckets and matches a full scan") {
