@@ -52,17 +52,7 @@ object Dedup {
     * re-join onto the deduped pairs afterwards — a per-doc-keyed join that
     * AQE broadcasts when the sig table is small.
     */
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  graft.Caches.register { app =>
-    candCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-    fpCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-    shCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-  }
+  private val candCache = graft.Caches.dfCache()
 
   /** Hashed shingle sets (64-bit per shingle), materialized per
     * (session, dir): the verify-stage operators join this table on BOTH
@@ -71,22 +61,18 @@ object Dedup {
     * query. Forced by `buildCandidates` so Bench charges it to the
     * candidate-index build, not a hidden first iteration.
     */
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val shCache = graft.Caches.dfCache()
 
   // lazily persisted: buildCandidates (or the first consuming query)
   // forces the single materializing scan
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    shCache.getOrElseUpdate(s, d)(
       shingleSets(s, d)
         .select(col("doc_id"),
-          array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh")))
 
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate((s.sparkContext.applicationId, d),
-      lshCandidatesUncached(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    candCache.getOrElseUpdate(s, d)(lshCandidatesUncached(s, d))
 
   private def lshCandidatesUncached(s: SparkSession, d: String): DataFrame = {
     val sg = sigs(s, d)
@@ -121,11 +107,10 @@ object Dedup {
     * persist BOTH join sides would recompute the char-gram hash + winnow
     * subtree (the dominant cost).
     */
-  private val fpCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val fpCache = graft.Caches.dfCache()
 
   private def rareFingerprints(s: SparkSession, d: String): DataFrame =
-    fpCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    fpCache.getOrElseUpdate(s, d) {
       // df-filter as a window count over the fp shuffle: ONE pass over the
       // corpus and ONE shuffle (winnowFromHashes already array_distincts
       // per doc, so the exploded (doc, fp) pairs are unique — no global
@@ -138,8 +123,7 @@ object Dedup {
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxFpDf)
         .drop("df")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Force the one-time fingerprint-index build (Bench line item). */
   def buildFingerprints(s: SparkSession, d: String): Long =

@@ -57,22 +57,14 @@ object Similarity {
     * trains centroids. Recall is tunable via `Probes` at ~n/C scan cost
     * per extra probe.
     */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  graft.Caches.register { app =>
-    centCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-  }
+  private val centCache = graft.Caches.dfCache()
 
   /** The fitted index is trained once per (session, corpus) and persisted —
     * the in-process analogue of storing a trained IVF index; every probe
     * re-deriving the Lloyd chain would re-pay the fit.
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    centCache.getOrElseUpdate((s.sparkContext.applicationId, d),
-      fitCentroids(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    centCache.getOrElseUpdate(s, d)(fitCentroids(s, d))
 
   private def fitCentroids(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -98,13 +90,7 @@ object Similarity {
     }
   }
 
-  private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  graft.Caches.register { app =>
-    assignCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-  }
+  private val assignCache = graft.Caches.dfCache()
 
   /** Cached IVF assignment — (vec_id, c_id, embedding, nrm), the "which
     * cell does each vector live in" table both the probe query and
@@ -113,7 +99,7 @@ object Similarity {
     * times → 3× its dominant cost).
     */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    assignCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    assignCache.getOrElseUpdate(s, d) {
       val e = embs(s, d)
       val c = centroids(s, d)
       e.join(broadcast(c), lit(true))
@@ -123,8 +109,7 @@ object Similarity {
         .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
           first(col("embedding")).as("embedding"),
           first(col("nrm")).as("nrm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Force the one-time IVF index fit (Bench line item). */
   def buildIndex(s: SparkSession, d: String): Long =
@@ -158,17 +143,8 @@ object Similarity {
   private def d2(sv: Column, cw: Column, cwn2: Column): Column =
     cwn2 - lit(2.0) * VectorOps.dot(sv, cw)
 
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private val pqCodesCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  graft.Caches.register { app =>
-    pqCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-    pqCodesCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-  }
+  private val pqCache = graft.Caches.dfCache()
+  private val pqCodesCache = graft.Caches.dfCache()
 
   /** Per-subspace codebooks, k-means-fitted distributively exactly like the
     * IVF centroids (deterministic seeds, Lloyd via broadcast E-step +
@@ -176,7 +152,7 @@ object Similarity {
     * broadcastable), trained once per (session, corpus).
     */
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
-    pqCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    pqCache.getOrElseUpdate(s, d) {
       val sub = subvectors(embs(s, d))
       // seed selection must not assume ANYTHING about the id layout: a
       // modulus stride collapses under sparse/offset ids (e.g. replicated
@@ -206,8 +182,8 @@ object Similarity {
           .groupBy("m", "code")
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
             x => x.getField("mv").cast("float")).as("cw"))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      }
+    }
 
   /** The stored PQ index: nearest-codeword id per (vector, subspace) —
     * what a deployment persists in place of the float vectors. Cached per
@@ -215,25 +191,18 @@ object Similarity {
     * query read it.
     */
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
-    pqCodesCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    pqCodesCache.getOrElseUpdate(s, d) {
       val cb = pqCodebook(s, d)
         .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
       subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
         .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   val PowerIters = 25
 
-  private val pcaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
-  graft.Caches.register { app =>
-    pcaCache.filterInPlace { case ((a, _), df) =>
-      if (a == app) df.unpersist() else (); a != app }
-  }
+  private val pcaCache = graft.Caches.dfCache()
 
   /** Dominant principal component of the embedding covariance by power
     * iteration — iterative distributed linear algebra as DataFrame ops.
@@ -245,7 +214,7 @@ object Similarity {
     * component is cached per (session, corpus) like the IVF index.
     */
   private def dominantComponent(s: SparkSession, d: String): DataFrame =
-    pcaCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    pcaCache.getOrElseUpdate(s, d) {
       import s.implicits._
       val raw = Tables.embeddings(s, d).select(col("embedding"))
       val mu = raw.select(posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -282,10 +251,9 @@ object Similarity {
       val out = v.zipWithIndex
         .map { case (x, j) => (j, x, lambda) }.toSeq
         .toDF("dim", "loading", "lambda")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       out
-    })
+    }
 
   /** Force the one-time PCA fit (Bench line item). */
   def buildPca(s: SparkSession, d: String): Long =

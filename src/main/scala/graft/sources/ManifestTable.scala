@@ -75,19 +75,26 @@ object ManifestTable {
     */
   val RetainVersions = 3
 
-  /** Publish: write the immutable per-version manifest (`.v{N}`, the
-    * time-travel handle), then the live pointer beside it and one atomic
-    * rename. REPLACE_EXISTING + ATOMIC_MOVE means a reader either sees the
-    * old complete manifest or the new complete manifest, never a partial
-    * write and never a missing file. Crash between the two writes leaves
-    * an unreferenced `.v` file the next gc clears — never a corrupt table.
+  /** Publish: the live pointer swaps FIRST (atomic rename), then the
+    * immutable per-version manifest (`.v{N}`, the time-travel handle) is
+    * written — also through a tmp + ATOMIC_MOVE, so a version-addressed
+    * reader can never parse a torn file. The ordering matters: writing
+    * the `.v` file before the live swap would let time travel serve a
+    * never-committed snapshot after a crash in the window between the
+    * two writes. With live-first, that crash only leaves the committed
+    * version's `.v` file missing — `readTable(Some(v))` falls back to
+    * the live manifest when the versions match, so even that window
+    * reads cleanly.
     */
   def commit(root: File, m: Manifest): Unit = {
     Files.createDirectories(root.toPath)
-    Files.write(versionFile(root, m.version).toPath, render(m).getBytes(UTF_8))
     val tmp = new File(root, s".${ManifestName}.tmp")
     Files.write(tmp.toPath, render(m).getBytes(UTF_8))
     Files.move(tmp.toPath, new File(root, ManifestName).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    val vtmp = new File(root, s".${ManifestName}.v.tmp")
+    Files.write(vtmp.toPath, render(m).getBytes(UTF_8))
+    Files.move(vtmp.toPath, versionFile(root, m.version).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
@@ -143,9 +150,15 @@ object ManifestTable {
           s"no $ManifestName under $root"))
       case Some(v) =>
         val f = versionFile(rootF, v)
-        if (!f.exists) throw new java.io.FileNotFoundException(
-          s"version $v of $root is not retained (window $RetainVersions)")
-        parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+        if (f.exists) parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+        else {
+          // crash window: live pointer swapped but the .v file didn't land
+          // — the live manifest IS that version, serve it
+          val live = read(rootF)
+          if (live.exists(_.version == v)) live.get
+          else throw new java.io.FileNotFoundException(
+            s"version $v of $root is not retained (window $RetainVersions)")
+        }
     }
     val dirs = m.buckets.values.toSeq.sorted.map(rel => new File(root, rel).toString)
     spark.read.parquet(dirs: _*)
@@ -160,11 +173,15 @@ object ManifestTable {
     */
   def bucketsForKeys(spark: SparkSession, keys: Seq[Long],
       numBuckets: Int): Seq[Long] = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    import spark.implicits._
-    keys.toDF("k")
-      .select(pmod(xxhash64(col("k")), lit(numBuckets)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // evaluate the SAME Catalyst expression the writer's
+    // pmod(xxhash64(col), lit(n)) compiles to, driver-side: a point
+    // lookup must stay metadata-only — launching a Spark job to hash five
+    // literals would pay the very scheduling latency pruning avoids
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    keys.map { k =>
+      val h = XxHash64(Seq(Literal(k)), 42L).eval(null).asInstanceOf[Long]
+      ((h % numBuckets) + numBuckets) % numBuckets
+    }.distinct
   }
 
   def readTableForKeys(spark: SparkSession, root: String, keyCol: String,

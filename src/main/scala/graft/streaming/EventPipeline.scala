@@ -33,6 +33,29 @@ object EventPipeline {
   private def toMicros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
+  /** The gap-session fold ALL three sessionization variants share
+    * (flatMapGroupsWithState with and without timeout, and the
+    * transformWithState processor): sort the batch slice, close a session
+    * on every gap crossing, extend otherwise. One copy — a future change
+    * to the gap rule cannot diverge the variants, whose specs each assert
+    * equivalence with the batch formulation.
+    */
+  private def foldSessions(userId: Long, evs: Seq[Ev],
+      initial: SessionState): (Seq[Session], SessionState) = {
+    val sorted = evs.sortBy(e => (toMicros(e.ts), e.event_id))
+    var st = initial
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      if (st == null) st = SessionState(t, t, 1)
+      else if (t - st.last > GapMicros) {
+        closed += Session(userId, fromMicros(st.start), fromMicros(st.last), st.n)
+        st = SessionState(t, t, 1)
+      } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
+    }
+    (closed.result(), st)
+  }
+
   private def fromMicros(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -84,19 +107,9 @@ object EventPipeline {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
-            if (st == null) st = SessionState(t, t, 1)
-            else if (t - st.last > GapMicros) {
-              closed += Session(userId, fromMicros(st.start), fromMicros(st.last), st.n)
-              st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
-          }
+          val (closed, st) = foldSessions(userId, evs.toSeq, state.getOption.orNull)
           if (st != null) state.update(st)
-          closed.result().iterator
+          closed.iterator
       }
   }
 
@@ -123,17 +136,7 @@ object EventPipeline {
             state.remove()
             Iterator(Session(userId, fromMicros(st.start), fromMicros(st.last), st.n))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-            var st = state.getOption.orNull
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = toMicros(e.ts)
-              if (st == null) st = SessionState(t, t, 1)
-              else if (t - st.last > GapMicros) {
-                closed += Session(userId, fromMicros(st.start), fromMicros(st.last), st.n)
-                st = SessionState(t, t, 1)
-              } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
-            }
+            val (closed, st) = foldSessions(userId, evs.toSeq, state.getOption.orNull)
             if (st != null) {
               state.update(st)
               // arm the gap timeout; must stay strictly above the current
@@ -143,7 +146,7 @@ object EventPipeline {
               state.setTimeoutTimestamp(
                 math.max(fireAt, state.getCurrentWatermarkMs + 1))
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }
@@ -151,50 +154,51 @@ object EventPipeline {
   /** The same timeout sessionization on `transformWithState` — Spark 4's
     * arbitrary-state API (typed state handles + first-class event-time
     * timers on the RocksDB provider, the successor to
-    * flatMapGroupsWithState). Timers are registered per state update and
-    * checked for staleness on expiry (a superseded timer fires and is
-    * ignored) rather than deleted eagerly — delete would need the exact
-    * previously-registered value, which also depended on the watermark at
-    * registration time.
+    * flatMapGroupsWithState). The previously-registered expiry is kept in
+    * its own ValueState so each state update DELETES the superseded timer
+    * before arming the new one — without that, a continuously-active key
+    * accretes one pending timer per micro-batch in the timer column
+    * family until the watermark catches up. A staleness check on expiry
+    * stays as the backstop.
     */
   class SessionizeProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var state: ValueState[SessionState] = _
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionState]("session",
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-      var st = if (state.exists()) state.get() else null
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val t = toMicros(e.ts)
-        if (st == null) st = SessionState(t, t, 1)
-        else if (t - st.last > GapMicros) {
-          closed += Session(key, fromMicros(st.start), fromMicros(st.last), st.n)
-          st = SessionState(t, t, 1)
-        } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
-      }
+      val prev = if (state.exists()) state.get() else null
+      val (closed, st) = foldSessions(key, rows.toSeq, prev)
       if (st != null) {
         state.update(st)
-        getHandle.registerTimer(math.max((st.last + GapMicros) / 1000 + 1,
-          tv.getCurrentWatermarkInMs + 1))
+        val fireAt = math.max((st.last + GapMicros) / 1000 + 1,
+          tv.getCurrentWatermarkInMs + 1)
+        if (armed.exists() && armed.get() != fireAt)
+          getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(fireAt)
+        armed.update(fireAt)
       }
-      closed.result().iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[Session] = {
       if (state.exists()) {
         val st = state.get()
-        // staleness check: only close when the session is REALLY idle past
-        // the gap under the current watermark
+        // staleness backstop: only close when the session is REALLY idle
+        // past the gap under the current watermark
         if (tv.getCurrentWatermarkInMs >= (st.last + GapMicros) / 1000) {
           state.clear()
+          armed.clear()
           Iterator(Session(key, fromMicros(st.start), fromMicros(st.last), st.n))
         } else Iterator.empty
       } else Iterator.empty

@@ -31,7 +31,10 @@ object StateStoreTuning {
     "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> maxMemoryMB.toString,
     // favor batch latency over compaction debt: background compaction, not
     // on every commit
-    "spark.sql.streaming.stateStore.rocksdb.compactOnCommit" -> "false")
+    "spark.sql.streaming.stateStore.rocksdb.compactOnCommit" -> "false",
+    // keep store instances loaded between batches — reloading from the
+    // checkpoint every commit would dominate short triggers
+    "spark.sql.streaming.stateStore.unloadOnCommit" -> "false")
 
   /** Apply the tuned confs for the duration of `f`, restoring the previous
     * session values after (unset keys are unset again).
