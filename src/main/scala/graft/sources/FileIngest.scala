@@ -101,17 +101,25 @@ object FileIngest {
     Incremental(rows, fresh, skip)
   }
 
-  private def emptyLines(s: SparkSession): DataFrame = {
+  /** The staging-row contract as a schema constant — emptyLines derives
+    * from it and textLines' output is asserted against it in
+    * IngestionSpec, so the empty-directory path cannot drift from the
+    * real one when a column is added or renamed.
+    */
+  private[graft] val stagingSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("src_row_number", LongType),
-        StructField("client_id", StringType),
-        StructField("src_file", StringType),
-        StructField("ingest_ts", TimestampType),
-        StructField("file_type", StringType),
-        StructField("payload", StringType))))
+    StructType(Seq(
+      StructField("src_row_number", LongType),
+      StructField("client_id", StringType),
+      StructField("src_file", StringType),
+      StructField("ingest_ts", TimestampType),
+      StructField("file_type", StringType),
+      StructField("payload", StringType)))
   }
+
+  private def emptyLines(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stagingSchema)
 
   private def textLines(s: SparkSession, path: String, fmt: String): DataFrame =
     textLines(s, Seq(path), fmt)

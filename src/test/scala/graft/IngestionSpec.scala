@@ -150,6 +150,13 @@ class IngestionSpec extends SparkSpec {
       Files.write(Paths.get(dir.toString, name), lines.getBytes("UTF-8"))
       ()
     }
+    // the real-file staging rows must carry exactly the contract schema
+    // emptyLines mirrors (names + types; nullability differs benignly —
+    // file metadata is non-null by construction) — the drift guard for
+    // the empty-directory path
+    assert(sources.FileIngest.jsonLines(spark, dir.toString).schema
+      .map(f => (f.name, f.dataType))
+      == sources.FileIngest.stagingSchema.map(f => (f.name, f.dataType)))
     val fromFiles = ingest.HeaderNormalizer.fromJson(
       sources.FileIngest.jsonLines(spark, dir.toString))
     val inMemory = ingest.HeaderNormalizer.fromJson(
