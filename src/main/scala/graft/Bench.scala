@@ -53,6 +53,7 @@ object Bench {
         operators.Similarity.buildIndex(spark, warmDir)
         operators.Curation.buildClusters(spark, warmDir)
         operators.Similarity.buildPca(spark, warmDir)
+        operators.Similarity.buildPq(spark, warmDir)
       }
     } catch { case _: Throwable => () }
 
@@ -70,7 +71,9 @@ object Bench {
       "build:cc_labels" -> timed("build:cc_labels")(
         operators.Curation.buildClusters(spark, sfDir)),
       "build:pca" -> timed("build:pca")(
-        operators.Similarity.buildPca(spark, sfDir)))
+        operators.Similarity.buildPca(spark, sfDir)),
+      "build:pq_index" -> timed("build:pq_index")(
+        operators.Similarity.buildPq(spark, sfDir)))
       .map { case (k, v) => k -> v.getOrElse(-1.0) }
 
     // dev-only subset filter; unset (driver default) = all queries

@@ -115,6 +115,13 @@ object Similarity {
   def buildIndex(s: SparkSession, d: String): Long =
     centroids(s, d).count() + ivfAssigned(s, d).count()
 
+  /** Force the one-time PQ codebook fit + code assignment (Bench line
+    * item, like the other stored indexes — otherwise the fit hides in
+    * emb_pq_codes' first timed iteration).
+    */
+  def buildPq(s: SparkSession, d: String): Long =
+    pqCodebook(s, d).count() + pqCodes(s, d).count()
+
   // ------------------------------------------------------------------
   // Product quantization (the FAISS-style ANN compression): vectors split
   // into PqM subspaces, each quantized against its own PqK-codeword
