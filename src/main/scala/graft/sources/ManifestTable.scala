@@ -4,62 +4,180 @@ import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Dependency-free atomic-commit table layout — the engine's analogue of the
   * reference's transactional MERGE target (reference
   * sql/05_merge_canonical.sql:1, a Snowflake MERGE whose visibility is
   * governed by the warehouse's commit protocol).
   *
-  * Layout: immutable data directories under `data/`, and ONE mutable object —
-  * the `MANIFEST` file at the table root. Readers resolve the table's file
-  * list exclusively through the manifest, so data files are invisible until
-  * a commit publishes them; writers write data first, then atomically
-  * replace the manifest (`Files.move` with `ATOMIC_MOVE`, a single rename
-  * syscall on POSIX). A crash at ANY point before the rename leaves the
-  * previously-committed table byte-identical and fully readable; the
+  * Layout: immutable data directories under `data/<table>/`, and ONE mutable
+  * object — the `MANIFEST` file at the table root. Readers resolve every
+  * table's file list exclusively through the manifest, so data files are
+  * invisible until a commit publishes them; writers write data first, then
+  * atomically replace the manifest (`Files.move` with `ATOMIC_MOVE`, a single
+  * rename syscall on POSIX). A crash at ANY point before the rename leaves
+  * the previously-committed state byte-identical and fully readable; the
   * orphaned data dirs are garbage-collected by the next successful commit.
-  * This is the same two-phase shape Delta/Iceberg use (write files → swap
-  * one metadata pointer), restated with zero dependencies; on real object
-  * storage the rename becomes the table format's metadata-swap primitive.
+  * This is the same two-phase shape Delta/Iceberg use (write files → swap one
+  * metadata pointer), restated with zero dependencies; on real object storage
+  * the rename becomes the table format's metadata-swap primitive.
   *
-  * The manifest also records the last committed streaming batch id, making
-  * foreachBatch replays after a crash detectable as exact no-ops (micro-batch
-  * ids are stable across restarts — the Structured Streaming sink contract).
+  * One manifest spans MULTIPLE tables: a micro-batch that merges the
+  * canonical header, line, and anomaly grains publishes all three with the
+  * SAME pointer swap, so a crash can never expose a header without its lines
+  * — the multi-table transaction the reference gets from warehouse commit
+  * semantics (sql/05_merge_canonical.sql:1 + sql/06_anomaly_detection.sql:1).
+  *
+  * Replay detection keys on (queryId, batchId), not batchId alone:
+  * micro-batch ids are only stable per checkpoint, so a query restarted with
+  * a FRESH checkpoint (ids reset to 0) against an existing table must not
+  * have its batches skipped — on a query-id mismatch the merge proceeds and
+  * the manifest adopts the new id (the Delta txn-identity pattern).
+  *
+  * The manifest also records each table's schema (as Spark StructType JSON)
+  * and per-bucket min/max column stats:
+  *   - schema versioning lets a column added mid-stream publish cleanly —
+  *     older generation dirs null-backfill on read because every reader scans
+  *     under the manifest's unified schema;
+  *   - bucket stats (observed during the write pass via `Dataset.observe`,
+  *     zero extra scans) let range predicates on NON-bucket-key columns skip
+  *     buckets whose [min,max] can't overlap — the micro-partition-pruning
+  *     analogue of Snowflake's metadata skipping.
   */
 object ManifestTable {
 
   val ManifestName = "MANIFEST"
 
-  /** version: monotonically increasing commit counter.
-    * lastBatch: highest streaming batch id folded in (-1 = none).
-    * buckets: merge-key bucket → relative path of its current data dir.
+  /** Table name the single-table sinks use. */
+  val DefaultTable = "t"
+
+  /** One immutable generation dir: its path relative to the table root, and
+    * min/max stats per tracked column (rendered as strings; timestamps as
+    * epoch micros so comparisons are plain numeric).
     */
-  case class Manifest(version: Long, lastBatch: Long, buckets: Map[Long, String]) {
-    def advance(batchId: Long, replaced: Map[Long, String]): Manifest =
-      Manifest(version + 1, math.max(lastBatch, batchId), buckets ++ replaced)
+  case class BucketGen(path: String, stats: Map[String, (String, String)])
+
+  /** A bucket holds a LIST of generations — the micro-partition set. Append
+    * batches add one narrow-stats generation (so range predicates skip
+    * whole files, the Snowflake micro-partition shape); a merge rewrite
+    * collapses the bucket back to a single generation.
+    */
+  case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
   }
 
-  val empty: Manifest = Manifest(0L, -1L, Map.empty)
-
-  /** Plain line format (no parser deps): `version`, `lastBatch`, then one
-    * `bucket<TAB>relativePath` line per bucket.
+  /** version: monotonically increasing commit counter.
+    * queryId: streaming query identity of the last committed batch.
+    * lastBatch: highest batch id folded in for that query (-1 = none).
+    * tables: table name → (schema, bucket → current generation dir).
     */
+  case class Manifest(version: Long, queryId: String, lastBatch: Long,
+      tables: Map[String, TableState]) {
+
+    def table(name: String): TableState =
+      tables.getOrElse(name, TableState("", Map.empty))
+
+    /** All tables' live data paths (GC/time-travel liveness set). */
+    def allPaths: Seq[String] =
+      tables.values.flatMap(_.gens.map(_.path)).toSeq
+
+    /** Fold a committed batch in. On a query-id change the batch counter
+      * RESTARTS (ids from a fresh checkpoint begin at 0 again); continuing
+      * `max` across ids from different checkpoints is exactly the silent
+      * skip this field exists to prevent.
+      */
+    def advance(qid: String, batchId: Long,
+        updates: Map[String, TableUpdate]): Manifest = {
+      val merged = updates.foldLeft(tables) { case (acc, (name, u)) =>
+        val prev = acc.get(name).map(_.buckets).getOrElse(Map.empty[Long, Seq[BucketGen]])
+        val next =
+          if (u.append)
+            u.buckets.foldLeft(prev) { case (bs, (b, gens)) =>
+              bs + (b -> (bs.getOrElse(b, Nil) ++ gens))
+            }
+          else prev ++ u.buckets
+        acc + (name -> TableState(u.schemaJson, next))
+      }
+      val nextBatch =
+        if (queryId == qid) math.max(lastBatch, batchId) else batchId
+      Manifest(version + 1, qid, nextBatch, merged)
+    }
+  }
+
+  /** One table's contribution to a commit: its (possibly evolved) schema and
+    * the generation dirs written this batch — replacing each touched
+    * bucket's list (merge rewrite) or appending to it (append batch).
+    */
+  case class TableUpdate(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
+    append: Boolean)
+
+  val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
+
+  // ---- serialization (JSON via the json4s that ships in Spark) ----
+
   private def render(m: Manifest): String = {
-    val header = s"version=${m.version}\nlastBatch=${m.lastBatch}\n"
-    header + m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, p) => s"$b\t$p\n" }.mkString
+    def gen(g: BucketGen): JObject = JObject(
+      "path" -> JString(g.path),
+      "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, mm) =>
+        c -> JArray(List(JString(mm._1), JString(mm._2)))
+      }.toList))
+    val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
+      name -> JObject(
+        "schema" -> JString(ts.schemaJson),
+        "buckets" -> JObject(ts.buckets.toSeq.sortBy(_._1).map { case (b, gens) =>
+          b.toString -> JArray(gens.map(gen).toList)
+        }.toList))
+    }.toList)
+    JsonMethods.pretty(JsonMethods.render(JObject(
+      "version" -> JLong(m.version),
+      "queryId" -> JString(m.queryId),
+      "lastBatch" -> JLong(m.lastBatch),
+      "tables" -> tables)))
   }
 
   private def parse(text: String): Manifest = {
-    val lines = text.split("\n").filter(_.nonEmpty)
-    val version = lines(0).stripPrefix("version=").toLong
-    val lastBatch = lines(1).stripPrefix("lastBatch=").toLong
-    val buckets = lines.drop(2).map { l =>
-      val Array(b, p) = l.split("\t", 2)
-      b.toLong -> p
-    }.toMap
-    Manifest(version, lastBatch, buckets)
+    val j = JsonMethods.parse(text)
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other => other.values.toString
+    }
+    def long(v: JValue): Long = v match {
+      case JLong(n) => n
+      case JInt(n) => n.toLong
+      case other => other.values.toString.toLong
+    }
+    def gen(gv: JValue): BucketGen = {
+      val stats = (gv \ "stats") match {
+        case JObject(ss) => ss.map { case (c, JArray(List(lo, hi))) =>
+          c -> (str(lo), str(hi))
+        }.toMap
+        case _ => Map.empty[String, (String, String)]
+      }
+      BucketGen(str(gv \ "path"), stats)
+    }
+    val tables = (j \ "tables") match {
+      case JObject(fields) => fields.map { case (name, tv) =>
+        val buckets = (tv \ "buckets") match {
+          case JObject(bs) => bs.map { case (b, gvs) =>
+            b.toLong -> (gvs match {
+              case JArray(gens) => gens.map(gen)
+              case single => Seq(gen(single))
+            })
+          }.toMap
+          case _ => Map.empty[Long, Seq[BucketGen]]
+        }
+        name -> TableState(str(tv \ "schema"), buckets)
+      }.toMap
+      case _ => Map.empty[String, TableState]
+    }
+    Manifest(long(j \ "version"), str(j \ "queryId"), long(j \ "lastBatch"),
+      tables)
   }
 
   def read(root: File): Option[Manifest] = {
@@ -101,20 +219,20 @@ object ManifestTable {
   private def versionFile(root: File, v: Long): File =
     new File(root, s"$ManifestName.v$v")
 
-  /** Bucket paths a retained version resolves; Nil if the version's
-    * manifest is gone (aged out or never published).
+  /** Data paths (across ALL tables) a retained version resolves; Nil if the
+    * version's manifest is gone (aged out or never published).
     */
   def readVersionBuckets(root: File, v: Long): Seq[String] = {
     val f = versionFile(root, v)
     if (f.exists)
-      parse(new String(Files.readAllBytes(f.toPath), UTF_8)).buckets.values.toSeq
+      parse(new String(Files.readAllBytes(f.toPath), UTF_8)).allPaths
     else Nil
   }
 
   private def retainedVersions(root: File, current: Long): Seq[Long] =
     ((current - RetainVersions + 1) max 0) to current
 
-  /** Vacuum: drop every `data/` directory no RETAINED snapshot references
+  /** Vacuum: drop every generation directory no RETAINED snapshot references
     * (superseded generations past the retention window, and orphans from
     * crashed writers), plus per-version manifests that aged out of the
     * window or were never published. Runs strictly AFTER a successful
@@ -123,11 +241,13 @@ object ManifestTable {
   def gc(root: File, m: Manifest): Unit = {
     val retained = retainedVersions(root, m.version)
     val live: Set[String] =
-      retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.buckets.values
-    val children = new File(root, "data").listFiles
-    if (children != null)
-      children.filterNot(d => live.contains(s"data/${d.getName}"))
+      retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
+    val tableDirs = new File(root, "data").listFiles
+    if (tableDirs != null) tableDirs.filter(_.isDirectory).foreach { td =>
+      td.listFiles
+        .filterNot(d => live.contains(s"data/${td.getName}/${d.getName}"))
         .foreach(deleteRecursively)
+    }
     val stale = root.listFiles
     if (stale != null)
       stale.filter { f =>
@@ -137,31 +257,51 @@ object ManifestTable {
       }.foreach(deleteRecursively)
   }
 
-  /** Resolve a committed snapshot — the live one, or `version` within the
-    * retention window (time travel). Missing manifest or evicted version →
-    * clean error, never a partial read.
-    */
-  def readTable(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
-    val rootF = new File(root)
-    val m = version match {
+  private def resolve(root: File, version: Option[Long]): Manifest =
+    version match {
       case None =>
-        read(rootF).getOrElse(throw new java.io.FileNotFoundException(
+        read(root).getOrElse(throw new java.io.FileNotFoundException(
           s"no $ManifestName under $root"))
       case Some(v) =>
-        val f = versionFile(rootF, v)
+        val f = versionFile(root, v)
         if (f.exists) parse(new String(Files.readAllBytes(f.toPath), UTF_8))
         else {
           // crash window: live pointer swapped but the .v file didn't land
           // — the live manifest IS that version, serve it
-          val live = read(rootF)
+          val live = read(root)
           if (live.exists(_.version == v)) live.get
           else throw new java.io.FileNotFoundException(
             s"version $v of $root is not retained (window $RetainVersions)")
         }
     }
-    val dirs = m.buckets.values.toSeq.sorted.map(rel => new File(root, rel).toString)
-    spark.read.parquet(dirs: _*)
+
+  /** Resolve a committed snapshot of one table — the live one, or `version`
+    * within the retention window (time travel). Missing manifest or evicted
+    * version → clean error, never a partial read. Every generation dir is
+    * scanned under the MANIFEST's schema, so dirs written before a column
+    * was added null-backfill that column — the read side of sink schema
+    * evolution.
+    */
+  def readTable(spark: SparkSession, root: String,
+      version: Option[Long] = None, table: String = DefaultTable): DataFrame = {
+    val m = resolve(new File(root), version)
+    val ts = m.table(table)
+    readDirs(spark, root, ts, ts.gens.map(_.path))
+  }
+
+  private def readDirs(spark: SparkSession, root: String, ts: TableState,
+      rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty) {
+      if (ts.schemaJson.nonEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts.schema)
+      else throw new java.io.FileNotFoundException(s"empty table under $root")
+    } else {
+      val dirs = rels.sorted.map(rel => new File(root, rel).toString)
+      if (ts.schemaJson.nonEmpty)
+        spark.read.schema(ts.schema).parquet(dirs: _*)
+      else spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Manifest-level file skipping for point lookups: the sink hash-buckets
@@ -185,17 +325,218 @@ object ManifestTable {
   }
 
   def readTableForKeys(spark: SparkSession, root: String, keyCol: String,
-      keys: Seq[Long], numBuckets: Int): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val m = read(new File(root)).getOrElse(
-      throw new java.io.FileNotFoundException(s"no $ManifestName under $root"))
+      keys: Seq[Long], numBuckets: Int,
+      table: String = DefaultTable): DataFrame = {
+    val m = resolve(new File(root), None)
+    val ts = m.table(table)
     val covering = bucketsForKeys(spark, keys, numBuckets).toSet
-    val dirs = m.buckets.filter { case (b, _) => covering.contains(b) }
-      .values.toSeq.sorted.map(rel => new File(root, rel).toString)
-    if (dirs.isEmpty) readTable(spark, root).limit(0)
-    else spark.read.parquet(dirs: _*)
-      .filter(col(keyCol).isin(keys: _*))
+    val rels = ts.buckets.filter { case (b, _) => covering.contains(b) }
+      .values.flatten.map(_.path).toSeq
+    readDirs(spark, root, ts, rels).filter(col(keyCol).isin(keys: _*))
   }
+
+  // ---- min/max stats: rendering, pruning ----
+
+  /** Stats domain: timestamps as epoch micros, everything else numeric via
+    * BigDecimal — so manifest comparisons are plain numeric regardless of
+    * the column's physical type.
+    */
+  private def statValue(v: Any): Option[BigDecimal] = v match {
+    case null => None
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
+    case t: java.time.Instant =>
+      Some(BigDecimal(t.getEpochSecond * 1000000L + t.getNano / 1000))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    case other => Some(BigDecimal(other.toString))
+  }
+
+  /** Write one generation dir, observing per-column min/max DURING the write
+    * pass (`Dataset.observe` — an accumulator-backed aggregate on the same
+    * physical plan, zero extra scans of the bucket).
+    */
+  def writeGen(df: DataFrame, dest: File,
+      statsCols: Seq[String]): Map[String, (String, String)] = {
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) {
+      df.write.mode("overwrite").parquet(dest.toString)
+      Map.empty
+    } else {
+      val obs = Observation()
+      val metrics = present.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      df.observe(obs, metrics.head, metrics.tail: _*)
+        .write.mode("overwrite").parquet(dest.toString)
+      val row = obs.get
+      present.flatMap { c =>
+        (statValue(row(s"min_$c")), statValue(row(s"max_$c"))) match {
+          case (Some(lo), Some(hi)) =>
+            Some(c -> (lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Generation dirs whose recorded [min,max] for `column` can overlap
+    * [lower,upper] — generations with no stats for the column are always
+    * kept (pruning must never turn a stats gap into a wrong answer).
+    */
+  def gensForRange(ts: TableState, column: String,
+      lower: Any, upper: Any): Seq[BucketGen] = {
+    val lo = statValue(lower)
+    val hi = statValue(upper)
+    ts.gens.filter { g =>
+      g.stats.get(column) match {
+        case Some((mn, mx)) =>
+          val bmn = BigDecimal(mn)
+          val bmx = BigDecimal(mx)
+          hi.forall(bmn <= _) && lo.forall(bmx >= _)
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with manifest-level data skipping on a NON-bucket-key
+    * column: only generation dirs whose stats cover [lower,upper] are
+    * opened (Snowflake micro-partition pruning analogue), then the exact
+    * predicate still applies on the survivors.
+    */
+  def readTableRange(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, table: String = DefaultTable): DataFrame = {
+    val m = resolve(new File(root), None)
+    val ts = m.table(table)
+    val rels = gensForRange(ts, column, lower, upper).map(_.path)
+    readDirs(spark, root, ts, rels)
+      .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+  }
+
+  // ---- multi-table atomic merge ----
+
+  /** One table's share of a micro-batch: rows to merge, the merge grain,
+    * bucketing, which columns to track stats for, and the write mode —
+    * merge (rewrite touched buckets, upsert semantics) or append (add one
+    * narrow-stats generation per touched bucket, never reading existing
+    * data: the immutable-fact shape whose per-batch generations are what
+    * ts-range skipping prunes).
+    */
+  case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
+    numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false)
+
+  private val BucketCol = "__graft_bucket"
+
+  /** Multi-table idempotent merge-upsert of one micro-batch: every table's
+    * touched buckets are merged and written to NEW immutable generation
+    * dirs, then ALL tables publish with ONE atomic manifest swap — a crash
+    * anywhere before the swap leaves every table at the previous snapshot
+    * (no header-without-lines states), and replayed (queryId, batchId)
+    * pairs are exact no-ops. Per-batch cost scales with the batch's key
+    * spread across buckets, never with total table size.
+    *
+    * Schema evolution: each table's manifest schema unifies with the
+    * incoming batch's (new columns append); existing generation dirs are
+    * merged under the unified schema (missing columns null-backfill), so a
+    * column added mid-stream flows into the committed table without
+    * rewriting untouched buckets.
+    */
+  def mergeBatch(root: File, qid: String, batchId: Long,
+      batches: Seq[TableBatch]): Unit = {
+    val manifest = read(root).getOrElse(empty)
+    if (manifest.queryId == qid && batchId <= manifest.lastBatch)
+      return // replayed batch of the SAME query: already committed
+    val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
+      mergeTable(root, manifest, batchId, tb).map(tb.name -> _)
+    }.toMap
+    // an all-empty micro-batch (Spark does deliver them) must NOT commit: a
+    // bucketless manifest helps no reader, and re-running the empty batch
+    // is a harmless no-op, so skipping the lastBatch advance is safe
+    if (updates.isEmpty) return
+    val next = manifest.advance(qid, batchId, updates)
+    commit(root, next)
+    gc(root, next)
+  }
+
+  /** Merge or append one table's batch rows into its touched buckets; None
+    * when the batch brings this table no rows.
+    */
+  private def mergeTable(root: File, manifest: Manifest, batchId: Long,
+      tb: TableBatch): Option[TableUpdate] = {
+    val spark = tb.rows.sparkSession
+    val prev = manifest.table(tb.name)
+    val unified = unify(
+      if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
+    val aligned = tb.rows.select(unified.fields.map { f =>
+      if (tb.rows.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val incoming = aligned
+      .withColumn(BucketCol,
+        pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets)))
+      .persist()
+    try {
+      val touched = incoming.select(BucketCol).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.isEmpty) None
+      else {
+        val written = touched.map { b =>
+          val inc = incoming.filter(col(BucketCol) === b).drop(BucketCol)
+          val out = prev.buckets.get(b) match {
+            case Some(gens) if !tb.append =>
+              val existing = spark.read.schema(unified)
+                .parquet(gens.map(g => new File(root, g.path).toString): _*)
+              graft.ingest.MergeUpsert.upsert(existing, inc, tb.mergeKeys)
+                .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+            case _ => inc
+          }
+          // one immutable generation dir per (table, bucket, batch): a
+          // re-attempt of a crashed batch overwrites its own orphan, never
+          // a committed dir
+          val rel = s"data/${tb.name}/b$b-$batchId"
+          val stats = writeGen(out, new File(root, rel), tb.statsCols)
+          b -> Seq(BucketGen(rel, stats))
+        }.toMap
+        Some(TableUpdate(unified.json, written, tb.append))
+      }
+    } finally { incoming.unpersist(); () }
+  }
+
+  /** Compact a table's multi-generation buckets back to one generation each
+    * — the micro-partition compaction that keeps append-mostly tables' file
+    * counts bounded. Concatenation only (append generations never contain
+    * conflicting merge keys — merges already rewrite); published as a
+    * normal atomic commit, readers never see a half-compacted table.
+    */
+  def compact(spark: SparkSession, root: File, table: String = DefaultTable,
+      statsCols: Seq[String] = Nil): Unit = {
+    val manifest = read(root).getOrElse(empty)
+    val ts = manifest.table(table)
+    val multi = ts.buckets.filter(_._2.length > 1)
+    if (multi.isEmpty) return
+    val rewritten = multi.map { case (b, gens) =>
+      val df = spark.read.schema(ts.schema)
+        .parquet(gens.map(g => new File(root, g.path).toString): _*)
+      val rel = s"data/$table/b$b-c${manifest.version + 1}"
+      val stats = writeGen(df, new File(root, rel), statsCols)
+      b -> Seq(BucketGen(rel, stats))
+    }
+    val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+      Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false)))
+    commit(root, next)
+    gc(root, next)
+  }
+
+  /** Unified table schema: existing columns keep their position and type,
+    * never disappear (a batch missing an old column null-fills it); columns
+    * the manifest hasn't seen append at the end.
+    */
+  private def unify(existing: Option[StructType], incoming: StructType): StructType =
+    existing match {
+      case None => incoming
+      case Some(old) =>
+        val known = old.fieldNames.toSet
+        StructType(old.fields ++ incoming.fields.filterNot(f => known(f.name)))
+    }
 
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)

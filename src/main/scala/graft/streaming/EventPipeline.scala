@@ -141,8 +141,14 @@ object EventPipeline {
               state.update(st)
               // arm the gap timeout; must stay strictly above the current
               // watermark (late batches can arrive with last+gap already
-              // passed — fire on the very next trigger, not never)
-              val fireAt = (st.last + GapMicros) / 1000
+              // passed — fire on the very next trigger, not never). The
+              // +1 rounds the micros→ms truncation UP so the timer can't
+              // fire before the gap has fully elapsed — an exactly-at-gap
+              // event extends the session (closing needs t-last > gap), so
+              // firing a sub-ms early could close what that event extends,
+              // and must match SessionizeProcessor's rounding (the two
+              // variants' specs assert equivalence on the same oracle).
+              val fireAt = (st.last + GapMicros) / 1000 + 1
               state.setTimeoutTimestamp(
                 math.max(fireAt, state.getCurrentWatermarkMs + 1))
             }
@@ -200,7 +206,18 @@ object EventPipeline {
           state.clear()
           armed.clear()
           Iterator(Session(key, fromMicros(st.start), fromMicros(st.last), st.n))
-        } else Iterator.empty
+        } else {
+          // declined to close: the fired timer is gone and `armed` points
+          // at it — RE-ARM at the session's real expiry, else the session
+          // only ever closes if new input arrives for this key (unbounded
+          // state + a missing emission, the exact failure timeouts exist
+          // to prevent)
+          val fireAt = math.max((st.last + GapMicros) / 1000 + 1,
+            tv.getCurrentWatermarkInMs + 1)
+          getHandle.registerTimer(fireAt)
+          armed.update(fireAt)
+          Iterator.empty
+        }
       } else Iterator.empty
     }
   }
@@ -255,6 +272,16 @@ object EventPipeline {
 
   val SinkBuckets = 8
 
+  /** The streaming query identity replay detection keys on, read from the
+    * Spark-set thread-local the stream execution thread carries (the id
+    * persisted in the checkpoint — stable across restarts of the SAME
+    * checkpoint, fresh when the checkpoint is fresh). Batch callers (no
+    * streaming thread) share the constant "batch" identity.
+    */
+  def currentQueryId(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("batch")
+
   /** Idempotent BUCKETED merge-upsert sink over a [[graft.sources.ManifestTable]]:
     * the target is hash-bucketed on the merge key, and each micro-batch
     * rewrites ONLY the buckets its keys touch — per-batch cost scales with
@@ -267,50 +294,19 @@ object EventPipeline {
     * publish them all at once. A crash anywhere before the manifest rename
     * leaves the previously-committed table fully intact — readers go
     * through [[graft.sources.ManifestTable.readTable]] and can never
-    * observe a partial batch. Replayed batch ids (crash-restart re-delivery)
-    * are detected from the manifest and skipped as exact no-ops; even a
-    * same-data replay under a NEW batch id merges to identical rows because
-    * the upsert keys on event_id.
+    * observe a partial batch. Replays are detected on (queryId, batchId) —
+    * batch ids alone are only stable per checkpoint — and skipped as exact
+    * no-ops; even a same-data replay under a NEW query id merges to
+    * identical rows because the upsert keys on event_id. Bucket stats on
+    * ts/event_id are recorded for manifest-level range skipping.
     */
   def mergeUpsertSink(target: String)(batch: DataFrame, batchId: Long): Unit = {
     import graft.sources.ManifestTable
-    val spark = batch.sparkSession
-    val root = new java.io.File(target)
-    val manifest = ManifestTable.read(root).getOrElse(ManifestTable.empty)
-    if (batchId <= manifest.lastBatch) return // replayed batch: already committed
-    val incoming = batch
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .withColumn("_bucket", pmod(xxhash64(col("event_id")), lit(SinkBuckets)))
-      .persist()
-    try {
-      val touched = incoming.select("_bucket").distinct()
-        .collect().map(_.getLong(0))
-      // an empty micro-batch (Spark does deliver them) must NOT commit: a
-      // zero-bucket manifest would make readTable throw on schema
-      // inference, and re-running the empty batch is a harmless no-op, so
-      // skipping the lastBatch advance is safe
-      if (touched.isEmpty) return
-      val replaced = touched.map { b =>
-        val inc = incoming.filter(col("_bucket") === b).drop("_bucket")
-        val merged = manifest.buckets.get(b) match {
-          case Some(rel) =>
-            graft.ingest.MergeUpsert
-              .upsert(spark.read.parquet(new java.io.File(root, rel).toString),
-                inc, Seq("event_id"))
-              .select("event_id", "ts", "user_id", "event_type", "value")
-          case None => inc
-        }
-        // one immutable generation dir per (bucket, batch): a re-attempt of
-        // a crashed batch overwrites its own orphan, never a committed dir
-        val rel = s"data/b$b-$batchId"
-        merged.write.mode("overwrite")
-          .parquet(new java.io.File(root, rel).toString)
-        b -> rel
-      }.toMap
-      val next = manifest.advance(batchId, replaced)
-      ManifestTable.commit(root, next)
-      ManifestTable.gc(root, next)
-    } finally { incoming.unpersist(); () }
+    ManifestTable.mergeBatch(new java.io.File(target),
+      currentQueryId(batch.sparkSession), batchId,
+      Seq(ManifestTable.TableBatch(ManifestTable.DefaultTable,
+        batch.select("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("event_id"), SinkBuckets, statsCols = Seq("ts", "event_id"))))
   }
 
   val defs: Map[String, Q] = Map(

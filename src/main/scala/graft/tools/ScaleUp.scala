@@ -41,6 +41,13 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // beyond perms.length the vowel permutations would cycle and replica 10
+    // would be an exact text copy of replica 0 (shifted ids) — reintroducing
+    // the cross-replica near-dup blob this generator exists to avoid; fail
+    // loudly rather than silently measure that pathology
+    require(replicas <= perms.length,
+      s"replicas=$replicas exceeds the ${perms.length} distinct text " +
+        "permutations; add permutations before scaling further")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

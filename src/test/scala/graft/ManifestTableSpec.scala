@@ -1,0 +1,201 @@
+package graft
+
+import java.io.File
+
+import graft.sources.ManifestTable
+import graft.sources.ManifestTable.{TableBatch, TableUpdate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The table layer's transactional surface (SURVEY §2.E / §5): multi-table
+  * atomic commits, manifest-level min/max data skipping, sink-side schema
+  * evolution, and micro-partition compaction.
+  */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def rows(ids: Range, day: Int): DataFrame =
+    ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:${i % 60}%02d"),
+        i.toLong % 7, s"type${i % 3}", i * 1.5)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("multi-table commit: a crash between one table's write and another's is invisible; the re-run publishes all tables atomically") {
+    val target = tmp("graft_multi")
+    val root = new File(target)
+    val hdr0 = rows(0 until 50, 1)
+    val line0 = rows(0 until 120, 1).withColumnRenamed("event_id", "line_id")
+    val anom0 = rows(0 until 9, 1)
+
+    // batch 0: all three grains land under ONE manifest swap
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch("hdr", hdr0, Seq("event_id"), 4),
+      TableBatch("line", line0, Seq("line_id"), 4),
+      TableBatch("anom", anom0, Seq("event_id"), 2)))
+    val m0 = ManifestTable.read(root).get
+    assert(m0.tables.keySet == Set("hdr", "line", "anom"))
+    val before = Seq("hdr", "line", "anom")
+      .map(t => t -> ManifestTable.readTable(spark, target, table = t)
+        .collect().map(_.toString).toSet).toMap
+    assert(before("hdr").size == 50 && before("line").size == 120
+      && before("anom").size == 9)
+
+    // simulate batch 1 crashing AFTER writing hdr's and line's data but
+    // BEFORE the manifest swap: exactly what a killed multi-table writer
+    // leaves — orphan generation dirs for SOME tables, untouched MANIFEST
+    rows(50 until 70, 2).write.mode("overwrite")
+      .parquet(new File(root, "data/hdr/b1-1").toString)
+    rows(120 until 160, 2).write.mode("overwrite")
+      .parquet(new File(root, "data/line/b2-1").toString)
+
+    // readers see the OLD version of ALL THREE tables — no torn state
+    // where a header exists without its lines
+    Seq("hdr", "line", "anom").foreach { t =>
+      assert(ManifestTable.readTable(spark, target, table = t)
+        .collect().map(_.toString).toSet == before(t), s"table $t torn")
+    }
+    assert(ManifestTable.read(root).get.version == m0.version)
+
+    // the streaming engine re-delivers batch 1; the re-run commits all
+    // three tables with ONE swap and GC removes the crashed orphans
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch("hdr", rows(50 until 70, 2), Seq("event_id"), 4),
+      TableBatch("line",
+        rows(120 until 160, 2).withColumnRenamed("event_id", "line_id"),
+        Seq("line_id"), 4),
+      TableBatch("anom", rows(9 until 12, 2), Seq("event_id"), 2)))
+    val m1 = ManifestTable.read(root).get
+    assert(m1.version == m0.version + 1) // one commit for all three
+    assert(ManifestTable.readTable(spark, target, table = "hdr").count() == 70)
+    assert(ManifestTable.readTable(spark, target, table = "line").count() == 160)
+    assert(ManifestTable.readTable(spark, target, table = "anom").count() == 12)
+
+    // a replayed (queryId, batchId) is a no-op for the WHOLE commit
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch("hdr", rows(50 until 70, 2), Seq("event_id"), 4)))
+    assert(ManifestTable.read(root).get.version == m1.version)
+
+    // every data dir on disk is referenced by a retained snapshot (the
+    // crashed attempt's orphans were overwritten by the re-run)
+    val retained = (math.max(m1.version - ManifestTable.RetainVersions + 1, 0)
+      to m1.version)
+      .flatMap(v => ManifestTable.readVersionBuckets(root, v)).toSet ++
+      m1.allPaths
+    def walkDirs(t: String): Set[String] =
+      Option(new File(root, s"data/$t").listFiles).getOrElse(Array.empty)
+        .map(d => s"data/$t/${d.getName}").toSet
+    val onDisk = Set("hdr", "line", "anom").flatMap(walkDirs)
+    assert(onDisk.subsetOf(retained))
+  }
+
+  test("append generations carry narrow ts stats: a ts-range read opens only covering dirs and equals the full scan") {
+    val target = tmp("graft_stats")
+    val root = new File(target)
+    // five daily append batches — each generation's ts span is one day,
+    // the micro-partition layout stats skipping exists for
+    (0 until 5).foreach { day =>
+      ManifestTable.mergeBatch(root, "q", day.toLong, Seq(
+        TableBatch(ManifestTable.DefaultTable,
+          rows(day * 100 until (day + 1) * 100, day + 1),
+          Seq("event_id"), 4, statsCols = Seq("ts", "event_id"),
+          append = true)))
+    }
+    val ts = ManifestTable.read(root).get.table(ManifestTable.DefaultTable)
+    val totalGens = ts.gens.size
+    assert(totalGens > 4, "expected one generation per (bucket, day)")
+
+    val lo = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-02 23:59:59")
+    // manifest-level skipping: only day-2's generations survive pruning
+    val covering = ManifestTable.gensForRange(ts, "ts", lo, hi)
+    assert(covering.nonEmpty && covering.size < totalGens,
+      s"pruned nothing: ${covering.size} of $totalGens")
+    assert(covering.forall(_.path.endsWith("-1")), // day 2 = batch id 1
+      s"kept a non-covering generation: ${covering.map(_.path)}")
+
+    // and the pruned read is EXACTLY the full-scan filter
+    val pruned = ManifestTable.readTableRange(spark, target, "ts", lo, hi)
+      .collect().map(_.toString).toSet
+    val full = ManifestTable.readTable(spark, target)
+      .filter(col("ts").between(lit(lo), lit(hi)))
+      .collect().map(_.toString).toSet
+    assert(pruned == full && pruned.size == 100)
+
+    // numeric stats prune on the merge key's ranges too (ids are
+    // batch-clustered here): event_id range inside day 4's block
+    val idGens = ManifestTable.gensForRange(ts, "event_id", 310L, 350L)
+    assert(idGens.size < totalGens && idGens.forall(_.path.endsWith("-3")))
+  }
+
+  test("compaction collapses multi-generation buckets without changing the table, stats recomputed") {
+    val target = tmp("graft_compact")
+    val root = new File(target)
+    (0 until 4).foreach { day =>
+      ManifestTable.mergeBatch(root, "q", day.toLong, Seq(
+        TableBatch(ManifestTable.DefaultTable,
+          rows(day * 50 until (day + 1) * 50, day + 1),
+          Seq("event_id"), 2, statsCols = Seq("ts"), append = true)))
+    }
+    val before = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    val gensBefore = ManifestTable.read(root).get
+      .table(ManifestTable.DefaultTable).gens.size
+    assert(gensBefore == 8) // 2 buckets x 4 days
+
+    ManifestTable.compact(spark, root, statsCols = Seq("ts"))
+    val tsAfter = ManifestTable.read(root).get.table(ManifestTable.DefaultTable)
+    assert(tsAfter.gens.size == 2) // one generation per bucket
+    assert(ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet == before)
+    // compacted generations carry recomputed (now full-span) ts stats
+    assert(tsAfter.gens.forall(_.stats.contains("ts")))
+  }
+
+  test("sink-side schema evolution: a column added mid-stream publishes, old generations null-backfill, replay stays idempotent") {
+    val target = tmp("graft_evolve")
+    val root = new File(target)
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(0 until 60, 1),
+        Seq("event_id"), 4, statsCols = Seq("ts"))))
+
+    // batch 1 arrives with a NEW column (schema drift mid-stream)
+    val evolved = rows(40 until 90, 2)
+      .withColumn("source_region", concat(lit("r"), col("event_id") % 3))
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(ManifestTable.DefaultTable, evolved, Seq("event_id"), 4,
+        statsCols = Seq("ts"))))
+
+    val out = ManifestTable.readTable(spark, target)
+    // unified schema: old columns first, the new one appended
+    assert(out.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "source_region"))
+    assert(out.count() == 90)
+    // rows only batch 0 wrote (ids < 40, in untouched buckets or merged
+    // away) read the new column as null; batch-1 rows carry real values
+    assert(out.filter(col("event_id") < 40 && col("source_region").isNotNull)
+      .count() == 0)
+    assert(out.filter(col("event_id") >= 40 && col("source_region").isNull)
+      .count() == 0)
+
+    // a batch missing the OLD optional column still merges: the column
+    // null-fills rather than erroring (columns never disappear)
+    val narrow = rows(90 until 100, 3).drop("value")
+    ManifestTable.mergeBatch(root, "q", 2L, Seq(
+      TableBatch(ManifestTable.DefaultTable, narrow, Seq("event_id"), 4)))
+    val out2 = ManifestTable.readTable(spark, target)
+    assert(out2.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "source_region"))
+    assert(out2.count() == 100)
+    assert(out2.filter(col("event_id") >= 90 && col("value").isNotNull)
+      .count() == 0)
+
+    // replay of the evolving batch id is still an exact no-op
+    val v = ManifestTable.read(root).get.version
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(ManifestTable.DefaultTable, evolved, Seq("event_id"), 4)))
+    assert(ManifestTable.read(root).get.version == v)
+  }
+}

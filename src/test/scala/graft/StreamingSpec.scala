@@ -408,7 +408,7 @@ class StreamingSpec extends SparkSpec {
     spark.createDataset(extra).toDF()
       .select("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite")
-      .parquet(new java.io.File(root, "data/b3-1").toString)
+      .parquet(new java.io.File(root, "data/t/b3-1").toString)
 
     // readers resolve through the manifest only: the crashed write does
     // not exist as far as the table is concerned
@@ -431,9 +431,9 @@ class StreamingSpec extends SparkSpec {
     val retained = (math.max(m.version - ManifestTable.RetainVersions + 1, 0)
       to m.version)
       .flatMap(v => ManifestTable.readVersionBuckets(root, v)).toSet
-    val onDisk = new java.io.File(root, "data").listFiles.map(_.getName).toSet
-    assert(onDisk == retained.map(_.stripPrefix("data/")))
-    assert(m.buckets.values.toSet.subsetOf(retained))
+    val onDisk = new java.io.File(root, "data/t").listFiles.map(_.getName).toSet
+    assert(onDisk == retained.map(_.stripPrefix("data/t/")))
+    assert(m.allPaths.toSet.subsetOf(retained))
 
     // and a replayed, already-committed batch id is an exact no-op
     val v = m.version
@@ -507,8 +507,51 @@ class StreamingSpec extends SparkSpec {
     }
     val live = (oldest to cur)
       .flatMap(ManifestTable.readVersionBuckets(root, _))
-      .map(_.stripPrefix("data/")).toSet
-    val onDisk = new java.io.File(root, "data").listFiles.map(_.getName).toSet
+      .map(_.stripPrefix("data/t/")).toSet
+    val onDisk = new java.io.File(root, "data/t").listFiles.map(_.getName).toSet
     assert(onDisk == live)
+  }
+
+  test("replay detection keys on (queryId, batchId): a fresh checkpoint's reset ids are not skipped") {
+    import graft.sources.ManifestTable
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_qid").resolve("t").toString
+    val root = new java.io.File(target)
+    val sample = eventsData.take(120)
+    val key = "sql.streaming.queryId"
+
+    // query A commits batches 0 and 1
+    spark.sparkContext.setLocalProperty(key, "query-A")
+    try {
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(sample.take(60)).toDF(), 0L)
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(sample.slice(60, 100)).toDF(), 1L)
+      assert(ManifestTable.readTable(spark, target).count() == 100)
+
+      // a replayed batch id of the SAME query is an exact no-op
+      val v = ManifestTable.read(root).get.version
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(sample.take(60)).toDF(), 1L)
+      assert(ManifestTable.read(root).get.version == v)
+
+      // query B (fresh checkpoint: ids reset to 0) must NOT be skipped —
+      // its batch 0 carries NEW rows that batchId<=lastBatch alone would
+      // silently drop
+      spark.sparkContext.setLocalProperty(key, "query-B")
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(sample.slice(100, 120)).toDF(), 0L)
+      val out = ManifestTable.readTable(spark, target)
+      assert(out.count() == 120)
+      assert(out.select("event_id").distinct().count() == 120)
+      // and the manifest adopted the new identity, so query B's OWN
+      // replays now no-op
+      val m = ManifestTable.read(root).get
+      assert(m.queryId == "query-B" && m.lastBatch == 0L)
+      EventPipeline.mergeUpsertSink(target)(
+        spark.createDataset(sample.slice(100, 120)).toDF(), 0L)
+      assert(ManifestTable.read(root).get.version == m.version)
+    } finally spark.sparkContext.setLocalProperty(key, null)
   }
 }
