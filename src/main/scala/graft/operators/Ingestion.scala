@@ -54,9 +54,8 @@ object Ingestion {
     */
   private def allHeaders(s: SparkSession, d: String): DataFrame =
     materialize(s, d, "headers") {
-      jsonHeaders(s, d)
-        .unionByName(xmlHeaders(s, d), allowMissingColumns = true)
-        .unionByName(csvHeaders(s, d), allowMissingColumns = true)
+      CanonicalChain.unionHeaders(
+        jsonHeaders(s, d), xmlHeaders(s, d), csvHeaders(s, d))
     }
 
   private def survivors(s: SparkSession, d: String): DataFrame =
@@ -65,19 +64,13 @@ object Ingestion {
     }
 
   private def linesFrom(surv: DataFrame): DataFrame =
-    LineFlattener.fromJsonSurvivors(
-        surv.filter(col("source_system") === "JSON" && col("parse_ok")))
-      .unionByName(LineFlattener.fromXmlSurvivors(
-        surv.filter(col("source_system") === "XML" && col("parse_ok"))))
-      .unionByName(LineFlattener.fromCsvSurvivors(
-        surv.filter(col("source_system") === "CSV" && col("parse_ok"))))
+    CanonicalChain.linesFrom(surv)
 
   private def allLines(s: SparkSession, d: String): DataFrame =
     linesFrom(survivors(s, d))
 
   private def anomaliesFrom(surv: DataFrame, lines: DataFrame): DataFrame =
-    AnomalyDetector.headerAnomalies(surv)
-      .unionByName(AnomalyDetector.lineAnomalies(lines))
+    CanonicalChain.anomaliesFrom(surv, lines)
 
   private def allAnomalies(s: SparkSession, d: String): DataFrame = {
     val surv = survivors(s, d)

@@ -25,10 +25,10 @@ object FileIngest {
 
   /** The CSV payload contract in ONE place: positional split to
     * array<string>, the shape the CSV HeaderNormalizer branch consumes —
-    * both the full-load and incremental paths route through it so a
-    * future delimiter/quote change can't drift between them.
+    * the full-load, incremental, and streaming paths all route through it
+    * so a future delimiter/quote change can't drift between them.
     */
-  private def csvPayload(df: DataFrame): DataFrame =
+  private[graft] def csvPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", split(col("payload").cast("string"), ","))
 
   /** Positional CSV: payload surfaces as array<string>. */
@@ -88,10 +88,7 @@ object FileIngest {
     */
   def incremental(s: SparkSession, dir: String, fmt: String,
       ledger: java.io.File): Incremental = {
-    val all = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-      .map(_.getName).sorted.toSeq
+    val all = listDataFiles(dir)
     val loaded = ledgerContents(ledger)
     val (skip, fresh) = all.partition(loaded)
     val base =
@@ -117,21 +114,33 @@ object FileIngest {
       StructField("payload", StringType)))
   }
 
-  private def emptyLines(s: SparkSession): DataFrame =
+  private[graft] def emptyLines(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       stagingSchema)
 
   private def textLines(s: SparkSession, path: String, fmt: String): DataFrame =
     textLines(s, Seq(path), fmt)
 
-  private def textLines(s: SparkSession, paths: Seq[String], fmt: String): DataFrame = {
+  private[graft] def textLines(s: SparkSession, paths: Seq[String],
+      fmt: String): DataFrame =
+    stageRaw(
+      s.read.text(paths: _*)
+        .select(
+          col("value").as("payload"),
+          col("_metadata.file_name").as("src_file"),
+          col("_metadata.file_modification_time").as("ingest_ts")),
+      fmt)
+
+  /** Raw (payload, src_file, ingest_ts) lines → the staging-row contract:
+    * per-file line numbering under the read order, client id from the file
+    * name. Shared by the batch readers above and the streaming canonical
+    * sink (whose micro-batches carry whole files — the file-source unit —
+    * so per-file numbering is identical in both modes).
+    */
+  private[graft] def stageRaw(raw: DataFrame, fmt: String): DataFrame = {
     val byFile = Window.partitionBy("src_file").orderBy("_read_pos")
-    s.read.text(paths: _*)
-      .select(
-        col("value").as("payload"),
-        col("_metadata.file_name").as("src_file"),
-        col("_metadata.file_modification_time").as("ingest_ts"),
-        monotonically_increasing_id().as("_read_pos"))
+    raw
+      .withColumn("_read_pos", monotonically_increasing_id())
       .withColumn("src_row_number", row_number().over(byFile).cast("long"))
       .withColumn("client_id",
         concat(lit("C"), regexp_extract(col("src_file"), "client_([0-9]+)", 1)))
@@ -139,4 +148,13 @@ object FileIngest {
       .select("src_row_number", "client_id", "src_file", "ingest_ts",
         "file_type", "payload")
   }
+
+  /** Landing-zone data files of a directory (driver-side metadata listing,
+    * the same scale class as Spark's own file index).
+    */
+  private[graft] def listDataFiles(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
 }

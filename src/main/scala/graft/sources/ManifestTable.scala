@@ -416,13 +416,22 @@ object ManifestTable {
 
   /** One table's share of a micro-batch: rows to merge, the merge grain,
     * bucketing, which columns to track stats for, and the write mode —
-    * merge (rewrite touched buckets, upsert semantics) or append (add one
+    * merge (rewrite touched buckets, upsert semantics), append (add one
     * narrow-stats generation per touched bucket, never reading existing
     * data: the immutable-fact shape whose per-batch generations are what
-    * ts-range skipping prunes).
+    * ts-range skipping prunes), or replace-by-key when `deleteKeys` is set:
+    * existing rows whose merge-key tuple appears in `deleteKeys` are
+    * dropped, then ALL batch rows insert — the group-replacement merge an
+    * incrementally-maintained derived table needs (a re-derived group may
+    * emit different keys than it previously published, which a pure upsert
+    * would leave stale).
     */
   case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
-    numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false)
+      numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false,
+      deleteKeys: Option[DataFrame] = None) {
+    require(!(append && deleteKeys.nonEmpty),
+      "append batches cannot carry a delete set")
+  }
 
   private val BucketCol = "__graft_bucket"
 
@@ -470,13 +479,19 @@ object ManifestTable {
       if (tb.rows.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val incoming = aligned
-      .withColumn(BucketCol,
-        pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets)))
-      .persist()
+    val bucketExpr =
+      pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets))
+    val incoming = aligned.withColumn(BucketCol, bucketExpr).persist()
+    val delKeys = tb.deleteKeys.map(_.select(tb.mergeKeys.map(col).toIndexedSeq: _*)
+      .distinct().withColumn(BucketCol, bucketExpr).persist())
     try {
-      val touched = incoming.select(BucketCol).distinct()
-        .collect().map(_.getLong(0))
+      val touchedRows = incoming.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // delete-only buckets matter only where committed generations exist
+      val touchedDels = delKeys.fold(Set.empty[Long])(
+        _.select(BucketCol).distinct().collect().map(_.getLong(0)).toSet
+          .filter(prev.buckets.contains))
+      val touched = (touchedRows ++ touchedDels).toSeq.sorted
       if (touched.isEmpty) None
       else {
         val written = touched.map { b =>
@@ -485,8 +500,21 @@ object ManifestTable {
             case Some(gens) if !tb.append =>
               val existing = spark.read.schema(unified)
                 .parquet(gens.map(g => new File(root, g.path).toString): _*)
-              graft.ingest.MergeUpsert.upsert(existing, inc, tb.mergeKeys)
-                .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+              delKeys match {
+                case Some(dk) =>
+                  // replace-by-key: drop every existing row whose key tuple
+                  // is in this bucket's delete slice, then insert the batch
+                  // rows — within-bucket work only (keys hash to one bucket)
+                  val slice = dk.filter(col(BucketCol) === b).drop(BucketCol)
+                  val cond = tb.mergeKeys
+                    .map(k => existing(k) <=> slice(k)).reduce(_ && _)
+                  existing.join(slice, cond, "left_anti")
+                    .unionByName(inc)
+                    .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+                case None =>
+                  graft.ingest.MergeUpsert.upsert(existing, inc, tb.mergeKeys)
+                    .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+              }
             case _ => inc
           }
           // one immutable generation dir per (table, bucket, batch): a
@@ -498,8 +526,23 @@ object ManifestTable {
         }.toMap
         Some(TableUpdate(unified.json, written, tb.append))
       }
-    } finally { incoming.unpersist(); () }
+    } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
   }
+
+  /** A committed table restricted to a bucket-id subset — the read an
+    * incremental maintainer uses to load ONLY the groups a batch touches
+    * (bucket ids computed with the writer's own key hash). None when the
+    * table has never been committed; empty-with-schema when it exists but
+    * none of the requested buckets do.
+    */
+  def readTableBuckets(spark: SparkSession, root: String, bucketIds: Set[Long],
+      table: String = DefaultTable): Option[DataFrame] =
+    read(new File(root)).flatMap { m =>
+      val ts = m.table(table)
+      if (ts.schemaJson.isEmpty) None
+      else Some(readDirs(spark, root, ts,
+        ts.buckets.view.filterKeys(bucketIds).values.flatten.map(_.path).toSeq))
+    }
 
   /** Compact a table's multi-generation buckets back to one generation each
     * — the micro-partition compaction that keeps append-mostly tables' file
