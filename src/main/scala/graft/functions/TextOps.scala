@@ -13,6 +13,11 @@ object TextOps {
   /** Whitespace tokens of already-clean text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Subword BPE tokens under the fixture merges table — the faithful
+    * token accounting for chunk/shard statistics (see [[Bpe]]).
+    */
+  def bpeTokens(text: Column): Column = Bpe.tokens(text)
+
   /** Normalized text for exact dedup: lowercase, collapsed whitespace. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

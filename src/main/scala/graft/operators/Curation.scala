@@ -46,7 +46,7 @@ object Curation {
     */
   private val SampleMod = 1000L
 
-  val ChunkTokens = 16 // training-sequence length in whitespace tokens
+  val ChunkTokens = 16 // training-sequence length in BPE subword tokens
   val TfIdfTopK = 5
 
   /** Converged min-label propagation over the near-dup edge set, resolved
@@ -292,12 +292,16 @@ object Curation {
 
     // ----------------------------------------------------------------
     // Sequence packing: split each document into fixed-token training
-    // chunks. Map-only (sequence + slice over a BOUND token column —
-    // inlining the tokenizer would re-split per chunk).
+    // chunks, measured in REAL subword tokens (the BPE expression — a
+    // training job packs subword sequences, not whitespace words). Map-only
+    // (sequence + slice over a BOUND token column — inlining the tokenizer
+    // would re-split per chunk). The oracle re-derives BPE in SQL
+    // (Bpe.oracleDocCte), so chunk boundaries AND chunk text hash-match.
     "doc_chunk_pack" -> Q(
       (s, d) => {
         val toks = docs(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"), TextOps.bpeTokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
         toks
           .select(col("doc_id"), col("w"),
             explode(sequence(lit(0),
@@ -311,9 +315,10 @@ object Curation {
               .as("chunk_text"))
           .orderBy("doc_id", "chunk_id")
       },
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents),
+      s"""WITH ${graft.functions.Bpe.oracleDocCte},
+         |toks AS (
+         |  SELECT doc_id, string_split(bpe_stream, ' ') AS w
+         |  FROM bpe_doc WHERE n_bpe_tokens > 0),
          |ch AS (
          |  SELECT doc_id, w,
          |    unnest(generate_series(0, (len(w) - 1) // $ChunkTokens)) AS chunk_id
@@ -333,7 +338,8 @@ object Curation {
     "doc_shard_manifest" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("source"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          // real subword counts — the number a training job budgets by
+          size(TextOps.bpeTokens(col("text"))).cast("long").as("n_tokens"))
         // mod-prime reduction before the LCG multiply — see
         // doc_sample_stratified (raw billion-range ids overflow under ANSI)
         .withColumn("shard",
@@ -345,13 +351,14 @@ object Curation {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("shard"),
-      """SELECT ((doc_id % 1000000007) * 1103515245 + 12345) % 16 AS shard,
+      s"""WITH ${graft.functions.Bpe.oracleDocCte}
+        |SELECT ((doc_id % 1000000007) * 1103515245 + 12345) % 16 AS shard,
         |  count(*) AS n_docs,
-        |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint)
-        |    AS total_tokens,
+        |  cast(sum(b.n_bpe_tokens) as bigint) AS total_tokens,
         |  count(DISTINCT source) AS n_sources,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+        |FROM documents JOIN bpe_doc b USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ----------------------------------------------------------------
     // k-anonymity suppression — the privacy gate of a data release: any

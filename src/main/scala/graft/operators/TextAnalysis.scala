@@ -142,6 +142,29 @@ object TextAnalysis {
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Faithful subword tokenization: classic greedy BPE under the fixture
+    // merges table, as a codegen'd Expression (graft.functions.BpeTokens)
+    // — map-only, one pass per document. Fully hash-oracled: the DuckDB
+    // side re-derives BPE independently as rank-ordered sequential
+    // replaces (equivalent for rank-valid tables — see Bpe's scaladoc),
+    // and the compare covers the whole TOKEN STREAM, not just counts.
+    "doc_bpe_tokens" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextOps.bpeTokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          array_join(col("toks"), " ").as("bpe_stream"),
+          col("n_chars"), col("ws_tokens"))
+        .orderBy("doc_id"),
+      s"""WITH ${graft.functions.Bpe.oracleDocCte}
+         |SELECT d.doc_id, b.n_bpe_tokens, b.bpe_stream,
+         |  cast(length(d.text) as bigint) AS n_chars,
+         |  len(regexp_split_to_array(trim(d.text), '\\s+')) AS ws_tokens
+         |FROM documents d JOIN bpe_doc b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
     // Corpus statistics: global top-k bigrams by document frequency —
     // explode is map-only; the count groupBy shuffles (ngram) keys and
     // the global top-k runs as TakeOrderedAndProject.
