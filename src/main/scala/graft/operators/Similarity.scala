@@ -20,18 +20,66 @@ object Similarity {
 
   // SRP-LSH banding: P(sign-bit match) = 1 − θ/π ≈ 0.61 at cosine 0.35,
   // so 4-bit bands hit 0.142 per band → 20 bands give ~0.96 recall at the
-  // threshold. Candidate density is corpus-driven: this synthetic corpus
-  // has NO cosine gap (qualifying pairs sit barely above 0.35, background
-  // 99.9th pct = 0.377), the adversarial case for any cosine LSH; on a
-  // real near-dup corpus (cosine ≥ 0.7 dups vs ~0 background) the same
-  // banding prunes candidates by orders of magnitude.
+  // threshold. Measured candidate volume (tools.DupBench on the planted
+  // sf0.1 corpus): ~71% of all pairs — 4-bit bands pass ~0.5⁴-per-band
+  // background even on near-orthogonal vectors, and LOW-threshold pair
+  // enumeration is where SRP amplification is intrinsically weakest
+  // (ρ = ln p₁⁻¹/ln p₀⁻¹ ≈ 0.71 at cos 0.35 vs 0 → best-case candidates
+  // ~n^1.71 no matter the banding). emb_cosine_lsh therefore earns its
+  // keep only as the no-nested-loop, shuffle-bounded formulation of the
+  // SAME 0.35-threshold contract as the brute query; the operator a 100 TB
+  // dedup pipeline actually runs at scale is [[nearDupPairs]] (high
+  // threshold, where banding prunes by orders of magnitude) or the
+  // IVF-bounded SemDeDup path.
   val SrpBits = 4
   val SrpBands = 20
+
+  // High-threshold near-dup blocking — the production semantic-dedup
+  // operating point (SemDeDup/FAISS dedup run at cosine ≥0.85-0.95, not
+  // 0.35). Banding is tuned for recall AT the threshold, the worst case:
+  // p₁ = 1 − θ/π ≈ 0.823 at cos 0.85 → 16-bit bands hit 0.044, so 72
+  // bands give ~0.96 recall for a pair sitting exactly on the threshold
+  // (and ~0.999 at cos 0.9), while near-orthogonal background passes
+  // 0.5¹⁶ ≈ 1.5e-5 per band → ~1e-3 of pairs become candidates.
+  // DupBench-measured on the planted sf0.1 corpus: see SURVEY §5.
+  val NearDupThreshold = 0.85
+  val NearDupBits = 16
+  val NearDupBands = 72
 
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"),
         VectorOps.norm(col("embedding")).as("nrm"))
+
+  /** High-threshold embedding near-dup pairs over any (vec_id, embedding)
+    * frame: SRP blocking tuned for the near-dup band (16 bits × 72 bands),
+    * exact cosine verification on the candidates only. Candidate volume on
+    * a near-orthogonal background is ~1e-3 of n²/2 by construction — the
+    * embedding-side blocking that actually scales to 100 TB (spec:
+    * PipelineSpec planted-twin recall; measured: tools.DupBench).
+    */
+  def nearDupPairs(e: DataFrame,
+      threshold: Double = NearDupThreshold): DataFrame = {
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val keyed = withNorm.select(col("vec_id"),
+      explode(HashExprs.srpBands(col("embedding"), Dim, NearDupBits,
+        NearDupBands)).as("bk"))
+    val cand = keyed
+      .join(keyed.select(col("vec_id").as("vec_id_b"), col("bk")), Seq("bk"))
+      .filter(col("vec_id") < col("vec_id_b"))
+      .select(col("vec_id").as("vec_id_a"), col("vec_id_b"))
+      .distinct()
+    cand
+      .join(withNorm.select(col("vec_id").as("vec_id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_id_a")
+      .join(withNorm.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_id_b")
+      .withColumn("cosine", VectorOps.cosinePre(
+        col("emb_a"), col("nrm_a"), col("emb_b"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
 
   /** Deterministic query subset: every 100th vector. */
   private def queries(s: SparkSession, d: String): DataFrame =

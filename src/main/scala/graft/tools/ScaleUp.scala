@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   *     %101, ...) keep the same defect rates in every replica.
   * Replica 0 is byte-faithful to the source rows (identity perm, no flips).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas]
+  * PLANTED NEAR-DUPS (the adversarial-realism mode, VERDICT r3 #6): the
+  * synthetic corpus has no cosine/Jaccard gap, so the LSH paths measure
+  * their worst case — every candidate is borderline. With plantPermille
+  * > 0, a controlled fraction of documents/embeddings gains ONE planted
+  * near-duplicate at a KNOWN similarity (word substitution every
+  * [[PlantPeriod]] tokens → 3-gram Jaccard ≈ 0.88; sign-flipping 1/20 of
+  * components → cosine ≈ 0.9), ids offset by [[PlantOffset]] so
+  * (id, id + PlantOffset) enumerates the ground-truth planted pairs —
+  * which is what lets tools.DupBench measure RECALL and candidate-prune
+  * factors against brute force at a realistic dup rate.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas] [plantPermille]
   */
 object ScaleUp {
 
@@ -32,6 +43,19 @@ object ScaleUp {
     * `pair = o_orderkey DIV 2` dup-pairing never spans replicas.
     */
   val Offset = 1000000000L
+
+  /** Planted-twin id offset: half a replica stride, so planted ids stay
+    * inside their replica's key space and `(id, id + PlantOffset)` is the
+    * exact ground-truth pair list.
+    */
+  val PlantOffset: Long = Offset / 2
+
+  /** Every PlantPeriod-th token of a planted doc twin is substituted: a
+    * replaced word kills its 3 covering shingles, so the twin's 3-gram
+    * Jaccard ≈ (1−3/48)/(1+3/48) ≈ 0.88 — above the 0.8 dedup threshold
+    * with margin, the realistic "light edit" near-dup.
+    */
+  val PlantPeriod = 48
 
   /** Ten distinct vowel permutations; index 0 is the identity. */
   private val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
@@ -41,6 +65,8 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val plantPermille = if (args.length > 3) args(3).toInt else 0
+    require(plantPermille >= 0 && plantPermille <= 1000)
     // beyond perms.length the vowel permutations would cycle and replica 10
     // would be an exact text copy of replica 0 (shifted ids) — reintroducing
     // the cross-replica near-dup blob this generator exists to avoid; fail
@@ -71,18 +97,38 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
     }
     replicate("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      val rep = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
         .withColumn("text",
           translate(col("text"), "aeiouAEIOU", perms(i % perms.length) +
             perms(i % perms.length).toUpperCase))
+      if (plantPermille == 0) rep
+      else rep.unionByName(
+        // planted twin: light token substitution at a known Jaccard
+        rep.filter(col("doc_id") % 1000 < plantPermille)
+          .withColumn("doc_id", col("doc_id") + lit(PlantOffset))
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .withColumn("text", array_join(
+            transform(col("toks"), (t, j) =>
+              when(pmod(col("doc_id") + j, lit(PlantPeriod)) === 0,
+                concat(lit("nd"), pmod(col("doc_id"), lit(97)).cast("string")))
+                .otherwise(t)), " "))
+          .drop("toks"))
     }
     replicate("embeddings") { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
+      val rep = df.withColumn("vec_id", col("vec_id") + lit(i * Offset))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding"),
             (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, -x)
               .otherwise(x)))
+      if (plantPermille == 0) rep
+      else rep.unionByName(
+        // planted twin: 1/20 of components sign-flipped → cosine ≈ 0.9
+        rep.filter(col("vec_id") % 1000 < plantPermille)
+          .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, j) => when(pmod(xxhash64(col("vec_id"), j), lit(20)) === 0, -x)
+              .otherwise(x))))
     }
 
     // remaining tables: straight file copy (dims + events keep one copy;

@@ -96,6 +96,52 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop in scale path")
   }
 
+  test("nearDupPairs finds planted twins with hard candidate pruning") {
+    // plant one cosine≈0.9 twin per 10th vector (ScaleUp's plant transform:
+    // sign-flip ~1/20 of components), then require the high-threshold SRP
+    // blocking to recover every twin while generating candidate volume far
+    // below n²/2 — the planted-recall harness for the operating point a
+    // semantic-dedup pipeline actually runs at
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(pmod(xxhash64(col("vec_id") + 1000000L, j), lit(20)) === 0, -x)
+            .otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val n = corpus.count()
+    val found = operators.Similarity.nearDupPairs(corpus)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth = planted pairs that actually qualify at the threshold
+    // (the flipped-energy fraction varies per vector, so a minority of
+    // twins land below 0.85 cosine and are correctly NOT near-dups)
+    val emb = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = planted.select(col("vec_id") - 1000000L, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        cos(emb(a), emb(b)) >= operators.Similarity.NearDupThreshold }
+      .toSet
+    assert(truth.nonEmpty)
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.95, s"planted-twin recall@threshold $recall")
+    // verified output stays near the planted set: the blocking + exact
+    // verify must not admit the near-orthogonal background
+    assert(found.size <= truth.size * 3,
+      s"near-dup output ${found.size} vs ${truth.size} planted")
+    assert(n * (n - 1) / 2 > found.size * 100L)
+  }
+
   test("emb_cosine_pairs matches a driver-side recompute") {
     val rows = run("emb_cosine_pairs").collect()
     assert(rows.nonEmpty)
