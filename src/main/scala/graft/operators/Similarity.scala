@@ -58,12 +58,14 @@ object Similarity {
     * embedding-side blocking that actually scales to 100 TB (spec:
     * PipelineSpec planted-twin recall; measured: tools.DupBench).
     */
-  def nearDupPairs(e: DataFrame,
-      threshold: Double = NearDupThreshold): DataFrame = {
+  def nearDupPairs(e: DataFrame, threshold: Double = NearDupThreshold,
+      dim: Int = Dim): DataFrame = {
+    // dim must match the frame's embedding width: the SRP plane matrix is
+    // sized by it, and a mismatch silently projects only a prefix
     val withNorm = e.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
     val keyed = withNorm.select(col("vec_id"),
-      explode(HashExprs.srpBands(col("embedding"), Dim, NearDupBits,
+      explode(HashExprs.srpBands(col("embedding"), dim, NearDupBits,
         NearDupBands)).as("bk"))
     val cand = keyed
       .join(keyed.select(col("vec_id").as("vec_id_b"), col("bk")), Seq("bk"))

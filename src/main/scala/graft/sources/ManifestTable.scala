@@ -337,9 +337,12 @@ object ManifestTable {
 
   // ---- min/max stats: rendering, pruning ----
 
-  /** Stats domain: timestamps as epoch micros, everything else numeric via
-    * BigDecimal — so manifest comparisons are plain numeric regardless of
-    * the column's physical type.
+  /** Stats domain: temporal values as epoch micros (dates included, so a
+    * date column compares correctly against timestamp bounds), everything
+    * else numeric via BigDecimal. A value that doesn't parse numerically
+    * (a string stats column) yields None — the stat is simply omitted and
+    * the generation is always kept, never a crashed commit or a wrong
+    * prune.
     */
   private def statValue(v: Any): Option[BigDecimal] = v match {
     case null => None
@@ -347,9 +350,11 @@ object ManifestTable {
       Some(BigDecimal(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
     case t: java.time.Instant =>
       Some(BigDecimal(t.getEpochSecond * 1000000L + t.getNano / 1000))
-    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.sql.Date =>
+      Some(BigDecimal(d.toLocalDate.toEpochDay * 86400000000L))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay * 86400000000L))
     case n: java.lang.Number => Some(BigDecimal(n.toString))
-    case other => Some(BigDecimal(other.toString))
+    case other => scala.util.Try(BigDecimal(other.toString)).toOption
   }
 
   /** Write one generation dir, observing per-column min/max DURING the write
@@ -476,7 +481,11 @@ object ManifestTable {
     val unified = unify(
       if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
     val aligned = tb.rows.select(unified.fields.map { f =>
-      if (tb.rows.columns.contains(f.name)) col(f.name)
+      // cast even present columns: a batch arriving with a drifted numeric
+      // type (int where the manifest says double) must land under the
+      // manifest's type, or the written parquet becomes unreadable through
+      // the manifest schema
+      if (tb.rows.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val bucketExpr =
@@ -517,10 +526,15 @@ object ManifestTable {
               }
             case _ => inc
           }
-          // one immutable generation dir per (table, bucket, batch): a
-          // re-attempt of a crashed batch overwrites its own orphan, never
-          // a committed dir
-          val rel = s"data/${tb.name}/b$b-$batchId"
+          // one immutable generation dir per (table, bucket, COMMIT):
+          // named by the manifest version this commit will publish, which
+          // is unique across query identities — batch ids alone collide
+          // when a fresh-checkpoint restart (ids reset to 0) re-runs
+          // against an existing table, and a collision would overwrite a
+          // LIVE committed dir before the swap. A re-attempt of a crashed
+          // batch still reads the same pre-commit manifest, so it
+          // overwrites its own orphan, never a committed dir.
+          val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}"
           val stats = writeGen(out, new File(root, rel), tb.statsCols)
           b -> Seq(BucketGen(rel, stats))
         }.toMap

@@ -19,19 +19,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Incremental-view-maintenance shape (the part that must hold at 100 TB):
   * a micro-batch can only change the survivorship groups whose
   * (client_id, source_txn_id) keys it carries, so each batch
-  *   1. appends its normalized staging rows to a staging table hash-bucketed
-  *      on the group key;
-  *   2. re-reads ONLY the staging buckets the batch touches (manifest-level
+  *   1. re-reads ONLY the staging buckets the batch touches (manifest-level
   *      pruning — never the whole table), restricts to the touched groups,
-  *      and re-derives survivors → lines → anomalies for exactly those
+  *      and unions the batch's normalized rows in, deduplicated on the
+  *      stable (src_file, src_row_number) row identity — so a replay under
+  *      a NEW query identity (fresh checkpoint, ids reset) converges to
+  *      the same rows instead of double-counting dup_cnt;
+  *   2. re-derives survivors → lines → anomalies for exactly the touched
   *      groups;
-  *   3. replace-merges the re-derived groups into the three canonical
-  *      tables (delete-by-affected-canonical-id + insert, because a new
-  *      survivor can change a group's canonical id — a pure upsert would
-  *      strand rows published under the old id);
-  *   4. publishes staging + all three canonical tables with ONE atomic
-  *      manifest swap, so a crash can never expose a header without its
-  *      lines, and a replayed (queryId, batchId) is an exact no-op.
+  *   3. replace-merges the touched groups into the staging table AND the
+  *      three canonical tables (delete-by-key + insert: a new survivor can
+  *      change a group's canonical id, and staging replacement is what
+  *      makes cross-query replays exact no-ops — a pure append/upsert
+  *      would strand or duplicate rows);
+  *   4. publishes all four tables with ONE atomic manifest swap, so a
+  *      crash can never expose a header without its lines, and a replayed
+  *      (queryId, batchId) is skipped outright.
   * Per-batch cost scales with the batch's group spread across buckets,
   * never with total table size — the same contract as the event sink.
   *
@@ -143,15 +146,23 @@ object CanonicalStream {
         // prior staging rows of ONLY the touched groups: manifest-pruned
         // bucket read, then a semi join on the group key (null-safe — the
         // hash-fallback groups key on a null source id)
+        val touchedGroups = st.select(GroupKeys.map(col).toIndexedSeq: _*)
+          .distinct()
         val oldTouched = ManifestTable
           .readTableBuckets(spark, root.toString, touched, StagingTable)
           .map { o =>
-            val g = st.select(GroupKeys.map(col).toIndexedSeq: _*).distinct()
-            o.join(g, GroupKeys.map(k => o(k) <=> g(k)).reduce(_ && _),
+            o.join(touchedGroups,
+              GroupKeys.map(k => o(k) <=> touchedGroups(k)).reduce(_ && _),
               "left_semi")
           }
+        // dedup on the stable row identity: a cross-query replay (fresh
+        // checkpoint) re-delivers files the staging table already holds,
+        // and without this the group recompute would double dup_cnt
         val allRows = oldTouched
           .fold(st.toDF())(_.unionByName(st, allowMissingColumns = true))
+          .dropDuplicates("src_file", "src_row_number")
+          .persist()
+        pinned += allRows
         val surv = Canonicalizer.survivors(allRows).persist()
         pinned += surv
         val lines = CanonicalChain.linesFrom(surv).persist()
@@ -164,10 +175,14 @@ object CanonicalStream {
         val affected = allRows.select(
           sha2(concat(col("client_id"), lit("|"),
             coalesce(col("source_txn_id"), col("payload_hash"))), 256)
-            .as("canonical_txn_id")).distinct()
+            .as("canonical_txn_id")).distinct().persist()
+        pinned += affected
         Seq(
-          TableBatch(StagingTable, st.toDF(), GroupKeys, Buckets,
-            append = true),
+          // staging is replace-by-group too: the touched groups' stored
+          // rows become exactly the deduped recompute set, which is what
+          // makes a same-files replay an exact no-op at the storage layer
+          TableBatch(StagingTable, allRows.toDF(), GroupKeys, Buckets,
+            deleteKeys = Some(touchedGroups)),
           TableBatch(HeaderTable, CanonicalChain.headerModel(surv),
             Seq("canonical_txn_id"), Buckets,
             statsCols = Seq("txn_timestamp"), deleteKeys = Some(affected)),

@@ -179,6 +179,23 @@ class CanonicalStreamSpec extends SparkSpec {
     val (expHdr, _, _) = batchChain(jsonDir, xmlDir, csvDir)
     assert(canon(ManifestTable.readTable(spark, root.toString,
       table = CanonicalStream.HeaderTable)) == canon(expHdr))
+
+    // fresh-checkpoint replay: the SAME files arrive again under a new
+    // query identity with batch ids reset to 0 (the scenario the
+    // (queryId,batchId) logic deliberately does NOT skip). The row-identity
+    // dedup + replace-by-group staging must make it a semantic no-op —
+    // no doubled dup_cnt, no duplicated staging rows, tables unchanged.
+    val replayStaged = CanonicalChain.unionHeaders(
+      HeaderNormalizer.fromJson(FileIngest.jsonLines(spark, jsonDir.toString)),
+      HeaderNormalizer.fromXml(FileIngest.xmlLines(spark, xmlDir.toString)),
+      HeaderNormalizer.fromCsv(FileIngest.csvLines(spark, csvDir.toString)))
+    CanonicalStream.maintainBatch(root, "fresh-ckpt-replay", 0L, replayStaged)
+    assert(canon(ManifestTable.readTable(spark, root.toString,
+      table = CanonicalStream.HeaderTable)) == canon(expHdr))
+    val staging = ManifestTable.readTable(spark, root.toString,
+      table = CanonicalStream.StagingTable)
+    assert(staging.groupBy("src_file", "src_row_number").count()
+      .filter(col("count") > 1).count() == 0, "replay duplicated staging rows")
   }
 
   test("a single-group increment rewrites only that group's buckets") {

@@ -91,6 +91,35 @@ class ManifestTableSpec extends SparkSpec {
     assert(onDisk.subsetOf(retained))
   }
 
+  test("a fresh-checkpoint restart (new query id, batch ids reset) never collides with committed generations") {
+    val target = tmp("graft_restart")
+    val root = new File(target)
+    ManifestTable.mergeBatch(root, "q1", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(0 until 100, 1),
+        Seq("event_id"), 4)))
+    val v1 = ManifestTable.read(root).get.version
+    val committed = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    // same batch id under a NEW query identity (the fresh-checkpoint
+    // scenario): must merge cleanly — gen dirs are version-named, so this
+    // cannot overwrite or double-list the live v1 dirs
+    ManifestTable.mergeBatch(root, "q2", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(50 until 150, 2),
+        Seq("event_id"), 4)))
+    val after = ManifestTable.readTable(spark, target)
+    assert(after.count() == 150)
+    assert(after.select("event_id").distinct().count() == 150)
+    // the first commit's snapshot is still byte-level intact (time travel)
+    val travel = ManifestTable.readTable(spark, target, version = Some(v1))
+      .collect().map(_.toString).toSet
+    assert(travel == committed)
+    // and no bucket lists the same generation dir twice
+    val ts = ManifestTable.read(root).get.table(ManifestTable.DefaultTable)
+    ts.buckets.foreach { case (b, gens) =>
+      assert(gens.map(_.path).distinct.size == gens.size, s"bucket $b: $gens")
+    }
+  }
+
   test("append generations carry narrow ts stats: a ts-range read opens only covering dirs and equals the full scan") {
     val target = tmp("graft_stats")
     val root = new File(target)
@@ -113,7 +142,9 @@ class ManifestTableSpec extends SparkSpec {
     val covering = ManifestTable.gensForRange(ts, "ts", lo, hi)
     assert(covering.nonEmpty && covering.size < totalGens,
       s"pruned nothing: ${covering.size} of $totalGens")
-    assert(covering.forall(_.path.endsWith("-1")), // day 2 = batch id 1
+    // day 2 = the second commit = manifest version 2 (gen dirs are named
+    // by the publishing commit's version, unique across query identities)
+    assert(covering.forall(_.path.endsWith("-v2")),
       s"kept a non-covering generation: ${covering.map(_.path)}")
 
     // and the pruned read is EXACTLY the full-scan filter
@@ -125,9 +156,10 @@ class ManifestTableSpec extends SparkSpec {
     assert(pruned == full && pruned.size == 100)
 
     // numeric stats prune on the merge key's ranges too (ids are
-    // batch-clustered here): event_id range inside day 4's block
+    // batch-clustered here): event_id range inside day 4's block, whose
+    // publishing commit is manifest version 4
     val idGens = ManifestTable.gensForRange(ts, "event_id", 310L, 350L)
-    assert(idGens.size < totalGens && idGens.forall(_.path.endsWith("-3")))
+    assert(idGens.size < totalGens && idGens.forall(_.path.endsWith("-v4")))
   }
 
   test("compaction collapses multi-generation buckets without changing the table, stats recomputed") {
