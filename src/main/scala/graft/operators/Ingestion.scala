@@ -66,16 +66,17 @@ object Ingestion {
   private def linesFrom(surv: DataFrame): DataFrame =
     CanonicalChain.linesFrom(surv)
 
+  // the line grain is read by four queries (canon_lines, anomaly_line,
+  // ops_anomaly_counts, smoke_counts) — stored once like the reference's
+  // CAN_TXN_LINE table, not re-flattened per query
   private def allLines(s: SparkSession, d: String): DataFrame =
-    linesFrom(survivors(s, d))
+    materialize(s, d, "lines") { linesFrom(survivors(s, d)) }
 
   private def anomaliesFrom(surv: DataFrame, lines: DataFrame): DataFrame =
     CanonicalChain.anomaliesFrom(surv, lines)
 
-  private def allAnomalies(s: SparkSession, d: String): DataFrame = {
-    val surv = survivors(s, d)
-    anomaliesFrom(surv, linesFrom(surv))
-  }
+  private def allAnomalies(s: SparkSession, d: String): DataFrame =
+    anomaliesFrom(survivors(s, d), allLines(s, d))
 
   // ------------------------------------------------------------------
   // Typed canonical model (Dataset[T] face of the same plans; SURVEY §3)
@@ -106,14 +107,15 @@ object Ingestion {
     allAnomalies(s, d).as[CanTxnAnomaly]
   }
 
-  /** Force the one-time canonical materialization (the stored-CAN_TXN
-    * analogue) — Bench times this as its own line item so per-query numbers
-    * reflect steady state, mirroring the reference's build-once-read-many
-    * design.
+  /** Force the one-time canonical materialization (the stored
+    * CAN_TXN/CAN_TXN_LINE analogue) — Bench times this as its own line
+    * item so per-query numbers reflect steady state, mirroring the
+    * reference's build-once-read-many design.
     */
   def buildCanonical(s: SparkSession, d: String): Long = {
     allHeaders(s, d).count()
     survivors(s, d).count()
+    allLines(s, d).count()
   }
 
   private val headerOutCols = Seq("client_id", "source_system", "source_txn_id",
@@ -373,19 +375,18 @@ SELECT client_id, source_system, anomaly_code,
 FROM anoms GROUP BY client_id, source_system, anomaly_code
 ORDER BY client_id, source_system, anomaly_code"""),
 
-    // one lazy plan, one action: the reference's smoke test counts STORED
-    // canonical tables; re-deriving per count would triple the chain, so
-    // the three counts union into a single DAG (per-branch column pruning
-    // keeps each branch's scan minimal)
+    // one lazy plan, one action over the STORED canonical grains: the
+    // reference's smoke test counts stored tables, and the header/line
+    // materializations play that role here — the three counts union into
+    // a single DAG over the cached frames
     "smoke_counts" -> Q(
       (s, d) => {
         def counted(df: DataFrame, name: String): DataFrame =
           df.agg(count(lit(1)).as("row_count"))
             .select(lit(name).as("object_name"), col("row_count"))
-        val surv = survivors(s, d)
-        counted(surv, "CAN_TXN")
-          .unionByName(counted(anomaliesFrom(surv, linesFrom(surv)), "CAN_TXN_ANOMALY"))
-          .unionByName(counted(linesFrom(surv), "CAN_TXN_LINE"))
+        counted(survivors(s, d), "CAN_TXN")
+          .unionByName(counted(allAnomalies(s, d), "CAN_TXN_ANOMALY"))
+          .unionByName(counted(allLines(s, d), "CAN_TXN_LINE"))
           .orderBy("object_name")
       },
       s"""WITH ${OracleFrags.synthCtes}, ${OracleFrags.linesCtes},

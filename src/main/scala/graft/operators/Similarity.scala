@@ -257,50 +257,71 @@ object Similarity {
         .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
     }
 
-  val PowerIters = 25
+  val PowerIters = 500
 
   private val pcaCache = graft.Caches.dfCache()
 
-  /** Dominant principal component of the embedding covariance by power
-    * iteration — iterative distributed linear algebra as DataFrame ops.
-    * Each iteration is one data-parallel pass: the per-row dot x·v is a
-    * codegen'd HOF fold, the matvec Σ x·(x·v) collapses through a
-    * 64-key partial-agg shuffle, and the driver holds only the 64-double
-    * iterate (the MLlib-style sync point — never row data). The centered
-    * matrix is checkpointed once (Iterate.checkpoint); the fitted
-    * component is cached per (session, corpus) like the IVF index.
+  /** Dominant principal component of the embedding covariance.
+    *
+    * ONE data-parallel pass computes the sufficient statistic — per
+    * partition, (n, Σx, Σxx^T): at Dim=64 that is 1 + 64 + 4096 doubles,
+    * the MLlib RowMatrix.computeGramianMatrix treeAggregate shape. The
+    * driver combines P partition rows into C = Σxx^T/n − μμ^T (a 64×64
+    * matrix — O(P·Dim²) collected, never row data) and power-iterates at
+    * memory speed, so convergence runs to a fixed point instead of a
+    * budget of distributed scans. The earlier formulation paid one
+    * full-corpus pass + 64-key shuffle PER iteration (up to 25 scans);
+    * on a 1000-executor corpus each of those scans is minutes — the
+    * one-pass statistic is the only shape that survives 100 TB. The
+    * per-partition accumulation is justified imperative mapPartitions
+    * (the heavy-hitters precedent): a bounded O(Dim²) buffer, emitting
+    * one row per partition.
     */
   private def dominantComponent(s: SparkSession, d: String): DataFrame =
     pcaCache.getOrElseUpdate(s, d) {
       import s.implicits._
-      val raw = Tables.embeddings(s, d).select(col("embedding"))
-      val mu = raw.select(posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("dim").agg(avg(col("v").cast("double")).as("m"))
-        .orderBy("dim").collect().map(_.getDouble(1))
-      val muLit = array(mu.map(lit): _*)
-      val centered = raw.select(
-        zip_with(col("embedding"), muLit, (a, b) => a.cast("double") - b)
-          .as("c"))
-        .transform(graft.Iterate.checkpoint)
-      val n = centered.count().toDouble
+      val parts = Tables.embeddings(s, d).select(col("embedding"))
+        .as[Array[Float]].mapPartitions { rows =>
+          val sumx = new Array[Double](Dim)
+          val gram = new Array[Double](Dim * Dim)
+          var n = 0L
+          while (rows.hasNext) {
+            val x = rows.next()
+            var i = 0
+            while (i < Dim) {
+              val xi = x(i).toDouble
+              sumx(i) += xi
+              // upper triangle only; mirrored at combine time
+              var j = i
+              while (j < Dim) { gram(i * Dim + j) += xi * x(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          if (n == 0L) Iterator.empty else Iterator.single((n, sumx, gram))
+        }.collect()
+      val n = parts.map(_._1).sum.toDouble
+      val mu = Array.tabulate(Dim)(i => parts.map(_._2(i)).sum / n)
+      val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+        val (lo, hi) = if (i <= j) (i, j) else (j, i)
+        parts.map(_._3(lo * Dim + hi)).sum / n - mu(i) * mu(j)
+      }
       var v = Array.fill(Dim)(1.0 / math.sqrt(Dim))
       var lambda = 0.0
       var it = 0
       var converged = false
       while (it < PowerIters && !converged) {
-        val vLit = array(v.map(lit): _*)
-        val av = centered
-          .withColumn("dt", aggregate(
-            zip_with(col("c"), vLit, (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x))
-          .select(posexplode(col("c")).as(Seq("j", "xj")), col("dt"))
-          .groupBy("j").agg(sum(col("xj") * col("dt")).as("avj"))
-          .orderBy("j").collect().map(_.getDouble(1))
-        val cv = av.map(_ / n)
+        val cv = Array.tabulate(Dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < Dim) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        }
         val next = math.sqrt(cv.map(x => x * x).sum)
-        // λ converges quadratically in the eigengap; a relative fixed
-        // point means further distributed passes buy nothing
-        converged = it > 0 && math.abs(next - lambda) <= 1e-9 * next
+        // λ converges quadratically in the eigengap; iterations here are
+        // driver-side matvecs on the 64×64 matrix, so the tolerance can
+        // be machine-precision tight
+        converged = it > 0 && math.abs(next - lambda) <= 1e-12 * next
         lambda = next
         v = cv.map(_ / lambda)
         it += 1
@@ -381,24 +402,27 @@ object Similarity {
     // ≥95% recall vs the brute-force twin).
     "emb_cosine_lsh" -> Q(
       (s, d) => {
-        val e = embs(s, d)
-        val keyed = e.select(col("vec_id"),
+        // vectors ride THROUGH the band join: verify-then-dedup. The
+        // earlier dedup-then-verify shape paid a distinct over the full
+        // candidate multiset (1.45e8 rows at sf1 — the measured 16.7×
+        // superlinear bench item) plus two embedding join-backs; computing
+        // the codegen'd dot at each band collision instead is pure map
+        // work, and the distinct then runs over only the pairs that PASS
+        // the threshold (~3 orders of magnitude fewer rows).
+        val keyed = embs(s, d).select(col("vec_id"), col("embedding"),
+          col("nrm"),
           explode(HashExprs.srpBands(col("embedding"), Dim, SrpBits, SrpBands))
             .as("bk"))
-        val cand = keyed
-          .join(keyed.select(col("vec_id").as("vec_id_b"), col("bk")), Seq("bk"))
+        keyed
+          .join(keyed.select(col("vec_id").as("vec_id_b"),
+            col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("bk")),
+            Seq("bk"))
           .filter(col("vec_id") < col("vec_id_b"))
-          .select(col("vec_id").as("vec_id_a"), col("vec_id_b"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id").as("vec_id_a"),
-            col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_id_a")
-          .join(e.select(col("vec_id").as("vec_id_b"),
-            col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_id_b")
           .withColumn("cosine", VectorOps.cosinePre(
-            col("emb_a"), col("nrm_a"), col("emb_b"), col("nrm_b")))
+            col("embedding"), col("nrm"), col("emb_b"), col("nrm_b")))
           .filter(col("cosine") >= CosineThreshold)
-          .select("vec_id_a", "vec_id_b", "cosine")
+          .select(col("vec_id").as("vec_id_a"), col("vec_id_b"), col("cosine"))
+          .distinct()
           .orderBy("vec_id_a", "vec_id_b")
       },
       None),
