@@ -64,23 +64,23 @@ object Similarity {
     // sized by it, and a mismatch silently projects only a prefix
     val withNorm = e.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
-    val keyed = withNorm.select(col("vec_id"),
+    // verify-then-dedup (same shape as emb_cosine_lsh): vectors ride
+    // through the band join, the codegen'd cosine runs at each collision,
+    // and the distinct covers only threshold-passing pairs — never the
+    // full candidate multiset
+    val keyed = withNorm.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(HashExprs.srpBands(col("embedding"), dim, NearDupBits,
         NearDupBands)).as("bk"))
-    val cand = keyed
-      .join(keyed.select(col("vec_id").as("vec_id_b"), col("bk")), Seq("bk"))
+    keyed
+      .join(keyed.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("bk")),
+        Seq("bk"))
       .filter(col("vec_id") < col("vec_id_b"))
-      .select(col("vec_id").as("vec_id_a"), col("vec_id_b"))
-      .distinct()
-    cand
-      .join(withNorm.select(col("vec_id").as("vec_id_a"),
-        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_id_a")
-      .join(withNorm.select(col("vec_id").as("vec_id_b"),
-        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_id_b")
       .withColumn("cosine", VectorOps.cosinePre(
-        col("emb_a"), col("nrm_a"), col("emb_b"), col("nrm_b")))
+        col("embedding"), col("nrm"), col("emb_b"), col("nrm_b")))
       .filter(col("cosine") >= threshold)
-      .select("vec_id_a", "vec_id_b", "cosine")
+      .select(col("vec_id").as("vec_id_a"), col("vec_id_b"), col("cosine"))
+      .distinct()
   }
 
   /** Deterministic query subset: every 100th vector. */
@@ -91,13 +91,24 @@ object Similarity {
 
   val KmeansIters = 2
 
+  /** Element-wise mean of a fixed-width float-array column per group:
+    * `width` parallel codegen'd sum buffers + one count through ONE
+    * partial-agg shuffle. Replaces the posexplode M-step shape (width×
+    * row blowup → groupBy(key, dim) → collect_list re-assembly — two
+    * shuffles and a sort); the buffer per group key is O(width) doubles,
+    * bounded regardless of corpus size.
+    */
+  private def elementMean(width: Int, vec: Column): Column =
+    array((0 until width).map(i =>
+      (sum(element_at(vec, i + 1).cast("double")) / count(lit(1)))
+        .cast("float")): _*)
+
   /** IVF centroids: deterministic seeds (every 50th vector — C scales with
     * corpus size) refined by `KmeansIters` Lloyd iterations, entirely as
     * DataFrame ops. E-step = broadcast-centroid nearest assignment
     * (map-only, the n×C expansion collapses via partial agg); M-step =
-    * dimension-wise mean through posexplode + groupBy — the same
-    * distributed shape as emb_label_stats, so no step ever materializes a
-    * partition-sized vector on one node.
+    * dimension-wise mean via `elementMean` — one bounded-buffer shuffle,
+    * so no step ever materializes a partition-sized vector on one node.
     *
     * Measured on sf0.01 (isotropic synthetic clusters): raw sample seeds
     * 0.98 recall@10, Lloyd-refined 0.88, identical cluster balance — the
@@ -129,12 +140,8 @@ object Similarity {
         .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
           first(col("embedding")).as("embedding"))
       assigned
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("c_id", "dim")
-        .agg(avg(col("v").cast("double")).as("m"))
         .groupBy("c_id")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m").cast("float")).as("c_emb"))
+        .agg(elementMean(Dim, col("embedding")).as("c_emb"))
         .select(col("c_id"), col("c_emb"),
           VectorOps.norm(col("c_emb")).as("c_nrm"))
     }
@@ -205,7 +212,7 @@ object Similarity {
 
   /** Per-subspace codebooks, k-means-fitted distributively exactly like the
     * IVF centroids (deterministic seeds, Lloyd via broadcast E-step +
-    * posexplode-mean M-step — the codebook is PqM·PqK rows, always
+    * `elementMean` M-step — the codebook is PqM·PqK rows, always
     * broadcastable), trained once per (session, corpus).
     */
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
@@ -233,12 +240,8 @@ object Similarity {
           // struct min: deterministic tie-break on the lower code id
           .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"),
             first(col("sv")).as("sv"))
-          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
-          .groupBy("m", "code", "dim")
-          .agg(avg(col("v").cast("double")).as("mv"))
           .groupBy("m", "code")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
-            x => x.getField("mv").cast("float")).as("cw"))
+          .agg(elementMean(64 / PqM, col("sv")).as("cw"))
       }
     }
 
