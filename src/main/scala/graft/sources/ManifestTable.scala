@@ -62,12 +62,24 @@ object ManifestTable {
     */
   case class BucketGen(path: String, stats: Map[String, (String, String)])
 
+  /** One committed change-feed delta: the generation dir holding the rows a
+    * commit inserted/updated/deleted in this table, tagged `_change_type`.
+    */
+  case class ChangeGen(version: Long, path: String)
+
   /** A bucket holds a LIST of generations — the micro-partition set. Append
     * batches add one narrow-stats generation (so range predicates skip
     * whole files, the Snowflake micro-partition shape); a merge rewrite
     * collapses the bucket back to a single generation.
+    *
+    * `changes` is the table's retained change feed (one entry per feed
+    * commit, ascending version); `feedFrom` is the earliest version the
+    * feed can serve COMPLETELY — -1 when no feed is active. A version in
+    * [feedFrom, current] with no entry means that commit simply didn't
+    * touch this table, which is still a complete feed.
     */
-  case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]]) {
+  case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
+      changes: Seq[ChangeGen] = Nil, feedFrom: Long = -1L) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
   }
@@ -83,39 +95,79 @@ object ManifestTable {
     def table(name: String): TableState =
       tables.getOrElse(name, TableState("", Map.empty))
 
-    /** All tables' live data paths (GC/time-travel liveness set). */
+    /** All tables' live data paths (GC/time-travel liveness set) —
+      * including retained change-feed dirs, which GC must keep alive.
+      */
     def allPaths: Seq[String] =
-      tables.values.flatMap(_.gens.map(_.path)).toSeq
+      tables.values.flatMap(ts =>
+        ts.gens.map(_.path) ++ ts.changes.map(_.path)).toSeq
 
     /** Fold a committed batch in. On a query-id change the batch counter
       * RESTARTS (ids from a fresh checkpoint begin at 0 again); continuing
       * `max` across ids from different checkpoints is exactly the silent
       * skip this field exists to prevent.
+      *
+      * Change-feed bookkeeping per updated table:
+      *   - a feed commit appends its ChangeGen and (if the feed was
+      *     inactive) opens the feed at this version;
+      *   - a NON-feed data mutation on a table with an active feed breaks
+      *     completeness — the feed resets (entries dropped, feedFrom -1)
+      *     rather than silently serving a feed with holes. Physical-only
+      *     rewrites (compaction) set `logicalChange = false` and leave the
+      *     feed intact;
+      *   - entries older than [[ChangeRetainVersions]] prune, and
+      *     `feedFrom` advances past the pruned prefix so a reader asking
+      *     for vacuumed history errors instead of reconstructing wrongly.
       */
     def advance(qid: String, batchId: Long,
         updates: Map[String, TableUpdate]): Manifest = {
+      val nextVersion = version + 1
       val merged = updates.foldLeft(tables) { case (acc, (name, u)) =>
-        val prev = acc.get(name).map(_.buckets).getOrElse(Map.empty[Long, Seq[BucketGen]])
+        val prevState = acc.getOrElse(name, TableState("", Map.empty))
+        val prev = prevState.buckets
         val next =
           if (u.append)
             u.buckets.foldLeft(prev) { case (bs, (b, gens)) =>
               bs + (b -> (bs.getOrElse(b, Nil) ++ gens))
             }
           else prev ++ u.buckets
-        acc + (name -> TableState(u.schemaJson, next))
+        val (changes, feedFrom) = u.changePath match {
+          case Some(rel) =>
+            val opened =
+              if (prevState.feedFrom < 0) nextVersion else prevState.feedFrom
+            val all = prevState.changes :+ ChangeGen(nextVersion, rel)
+            val cutoff = nextVersion - ChangeRetainVersions
+            val kept = all.filter(_.version > cutoff)
+            (kept, math.max(opened, cutoff + 1))
+          case None if u.logicalChange && prevState.feedFrom >= 0 =>
+            (Nil, -1L) // feed gap: reset instead of serving holes
+          case None => (prevState.changes, prevState.feedFrom)
+        }
+        acc + (name -> TableState(u.schemaJson, next, changes, feedFrom))
       }
       val nextBatch =
         if (queryId == qid) math.max(lastBatch, batchId) else batchId
-      Manifest(version + 1, qid, nextBatch, merged)
+      Manifest(nextVersion, qid, nextBatch, merged)
     }
   }
+
+  /** Change-feed retention: entries this many versions back are served;
+    * older ones prune (and their dirs GC) — the CDF analogue of the
+    * snapshot retention window, sized larger because feeds are deltas
+    * (size tracks churn, not table size).
+    */
+  val ChangeRetainVersions = 8
 
   /** One table's contribution to a commit: its (possibly evolved) schema and
     * the generation dirs written this batch — replacing each touched
     * bucket's list (merge rewrite) or appending to it (append batch).
+    * `changePath` is the change-feed dir recorded for this commit (feed
+    * batches only); `logicalChange = false` marks physical-only rewrites
+    * (compaction) that must not break an active feed.
     */
   case class TableUpdate(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
-    append: Boolean)
+    append: Boolean, changePath: Option[String] = None,
+    logicalChange: Boolean = true)
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
@@ -132,7 +184,10 @@ object ManifestTable {
         "schema" -> JString(ts.schemaJson),
         "buckets" -> JObject(ts.buckets.toSeq.sortBy(_._1).map { case (b, gens) =>
           b.toString -> JArray(gens.map(gen).toList)
-        }.toList))
+        }.toList),
+        "changes" -> JArray(ts.changes.map(c => JObject(
+          "version" -> JLong(c.version), "path" -> JString(c.path))).toList),
+        "feedFrom" -> JLong(ts.feedFrom))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -172,7 +227,16 @@ object ManifestTable {
           }.toMap
           case _ => Map.empty[Long, Seq[BucketGen]]
         }
-        name -> TableState(str(tv \ "schema"), buckets)
+        val changes = (tv \ "changes") match {
+          case JArray(cs) => cs.map(cv =>
+            ChangeGen(long(cv \ "version"), str(cv \ "path")))
+          case _ => Nil
+        }
+        val feedFrom = (tv \ "feedFrom") match {
+          case JNothing => -1L
+          case v => long(v)
+        }
+        name -> TableState(str(tv \ "schema"), buckets, changes, feedFrom)
       }.toMap
       case _ => Map.empty[String, TableState]
     }
@@ -433,12 +497,16 @@ object ManifestTable {
     */
   case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
       numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false,
-      deleteKeys: Option[DataFrame] = None) {
+      deleteKeys: Option[DataFrame] = None, changeFeed: Boolean = false) {
     require(!(append && deleteKeys.nonEmpty),
       "append batches cannot carry a delete set")
   }
 
   private val BucketCol = "__graft_bucket"
+
+  /** Change-feed metadata columns (the Delta CDF column names). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   /** Multi-table idempotent merge-upsert of one micro-batch: every table's
     * touched buckets are merged and written to NEW immutable generation
@@ -503,29 +571,52 @@ object ManifestTable {
       val touched = (touchedRows ++ touchedDels).toSeq.sorted
       if (touched.isEmpty) None
       else {
-        val written = touched.map { b =>
+        val results = touched.map { b =>
           val inc = incoming.filter(col(BucketCol) === b).drop(BucketCol)
-          val out = prev.buckets.get(b) match {
-            case Some(gens) if !tb.append =>
-              val existing = spark.read.schema(unified)
-                .parquet(gens.map(g => new File(root, g.path).toString): _*)
-              delKeys match {
-                case Some(dk) =>
-                  // replace-by-key: drop every existing row whose key tuple
-                  // is in this bucket's delete slice, then insert the batch
-                  // rows — within-bucket work only (keys hash to one bucket)
-                  val slice = dk.filter(col(BucketCol) === b).drop(BucketCol)
-                  val cond = tb.mergeKeys
-                    .map(k => existing(k) <=> slice(k)).reduce(_ && _)
-                  existing.join(slice, cond, "left_anti")
-                    .unionByName(inc)
-                    .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-                case None =>
-                  graft.ingest.MergeUpsert.upsert(existing, inc, tb.mergeKeys)
-                    .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-              }
-            case _ => inc
-          }
+          val (out, chg): (DataFrame, Option[DataFrame]) =
+            prev.buckets.get(b) match {
+              case Some(gens) if !tb.append =>
+                val existing = spark.read.schema(unified)
+                  .parquet(gens.map(g => new File(root, g.path).toString): _*)
+                delKeys match {
+                  case Some(dk) =>
+                    // replace-by-key: drop every existing row whose key
+                    // tuple is in this bucket's delete slice, then insert
+                    // the batch rows — within-bucket work only (keys hash
+                    // to one bucket)
+                    val slice = dk.filter(col(BucketCol) === b).drop(BucketCol)
+                    val cond = tb.mergeKeys
+                      .map(k => existing(k) <=> slice(k)).reduce(_ && _)
+                    val merged = existing.join(slice, cond, "left_anti")
+                      .unionByName(inc)
+                      .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+                    val changes = if (!tb.changeFeed) None else {
+                      // delete preimages: rows removed by the slice whose
+                      // key does NOT come back in this batch (a returning
+                      // key is an update, not a delete+insert pair)
+                      val removed = existing.join(slice, cond, "left_semi")
+                      val incKeys = inc
+                        .select(tb.mergeKeys.map(col).toIndexedSeq: _*)
+                      val back = tb.mergeKeys
+                        .map(k => removed(k) <=> incKeys(k)).reduce(_ && _)
+                      val deletes = removed.join(incKeys, back, "left_anti")
+                        .withColumn(ChangeTypeCol, lit("delete"))
+                      Some(tagChanges(existing, inc, tb.mergeKeys)
+                        .unionByName(deletes))
+                    }
+                    (merged, changes)
+                  case None =>
+                    val merged = graft.ingest.MergeUpsert
+                      .upsert(existing, inc, tb.mergeKeys)
+                      .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+                    val changes = if (!tb.changeFeed) None
+                      else Some(tagChanges(existing, inc, tb.mergeKeys))
+                    (merged, changes)
+                }
+              case _ =>
+                (inc, if (!tb.changeFeed) None
+                  else Some(inc.withColumn(ChangeTypeCol, lit("insert"))))
+            }
           // one immutable generation dir per (table, bucket, COMMIT):
           // named by the manifest version this commit will publish, which
           // is unique across query identities — batch ids alone collide
@@ -536,11 +627,103 @@ object ManifestTable {
           // overwrites its own orphan, never a committed dir.
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}"
           val stats = writeGen(out, new File(root, rel), tb.statsCols)
-          b -> Seq(BucketGen(rel, stats))
-        }.toMap
-        Some(TableUpdate(unified.json, written, tb.append))
+          (b -> Seq(BucketGen(rel, stats)), chg)
+        }
+        val written = results.map(_._1).toMap
+        // the commit's change-feed delta: one immutable dir per (table,
+        // commit), written BEFORE the manifest swap like every data dir —
+        // a crash leaves an orphan the next commit's GC removes
+        val changePath = {
+          val dfs = results.flatMap(_._2)
+          if (dfs.isEmpty) None
+          else {
+            val rel = s"data/${tb.name}/chg-v${manifest.version + 1}"
+            dfs.reduce(_ unionByName _).write.mode("overwrite")
+              .parquet(new File(root, rel).toString)
+            Some(rel)
+          }
+        }
+        Some(TableUpdate(unified.json, written, tb.append, changePath))
       }
     } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
+  }
+
+  /** Tag a merge batch's rows with their change type: a row whose merge
+    * key exists in the committed bucket is an `update_postimage` (source
+    * wins on match, so the incoming row IS the post-merge row), otherwise
+    * an `insert`. Bucket-local work on frames the merge already reads.
+    */
+  private def tagChanges(existing: DataFrame, inc: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val exKeys = existing.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val cond = keys.map(k => inc(k) <=> exKeys(k)).reduce(_ && _)
+    inc.join(exKeys, cond, "left_semi")
+      .withColumn(ChangeTypeCol, lit("update_postimage"))
+      .unionByName(inc.join(exKeys, cond, "left_anti")
+        .withColumn(ChangeTypeCol, lit("insert")))
+  }
+
+  /** The table's change feed for versions in `[fromVersion, toVersion]`
+    * (default: through the live version): every row a feed commit
+    * inserted, updated (postimage), or deleted (preimage), tagged
+    * `_change_type` + `_commit_version` — the incremental-consumption
+    * surface (Delta CDF shape). Asking for history older than the feed
+    * can serve COMPLETELY (never recorded, vacuumed past
+    * [[ChangeRetainVersions]], or broken by a non-feed commit) errors
+    * instead of silently returning a feed with holes — an incremental
+    * consumer fed a partial delta would diverge without noticing.
+    */
+  def readChangeFeed(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None,
+      table: String = DefaultTable): DataFrame = {
+    val m = resolve(new File(root), None)
+    val ts = m.table(table)
+    if (ts.feedFrom < 0) throw new IllegalStateException(
+      s"table $table has no active change feed")
+    if (fromVersion < ts.feedFrom) throw new IllegalStateException(
+      s"change feed for $table serves versions >= ${ts.feedFrom}; " +
+        s"$fromVersion is before the feed opened or past retention")
+    val hi = toVersion.getOrElse(m.version)
+    val sel = ts.changes.filter(c => c.version >= fromVersion && c.version <= hi)
+    val schema = ts.schema.add(ChangeTypeCol, "string")
+    if (sel.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(CommitVersionCol, "long"))
+    else sel.map { c =>
+      spark.read.schema(schema)
+        .parquet(new File(root, c.path).toString)
+        .withColumn(CommitVersionCol, lit(c.version))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Roll a snapshot forward through a change-feed range: every key's
+    * final state is ALL postimage rows of its LAST touching version in
+    * the range (absent if that version deleted it), so
+    * `applyChanges(snapshot(v), feed(v+1 .. w), keys) == snapshot(w)` —
+    * the reconstruction contract an incremental consumer relies on. The
+    * per-version (not per-row) rule makes this correct for group-grain
+    * tables too (several line rows per canonical id replaced together).
+    * Append-only tables consume their insert-only feed as a plain union
+    * instead.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = snapshot.columns.toIndexedSeq
+    val lastV = changes
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max(col(CommitVersionCol)).as("__graft_vlast"))
+      .select(keys.map(k => col(k).as(s"__graft_k_$k"))
+        :+ col("__graft_vlast"): _*)
+    val condL = keys.map(k => changes(k) <=> col(s"__graft_k_$k"))
+      .reduce(_ && _) && changes(CommitVersionCol) === col("__graft_vlast")
+    val finalRows = changes.join(lastV, condL)
+      .filter(col(ChangeTypeCol) =!= "delete")
+      .select(dataCols.map(changes(_)): _*)
+    val changedKeys = changes.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val condS = keys.map(k => snapshot(k) <=> changedKeys(k)).reduce(_ && _)
+    snapshot.join(changedKeys, condS, "left_anti")
+      .unionByName(finalRows)
   }
 
   /** A committed table restricted to a bucket-id subset — the read an
@@ -578,7 +761,10 @@ object ManifestTable {
       b -> Seq(BucketGen(rel, stats))
     }
     val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-      Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false)))
+      Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
+        // physical-only rewrite: no logical change, an active feed stays
+        // intact (no entry, no reset)
+        changePath = None, logicalChange = false)))
     commit(root, next)
     gc(root, next)
   }

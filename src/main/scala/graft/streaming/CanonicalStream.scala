@@ -183,13 +183,19 @@ object CanonicalStream {
           // makes a same-files replay an exact no-op at the storage layer
           TableBatch(StagingTable, allRows.toDF(), GroupKeys, Buckets,
             deleteKeys = Some(touchedGroups)),
+          // the three published grains carry a change feed: downstream
+          // consumers (ops views, exports) pull per-commit deltas via
+          // ManifestTable.readChangeFeed instead of re-diffing snapshots
           TableBatch(HeaderTable, CanonicalChain.headerModel(surv),
             Seq("canonical_txn_id"), Buckets,
-            statsCols = Seq("txn_timestamp"), deleteKeys = Some(affected)),
+            statsCols = Seq("txn_timestamp"), deleteKeys = Some(affected),
+            changeFeed = true),
           TableBatch(LineTable, CanonicalChain.lineModel(lines),
-            Seq("canonical_txn_id"), Buckets, deleteKeys = Some(affected)),
+            Seq("canonical_txn_id"), Buckets, deleteKeys = Some(affected),
+            changeFeed = true),
           TableBatch(AnomalyTable, anoms,
-            Seq("canonical_txn_id"), Buckets, deleteKeys = Some(affected)))
+            Seq("canonical_txn_id"), Buckets, deleteKeys = Some(affected),
+            changeFeed = true))
       }
       if (canonBatches.nonEmpty || extra.nonEmpty)
         ManifestTable.mergeBatch(root, qid, batchId, canonBatches ++ extra)

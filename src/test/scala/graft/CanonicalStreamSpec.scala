@@ -149,6 +149,7 @@ class CanonicalStreamSpec extends SparkSpec {
     drop1.foreach(_.apply())
     val inc1 = CanonicalStream.ingestIncrement(spark, dirs, root)
     assert(inc1.newFiles.values.flatten.nonEmpty && inc1.skippedFiles.isEmpty)
+    val v1 = ManifestTable.read(root).get.version
 
     drop2.foreach(_.apply())
     val inc2 = CanonicalStream.ingestIncrement(spark, dirs, root)
@@ -159,6 +160,23 @@ class CanonicalStreamSpec extends SparkSpec {
     assert(inc2.newFiles.values.flatten.nonEmpty)
     assert(inc2.newFiles.values.flatten.toSet
       .intersect(inc1.newFiles.values.flatten.toSet).isEmpty)
+
+    // the published grains carry a change feed: rolling each table's
+    // drop-1 snapshot forward through the feed reproduces the live table
+    // exactly — including the LINE grain, whose several rows per
+    // canonical id exercise the group-replacement reconstruction rule
+    for (t <- Seq(CanonicalStream.HeaderTable, CanonicalStream.LineTable,
+        CanonicalStream.AnomalyTable)) {
+      val snap = ManifestTable.readTable(spark, root.toString,
+        version = Some(v1), table = t)
+      val feed = ManifestTable.readChangeFeed(spark, root.toString, v1 + 1,
+        table = t)
+      val rolled = ManifestTable.applyChanges(snap, feed,
+        Seq("canonical_txn_id"))
+      assert(canon(rolled) ==
+        canon(ManifestTable.readTable(spark, root.toString, table = t)),
+        s"table $t: CDF roll-forward diverged from the live snapshot")
+    }
 
     // a third run over the unchanged landing zone is an exact no-op
     val vBefore = ManifestTable.read(root).get.version
@@ -237,11 +255,24 @@ class CanonicalStreamSpec extends SparkSpec {
       s"/data/${CanonicalStream.HeaderTable}/b$idBucket-",
       s"/data/${CanonicalStream.LineTable}/b$idBucket-",
       s"/data/${CanonicalStream.AnomalyTable}/b$idBucket-",
-      s"/data/${CanonicalStream.LedgerTable}/b0-")
+      s"/data/${CanonicalStream.LedgerTable}/b0-",
+      // the commit's change-feed deltas are per-commit dirs, not bucket
+      // rewrites — expected, and checked below to hold ONLY the new group
+      s"/data/${CanonicalStream.HeaderTable}/chg-",
+      s"/data/${CanonicalStream.LineTable}/chg-",
+      s"/data/${CanonicalStream.AnomalyTable}/chg-")
     val added = dataFiles() -- before
     assert(added.nonEmpty)
     val stray = added.filterNot(a => allowed.exists(a.startsWith))
     assert(stray.isEmpty, s"increment touched unrelated buckets: $stray")
+
+    // the increment's feed delta carries exactly the one new group
+    val v = ManifestTable.read(root).get.version
+    val delta = ManifestTable.readChangeFeed(spark, root.toString, v,
+      table = CanonicalStream.HeaderTable).collect()
+    assert(delta.length == 1 &&
+      delta.head.getAs[String]("source_txn_id") == "TXN990001" &&
+      delta.head.getAs[String](ManifestTable.ChangeTypeCol) == "insert")
 
     // the new group is live and correct in the committed table
     val row = ManifestTable.readTable(spark, root.toString,

@@ -230,4 +230,116 @@ class ManifestTableSpec extends SparkSpec {
       TableBatch(ManifestTable.DefaultTable, evolved, Seq("event_id"), 4)))
     assert(ManifestTable.read(root).get.version == v)
   }
+
+  test("change feed: commits tag inserts/updates/deletes and a snapshot rolls forward to any later snapshot exactly") {
+    val target = tmp("graft_cdf")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def feed(batchId: Long, df: DataFrame,
+        deletes: Option[DataFrame] = None): Unit =
+      ManifestTable.mergeBatch(root, "q", batchId, Seq(
+        TableBatch(t, df, Seq("event_id"), 4, deleteKeys = deletes,
+          changeFeed = true)))
+
+    feed(0L, rows(0 until 50, 1))                       // v1: 50 inserts
+    feed(1L, rows(30 until 70, 2))                      // v2: 20 upd, 20 ins
+    // v3: replace-by-key — the maintainer deletes ALL keys its touched
+    // groups previously published (0-9 and 60-69), then re-inserts the
+    // groups' current rows (5-7 return, 60-74 re-publish)
+    feed(2L, rows(60 until 75, 3).unionByName(rows(5 until 8, 3)),
+      deletes = Some(((0L until 10L) ++ (60L until 70L)).toDF("event_id")))
+
+    def typed(v: Long): Map[String, Set[Long]] =
+      ManifestTable.readChangeFeed(spark, target, v, toVersion = Some(v))
+        .collect()
+        .groupBy(_.getAs[String](ManifestTable.ChangeTypeCol))
+        .view.mapValues(_.map(_.getAs[Long]("event_id")).toSet).toMap
+    assert(typed(1L) == Map("insert" -> (0L until 50L).toSet))
+    assert(typed(2L) == Map(
+      "update_postimage" -> (30L until 50L).toSet,
+      "insert" -> (50L until 70L).toSet))
+    // v3: keys 0-9 deleted EXCEPT 5,6,7 which the batch re-inserts (an
+    // update, not a delete+insert pair); 60-69 update, 70-74 insert
+    assert(typed(3L) == Map(
+      "delete" -> Set(0L, 1L, 2L, 3L, 4L, 8L, 9L),
+      "update_postimage" -> ((60L until 70L).toSet ++ Set(5L, 6L, 7L)),
+      "insert" -> (70L until 75L).toSet))
+
+    // reconstruction contract: snapshot(v) + feed(v+1 ..) == live, from
+    // BOTH retained starting points
+    val live = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    Seq(1L, 2L).foreach { v =>
+      val snap = ManifestTable.readTable(spark, target, version = Some(v))
+      val rolled = ManifestTable.applyChanges(snap,
+        ManifestTable.readChangeFeed(spark, target, v + 1),
+        Seq("event_id"))
+      assert(rolled.collect().map(_.toString).toSet == live,
+        s"roll-forward from v$v diverged")
+    }
+
+    // a replayed (queryId, batchId) adds no feed entries
+    val entries = ManifestTable.read(root).get.table(t).changes.size
+    feed(2L, rows(60 until 75, 3), deletes = None)
+    assert(ManifestTable.read(root).get.table(t).changes.size == entries)
+
+    // asking for history before the feed opened errors — an incremental
+    // consumer must never silently receive a partial delta
+    intercept[IllegalStateException] {
+      ManifestTable.readChangeFeed(spark, target, 0L)
+    }
+  }
+
+  test("change feed: non-feed commits reset it, compaction preserves it, retention prunes it with a loud error past the window") {
+    val target = tmp("graft_cdf2")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // append-mode feed: three daily appends, every row an insert
+    (0 until 3).foreach { day =>
+      ManifestTable.mergeBatch(root, "q", day.toLong, Seq(
+        TableBatch(t, rows(day * 20 until (day + 1) * 20, day + 1),
+          Seq("event_id"), 2, append = true, changeFeed = true)))
+    }
+    val feedAll = ManifestTable.readChangeFeed(spark, target, 1L)
+    assert(feedAll.count() == 60)
+    assert(feedAll.select(ManifestTable.ChangeTypeCol).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("insert"))
+
+    // physical-only compaction: no entry, feed intact
+    ManifestTable.compact(spark, root)
+    assert(ManifestTable.read(root).get.table(t).changes.size == 3)
+    assert(ManifestTable.readChangeFeed(spark, target, 1L).count() == 60)
+
+    // a data commit WITHOUT the feed breaks completeness -> feed resets
+    // and readers error instead of getting a feed with a hole
+    ManifestTable.mergeBatch(root, "q", 3L, Seq(
+      TableBatch(t, rows(60 until 70, 4), Seq("event_id"), 2, append = true)))
+    assert(ManifestTable.read(root).get.table(t).feedFrom == -1L)
+    intercept[IllegalStateException] {
+      ManifestTable.readChangeFeed(spark, target, 1L)
+    }
+
+    // the feed reopens at the next feed commit...
+    ManifestTable.mergeBatch(root, "q", 4L, Seq(
+      TableBatch(t, rows(70 until 80, 4), Seq("event_id"), 2, append = true,
+        changeFeed = true)))
+    val reopened = ManifestTable.read(root).get
+    val k = reopened.version
+    assert(reopened.table(t).feedFrom == k)
+    // ...and retention prunes: after ChangeRetainVersions more commits the
+    // oldest entries age out and feedFrom advances past them
+    (0 until ManifestTable.ChangeRetainVersions).foreach { i =>
+      ManifestTable.mergeBatch(root, "q", 5L + i, Seq(
+        TableBatch(t, rows((80 + i * 5) until (85 + i * 5), 5),
+          Seq("event_id"), 2, append = true, changeFeed = true)))
+    }
+    val ts2 = ManifestTable.read(root).get.table(t)
+    assert(ts2.changes.size == ManifestTable.ChangeRetainVersions)
+    assert(ts2.feedFrom > k)
+    intercept[IllegalStateException] {
+      ManifestTable.readChangeFeed(spark, target, k)
+    }
+    assert(ManifestTable.readChangeFeed(spark, target, ts2.feedFrom)
+      .count() == ManifestTable.ChangeRetainVersions * 5L)
+  }
 }
