@@ -15,17 +15,24 @@ import org.json4s.jackson.JsonMethods
   * sql/05_merge_canonical.sql:1, a Snowflake MERGE whose visibility is
   * governed by the warehouse's commit protocol).
   *
-  * Layout: immutable data directories under `data/<table>/`, and ONE mutable
-  * object — the `MANIFEST` file at the table root. Readers resolve every
-  * table's file list exclusively through the manifest, so data files are
-  * invisible until a commit publishes them; writers write data first, then
-  * atomically replace the manifest (`Files.move` with `ATOMIC_MOVE`, a single
-  * rename syscall on POSIX). A crash at ANY point before the rename leaves
+  * Layout: immutable data directories under `data/<table>/`, immutable
+  * per-version manifests (`MANIFEST.v{N}` — the commit points AND the
+  * time-travel handles), and a mutable `MANIFEST` live-pointer cache at
+  * the table root. Readers resolve every table's file list exclusively
+  * through the manifest, so data files are invisible until a commit
+  * publishes them; writers write data first, then commit by EXCLUSIVELY
+  * creating version N's manifest (`Files.createLink` of a complete tmp
+  * file — POSIX `link(2)` fails atomically on EEXIST, so of any racing
+  * writers exactly one wins the version and the rest rebase on the
+  * winner's state and retry: optimistic concurrency, the Delta commit
+  * protocol). A crash at ANY point before the version file lands leaves
   * the previously-committed state byte-identical and fully readable; the
-  * orphaned data dirs are garbage-collected by the next successful commit.
-  * This is the same two-phase shape Delta/Iceberg use (write files → swap one
-  * metadata pointer), restated with zero dependencies; on real object storage
-  * the rename becomes the table format's metadata-swap primitive.
+  * orphaned data dirs are garbage-collected by the next successful commit
+  * (with an in-flight guard so a winner's GC never deletes dirs a
+  * concurrent writer may still commit). This is the same two-phase shape
+  * Delta/Iceberg use (write files → create one commit object), restated
+  * with zero dependencies; on real object storage the exclusive create
+  * becomes the store's conditional-put primitive.
   *
   * One manifest spans MULTIPLE tables: a micro-batch that merges the
   * canonical header, line, and anomaly grains publishes all three with the
@@ -244,11 +251,38 @@ object ManifestTable {
       tables)
   }
 
+  /** The latest committed manifest. The per-version file is the COMMIT
+    * POINT (created exclusively, see [[commit]]); the live pointer is only
+    * a cache a crashed-or-racing writer may not have refreshed — so the
+    * read rolls FORWARD from the hint, probing `.v{hint+1}, .v{hint+2}…`
+    * until the newest committed version. The probe loop is short by
+    * construction: every successful commit refreshes the hint, so the gap
+    * is at most the handful of in-flight writers.
+    */
   def read(root: File): Option[Manifest] = {
     val f = new File(root, ManifestName)
-    if (!f.exists) None
-    else Some(parse(new String(Files.readAllBytes(f.toPath), UTF_8)))
+    val hint =
+      if (f.exists) Some(parse(new String(Files.readAllBytes(f.toPath), UTF_8)))
+      else None
+    var latest = hint
+    var v = hint.map(_.version).getOrElse(0L) + 1
+    var vf = versionFile(root, v)
+    while (vf.exists) {
+      latest = Some(parse(new String(Files.readAllBytes(vf.toPath), UTF_8)))
+      v += 1
+      vf = versionFile(root, v)
+    }
+    latest
   }
+
+  /** Thrown when another writer committed this version first. The loser's
+    * written generation dirs are orphans the next GC collects; retry by
+    * re-reading the latest manifest and re-deriving the batch against it
+    * (what [[mergeBatch]] does internally).
+    */
+  class ConcurrentCommitException(version: Long)
+    extends RuntimeException(
+      s"version $version was committed by a concurrent writer")
 
   /** Snapshots retained by [[gc]]: readers may time-travel this many
     * versions back (current + RetainVersions-1 older), and a reader still
@@ -257,31 +291,58 @@ object ManifestTable {
     */
   val RetainVersions = 3
 
-  /** Publish: the live pointer swaps FIRST (atomic rename), then the
-    * immutable per-version manifest (`.v{N}`, the time-travel handle) is
-    * written — also through a tmp + ATOMIC_MOVE, so a version-addressed
-    * reader can never parse a torn file. The ordering matters: writing
-    * the `.v` file before the live swap would let time travel serve a
-    * never-committed snapshot after a crash in the window between the
-    * two writes. With live-first, that crash only leaves the committed
-    * version's `.v` file missing — `readTable(Some(v))` falls back to
-    * the live manifest when the versions match, so even that window
-    * reads cleanly.
+  /** Publish with optimistic concurrency. The per-version manifest
+    * (`.v{N}`) is created via an EXCLUSIVE hard link of a fully-written
+    * tmp file — `link(2)` atomically fails with EEXIST if the version
+    * already exists, so of any number of racing writers exactly ONE wins
+    * version N and the rest get [[ConcurrentCommitException]] (the Delta
+    * optimistic-commit protocol, expressed with POSIX primitives; a plain
+    * rename would be last-writer-wins and silently DROP the loser's
+    * commit). Only after winning does the live pointer refresh — it is a
+    * best-effort cache; a crash between the two writes just leaves a
+    * stale hint that [[read]]'s roll-forward skips past. Content is never
+    * torn: the link source is complete before the link lands, and both
+    * tmp names carry the writer's nonce so racing writers never scribble
+    * on each other's tmp files.
     */
   def commit(root: File, m: Manifest): Unit = {
     Files.createDirectories(root.toPath)
-    val tmp = new File(root, s".${ManifestName}.tmp")
+    val nonce = newNonce()
+    val vtmp = new File(root, s".${ManifestName}.v.$nonce.tmp")
+    Files.write(vtmp.toPath, render(m).getBytes(UTF_8))
+    try Files.createLink(versionFile(root, m.version).toPath, vtmp.toPath): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(m.version)
+    } finally Files.deleteIfExists(vtmp.toPath)
+    val tmp = new File(root, s".${ManifestName}.$nonce.tmp")
     Files.write(tmp.toPath, render(m).getBytes(UTF_8))
     Files.move(tmp.toPath, new File(root, ManifestName).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
-    val vtmp = new File(root, s".${ManifestName}.v.tmp")
-    Files.write(vtmp.toPath, render(m).getBytes(UTF_8))
-    Files.move(vtmp.toPath, versionFile(root, m.version).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
+
+  /** Writer-attempt nonce: distinguishes concurrent writers' tmp files and
+    * generation dirs (dashless so dir-name version parsing stays trivial).
+    */
+  private def newNonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
 
   private def versionFile(root: File, v: Long): File =
     new File(root, s"$ManifestName.v$v")
+
+  /** Version embedded in a generation dir name (`b3-v7-nonce`,
+    * `b3-c7-nonce`, `chg-v7-nonce`; legacy `b3-7`): the second dash token
+    * with its v/c marker stripped. Unparseable → 0, i.e. always
+    * collectible, matching the pre-versioned-naming behavior.
+    */
+  private def dirVersion(name: String): Long = {
+    val parts = name.split('-')
+    if (parts.length < 2) 0L
+    else {
+      val tok = parts(1).dropWhile(c => c == 'v' || c == 'c')
+      if (tok.nonEmpty && tok.forall(_.isDigit)) tok.toLong else 0L
+    }
+  }
 
   /** Data paths (across ALL tables) a retained version resolves; Nil if the
     * version's manifest is gone (aged out or never published).
@@ -310,6 +371,14 @@ object ManifestTable {
     if (tableDirs != null) tableDirs.filter(_.isDirectory).foreach { td =>
       td.listFiles
         .filterNot(d => live.contains(s"data/${td.getName}/${d.getName}"))
+        // in-flight guard: a dir named for a version NEWER than the one
+        // this GC runs under belongs to a concurrent writer that may
+        // still legitimately commit it — deleting it would corrupt that
+        // commit. Dirs at or below the current version are decided: they
+        // are committed (then referenced, kept above) or they lost the
+        // race / crashed (their version's v-file exists or never will
+        // under a colliding writer) — safe to collect.
+        .filter(d => dirVersion(d.getName) <= m.version)
         .foreach(deleteRecursively)
     }
     val stale = root.listFiles
@@ -522,27 +591,55 @@ object ManifestTable {
     * column added mid-stream flows into the committed table without
     * rewriting untouched buckets.
     */
+  /** Commit-conflict retries: each retry re-reads the latest manifest and
+    * re-derives the merge against it (a full rebase, not a blind re-send),
+    * so contending writers serialize correctly. Past the cap the conflict
+    * propagates — livelock under pathological contention fails loudly.
+    */
+  val MaxCommitAttempts = 10
+
   def mergeBatch(root: File, qid: String, batchId: Long,
       batches: Seq[TableBatch]): Unit = {
-    val manifest = read(root).getOrElse(empty)
-    if (manifest.queryId == qid && batchId <= manifest.lastBatch)
-      return // replayed batch of the SAME query: already committed
-    val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
-      mergeTable(root, manifest, batchId, tb).map(tb.name -> _)
-    }.toMap
-    // an all-empty micro-batch (Spark does deliver them) must NOT commit: a
-    // bucketless manifest helps no reader, and re-running the empty batch
-    // is a harmless no-op, so skipping the lastBatch advance is safe
-    if (updates.isEmpty) return
-    val next = manifest.advance(qid, batchId, updates)
-    commit(root, next)
-    gc(root, next)
+    var attempt = 0
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      val manifest = read(root).getOrElse(empty)
+      if (manifest.queryId == qid && batchId <= manifest.lastBatch)
+        return // replayed batch of the SAME query: already committed
+      val nonce = newNonce()
+      try {
+        val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
+          mergeTable(root, manifest, nonce, tb).map(tb.name -> _)
+        }.toMap
+        // an all-empty micro-batch (Spark does deliver them) must NOT
+        // commit: a bucketless manifest helps no reader, and re-running
+        // the empty batch is a harmless no-op, so skipping the lastBatch
+        // advance is safe
+        if (updates.isEmpty) return
+        val next = manifest.advance(qid, batchId, updates)
+        commit(root, next)
+        committed = Some(next)
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          // lost the race: this attempt's generation dirs are orphans the
+          // winner's (or our eventual) GC collects; rebase and retry
+          attempt += 1
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          // the table moved under this attempt — a concurrent winner's GC
+          // may have collected our in-flight dirs MID-WRITE (this attempt
+          // was doomed to a commit conflict anyway); rebase and retry. A
+          // failure with the manifest UNmoved is a real error and rethrows.
+          attempt += 1
+      }
+    }
+    committed.foreach(gc(root, _))
   }
 
   /** Merge or append one table's batch rows into its touched buckets; None
     * when the batch brings this table no rows.
     */
-  private def mergeTable(root: File, manifest: Manifest, batchId: Long,
+  private def mergeTable(root: File, manifest: Manifest, nonce: String,
       tb: TableBatch): Option[TableUpdate] = {
     val spark = tb.rows.sparkSession
     val prev = manifest.table(tb.name)
@@ -617,15 +714,15 @@ object ManifestTable {
                 (inc, if (!tb.changeFeed) None
                   else Some(inc.withColumn(ChangeTypeCol, lit("insert"))))
             }
-          // one immutable generation dir per (table, bucket, COMMIT):
-          // named by the manifest version this commit will publish, which
-          // is unique across query identities — batch ids alone collide
-          // when a fresh-checkpoint restart (ids reset to 0) re-runs
-          // against an existing table, and a collision would overwrite a
-          // LIVE committed dir before the swap. A re-attempt of a crashed
-          // batch still reads the same pre-commit manifest, so it
-          // overwrites its own orphan, never a committed dir.
-          val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}"
+          // one immutable generation dir per (table, bucket, ATTEMPT):
+          // named by the manifest version this commit will publish (unique
+          // across query identities — batch ids alone collide when a
+          // fresh-checkpoint restart re-runs against an existing table)
+          // PLUS the writer nonce, so two CONCURRENT writers racing for
+          // the same version can never scribble on each other's dirs —
+          // the loser's become orphans GC collects once the version is
+          // decided (the in-flight guard in [[gc]])
+          val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
           val stats = writeGen(out, new File(root, rel), tb.statsCols)
           (b -> Seq(BucketGen(rel, stats)), chg)
         }
@@ -637,7 +734,7 @@ object ManifestTable {
           val dfs = results.flatMap(_._2)
           if (dfs.isEmpty) None
           else {
-            val rel = s"data/${tb.name}/chg-v${manifest.version + 1}"
+            val rel = s"data/${tb.name}/chg-v${manifest.version + 1}-$nonce"
             dfs.reduce(_ unionByName _).write.mode("overwrite")
               .parquet(new File(root, rel).toString)
             Some(rel)
@@ -749,24 +846,40 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
       statsCols: Seq[String] = Nil): Unit = {
-    val manifest = read(root).getOrElse(empty)
-    val ts = manifest.table(table)
-    val multi = ts.buckets.filter(_._2.length > 1)
-    if (multi.isEmpty) return
-    val rewritten = multi.map { case (b, gens) =>
-      val df = spark.read.schema(ts.schema)
-        .parquet(gens.map(g => new File(root, g.path).toString): _*)
-      val rel = s"data/$table/b$b-c${manifest.version + 1}"
-      val stats = writeGen(df, new File(root, rel), statsCols)
-      b -> Seq(BucketGen(rel, stats))
+    var attempt = 0
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      val multi = ts.buckets.filter(_._2.length > 1)
+      if (multi.isEmpty) return
+      val nonce = newNonce()
+      try {
+        val rewritten = multi.map { case (b, gens) =>
+          val df = spark.read.schema(ts.schema)
+            .parquet(gens.map(g => new File(root, g.path).toString): _*)
+          val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
+          val stats = writeGen(df, new File(root, rel), statsCols)
+          b -> Seq(BucketGen(rel, stats))
+        }
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
+            // physical-only rewrite: no logical change, an active feed
+            // stays intact (no entry, no reset)
+            changePath = None, logicalChange = false)))
+        commit(root, next)
+        committed = Some(next)
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          // a data commit slipped in: rebase on it (it may have split or
+          // replaced the very buckets this pass concatenated) and retry
+          attempt += 1
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
     }
-    val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-      Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
-        // physical-only rewrite: no logical change, an active feed stays
-        // intact (no entry, no reset)
-        changePath = None, logicalChange = false)))
-    commit(root, next)
-    gc(root, next)
+    committed.foreach(gc(root, _))
   }
 
   /** Unified table schema: existing columns keep their position and type,
@@ -782,7 +895,12 @@ object ManifestTable {
     }
 
   def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    // null-safe: a concurrent GC may have removed the dir between the
+    // caller's listing and this walk — already-gone is success here
+    if (f.isDirectory) {
+      val children = f.listFiles
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete(): Unit
   }
 }

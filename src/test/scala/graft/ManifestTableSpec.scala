@@ -143,8 +143,8 @@ class ManifestTableSpec extends SparkSpec {
     assert(covering.nonEmpty && covering.size < totalGens,
       s"pruned nothing: ${covering.size} of $totalGens")
     // day 2 = the second commit = manifest version 2 (gen dirs are named
-    // by the publishing commit's version, unique across query identities)
-    assert(covering.forall(_.path.endsWith("-v2")),
+    // by the publishing commit's version plus the writer nonce)
+    assert(covering.forall(_.path.contains("-v2-")),
       s"kept a non-covering generation: ${covering.map(_.path)}")
 
     // and the pruned read is EXACTLY the full-scan filter
@@ -159,7 +159,7 @@ class ManifestTableSpec extends SparkSpec {
     // batch-clustered here): event_id range inside day 4's block, whose
     // publishing commit is manifest version 4
     val idGens = ManifestTable.gensForRange(ts, "event_id", 310L, 350L)
-    assert(idGens.size < totalGens && idGens.forall(_.path.endsWith("-v4")))
+    assert(idGens.size < totalGens && idGens.forall(_.path.contains("-v4-")))
   }
 
   test("compaction collapses multi-generation buckets without changing the table, stats recomputed") {
@@ -341,5 +341,97 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(ManifestTable.readChangeFeed(spark, target, ts2.feedFrom)
       .count() == ManifestTable.ChangeRetainVersions * 5L)
+  }
+
+  test("optimistic concurrency: one of two racing commits wins, the loser fails loudly, and readers roll forward past a stale live pointer") {
+    val target = tmp("graft_occ")
+    val root = new File(target)
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(0 until 10, 1),
+        Seq("event_id"), 2)))
+    val base = ManifestTable.read(root).get
+
+    // two writers derive version base+1 from the SAME snapshot; the
+    // exclusive version-file create lets exactly one win — a plain rename
+    // would be last-writer-wins and silently drop a commit
+    val upA = Map(ManifestTable.DefaultTable -> TableUpdate(
+      base.table(ManifestTable.DefaultTable).schemaJson, Map.empty,
+      append = true, logicalChange = false))
+    ManifestTable.commit(root, base.advance("writerA", 1L, upA))
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.commit(root, base.advance("writerB", 1L, upA))
+    }
+    assert(ManifestTable.read(root).get.queryId == "writerA")
+
+    // stale live pointer (a crash between version-file land and pointer
+    // refresh): the reader's roll-forward probe still serves the newest
+    // committed version
+    val liveFile = new File(root, ManifestTable.ManifestName)
+    val oldBytes = java.nio.file.Files.readAllBytes(
+      new File(root, s"${ManifestTable.ManifestName}.v${base.version}").toPath)
+    java.nio.file.Files.write(liveFile.toPath, oldBytes)
+    val m = ManifestTable.read(root).get
+    assert(m.version == base.version + 1 && m.queryId == "writerA",
+      "reader failed to roll forward past the stale live pointer")
+    assert(ManifestTable.readTable(spark, target).count() == 10)
+  }
+
+  test("optimistic concurrency: contending mergeBatch writers rebase and retry — no commit and no row is ever lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val target = tmp("graft_occ2")
+    val root = new File(target)
+    val perWriter = 4
+
+    // two writer identities, disjoint key ranges, racing on one table:
+    // every batch must land exactly once regardless of interleaving
+    def writer(qid: String, lo: Int): Future[Unit] = Future {
+      (0 until perWriter).foreach { b =>
+        ManifestTable.mergeBatch(root, qid, b.toLong, Seq(
+          TableBatch(ManifestTable.DefaultTable,
+            rows((lo + b * 25) until (lo + b * 25 + 25), 1),
+            Seq("event_id"), 4)))
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(writer("wA", 0), writer("wB", 1000))), 5.minutes)
+
+    val t = ManifestTable.readTable(spark, target)
+    assert(t.count() == 2L * perWriter * 25)
+    assert(t.select("event_id").distinct().count() == 2L * perWriter * 25)
+    val expected = ((0 until perWriter * 25) ++
+      (1000 until (1000 + perWriter * 25))).map(_.toLong).toSet
+    assert(t.select("event_id").collect().map(_.getLong(0)).toSet == expected)
+    // serialized history: one version per successful commit, none dropped
+    assert(ManifestTable.read(root).get.version == 2L * perWriter)
+  }
+
+  test("GC's in-flight guard: dirs named for a version newer than the GC's own are left for the writer that may still commit them") {
+    val target = tmp("graft_occ3")
+    val root = new File(target)
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(0 until 10, 1),
+        Seq("event_id"), 2)))
+    val v = ManifestTable.read(root).get.version
+
+    // an in-flight concurrent writer's dir (version v+1, not yet
+    // committed) and a decided orphan (version v, lost or crashed)
+    val inflight = new File(root, s"data/t/b0-v${v + 1}-deadbeef")
+    val decided = new File(root, s"data/t/b0-v$v-cafebabe")
+    rows(90 until 92, 1).write.parquet(inflight.toString)
+    rows(90 until 92, 1).write.parquet(decided.toString)
+
+    ManifestTable.gc(root, ManifestTable.read(root).get)
+    assert(inflight.exists,
+      "GC deleted a dir a concurrent writer may still commit")
+    assert(!decided.exists, "GC kept a decided orphan")
+
+    // once ANY commit decides version v+1, the in-flight dir (its writer
+    // lost or crashed) becomes collectible at the next GC
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(10 until 20, 1),
+        Seq("event_id"), 2)))
+    assert(!inflight.exists, "decided orphan survived the next commit's GC")
   }
 }
