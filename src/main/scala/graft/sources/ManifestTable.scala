@@ -748,16 +748,27 @@ object ManifestTable {
   /** Tag a merge batch's rows with their change type: a row whose merge
     * key exists in the committed bucket is an `update_postimage` (source
     * wins on match, so the incoming row IS the post-merge row), otherwise
-    * an `insert`. Bucket-local work on frames the merge already reads.
+    * an `insert`; every updated key ALSO emits its committed row as an
+    * `update_preimage` (full Delta CDF shape). The preimages are what let
+    * a downstream additive aggregate maintain itself DECREMENTALLY
+    * (subtract preimage, add postimage — [[deltaAggregate]]) instead of
+    * rescanning groups. Bucket-local work on frames the merge already
+    * reads. In replace-by-key mode the returning-key slice rows are the
+    * same rows this computes as preimages, so that branch adds only its
+    * true deletes on top.
     */
   private def tagChanges(existing: DataFrame, inc: DataFrame,
       keys: Seq[String]): DataFrame = {
     val exKeys = existing.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val incKeys = inc.select(keys.map(col).toIndexedSeq: _*).distinct()
     val cond = keys.map(k => inc(k) <=> exKeys(k)).reduce(_ && _)
+    val condPre = keys.map(k => existing(k) <=> incKeys(k)).reduce(_ && _)
     inc.join(exKeys, cond, "left_semi")
       .withColumn(ChangeTypeCol, lit("update_postimage"))
       .unionByName(inc.join(exKeys, cond, "left_anti")
         .withColumn(ChangeTypeCol, lit("insert")))
+      .unionByName(existing.join(incKeys, condPre, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_preimage")))
   }
 
   /** The table's change feed for versions in `[fromVersion, toVersion]`
@@ -814,13 +825,37 @@ object ManifestTable {
         :+ col("__graft_vlast"): _*)
     val condL = keys.map(k => changes(k) <=> col(s"__graft_k_$k"))
       .reduce(_ && _) && changes(CommitVersionCol) === col("__graft_vlast")
+    // state rows are inserts and postimages; a version's preimage rows
+    // describe what the update REPLACED, never the resulting state
     val finalRows = changes.join(lastV, condL)
-      .filter(col(ChangeTypeCol) =!= "delete")
+      .filter(col(ChangeTypeCol).isin("insert", "update_postimage"))
       .select(dataCols.map(changes(_)): _*)
     val changedKeys = changes.select(keys.map(col).toIndexedSeq: _*).distinct()
     val condS = keys.map(k => snapshot(k) <=> changedKeys(k)).reduce(_ && _)
     snapshot.join(changedKeys, condS, "left_anti")
       .unionByName(finalRows)
+  }
+
+  /** Per-group NET deltas of a feed range for additive aggregates:
+    * inserts and postimages contribute `+`, preimages and deletes `−`, so
+    * `mart ⊕ deltaAggregate(feed) == aggregate(table)` — a downstream
+    * SUM/COUNT mart maintains itself from the feed alone, touching one
+    * row per changed group and never rescanning the table (the payoff the
+    * `update_preimage` rows exist for; Snowflake consumers do the same
+    * arithmetic off a STREAM's METADATA$ACTION column). Output: the group
+    * columns, `delta_rows` (net row-count change), and `delta_<c>` per
+    * value column. Rows whose group columns an update MOVED contribute a
+    * preimage `−` in the old group and a postimage `+` in the new one —
+    * group migration is handled by construction.
+    */
+  def deltaAggregate(changes: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val sign = when(
+      col(ChangeTypeCol).isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    changes.groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(sum(sign).as("delta_rows"),
+        valueCols.map(c => sum(col(c) * sign).as(s"delta_$c")).toIndexedSeq: _*)
   }
 
   /** A committed table restricted to a bucket-id subset — the read an

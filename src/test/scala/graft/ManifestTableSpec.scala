@@ -255,13 +255,18 @@ class ManifestTableSpec extends SparkSpec {
         .groupBy(_.getAs[String](ManifestTable.ChangeTypeCol))
         .view.mapValues(_.map(_.getAs[Long]("event_id")).toSet).toMap
     assert(typed(1L) == Map("insert" -> (0L until 50L).toSet))
+    // updated keys emit BOTH sides: the replaced committed row as an
+    // update_preimage and the incoming row as the update_postimage — the
+    // full Delta-CDF shape a decremental aggregate maintainer needs
     assert(typed(2L) == Map(
+      "update_preimage" -> (30L until 50L).toSet,
       "update_postimage" -> (30L until 50L).toSet,
       "insert" -> (50L until 70L).toSet))
     // v3: keys 0-9 deleted EXCEPT 5,6,7 which the batch re-inserts (an
     // update, not a delete+insert pair); 60-69 update, 70-74 insert
     assert(typed(3L) == Map(
       "delete" -> Set(0L, 1L, 2L, 3L, 4L, 8L, 9L),
+      "update_preimage" -> ((60L until 70L).toSet ++ Set(5L, 6L, 7L)),
       "update_postimage" -> ((60L until 70L).toSet ++ Set(5L, 6L, 7L)),
       "insert" -> (70L until 75L).toSet))
 
@@ -433,5 +438,179 @@ class ManifestTableSpec extends SparkSpec {
       TableBatch(ManifestTable.DefaultTable, rows(10 until 20, 1),
         Seq("event_id"), 2)))
     assert(!inflight.exists, "decided orphan survived the next commit's GC")
+  }
+
+  test("change-feed stream: AvailableNow drains exactly the committed deltas and a checkpointed restart never replays") {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = tmp("graft_cdfs")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 2, changeFeed = true)))
+    feed(0L, rows(0 until 40, 1))
+    feed(1L, rows(20 until 60, 2)) // 20-39 update, 40-59 insert
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfs_ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", target).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.collect().map(_.toString)
+          seen.synchronized { seen ++= got }: Unit
+        }.start()
+      q.awaitTermination()
+    }
+
+    // first drain = the feed's full retained history, tagged and versioned
+    // (v1: 40 inserts; v2: 20 inserts + 20 updates as preimage+postimage
+    // pairs = 60 rows)
+    drain()
+    val expect12 = ManifestTable.readChangeFeed(spark, target, 1L)
+      .collect().map(_.toString)
+    assert(seen.size == 100 && expect12.length == 100)
+    assert(seen.toSet == expect12.toSet)
+
+    // restart with nothing new: zero replay
+    drain()
+    assert(seen.size == 100, "a restarted consumer replayed delivered deltas")
+
+    // a version that brings THIS table no feed rows (another table's
+    // commit) advances the offset but delivers an empty micro-batch
+    ManifestTable.mergeBatch(root, "q2", 0L, Seq(
+      TableBatch("other", rows(0 until 5, 3), Seq("event_id"), 2)))
+    drain()
+    assert(seen.size == 100)
+
+    // a new feed commit after the gap version: ONLY its deltas arrive
+    // (5 updates as preimage+postimage pairs + 10 inserts = 20 rows)
+    feed(2L, rows(55 until 70, 3))
+    val v = ManifestTable.read(root).get.version
+    val delta = ManifestTable.readChangeFeed(spark, target, v, Some(v))
+      .collect().map(_.toString)
+    drain()
+    assert(delta.length == 20 && seen.size == 120)
+    assert(seen.toSet == (expect12 ++ delta).toSet)
+  }
+
+  test("change-feed stream: maxVersionsPerTrigger paces a live consumer one commit per micro-batch") {
+    val target = tmp("graft_cdfp")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 2, append = true, changeFeed = true)))
+    feed(0L, rows(0 until 10, 1))
+
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft-cdf").option("path", target)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vs = b.select(ManifestTable.CommitVersionCol)
+          .distinct().collect().map(_.getLong(0)).toSeq
+        batches.synchronized { batches += vs }: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      // backlog lands first (a run's first trigger is uncapped — bounded
+      // by feed retention, and capping it could regress a checkpoint)
+      assert(batches.flatten.toSet == Set(1L))
+      // two more commits while the query is live: the cap makes each its
+      // OWN micro-batch — one commit per trigger, never coalesced
+      feed(1L, rows(10 until 20, 1))
+      feed(2L, rows(20 until 30, 1))
+      q.processAllAvailable()
+      val paced = batches.synchronized(batches.toList).filter(_.nonEmpty)
+      assert(paced.map(_.toSet) == List(Set(1L), Set(2L), Set(3L)),
+        s"expected one commit per micro-batch, got $paced")
+    } finally q.stop()
+  }
+
+  test("incremental mart: a CDF-fed aggregate maintains itself exactly — migrating updates, replace-by-key deletes, vanishing groups, replayed drains") {
+    import graft.streaming.IncrementalMart
+    val src = tmp("graft_mart_src")
+    val mart = tmp("graft_mart_tgt")
+    val srcRoot = new File(src)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame, deletes: Option[DataFrame] = None): Unit =
+      ManifestTable.mergeBatch(srcRoot, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 4, deleteKeys = deletes,
+          changeFeed = true)))
+    def mk(rs: Seq[(Long, String, Double)]): DataFrame =
+      rs.toDF("event_id", "grp", "value")
+
+    feed(0L, mk((0L until 60L).map(i => (i, s"g${i % 3}", i * 1.5))
+      :+ ((100L, "solo", 7.0))))
+    val cfg = IncrementalMart.Config(src, mart,
+      groupCols = Seq("grp"), valueCols = Seq("value"), numBuckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mart_ckpt").toString
+    def drain(): Unit = IncrementalMart.sync(spark, cfg, ckpt)
+    // the invariant: the mart IS the full aggregate of the live source —
+    // values are multiples of 0.5, so both paths' double sums are exact
+    // and compare bit-for-bit
+    def expected: Set[String] = ManifestTable.readTable(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("value").as("sum_value"))
+      .collect().map(_.toString).toSet
+    def martRows: Set[String] = ManifestTable.readTable(spark, mart)
+      .collect().map(_.toString).toSet
+
+    drain()
+    assert(martRows == expected)
+
+    // updates that MIGRATE groups (preimage − in the old group, postimage
+    // + in the new) plus fresh inserts
+    feed(1L, mk((0L until 20L).map(i => (i, s"g${(i + 1) % 3}", i * 10.0))
+      ++ (60L until 80L).map(i => (i, s"g${i % 3}", i * 1.5))))
+    // replace-by-key: ids 0-9 deleted with 5-7 returning in a brand-new
+    // group; the one-row "solo" group nets to zero and must VANISH
+    feed(2L, mk(Seq((5L, "g9", 1.0), (6L, "g9", 1.0), (7L, "g9", 1.0))),
+      deletes = Some(((0L until 10L) :+ 100L).toDF("event_id")))
+    drain()
+    assert(martRows == expected)
+    assert(!martRows.exists(_.contains("solo")), "netted-out group survived")
+    assert(martRows.exists(_.contains("g9")))
+
+    // a drain with nothing new commits nothing: mart version unmoved
+    val v = ManifestTable.read(new File(mart)).get.version
+    drain()
+    assert(ManifestTable.read(new File(mart)).get.version == v)
+    assert(martRows == expected)
+  }
+
+  test("change-feed stream: a feed reset surfaces as a query failure, never a silent gap") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val target = tmp("graft_cdfg")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, rows(0 until 10, 1), Seq("event_id"), 2,
+        append = true, changeFeed = true)))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfg_ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", target).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      q.awaitTermination()
+    }
+    drain() // checkpoint now at the feed's first version
+
+    // non-feed commit resets the feed; the reopened feed starts LATER than
+    // the checkpoint+1, so resuming would skip the un-fed version silently
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(t, rows(10 until 20, 1), Seq("event_id"), 2, append = true)))
+    ManifestTable.mergeBatch(root, "q", 2L, Seq(
+      TableBatch(t, rows(20 until 30, 1), Seq("event_id"), 2,
+        append = true, changeFeed = true)))
+    val e = intercept[StreamingQueryException](drain())
+    def causes(x: Throwable): List[Throwable] =
+      if (x == null) Nil else x :: causes(x.getCause)
+    assert(causes(e).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected the loud-gap IllegalStateException, got $e")
   }
 }
