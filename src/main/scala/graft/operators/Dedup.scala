@@ -428,6 +428,68 @@ object Dedup {
         |  cast(levenshtein(a.k, b.k) as bigint) AS dist
         |FROM keys a JOIN keys b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.k, b.k) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Exact-substring duplicated-span detection — the distributed shape of
+    // suffix-array training-data dedup (ExactSubstr, "Deduplicating
+    // Training Data Makes Language Models Better"): any 8-token gram that
+    // occurs more than once ANYWHERE in the corpus seeds a duplicated
+    // region; per doc, seed positions expand to the tokens they cover and
+    // merge into maximal spans (gaps-and-islands), the ranges a span
+    // remover would cut. Scale: the only wide ops are the gram-count
+    // shuffle and the seed join, both keyed on the gram — cost tracks
+    // gram volume (≈ corpus tokens), never pairs; span merging is one
+    // per-doc window over covered positions (bounded by doc length). The
+    // reference's dedup surface stops at whole-row duplicates
+    // (sql/05_merge_canonical.sql:1 merge keys); this is the sub-document
+    // extension a 100 TB training corpus needs.
+    "doc_dup_spans" -> Q(
+      (s, d) => {
+        val SpanK = 8
+        val toks = docs(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          // guard: Spark's sequence(0, n) generates DESCENDING for n<0
+          .filter(size(col("w")) >= SpanK)
+        val grams = toks.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - SpanK),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(SpanK))))))
+          .toDF("doc_id", "pos", "gram")
+        val dup = grams.groupBy("gram").count()
+          .filter(col("count") > 1).select("gram")
+        val covered = grams.join(dup, "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("p"))
+          .distinct()
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")
+        covered.withColumn("grp", col("p") - row_number().over(wd))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("p")).cast("long").as("span_start"),
+            (max(col("p")) + 1).cast("long").as("span_end"),
+            count(lit(1)).as("span_tokens"))
+          .select("doc_id", "span_start", "span_end", "span_tokens")
+          .orderBy("doc_id", "span_start")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'g': list_aggregate(w[i:i+7], 'string_agg', ' ')}
+        |    for i in generate_series(1, len(w) - 7)]) AS u
+        |  FROM toks),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS gram FROM grams),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |seed AS (SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, pos + t.o AS p
+        |  FROM seed, range(0, 8) t(o)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov)
+        |SELECT doc_id, cast(min(p) as bigint) AS span_start,
+        |  cast(max(p) + 1 as bigint) AS span_end, count(*) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin)
   )
 }
