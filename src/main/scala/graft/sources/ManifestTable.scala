@@ -917,6 +917,81 @@ object ManifestTable {
     committed.foreach(gc(root, _))
   }
 
+  /** Re-cluster one table on `column` — the explicit-maintenance analogue
+    * of Snowflake's clustering keys. Merge rewrites hash-bucket on the KEY,
+    * so every bucket's generation spans nearly the full range of any other
+    * column and min/max skipping ([[readTableRange]]) degrades to a full
+    * scan on merge-heavy tables. This pass rewrites each bucket's
+    * generations as up to `slices` range-disjoint generation dirs split at
+    * the bucket's own quantiles of `column`, each carrying tight min/max
+    * stats — a range predicate then opens ~1/slices of each bucket instead
+    * of all of it, with no change to bucket routing (key lookups prune
+    * exactly as before; the two prunings COMPOSE).
+    *
+    * Physical-only: row set, schema, bucketing, and an active change feed
+    * are untouched (`logicalChange = false`), published as one ordinary
+    * atomic commit with the same rebase-on-conflict retry as
+    * [[compact]]/[[mergeBatch]]. Cost per bucket: one quantile pass, one
+    * slice-count pass, and `slices` filtered writes over a cached read —
+    * the background-rewrite price every warehouse pays for reclustering,
+    * paid here only when the operator invokes it.
+    */
+  def recluster(spark: SparkSession, root: File, column: String,
+      table: String = DefaultTable, slices: Int = 4,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(slices >= 2, s"recluster needs >= 2 slices, got $slices")
+    var attempt = 0
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      if (ts.buckets.isEmpty) return
+      val stats = (statsCols :+ column).distinct
+      val nonce = newNonce()
+      try {
+        val rewritten = ts.buckets.map { case (b, gens) =>
+          val df = spark.read.schema(ts.schema)
+            .parquet(gens.map(g => new File(root, g.path).toString): _*)
+            .persist()
+          try {
+            // range cut points at the bucket's own quantiles (nulls and a
+            // degenerate single-value bucket both collapse to fewer
+            // slices, never a crash)
+            val keyed = df.withColumn("__graft_ck",
+              col(column).cast("double"))
+            val cuts = keyed.stat.approxQuantile("__graft_ck",
+              (1 until slices).map(_.toDouble / slices).toArray, 0.01)
+              .filterNot(_.isNaN).distinct.sorted
+            val sliceId = cuts.foldLeft(lit(0)) { (acc, c) =>
+              acc + when(col("__graft_ck") > c, 1).otherwise(0)
+            }
+            val present = keyed.groupBy(sliceId.as("__s")).count()
+              .collect().map(_.getInt(0)).sorted
+            val cols = ts.schema.fieldNames.map(col).toIndexedSeq
+            b -> present.toSeq.map { i =>
+              val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
+              val st = writeGen(keyed.filter(sliceId === i).select(cols: _*),
+                new File(root, rel), stats)
+              BucketGen(rel, st)
+            }
+          } finally { df.unpersist(); () }
+        }
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
+            changePath = None, logicalChange = false)))
+        commit(root, next)
+        committed = Some(next)
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // a data commit slipped in: rebase and re-cluster
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
+    }
+    committed.foreach(gc(root, _))
+  }
+
   /** Unified table schema: existing columns keep their position and type,
     * never disappear (a batch missing an old column null-fills it); columns
     * the manifest hasn't seen append at the end.

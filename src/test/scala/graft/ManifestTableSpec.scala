@@ -162,6 +162,56 @@ class ManifestTableSpec extends SparkSpec {
     assert(idGens.size < totalGens && idGens.forall(_.path.contains("-v4-")))
   }
 
+  test("recluster slices buckets into range-disjoint generations: a ts window opens a fraction of each bucket, table and feed intact") {
+    val target = tmp("graft_recluster")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // ONE merged batch: each of 4 key-hashed buckets gets ONE generation
+    // whose ts span covers nearly the full minute (ids interleave across
+    // buckets) — the merge-heavy layout where per-gen stats prune nothing
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, rows(0 until 200, 1), Seq("event_id"), 4,
+        statsCols = Seq("ts"), changeFeed = true)))
+    val before = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    val ts0 = ManifestTable.read(root).get.table(t)
+    assert(ts0.gens.size == 4)
+    val lo = java.sql.Timestamp.valueOf("2024-03-01 12:00:10")
+    val hi = java.sql.Timestamp.valueOf("2024-03-01 12:00:15")
+    // un-clustered: every bucket's single wide-span generation survives
+    assert(ManifestTable.gensForRange(ts0, "ts", lo, hi).size == 4)
+
+    ManifestTable.recluster(spark, root, "ts", slices = 4)
+    val ts1 = ManifestTable.read(root).get.table(t)
+    assert(ts1.gens.size > 4, "expected range slices within buckets")
+    // the narrow window now opens ~1/slices of each bucket
+    val covering = ManifestTable.gensForRange(ts1, "ts", lo, hi)
+    assert(covering.size <= ts1.gens.size / 2,
+      s"pruned nothing: ${covering.size} of ${ts1.gens.size}")
+    // pruned read == full-scan filter; row set byte-identical
+    val pruned = ManifestTable.readTableRange(spark, target, "ts", lo, hi)
+      .collect().map(_.toString).toSet
+    val full = ManifestTable.readTable(spark, target)
+      .filter(col("ts").between(lit(lo), lit(hi)))
+      .collect().map(_.toString).toSet
+    assert(pruned == full && pruned.nonEmpty)
+    assert(ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet == before)
+    // key-bucket routing unchanged: point lookups still prune to one
+    // bucket's (now sliced) generations
+    val lookup = ManifestTable.readTableForKeys(spark, target, "event_id",
+      Seq(42L), 4).collect()
+    assert(lookup.length == 1 && lookup.head.getLong(0) == 42L)
+    // physical-only: the change feed did NOT reset, and a merge after
+    // reclustering still appends feed entries
+    assert(ts1.feedFrom >= 0 && ts1.changes.size == ts0.changes.size)
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(t, rows(200 until 210, 2), Seq("event_id"), 4,
+        statsCols = Seq("ts"), changeFeed = true)))
+    assert(ManifestTable.readChangeFeed(spark, target,
+      ManifestTable.read(root).get.table(t).feedFrom).count() >= 210)
+  }
+
   test("compaction collapses multi-generation buckets without changing the table, stats recomputed") {
     val target = tmp("graft_compact")
     val root = new File(target)
