@@ -490,6 +490,85 @@ object Dedup {
         |SELECT doc_id, cast(min(p) as bigint) AS span_start,
         |  cast(max(p) + 1 as bigint) AS span_end, count(*) AS span_tokens
         |FROM isl GROUP BY doc_id, grp
-        |ORDER BY doc_id, span_start""".stripMargin)
+        |ORDER BY doc_id, span_start""".stripMargin),
+
+    // Keep-first exact-substring dedup — the actionable ExactSubstr
+    // contract: of a duplicated 8-gram's occurrences, the corpus-FIRST
+    // (min doc_id, then position) survives; every other occurrence's
+    // tokens are cut, and the doc re-assembles from its kept tokens. Two
+    // identical docs → the lower id unchanged, the higher id fully
+    // drained. Same gram-keyed shuffles as doc_dup_spans plus one
+    // per-gram window (bounded by the gram's occurrence count) and a
+    // per-doc re-assembly aggregation.
+    "doc_dedup_substr" -> Q(
+      (s, d) => {
+        val SpanK = 8
+        val toks = docs(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        val grams = toks.filter(size(col("w")) >= SpanK)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(col("w")) - SpanK),
+              i => concat_ws(" ", slice(col("w"), i + 1, lit(SpanK))))))
+          .toDF("doc_id", "pos", "gram")
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy("gram").orderBy("doc_id", "pos")
+        val dup = grams.groupBy("gram").count()
+          .filter(col("count") > 1).select("gram")
+        val removal = grams.join(dup, "gram")
+          .withColumn("rn", row_number().over(wg))
+          .filter(col("rn") > 1)
+        val covered = removal
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("p"))
+          .distinct()
+        val tok = toks.select(col("doc_id"), posexplode(col("w")))
+          .toDF("doc_id", "p", "t")
+        val kept = tok.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("t")))),
+              x => x.getField("t")), " ").as("clean_text"))
+        toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("kept"), lit(0L)))
+              .as("removed_tokens"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([{'pos': i - 1,
+        |      'g': list_aggregate(w[i:i+7], 'string_agg', ' ')}
+        |    for i in generate_series(1, len(w) - 7)]) AS u
+        |  FROM toks),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS gram FROM grams),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |removal AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM g WHERE gram IN (SELECT gram FROM dup))
+        |  WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + t.o AS p
+        |  FROM removal, range(0, 8) t(o)),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'p': i - 1, 't': w[i]}
+        |    for i in generate_series(1, len(w))]) AS u
+        |  FROM toks),
+        |tk AS (SELECT doc_id, u.p AS p, u.t AS t FROM tok),
+        |kept AS (
+        |  SELECT tk.doc_id, count(*) AS kept,
+        |    string_agg(tk.t, ' ' ORDER BY tk.p) AS clean_text
+        |  FROM tk ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+        |  GROUP BY tk.doc_id)
+        |SELECT toks.doc_id, cast(len(w) as bigint) AS n_tokens,
+        |  cast(len(w) - coalesce(kept.kept, 0) as bigint) AS removed_tokens,
+        |  coalesce(kept.clean_text, '') AS clean_text
+        |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+        |ORDER BY toks.doc_id""".stripMargin)
   )
 }
