@@ -18,20 +18,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw long nanos (legacy conf) and convert to
-    * a microsecond timestamp with exact integer division (`DIV` — a double
-    * divide would lose precision at ~1.7e18 ns). Matches the DuckDB oracle's
-    * `cast(ts as timestamp)` truncation.
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations; normalize BOTH to a session-zone TimestampType so every
+    * downstream operator sees one stable type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read as
+    *    raw long nanos (legacy conf) and convert with exact integer
+    *    division (`DIV` — a double divide would lose precision at
+    *    ~1.7e18 ns), matching the DuckDB oracle's `cast(ts as timestamp)`
+    *    truncation.
+    *  - timestamp[us] without isAdjustedToUTC: reads as TIMESTAMP_NTZ —
+    *    cast to TimestampType (value-preserving under the UTC session
+    *    zone all entry points set).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // sessions built by Engine/Verify/Bench set this at construction; only
     // patch sessions that missed it (avoids re-mutating shared config on
-    // every call, which could race concurrently-planned reads)
+    // every call, which could race concurrently-planned reads). Harmless
+    // for non-nanos files: the conf only affects TIMESTAMP(NANOS) columns.
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

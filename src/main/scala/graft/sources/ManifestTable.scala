@@ -144,8 +144,15 @@ object ManifestTable {
               if (prevState.feedFrom < 0) nextVersion else prevState.feedFrom
             val all = prevState.changes :+ ChangeGen(nextVersion, rel)
             val cutoff = nextVersion - ChangeRetainVersions
-            val kept = all.filter(_.version > cutoff)
-            (kept, math.max(opened, cutoff + 1))
+            val (pruned, kept) = all.partition(_.version <= cutoff)
+            // feedFrom advances only past versions whose entries were
+            // ACTUALLY pruned: on a sparse feed (few commits far apart)
+            // the retained entries still serve versions older than the
+            // nominal cutoff completely — advancing unconditionally would
+            // strand consumers restarting from a perfectly valid offset
+            val from = pruned.map(_.version).maxOption
+              .map(v => math.max(opened, v + 1)).getOrElse(opened)
+            (kept, from)
           case None if u.logicalChange && prevState.feedFrom >= 0 =>
             (Nil, -1L) // feed gap: reset instead of serving holes
           case None => (prevState.changes, prevState.feedFrom)
@@ -284,6 +291,28 @@ object ManifestTable {
     extends RuntimeException(
       s"version $version was committed by a concurrent writer")
 
+  /** A failure plausibly caused by a concurrent winner's GC collecting this
+    * attempt's in-flight files mid-write: a missing-file error anywhere in
+    * the cause chain (Spark wraps executor-side read failures in
+    * SparkException layers). Anything else — analysis error, bad schema,
+    * corrupt input — is deterministic and must SURFACE, not re-execute
+    * full bucket rewrites MaxCommitAttempts times before diagnosis.
+    */
+  private def isFileRace(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+      case _: java.io.FileNotFoundException => true
+      case _: java.nio.file.NoSuchFileException => true
+      case t =>
+        val msg = t.getMessage
+        // "No such file or directory": Hadoop's RawLocalFileSystem shells
+        // out (chmod/stat) and surfaces a vanished _temporary dir as an
+        // ExitCodeException carrying the shell's message, not a
+        // FileNotFoundException
+        msg != null && (msg.contains("FileNotFoundException") ||
+          msg.contains("does not exist") ||
+          msg.contains("No such file or directory"))
+    }
+
   /** Snapshots retained by [[gc]]: readers may time-travel this many
     * versions back (current + RetainVersions-1 older), and a reader still
     * iterating a recent pre-GC snapshot keeps its files — the same
@@ -385,8 +414,15 @@ object ManifestTable {
     if (stale != null)
       stale.filter { f =>
         val n = f.getName
-        n.startsWith(s"$ManifestName.v") &&
-          !retained.contains(n.stripPrefix(s"$ManifestName.v").toLong)
+        n.startsWith(s"$ManifestName.v") && {
+          val v = n.stripPrefix(s"$ManifestName.v").toLong
+          // in-flight guard (mirror of the data-dir sweep): a version file
+          // NEWER than the one this GC runs under is a concurrent writer's
+          // commit point — deleting it would un-commit that batch (read()
+          // rolls forward from the stale hint and would never see it, and
+          // a later writer could re-win the version).
+          !retained.contains(v) && v <= m.version
+        }
       }.foreach(deleteRecursively)
   }
 
@@ -477,6 +513,20 @@ object ManifestTable {
     * the generation is always kept, never a crashed commit or a wrong
     * prune.
     */
+  /** Columns eligible for min/max stats: numeric and temporal TYPES only.
+    * Gating on the column's DataType (not per-value parseability) keeps a
+    * string column whose values happen to parse numerically ("9", "12")
+    * from recording LEXICAL min/max (min="12", max="9") that range pruning
+    * would then misread as numeric bounds and wrongly skip a generation.
+    */
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
   private def statValue(v: Any): Option[BigDecimal] = v match {
     case null => None
     case t: java.sql.Timestamp =>
@@ -496,7 +546,8 @@ object ManifestTable {
     */
   def writeGen(df: DataFrame, dest: File,
       statsCols: Seq[String]): Map[String, (String, String)] = {
-    val present = statsCols.filter(df.columns.contains)
+    val present = statsCols.filter(c =>
+      df.columns.contains(c) && statsEligible(df.schema(c).dataType))
     if (present.isEmpty) {
       df.write.mode("overwrite").parquet(dest.toString)
       Map.empty
@@ -523,15 +574,23 @@ object ManifestTable {
     */
   def gensForRange(ts: TableState, column: String,
       lower: Any, upper: Any): Seq[BucketGen] = {
-    val lo = statValue(lower)
-    val hi = statValue(upper)
-    ts.gens.filter { g =>
-      g.stats.get(column) match {
-        case Some((mn, mx)) =>
-          val bmn = BigDecimal(mn)
-          val bmx = BigDecimal(mx)
-          hi.forall(bmn <= _) && lo.forall(bmx >= _)
-        case None => true
+    // pruning is type-gated like collection: stats recorded for a column
+    // that is not (or no longer) numeric/temporal — e.g. written by an
+    // older layout — must not be reinterpreted as numeric bounds
+    val eligible = ts.schemaJson.nonEmpty &&
+      ts.schema.fields.find(_.name == column).exists(f => statsEligible(f.dataType))
+    if (!eligible) ts.gens
+    else {
+      val lo = statValue(lower)
+      val hi = statValue(upper)
+      ts.gens.filter { g =>
+        g.stats.get(column) match {
+          case Some((mn, mx)) =>
+            val bmn = BigDecimal(mn)
+            val bmx = BigDecimal(mx)
+            hi.forall(bmn <= _) && lo.forall(bmx >= _)
+          case None => true
+        }
       }
     }
   }
@@ -625,11 +684,13 @@ object ManifestTable {
           // winner's (or our eventual) GC collects; rebase and retry
           attempt += 1
         case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
             read(root).map(_.version).getOrElse(0L) != manifest.version =>
-          // the table moved under this attempt — a concurrent winner's GC
-          // may have collected our in-flight dirs MID-WRITE (this attempt
-          // was doomed to a commit conflict anyway); rebase and retry. A
-          // failure with the manifest UNmoved is a real error and rethrows.
+          // a MISSING-FILE failure with the table moved under this attempt
+          // — a concurrent winner's GC may have collected our in-flight
+          // dirs MID-WRITE (this attempt was doomed to a commit conflict
+          // anyway); rebase and retry. Any other failure, or one with the
+          // manifest UNmoved, is a real error and rethrows.
           attempt += 1
       }
     }
@@ -910,6 +971,7 @@ object ManifestTable {
           // replaced the very buckets this pass concatenated) and retry
           attempt += 1
         case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
             read(root).map(_.version).getOrElse(0L) != manifest.version =>
           attempt += 1 // same race-casualty rule as mergeBatch
       }
@@ -985,6 +1047,7 @@ object ManifestTable {
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
           attempt += 1 // a data commit slipped in: rebase and re-cluster
         case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
             read(root).map(_.version).getOrElse(0L) != manifest.version =>
           attempt += 1 // same race-casualty rule as mergeBatch
       }

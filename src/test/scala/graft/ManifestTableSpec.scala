@@ -663,4 +663,99 @@ class ManifestTableSpec extends SparkSpec {
     assert(causes(e).exists(_.isInstanceOf[IllegalStateException]),
       s"expected the loud-gap IllegalStateException, got $e")
   }
+
+  test("gc never deletes a commit point newer than its own version (stale-pointer race)") {
+    val target = tmp("graft_gcguard")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // enough commits that the retention window has a lower edge
+    (0 until 5).foreach { i =>
+      ManifestTable.mergeBatch(root, "q", i.toLong, Seq(
+        TableBatch(t, rows(i * 10 until (i + 1) * 10, 1),
+          Seq("event_id"), 2, append = true)))
+    }
+    val mN = ManifestTable.read(root).get
+    // a concurrent writer wins version N+1: its MANIFEST.v{N+1} commit
+    // point exists but it has NOT yet refreshed the live pointer (the
+    // exact window the in-flight guard protects)
+    val mN1 = mN.advance(mN.queryId, mN.lastBatch, Map.empty)
+    ManifestTable.commit(root, mN1)
+    val vN = new File(root, s"${ManifestTable.ManifestName}.v${mN.version}")
+    java.nio.file.Files.copy(vN.toPath,
+      new File(root, ManifestTable.ManifestName).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the version-N winner's GC runs under the OLD manifest — it must not
+    // sweep the newer commit point as "stale"
+    ManifestTable.gc(root, mN)
+    val vN1 = new File(root, s"${ManifestTable.ManifestName}.v${mN1.version}")
+    assert(vN1.exists, "concurrent writer's commit point was garbage-collected")
+    // readers roll forward past the stale live pointer and see N+1
+    assert(ManifestTable.read(root).get.version == mN1.version)
+  }
+
+  test("stats are type-gated: a string column with numeric-looking values records no stats and never prunes") {
+    val target = tmp("graft_statgate")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // two generations whose string values would order LEXICALLY ("12" <
+    // "9"): under value-parseability stats these recorded min="12",
+    // max="9" and a numeric range read could wrongly skip the generation
+    val a = Seq((1L, "9"), (2L, "12")).toDF("event_id", "code")
+    val b = Seq((3L, "100"), (4L, "25")).toDF("event_id", "code")
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, a, Seq("event_id"), 1, statsCols = Seq("code"),
+        append = true)))
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(t, b, Seq("event_id"), 1, statsCols = Seq("code"),
+        append = true)))
+    val ts = ManifestTable.read(root).get.table(t)
+    assert(ts.gens.forall(_.stats.isEmpty),
+      s"string column recorded stats: ${ts.gens.map(_.stats)}")
+    // pruning keeps every generation for a non-numeric column, even if a
+    // legacy layout had recorded lexical stats for it
+    val legacy = ts.copy(buckets = ts.buckets.map { case (bk, gens) =>
+      bk -> gens.map(g => g.copy(stats = Map("code" -> ("12", "9"))))
+    })
+    assert(ManifestTable.gensForRange(legacy, "code", "10", "99").size
+      == legacy.gens.size)
+    // and the range read applies Spark's STRING comparison semantics —
+    // lexicographic, so all four values land in ["10","99"] ("9" > "10"
+    // since '9' > '1'; "100" < "99" since '1' < '9'): proof that a prune
+    // using numeric-parsed bounds would have disagreed with the filter
+    val got = ManifestTable.readTableRange(spark, target, "code", "10", "99")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("sparse feed: feedFrom advances only past actually-pruned entries, not the nominal cutoff") {
+    val target = tmp("graft_sparsefeed")
+    val root = new File(target)
+    // table "b" gets a feed commit at version 1, then OTHER-table commits
+    // push the manifest far past the retention cutoff, then "b" commits
+    // again — versions in between have no "b" entries (complete by
+    // definition), so only the genuinely pruned v1 should be unservable
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch("b", rows(0 until 5, 1), Seq("event_id"), 1,
+        append = true, changeFeed = true)))
+    (0 until ManifestTable.ChangeRetainVersions).foreach { i =>
+      ManifestTable.mergeBatch(root, "q", 1L + i, Seq(
+        TableBatch("a", rows(i * 5 until (i + 1) * 5, 1),
+          Seq("event_id"), 1, append = true)))
+    }
+    ManifestTable.mergeBatch(root, "q", 20L, Seq(
+      TableBatch("b", rows(100 until 105, 1), Seq("event_id"), 1,
+        append = true, changeFeed = true)))
+    val m = ManifestTable.read(root).get
+    val ts = m.table("b")
+    // v1's entry aged out; the sole retained entry is the last commit
+    assert(ts.changes.map(_.version) == Seq(m.version))
+    assert(ts.feedFrom == 2L,
+      s"feedFrom should sit just past the pruned v1 entry, got ${ts.feedFrom}")
+    // a consumer restarting from any version in [2, current] is served
+    assert(ManifestTable.readChangeFeed(spark, target, 2L, table = "b")
+      .count() == 5)
+    intercept[IllegalStateException] {
+      ManifestTable.readChangeFeed(spark, target, 1L, table = "b")
+    }
+  }
 }
