@@ -910,13 +910,37 @@ object ManifestTable {
     * group migration is handled by construction.
     */
   def deltaAggregate(changes: DataFrame, groupCols: Seq[String],
-      valueCols: Seq[String]): DataFrame = {
-    val sign = when(
-      col(ChangeTypeCol).isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
+      valueCols: Seq[String]): DataFrame =
+    deltaAggregate(changes, groupCols, valueCols, Nil, Nil)
+
+  /** [[deltaAggregate]] extended for NON-additive max/min marts
+    * (VW_LOAD_AUDIT_SUMMARY's `MAX(load_ts)`, sql/07_ops_views.sql:12).
+    * Max/min are not group-invertible, so the feed can't net them the way
+    * it nets counts and sums; what it CAN deliver is the monotone half plus
+    * a loud signal for the other half:
+    *  - `max_<c>` / `min_<c>`: the extremum over the group's INSERT-side
+    *    rows (inserts + postimages) — on an insert-only batch the stored
+    *    mart extremum merges with this via greatest/least, never touching
+    *    the source;
+    *  - `delta_retracts`: how many preimage/delete rows the group carried.
+    *    A retraction may have REMOVED the current extremum, which no feed
+    *    arithmetic can recover — the maintainer must recompute exactly the
+    *    groups with `delta_retracts > 0` from a pinned source snapshot
+    *    (the fallback [[graft.streaming.IncrementalMart]] implements).
+    */
+  def deltaAggregate(changes: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], maxCols: Seq[String],
+      minCols: Seq[String]): DataFrame = {
+    val insert = col(ChangeTypeCol).isin("insert", "update_postimage")
+    val sign = when(insert, lit(1L)).otherwise(lit(-1L))
+    val aggs =
+      valueCols.map(c => sum(col(c) * sign).as(s"delta_$c")) ++
+        maxCols.map(c => max(when(insert, col(c))).as(s"max_$c")) ++
+        minCols.map(c => min(when(insert, col(c))).as(s"min_$c")) ++
+        (if (maxCols.isEmpty && minCols.isEmpty) Nil
+         else Seq(sum(when(insert, 0L).otherwise(1L)).as("delta_retracts")))
     changes.groupBy(groupCols.map(col).toIndexedSeq: _*)
-      .agg(sum(sign).as("delta_rows"),
-        valueCols.map(c => sum(col(c) * sign).as(s"delta_$c")).toIndexedSeq: _*)
+      .agg(sum(sign).as("delta_rows"), aggs.toIndexedSeq: _*)
   }
 
   /** A committed table restricted to a bucket-id subset — the read an

@@ -62,6 +62,13 @@ object CanonicalStream {
   val AnomalyTable = "can_txn_anomaly"
   val LedgerTable = "load_ledger"
 
+  /** Per-file load telemetry (reference RAW_LOAD_AUDIT,
+    * sql/01_raw_ingestion.sql:50) committed in the same atomic swap as the
+    * canonical grains, with a change feed: VW_LOAD_AUDIT_SUMMARY runs as a
+    * CDF-fed [[IncrementalMart]] over it (see [[OpsMarts]]).
+    */
+  val AuditTable = "raw_load_audit"
+
   /** Query identity for the batch-mode incremental path. */
   val IngestQueryId = "ingest"
 
@@ -183,6 +190,13 @@ object CanonicalStream {
           // makes a same-files replay an exact no-op at the storage layer
           TableBatch(StagingTable, allRows.toDF(), GroupKeys, Buckets,
             deleteKeys = Some(touchedGroups)),
+          // per-file audit rows derive from the batch's OWN staged rows
+          // (file sources deliver whole files, so each file's counts are
+          // complete) keyed by src_file: a replayed file upserts an
+          // identical row, a re-parse updates in place — and the feed lets
+          // the load-audit summary mart maintain itself downstream
+          TableBatch(AuditTable, graft.sources.LoadAudit.audit(st),
+            Seq("src_file"), Buckets, changeFeed = true),
           // the three published grains carry a change feed: downstream
           // consumers (ops views, exports) pull per-commit deltas via
           // ManifestTable.readChangeFeed instead of re-diffing snapshots

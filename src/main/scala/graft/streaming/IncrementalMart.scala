@@ -4,7 +4,7 @@ import java.io.File
 
 import graft.sources.ManifestTable
 import graft.sources.ManifestTable.TableBatch
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -37,10 +37,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * checkpointed feed version. Invariant (spec-locked):
   * `mart == source.groupBy(groupCols).agg(count(*), sum(valueCols))` after
   * every drained commit, from any retained starting point.
+  *
+  * Non-additive extrema (`maxCols`/`minCols` — the
+  * VW_LOAD_AUDIT_SUMMARY `MAX(load_ts)` shape, sql/07_ops_views.sql:12)
+  * ride the same fold with a two-regime rule:
+  *  - insert-only batches merge the stored extremum with the batch's via
+  *    greatest/least — monotone, feed-only, still source-scan-free (the
+  *    overwhelmingly common regime: appends and late arrivals);
+  *  - a batch whose group carries ANY preimage/delete may have retracted
+  *    the reigning extremum, which no feed arithmetic can recover — those
+  *    groups (and ONLY those) are recomputed from the source snapshot
+  *    pinned at the batch's last commit version (time travel keeps the
+  *    answer exact even when the live table has already moved on). The
+  *    recompute is a column-pruned scan restricted by a semi join to the
+  *    retracted groups; it cannot bucket-prune (the source is bucketed by
+  *    its own merge keys, not the mart's group columns), so the honest
+  *    cost model is: retraction batches pay one narrow source scan,
+  *    insert batches pay nothing.
   */
 object IncrementalMart {
 
-  /** `count(*)` column name in the mart; value sums land as `sum_<col>`. */
+  /** `count(*)` column name in the mart; value sums land as `sum_<col>`,
+    * extrema as `max_<col>` / `min_<col>`.
+    */
   val RowsCol = "n_rows"
 
   final case class Config(
@@ -50,7 +69,18 @@ object IncrementalMart {
       valueCols: Seq[String],
       sourceTable: String = ManifestTable.DefaultTable,
       martTable: String = ManifestTable.DefaultTable,
-      numBuckets: Int = 8)
+      numBuckets: Int = 8,
+      maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      /** Row-level projection applied to the feed batch (and to the
+        * recompute's source rows) before aggregation — where a view's
+        * derived 0/1 columns live, e.g. VW_CANON_COUNTS'
+        * `SUM(IFF(is_valid, 1, 0))` becomes a prepared `valid` column.
+        * Must be a per-row projection (no aggregation, no reordering
+        * semantics): it runs on change rows that still carry the
+        * change-type column.
+        */
+      prepare: DataFrame => DataFrame = identity)
 
   /** Subscribe and maintain continuously (caller owns the trigger). */
   def start(spark: SparkSession, cfg: Config, checkpoint: String,
@@ -76,8 +106,10 @@ object IncrementalMart {
   def applyBatch(cfg: Config, batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // empty feed version: nothing to fold
     val spark = batch.sparkSession
+    val prepared = cfg.prepare(batch)
     val deltas = ManifestTable
-      .deltaAggregate(batch, cfg.groupCols, cfg.valueCols)
+      .deltaAggregate(prepared, cfg.groupCols, cfg.valueCols,
+        cfg.maxCols, cfg.minCols)
       .persist()
     try {
       // covering mart buckets of the touched groups — the writer's own
@@ -88,12 +120,14 @@ object IncrementalMart {
           lit(cfg.numBuckets))
       val touched = deltas.select(bucketExpr.as("__b")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val sumCols = cfg.valueCols.map(c => s"sum_$c")
+      val extremaCols =
+        cfg.maxCols.map(c => s"max_$c") ++ cfg.minCols.map(c => s"min_$c")
       val martSchema = StructType(
         cfg.groupCols.map(k => deltas.schema(k))
           ++ Seq(StructField(RowsCol, LongType))
           ++ cfg.valueCols.map(c =>
-            StructField(s"sum_$c", deltas.schema(s"delta_$c").dataType)))
+            StructField(s"sum_$c", deltas.schema(s"delta_$c").dataType))
+          ++ extremaCols.map(c => StructField(c, deltas.schema(c).dataType)))
       val bucketRows = ManifestTable
         .readTableBuckets(spark, cfg.martRoot, touched, cfg.martTable)
         .getOrElse(spark.createDataFrame(
@@ -102,10 +136,57 @@ object IncrementalMart {
       // out of the rewrite (replace-by-key deletes just the touched keys)
       val keyCond = cfg.groupCols
         .map(k => col(s"m.$k") <=> col(s"d.$k")).reduce(_ && _)
-      val merged = bucketRows.alias("m")
+      val joined = bucketRows.alias("m")
         .join(deltas.alias("d"), keyCond, "left_semi")
         .alias("m")
         .join(deltas.alias("d"), keyCond, "full_outer")
+      // extremum recompute fallback: only for groups a retraction touched,
+      // only when the batch HAS retractions (the driver-side count keeps
+      // the insert-only fast path from ever planning a source scan)
+      val withExtrema: (DataFrame, Seq[Column]) =
+        if (extremaCols.isEmpty) (joined, Nil)
+        else {
+          val retracts = deltas
+            .agg(sum("delta_retracts")).head.getLong(0)
+          if (retracts == 0L)
+            (joined,
+              cfg.maxCols.map(c =>
+                greatest(col(s"m.max_$c"), col(s"d.max_$c")).as(s"max_$c"))
+                ++ cfg.minCols.map(c =>
+                  least(col(s"m.min_$c"), col(s"d.min_$c")).as(s"min_$c")))
+          else {
+            // pin the source at the batch's last commit version: the live
+            // table may already hold commits whose feed versions this
+            // subscriber hasn't folded yet, and an unpinned read would
+            // leak their rows into the extremum ahead of the counts
+            val pinV = batch
+              .agg(max(col(ManifestTable.CommitVersionCol))).head.getLong(0)
+            val src = cfg.prepare(ManifestTable.readTable(spark,
+              cfg.sourceRoot, version = Some(pinV), table = cfg.sourceTable))
+            val rGroups = deltas.filter(col("delta_retracts") > 0)
+              .select(cfg.groupCols.map(col).toIndexedSeq: _*)
+            val srcCond = cfg.groupCols
+              .map(k => src(k) <=> rGroups(k)).reduce(_ && _)
+            val rcAggs = cfg.maxCols.map(c => max(col(c)).as(s"rc_max_$c")) ++
+              cfg.minCols.map(c => min(col(c)).as(s"rc_min_$c"))
+            val recomputed = src.join(rGroups, srcCond, "left_semi")
+              .groupBy(cfg.groupCols.map(col).toIndexedSeq: _*)
+              .agg(rcAggs.head, rcAggs.tail.toIndexedSeq: _*)
+            val rCond = cfg.groupCols
+              .map(k => col(s"d.$k") <=> col(s"r.$k")).reduce(_ && _)
+            val j2 = joined.join(recomputed.alias("r"), rCond, "left_outer")
+            val sel = cfg.maxCols.map(c =>
+              when(col("d.delta_retracts") > 0, col(s"r.rc_max_$c"))
+                .otherwise(greatest(col(s"m.max_$c"), col(s"d.max_$c")))
+                .as(s"max_$c")) ++
+              cfg.minCols.map(c =>
+                when(col("d.delta_retracts") > 0, col(s"r.rc_min_$c"))
+                  .otherwise(least(col(s"m.min_$c"), col(s"d.min_$c")))
+                  .as(s"min_$c"))
+            (j2, sel)
+          }
+        }
+      val merged = withExtrema._1
         .select(
           cfg.groupCols.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k))
             ++ Seq((coalesce(col(s"m.$RowsCol"), lit(0L))
@@ -114,7 +195,8 @@ object IncrementalMart {
               (coalesce(col(s"m.sum_$c"), lit(0).cast(
                 deltas.schema(s"delta_$c").dataType))
                 + coalesce(col(s"d.delta_$c"), lit(0)))
-                .as(s"sum_$c")): _*)
+                .as(s"sum_$c"))
+            ++ withExtrema._2: _*)
         .filter(col(RowsCol) > 0)
       ManifestTable.mergeBatch(new File(cfg.martRoot),
         EventPipeline.currentQueryId(spark), batchId,

@@ -250,17 +250,23 @@ class CanonicalStreamSpec extends SparkSpec {
     val idBucket = spark.range(1).select(
       pmod(xxhash64(sha2(concat(lit("C7"), lit("|"), lit("TXN990001")), 256)),
         lit(CanonicalStream.Buckets))).head.getLong(0)
+    val auditBucket = spark.range(1).select(
+      pmod(xxhash64(lit("client_7_extra.json")),
+        lit(CanonicalStream.Buckets))).head.getLong(0)
     val allowed = Seq(
       s"/data/${CanonicalStream.StagingTable}/b$groupBucket-",
       s"/data/${CanonicalStream.HeaderTable}/b$idBucket-",
       s"/data/${CanonicalStream.LineTable}/b$idBucket-",
       s"/data/${CanonicalStream.AnomalyTable}/b$idBucket-",
       s"/data/${CanonicalStream.LedgerTable}/b0-",
+      // the one new file's audit row lands in exactly its bucket
+      s"/data/${CanonicalStream.AuditTable}/b$auditBucket-",
       // the commit's change-feed deltas are per-commit dirs, not bucket
       // rewrites — expected, and checked below to hold ONLY the new group
       s"/data/${CanonicalStream.HeaderTable}/chg-",
       s"/data/${CanonicalStream.LineTable}/chg-",
-      s"/data/${CanonicalStream.AnomalyTable}/chg-")
+      s"/data/${CanonicalStream.AnomalyTable}/chg-",
+      s"/data/${CanonicalStream.AuditTable}/chg-")
     val added = dataFiles() -- before
     assert(added.nonEmpty)
     val stray = added.filterNot(a => allowed.exists(a.startsWith))
@@ -279,5 +285,79 @@ class CanonicalStreamSpec extends SparkSpec {
       table = CanonicalStream.HeaderTable)
       .filter(col("client_id") === "C7").collect()
     assert(row.length == 1 && row.head.getAs[String]("source_txn_id") == "TXN990001")
+  }
+
+  test("ops views run as CDF-fed marts, equal to the batch aggregates after every incremental drop") {
+    import graft.streaming.OpsMarts
+    val base = Files.createTempDirectory("graft_opsmart")
+    val jsonDir = base.resolve("json"); val xmlDir = base.resolve("xml")
+    val csvDir = base.resolve("csv")
+    val (drop1, drop2) = twoDrops(base)
+    val dirs = Map("JSON" -> jsonDir.toString, "XML" -> xmlDir.toString,
+      "CSV" -> csvDir.toString)
+    val root = new File(base.toFile, "table")
+    val martRoot = base.resolve("marts").toString
+    val ckpt = base.resolve("mart_ckpt").toString
+
+    // after each sync, every mart must equal the reference view's batch
+    // aggregate (sql/07_ops_views.sql) over the LIVE canonical tables
+    def checkMarts(): Unit = {
+      OpsMarts.syncAll(spark, root.toString, martRoot, ckpt)
+      val expCanon = CanonicalStream.canTxn(spark, root.toString)
+        .groupBy("client_id", "source_system")
+        .agg(count(lit(1)).as("txn_count"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_txn_count"),
+          sum(when(col("is_valid"), 0L).otherwise(1L)).as("invalid_txn_count"))
+      assert(canon(OpsMarts.canonCounts(spark, martRoot)) == canon(expCanon),
+        "VW_CANON_COUNTS mart diverged")
+      val expAnom = CanonicalStream.canTxnAnomaly(spark, root.toString)
+        .groupBy("client_id", "source_system", "anomaly_code")
+        .agg(count(lit(1)).as("anomaly_count"))
+      assert(canon(OpsMarts.anomalyCounts(spark, martRoot)) == canon(expAnom),
+        "VW_ANOMALY_COUNTS mart diverged")
+      val expAudit = ManifestTable.readTable(spark, root.toString,
+          table = CanonicalStream.AuditTable)
+        .groupBy("file_type", "load_status")
+        .agg(count(lit(1)).as("batch_count"),
+          sum("rows_parsed").as("total_rows_parsed"),
+          sum("rows_loaded").as("total_rows_loaded"),
+          sum("errors_seen").as("total_errors_seen"),
+          max("load_ts").as("latest_load_ts"))
+      assert(canon(OpsMarts.loadAuditSummary(spark, martRoot))
+        == canon(expAudit), "VW_LOAD_AUDIT_SUMMARY mart diverged")
+    }
+
+    drop1.foreach(_.apply())
+    CanonicalStream.ingestIncrement(spark, dirs, root)
+    val validBefore = CanonicalStream.canTxn(spark, root.toString)
+      .select("canonical_txn_id", "is_valid")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    checkMarts()
+
+    drop2.foreach(_.apply())
+    CanonicalStream.ingestIncrement(spark, dirs, root)
+    checkMarts()
+
+    // the second drop must have MIGRATED some txn across valid/invalid
+    // (drop-2 duplicates flip DUPLICATE_TXN on drop-1 survivors): the
+    // canon-counts mart absorbed a preimage/postimage pair that moved a
+    // row between the valid and invalid sums, not just fresh inserts
+    val validAfter = CanonicalStream.canTxn(spark, root.toString)
+      .select("canonical_txn_id", "is_valid")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val migrated = validBefore.keySet.intersect(validAfter.keySet)
+      .count(k => validBefore(k) != validAfter(k))
+    assert(migrated > 0, "no txn migrated across valid/invalid between drops")
+
+    // a fresh-checkpoint replay of ALL files upserts identical rows: the
+    // feeds carry identical preimage/postimage pairs (and audit
+    // retractions drive the max-recompute path) — every mart must come
+    // through unchanged and still exact
+    val replayStaged = CanonicalChain.unionHeaders(
+      HeaderNormalizer.fromJson(FileIngest.jsonLines(spark, jsonDir.toString)),
+      HeaderNormalizer.fromXml(FileIngest.xmlLines(spark, xmlDir.toString)),
+      HeaderNormalizer.fromCsv(FileIngest.csvLines(spark, csvDir.toString)))
+    CanonicalStream.maintainBatch(root, "mart-replay", 0L, replayStaged)
+    checkMarts()
   }
 }

@@ -631,6 +631,63 @@ class ManifestTableSpec extends SparkSpec {
     assert(martRows == expected)
   }
 
+  test("incremental mart: max/min extrema stay exact through deletes and group migration (monotone fast path + touched-group recompute)") {
+    import graft.streaming.IncrementalMart
+    val src = tmp("graft_martx_src")
+    val mart = tmp("graft_martx_tgt")
+    val srcRoot = new File(src)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame, deletes: Option[DataFrame] = None): Unit =
+      ManifestTable.mergeBatch(srcRoot, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 4, deleteKeys = deletes,
+          changeFeed = true)))
+    def mk(rs: Seq[(Long, String, Double)]): DataFrame =
+      rs.toDF("event_id", "grp", "value")
+
+    // id 59 holds g2's max (88.5), id 1 holds g1's min (1.5)
+    feed(0L, mk((0L until 60L).map(i => (i, s"g${i % 3}", i * 1.5))))
+    val cfg = IncrementalMart.Config(src, mart,
+      groupCols = Seq("grp"), valueCols = Seq("value"), numBuckets = 4,
+      maxCols = Seq("value"), minCols = Seq("value"))
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_martx_ckpt").toString
+    def drain(): Unit = IncrementalMart.sync(spark, cfg, ckpt)
+    // the invariant now carries NON-additive columns: the mart must equal
+    // the full aggregate incl. max/min after every drained commit
+    def expected: Set[String] = ManifestTable.readTable(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("value").as("sum_value"), max("value").as("max_value"),
+        min("value").as("min_value"))
+      .collect().map(_.toString).toSet
+    def martRows: Set[String] = ManifestTable.readTable(spark, mart)
+      .collect().map(_.toString).toSet
+
+    drain() // insert-only: the monotone fast path
+    assert(martRows == expected)
+
+    // DELETE the reigning max of g2 and min of g1: no feed arithmetic can
+    // recover the next extremum — the recompute fallback must
+    feed(1L, mk(Nil), deletes = Some(Seq(59L, 1L).toDF("event_id")))
+    drain()
+    assert(martRows == expected)
+    assert(!martRows.exists(_.contains("88.5")), "retracted max survived")
+
+    // one batch, both regimes: id 56 (g2's current max, 84.0) MIGRATES to
+    // g0 at value 99.0 — the preimage retracts g2's max (recompute regime)
+    // while the postimage raises g0's max through the monotone merge —
+    // and fresh inserts extend g1 alongside
+    feed(2L, mk(Seq((56L, "g0", 99.0)) ++
+      (200L until 210L).map(i => (i, "g1", i * 0.5))))
+    drain()
+    assert(martRows == expected)
+    val g0max = ManifestTable.readTable(spark, mart)
+      .filter(col("grp") === "g0").select("max_value").head.getDouble(0)
+    assert(g0max == 99.0, s"migrated row did not raise g0's max: $g0max")
+    val g2max = ManifestTable.readTable(spark, mart)
+      .filter(col("grp") === "g2").select("max_value").head.getDouble(0)
+    assert(g2max == 79.5, s"retracted migration left g2's max stale: $g2max")
+  }
+
   test("change-feed stream: a feed reset surfaces as a query failure, never a silent gap") {
     import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
     val target = tmp("graft_cdfg")
