@@ -497,9 +497,14 @@ object Dedup {
     // (min doc_id, then position) survives; every other occurrence's
     // tokens are cut, and the doc re-assembles from its kept tokens. Two
     // identical docs → the lower id unchanged, the higher id fully
-    // drained. Same gram-keyed shuffles as doc_dup_spans plus one
-    // per-gram window (bounded by the gram's occurrence count) and a
-    // per-doc re-assembly aggregation.
+    // drained. Same gram-keyed shuffles as doc_dup_spans plus a per-doc
+    // re-assembly aggregation. First-occurrence selection is ONE
+    // map-side-partial hash aggregate (count + min-struct per gram) and a
+    // join-back — deliberately NOT a per-gram sort window: a degenerate
+    // boilerplate gram (license header, templated page) with 10^8
+    // occurrences would pin row_number() to a single reducer AQE cannot
+    // split, while join skew IS AQE-splittable and the aggregate's
+    // partial combine bounds per-reducer fan-in by distinct grams.
     "doc_dedup_substr" -> Q(
       (s, d) => {
         val SpanK = 8
@@ -510,13 +515,13 @@ object Dedup {
             posexplode(transform(sequence(lit(0), size(col("w")) - SpanK),
               i => concat_ws(" ", slice(col("w"), i + 1, lit(SpanK))))))
           .toDF("doc_id", "pos", "gram")
-        val wg = org.apache.spark.sql.expressions.Window
-          .partitionBy("gram").orderBy("doc_id", "pos")
-        val dup = grams.groupBy("gram").count()
-          .filter(col("count") > 1).select("gram")
-        val removal = grams.join(dup, "gram")
-          .withColumn("rn", row_number().over(wg))
-          .filter(col("rn") > 1)
+        val firstOcc = grams.groupBy("gram")
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("doc_id"), col("pos"))).as("f"))
+          .filter(col("n") > 1)
+          .select("gram", "f")
+        val removal = grams.join(firstOcc, "gram")
+          .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
         val covered = removal
           .select(col("doc_id"),
             explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("p"))

@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   * which is what lets tools.DupBench measure RECALL and candidate-prune
   * factors against brute force at a realistic dup rate.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas] [plantPermille]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas]
+  * [plantPermille] [megaPermille]
   */
 object ScaleUp {
 
@@ -61,12 +62,23 @@ object ScaleUp {
   private val perms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
     "eaoui", "ieuao", "oaeui", "uoiea", "euoia")
 
+  /** The planted degenerate 8-gram (megaPermille mode): one fixed
+    * boilerplate prefix shared VERBATIM by a controlled fraction of docs
+    * across every replica — the "license header in 10% of the corpus"
+    * worst case for exact-substring dedup, whose per-gram occupancy no
+    * banding bounds. tools.SubstrBench measures that doc_dedup_substr's
+    * aggregate+join formulation absorbs it without a single-task blowup.
+    */
+  val MegaGram = "standard boilerplate license header appears on every page verbatim"
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
     val plantPermille = if (args.length > 3) args(3).toInt else 0
+    val megaPermille = if (args.length > 4) args(4).toInt else 0
     require(plantPermille >= 0 && plantPermille <= 1000)
+    require(megaPermille >= 0 && megaPermille <= 1000)
     // beyond perms.length the vowel permutations would cycle and replica 10
     // would be an exact text copy of replica 0 (shifted ids) — reintroducing
     // the cross-replica near-dup blob this generator exists to avoid; fail
@@ -97,10 +109,17 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
     }
     replicate("documents") { (df, i) =>
-      val rep = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
+      val permuted = df.withColumn("doc_id", col("doc_id") + lit(i * Offset))
         .withColumn("text",
           translate(col("text"), "aeiouAEIOU", perms(i % perms.length) +
             perms(i % perms.length).toUpperCase))
+      // mega-gram AFTER the vowel permutation: the literal prefix is
+      // byte-identical in every replica, concentrating one gram key
+      val rep = if (megaPermille == 0) permuted
+        else permuted.withColumn("text",
+          when(col("doc_id") % 1000 < megaPermille,
+            concat(lit(MegaGram + " "), col("text")))
+            .otherwise(col("text")))
       if (plantPermille == 0) rep
       else rep.unionByName(
         // planted twin: light token substitution at a known Jaccard
