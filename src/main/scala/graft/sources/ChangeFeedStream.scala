@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -44,9 +45,19 @@ import org.apache.spark.sql.types.StructType
   * without noticing.
   *
   * `maxVersionsPerTrigger` bounds how many commits one micro-batch spans
-  * (admission control for a consumer catching up on a long backlog);
-  * best-effort within a run — the first trigger after a restart may span
-  * the full backlog, exactly once either way.
+  * (admission control for a consumer catching up on a long backlog). The
+  * source implements the modern admission-control contract
+  * ([[SupportsTriggerAvailableNow]] ⊃ SupportsAdmissionControl): the
+  * engine hands `latestOffset(start, limit)` the CHECKPOINTED start
+  * offset, so the cap holds on the first trigger after a restart too —
+  * including under Trigger.AvailableNow, where the drain runs one capped
+  * micro-batch per trigger up to the end pinned at query start. (The scan
+  * side deliberately stays on the v1 `Source.getBatch` DataFrame path:
+  * the feed dirs are ordinary committed parquet, and returning a
+  * DataFrame keeps Spark's own vectorized reader, pruning, and pushdown —
+  * a custom MicroBatchStream PartitionReader would re-implement that scan
+  * worse. This v1-plumbing + v2-admission hybrid is the same shape the
+  * Delta Lake streaming source ships.)
   */
 class ChangeFeedStreamProvider extends StreamSourceProvider with DataSourceRegister {
   import ChangeFeedStream._
@@ -64,6 +75,13 @@ class ChangeFeedStreamProvider extends StreamSourceProvider with DataSourceRegis
 }
 
 object ChangeFeedStream {
+
+  /** Version-count read limit (`maxVersionsPerTrigger`): the natural unit
+    * for a commit-log feed, where one version's delta dir is the atomic
+    * read granule — none of the built-in row/file/byte limits map to it.
+    */
+  final case class ReadMaxVersions(maxVersions: Long) extends ReadLimit
+
   /** Stream schema = the table's committed schema + the two CDF metadata
     * columns. Pinned at query start: the table (and an ACTIVE feed) must
     * exist before a consumer subscribes, and a mid-stream sink-side schema
@@ -86,7 +104,8 @@ object ChangeFeedStream {
 }
 
 class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
+  import ChangeFeedStream.ReadMaxVersions
 
   private val params = CaseInsensitiveMap(parameters)
   private val root = params("path")
@@ -107,38 +126,51 @@ class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
     }
   }
 
-  /** Highest version already offered this run (admission-control floor for
-    * `maxVersionsPerTrigger`); recovery batches push it forward in
-    * [[getBatch]] so a restarted consumer never re-offers history.
+  /** Trigger.AvailableNow end pin: versions committed after the drain
+    * started are left for the next run, so the drain terminates.
     */
-  private var offered: Long = startVersion - 1
+  @volatile private var availableNowCap: Option[Long] = None
 
   override val schema: StructType = ChangeFeedStream.feedSchema(parameters)
 
-  /** Latest version available to this trigger: the committed manifest
-    * version, capped by admission control. One manifest read — O(1) in the
-    * table's size.
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestTable.read(new File(root)).map(_.version)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(v => ReadMaxVersions(v): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control with the checkpointed floor in hand: `start` is the
+    * engine's last end offset (the CHECKPOINT on the first trigger after a
+    * restart — the information the legacy `getOffset` contract never
+    * provided, which forced its first trigger to run uncapped). One
+    * manifest read — O(1) in the table's size.
     */
-  override def getOffset: Option[OffsetV1] = {
-    ManifestTable.read(new File(root)).flatMap { m =>
-      val target = maxVersions match {
-        // a run's FIRST trigger is never capped: a restarted consumer's
-        // true floor is its checkpoint, which a v1 source cannot see —
-        // capping from the subscription start could offer an offset BELOW
-        // the checkpointed one and regress it. Uncapped it is bounded
-        // anyway: the feed retains at most ChangeRetainVersions commits.
-        case Some(cap) if offered > startVersion - 1 =>
-          math.min(m.version, offered + cap)
-        case _ => m.version
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val floor = Option(start).map(ver).getOrElse(startVersion - 1L)
+    ManifestTable.read(new File(root)).map { m =>
+      val avail = availableNowCap.fold(m.version)(math.min(m.version, _))
+      val target = limit match {
+        case rv: ReadMaxVersions => math.min(avail, floor + rv.maxVersions)
+        case _ => avail
       }
-      if (target < startVersion) None else Some(LongOffset(target))
-    }
+      if (target <= floor || target < startVersion) start
+      else LongOffset(target): OffsetV2
+    }.getOrElse(start)
   }
+
+  /** Legacy polling entry — not used once the engine sees
+    * [[SupportsTriggerAvailableNow]], but kept correct (uncapped latest)
+    * for any caller driving the v1 contract directly.
+    */
+  override def getOffset: Option[OffsetV1] =
+    ManifestTable.read(new File(root)).flatMap { m =>
+      if (m.version < startVersion) None else Some(LongOffset(m.version))
+    }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver(_) + 1L).getOrElse(startVersion)
     val to = ver(end)
-    offered = math.max(offered, to)
     // versions with no feed entry for this table contribute no rows;
     // versions the feed can no longer serve completely (reset or vacuumed)
     // make readChangeFeed throw — the loud-gap contract
@@ -149,9 +181,9 @@ class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
   /** Offsets round-trip through the checkpoint as JSON, so a restarted
     * query hands back SerializedOffset rather than LongOffset.
     */
-  private def ver(o: OffsetV1): Long = o match {
+  private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+    case other => other.json().trim.toLong
   }
 
   /** MicroBatchExecution requires `getBatch` frames to carry

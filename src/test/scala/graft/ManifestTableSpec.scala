@@ -565,8 +565,8 @@ class ManifestTableSpec extends SparkSpec {
       }.start()
     try {
       q.processAllAvailable()
-      // backlog lands first (a run's first trigger is uncapped — bounded
-      // by feed retention, and capping it could regress a checkpoint)
+      // the one-version backlog lands (capped too, but one version IS the
+      // cap; the multi-version first-trigger case is the restart spec below)
       assert(batches.flatten.toSet == Set(1L))
       // two more commits while the query is live: the cap makes each its
       // OWN micro-batch — one commit per trigger, never coalesced
@@ -577,6 +577,126 @@ class ManifestTableSpec extends SparkSpec {
       assert(paced.map(_.toSet) == List(Set(1L), Set(2L), Set(3L)),
         s"expected one commit per micro-batch, got $paced")
     } finally q.stop()
+  }
+
+  test("change-feed stream: a restart mid-backlog caps the FIRST trigger too (admission control sees the checkpoint)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = tmp("graft_cdfr")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 2, append = true,
+          changeFeed = true)))
+    feed(0L, rows(0 until 10, 1))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfr_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", target)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val vs = b.select(ManifestTable.CommitVersionCol)
+            .distinct().collect().map(_.getLong(0)).toSet
+          batches.synchronized { batches += vs }: Unit
+        }.start()
+      assert(q.awaitTermination(300000), "AvailableNow run did not stop")
+    }
+    drain() // checkpoint now at version 1
+    assert(batches.synchronized(batches.filter(_.nonEmpty).toList)
+      == List(Set(1L)))
+
+    // three commits land while the consumer is DOWN; on restart, the
+    // legacy getOffset contract had to offer the whole backlog in one
+    // uncapped first batch (it could not see the checkpointed floor) —
+    // the admission-control path must pace it one version per trigger
+    feed(1L, rows(10 until 20, 1))
+    feed(2L, rows(20 until 30, 1))
+    feed(3L, rows(30 until 40, 1))
+    batches.synchronized(batches.clear())
+    drain()
+    val paced = batches.synchronized(batches.filter(_.nonEmpty).toList)
+    assert(paced == List(Set(2L), Set(3L), Set(4L)),
+      s"restart backlog was not paced one version per micro-batch: $paced")
+
+    // and a replayed drain with nothing new delivers nothing
+    batches.synchronized(batches.clear())
+    drain()
+    assert(batches.synchronized(batches.filter(_.nonEmpty).toList).isEmpty)
+  }
+
+  test("CDF consumer across sink-side schema evolution: a restarted subscriber null-backfills old-era deltas and its mart stays exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IncrementalMart
+    val target = tmp("graft_cdfe")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 4, changeFeed = true)))
+
+    feed(0L, rows(0 until 30, 1))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfe_ck").toString
+    val mart = tmp("graft_cdfe_mart")
+    val martCkpt =
+      java.nio.file.Files.createTempDirectory("graft_cdfe_mck").toString
+    val cfg = IncrementalMart.Config(target, mart,
+      groupCols = Seq("event_type"), valueCols = Seq("value"), numBuckets = 4)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Long)]()
+    def drain(): Unit = {
+      // a fresh readStream per call = a consumer restart: the feed schema
+      // re-resolves against the CURRENT committed table schema
+      val q = spark.readStream.format("graft-cdf").option("path", target)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val cols = b.columns.toSeq
+          b.select(ManifestTable.CommitVersionCol).distinct().collect()
+            .map(_.getLong(0)).foreach { v =>
+              val n = if (cols.contains("source_region"))
+                b.filter(col(ManifestTable.CommitVersionCol) === v &&
+                  col("source_region").isNotNull).count()
+              else 0L
+              got.synchronized { got += ((v, cols, n)) }: Unit
+            }
+        }.start()
+      assert(q.awaitTermination(300000))
+      IncrementalMart.sync(spark, cfg, martCkpt)
+    }
+    drain() // pre-evolution drain: schema has no source_region yet
+    assert(got.synchronized(got.toList).forall(!_._2.contains("source_region")))
+
+    // while the consumer is DOWN: one more OLD-schema commit, then the
+    // sink evolves (source_region added) in a further commit — the
+    // restarted consumer's first batch spans BOTH eras under the NEW
+    // resolved schema
+    feed(1L, rows(30 until 40, 2))
+    feed(2L, rows(40 until 50, 3)
+      .withColumn("source_region", concat(lit("r"), col("event_id") % 3)))
+    got.synchronized(got.clear())
+    drain()
+    val post = got.synchronized(got.toList).sortBy(_._1)
+    assert(post.map(_._1) == List(2L, 3L))
+    // the restarted subscriber sees the evolved schema for every version…
+    assert(post.forall(_._2.contains("source_region")))
+    // …with the OLD-era delta dir (v2, written before the column existed)
+    // null-backfilled, and the NEW-era rows carrying real values
+    assert(post.find(_._1 == 2L).get._3 == 0L,
+      "pre-evolution delta delivered non-null values for the new column")
+    assert(post.find(_._1 == 3L).get._3 == 10L)
+
+    // the subscriber's mart, folded across the evolution, still equals the
+    // batch aggregate over the live table
+    val expected = ManifestTable.readTable(spark, target)
+      .groupBy("event_type").agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("value").as("sum_value"))
+      .collect().map(_.toString).toSet
+    assert(ManifestTable.readTable(spark, mart)
+      .collect().map(_.toString).toSet == expected)
   }
 
   test("incremental mart: a CDF-fed aggregate maintains itself exactly — migrating updates, replace-by-key deletes, vanishing groups, replayed drains") {
