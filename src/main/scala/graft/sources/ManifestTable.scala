@@ -573,17 +573,21 @@ object ManifestTable {
     * kept (pruning must never turn a stats gap into a wrong answer).
     */
   def gensForRange(ts: TableState, column: String,
-      lower: Any, upper: Any): Seq[BucketGen] = {
+      lower: Any, upper: Any): Seq[BucketGen] =
+    gensMatchingRange(ts, ts.gens, column, lower, upper)
+
+  private def gensMatchingRange(ts: TableState, gens: Seq[BucketGen],
+      column: String, lower: Any, upper: Any): Seq[BucketGen] = {
     // pruning is type-gated like collection: stats recorded for a column
     // that is not (or no longer) numeric/temporal — e.g. written by an
     // older layout — must not be reinterpreted as numeric bounds
     val eligible = ts.schemaJson.nonEmpty &&
       ts.schema.fields.find(_.name == column).exists(f => statsEligible(f.dataType))
-    if (!eligible) ts.gens
+    if (!eligible) gens
     else {
       val lo = statValue(lower)
       val hi = statValue(upper)
-      ts.gens.filter { g =>
+      gens.filter { g =>
         g.stats.get(column) match {
           case Some((mn, mx)) =>
             val bmn = BigDecimal(mn)
@@ -601,12 +605,27 @@ object ManifestTable {
     * predicate still applies on the survivors.
     */
   def readTableRange(spark: SparkSession, root: String, column: String,
-      lower: Any, upper: Any, table: String = DefaultTable): DataFrame = {
+      lower: Any, upper: Any, table: String = DefaultTable): DataFrame =
+    readTableRanges(spark, root, Seq((column, lower, upper)), table)
+
+  /** Conjunctive multi-predicate pruned read: a generation is opened only
+    * if EVERY predicate's [lower,upper] window can intersect its recorded
+    * stats — the read path composite reclustering ([[reclusterBy]]) feeds,
+    * where a (client_id, ts)-style mixed predicate prunes on BOTH
+    * dimensions because each grid cell is tight in both.
+    */
+  def readTableRanges(spark: SparkSession, root: String,
+      preds: Seq[(String, Any, Any)], table: String = DefaultTable): DataFrame = {
+    require(preds.nonEmpty, "readTableRanges needs at least one predicate")
     val m = resolve(new File(root), None)
     val ts = m.table(table)
-    val rels = gensForRange(ts, column, lower, upper).map(_.path)
-    readDirs(spark, root, ts, rels)
-      .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+    val kept = preds.foldLeft(ts.gens) { case (gens, (c, lo, hi)) =>
+      gensMatchingRange(ts, gens, c, lo, hi)
+    }
+    readDirs(spark, root, ts, kept.map(_.path))
+      .filter(preds.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _))
   }
 
   // ---- multi-table atomic merge ----
@@ -1024,15 +1043,37 @@ object ManifestTable {
     */
   def recluster(spark: SparkSession, root: File, column: String,
       table: String = DefaultTable, slices: Int = 4,
+      statsCols: Seq[String] = Nil): Unit =
+    reclusterBy(spark, root, Seq(column), table, slices, statsCols)
+
+  /** Composite (multi-column) reclustering — Snowflake clustering keys are
+    * composite, and a mixed-predicate workload (client_id + ts) needs
+    * pruning on BOTH dimensions. Each bucket is cut into a grid of
+    * ~`slices` cells: every column gets `q = ceil(slices^(1/k))` quantile
+    * strata of its own distribution, and a cell is one stratum per column
+    * — the depth-1 interleaving a Z-order curve induces, which is exactly
+    * what min/max pruning can exploit (stats are per-dimension rectangles;
+    * finer bit interleaving changes cell SHAPE, not the pruning algebra).
+    * Each cell writes one generation with tight stats on every clustering
+    * column, so [[readTableRanges]] prunes multiplicatively:
+    * a predicate selective on d of the k dimensions opens ~q^(k−d)/q^k of
+    * each bucket.
+    */
+  def reclusterBy(spark: SparkSession, root: File, columns: Seq[String],
+      table: String = DefaultTable, slices: Int = 4,
       statsCols: Seq[String] = Nil): Unit = {
+    require(columns.nonEmpty, "reclusterBy needs at least one column")
     require(slices >= 2, s"recluster needs >= 2 slices, got $slices")
+    // per-dimension strata: smallest q with q^k >= slices
+    val q = math.max(2,
+      math.ceil(math.pow(slices.toDouble, 1.0 / columns.size)).toInt)
     var attempt = 0
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
       if (ts.buckets.isEmpty) return
-      val stats = (statsCols :+ column).distinct
+      val stats = (statsCols ++ columns).distinct
       val nonce = newNonce()
       try {
         val rewritten = ts.buckets.map { case (b, gens) =>
@@ -1040,23 +1081,30 @@ object ManifestTable {
             .parquet(gens.map(g => new File(root, g.path).toString): _*)
             .persist()
           try {
-            // range cut points at the bucket's own quantiles (nulls and a
-            // degenerate single-value bucket both collapse to fewer
-            // slices, never a crash)
-            val keyed = df.withColumn("__graft_ck",
-              col(column).cast("double"))
-            val cuts = keyed.stat.approxQuantile("__graft_ck",
-              (1 until slices).map(_.toDouble / slices).toArray, 0.01)
-              .filterNot(_.isNaN).distinct.sorted
-            val sliceId = cuts.foldLeft(lit(0)) { (acc, c) =>
-              acc + when(col("__graft_ck") > c, 1).otherwise(0)
+            // per-column cut points at the bucket's own quantiles (nulls
+            // and a degenerate single-value column both collapse to fewer
+            // strata on that dimension, never a crash)
+            val ck = columns.indices.map(i => s"__graft_ck$i")
+            val keyed = columns.zipWithIndex.foldLeft(df) {
+              case (acc, (c, i)) =>
+                acc.withColumn(ck(i), col(c).cast("double"))
             }
-            val present = keyed.groupBy(sliceId.as("__s")).count()
+            val strata = columns.indices.map { i =>
+              val cuts = keyed.stat.approxQuantile(ck(i),
+                (1 until q).map(_.toDouble / q).toArray, 0.01)
+                .filterNot(_.isNaN).distinct.sorted
+              cuts.foldLeft(lit(0)) { (acc, c) =>
+                acc + when(col(ck(i)) > c, 1).otherwise(0)
+              }
+            }
+            // mixed-radix cell id: one stratum per dimension
+            val cellId = strata.reduceLeft((acc, s) => acc * q + s)
+            val present = keyed.groupBy(cellId.as("__s")).count()
               .collect().map(_.getInt(0)).sorted
             val cols = ts.schema.fieldNames.map(col).toIndexedSeq
             b -> present.toSeq.map { i =>
               val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
-              val st = writeGen(keyed.filter(sliceId === i).select(cols: _*),
+              val st = writeGen(keyed.filter(cellId === i).select(cols: _*),
                 new File(root, rel), stats)
               BucketGen(rel, st)
             }

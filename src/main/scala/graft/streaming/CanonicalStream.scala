@@ -226,11 +226,11 @@ object CanonicalStream {
   final case class Increment(newFiles: Map[String, Seq[String]],
     skippedFiles: Map[String, Seq[String]])
 
-  /** File names the table's committed load ledger records as loaded. */
-  def loadedFiles(spark: SparkSession, root: File): Set[String] =
+  /** The committed load ledger as a DataFrame (never collected: at
+    * millions of loaded files the ledger is data, not driver state).
+    */
+  def loadLedger(spark: SparkSession, root: File): Option[DataFrame] =
     ManifestTable.readTableBuckets(spark, root.toString, Set(0L), LedgerTable)
-      .map(_.select("src_file").collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty)
 
   /** One re-runnable COPY→transform→MERGE increment: read ONLY the files
     * the committed ledger doesn't record, fold them through the shared
@@ -240,19 +240,32 @@ object CanonicalStream {
     * re-reads the same fresh files next run (at-least-once, the COPY
     * model) with the merge keeping the outcome identical.
     *
+    * Fresh-file discovery is a distributed left-anti join of the landing
+    * listing against the ledger TABLE — the ledger is never collected to
+    * the driver (at millions of loaded files that set is data). Only the
+    * anti-join's survivors (this increment's new files) come back, and
+    * they bound the increment's work anyway.
+    *
     * `dirs`: format → landing directory, formats ∈ {JSON, XML, CSV}.
     */
   def ingestIncrement(spark: SparkSession, dirs: Map[String, String],
       root: File): Increment = {
-    val loaded = loadedFiles(spark, root)
     val listed = dirs.map { case (fmt, dir) =>
       fmt -> FileIngest.listDataFiles(dir)
     }
-    val fresh = listed.map { case (fmt, names) =>
-      fmt -> names.filterNot(loaded)
-    }
+    val listedDf = spark.createDataFrame(
+      listed.toSeq.flatMap { case (fmt, names) => names.map((fmt, _)) })
+      .toDF("fmt", "src_file")
+    // anti join, not a driver set: AQE picks broadcast while the ledger
+    // is small and shuffles both sides once it is not
+    val freshDf = loadLedger(spark, root).fold(listedDf)(l =>
+      listedDf.join(l.select("src_file"), Seq("src_file"), "left_anti"))
+    val fresh: Map[String, Seq[String]] = freshDf.collect()
+      .map(r => (r.getAs[String]("fmt"), r.getAs[String]("src_file")))
+      .groupBy(_._1).map { case (fmt, rs) => fmt -> rs.map(_._2).toSeq.sorted }
     val skipped = listed.map { case (fmt, names) =>
-      fmt -> names.filter(loaded)
+      val f = fresh.getOrElse(fmt, Nil).toSet
+      fmt -> names.filterNot(f)
     }
     def branch(fmt: String): DataFrame = {
       val names = fresh.getOrElse(fmt, Nil)

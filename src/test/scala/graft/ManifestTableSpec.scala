@@ -212,6 +212,55 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(root).get.table(t).feedFrom).count() >= 210)
   }
 
+  test("composite reclustering: grid cells are tight on BOTH columns and a mixed predicate prunes multiplicatively") {
+    val target = tmp("graft_recluster2")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // one merged batch: every bucket's single generation spans the full
+    // range of BOTH user_id and ts, so neither dimension prunes anything
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, rows(0 until 400, 1), Seq("event_id"), 4,
+        statsCols = Seq("ts"), changeFeed = true)))
+    val before = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    val lo = java.sql.Timestamp.valueOf("2024-03-01 12:00:05")
+    val hi = java.sql.Timestamp.valueOf("2024-03-01 12:00:20")
+    val ts0 = ManifestTable.read(root).get.table(t)
+    assert(ManifestTable.gensForRange(ts0, "user_id", 0L, 1L).size
+      == ts0.gens.size)
+
+    ManifestTable.reclusterBy(spark, root, Seq("user_id", "ts"), slices = 4)
+    val ts1 = ManifestTable.read(root).get.table(t)
+    val total = ts1.gens.size
+    assert(total > 4, "expected grid cells within buckets")
+    // each single dimension prunes on its own…
+    val byUser = ManifestTable.gensForRange(ts1, "user_id", 0L, 1L)
+      .map(_.path).toSet
+    val byTs = ManifestTable.gensForRange(ts1, "ts", lo, hi).map(_.path).toSet
+    assert(byUser.size < total && byTs.size < total)
+    // …and the conjunction opens at most half the generations (the grid
+    // makes the prunings multiply, not just intersect trivially)
+    val both = byUser.intersect(byTs)
+    assert(both.size <= total / 2,
+      s"mixed predicate pruned nothing: ${both.size} of $total")
+    assert(both.size < math.min(byUser.size, byTs.size) ||
+      both.size <= total / 4,
+      "conjunction no better than a single dimension")
+    // pruned read ≡ full-scan filter, and the table row set is untouched
+    val pruned = ManifestTable.readTableRanges(spark, target,
+      Seq(("user_id", 0L, 1L), ("ts", lo, hi))).collect()
+      .map(_.toString).toSet
+    val full = ManifestTable.readTable(spark, target)
+      .filter(col("user_id").between(0L, 1L) &&
+        col("ts").between(lit(lo), lit(hi)))
+      .collect().map(_.toString).toSet
+    assert(pruned == full && pruned.nonEmpty)
+    assert(ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet == before)
+    // physical-only: feed intact across the rewrite
+    assert(ManifestTable.read(root).get.table(t).feedFrom >= 0)
+  }
+
   test("compaction collapses multi-generation buckets without changing the table, stats recomputed") {
     val target = tmp("graft_compact")
     val root = new File(target)
