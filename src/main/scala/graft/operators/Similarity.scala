@@ -103,12 +103,23 @@ object Similarity {
       (sum(element_at(vec, i + 1).cast("double")) / count(lit(1)))
         .cast("float")): _*)
 
-  /** IVF centroids: deterministic seeds (every 50th vector — C scales with
-    * corpus size) refined by `KmeansIters` Lloyd iterations, entirely as
-    * DataFrame ops. E-step = broadcast-centroid nearest assignment
-    * (map-only, the n×C expansion collapses via partial agg); M-step =
-    * dimension-wise mean via `elementMean` — one bounded-buffer shuffle,
-    * so no step ever materializes a partition-sized vector on one node.
+  /** IVF centroids: deterministic seeds (every 50th vector, capped at
+    * [[MaxCentroids]]) refined by `KmeansIters` Lloyd iterations over a
+    * bounded fit sample, entirely as DataFrame ops. E-step =
+    * broadcast-centroid nearest assignment (map-only, the n×C expansion
+    * collapses via partial agg); M-step = dimension-wise mean via
+    * `elementMean` — one bounded-buffer shuffle, so no step ever
+    * materializes a partition-sized vector on one node.
+    *
+    * Scale shape: an UNcapped C ∝ n/50 makes the fit Θ(n²/50) — fine to
+    * ~10⁴ vectors, structural at 100 TB. Capping C and fitting Lloyd on a
+    * ≤[[FitSample]] deterministic sample (the standard production-IVF
+    * train-on-sample recipe) bounds the fit at sample×C per iteration
+    * regardless of corpus size; the one full-corpus pass left is the
+    * final n×C cell assignment, which ANY IVF index must pay and which is
+    * linear at fixed C. Below both thresholds the fit is byte-identical
+    * to the uncapped one (stride 50, full fit set), so small-scale
+    * oracles and recall specs are unaffected.
     *
     * Measured on sf0.01 (isotropic synthetic clusters): raw sample seeds
     * 0.98 recall@10, Lloyd-refined 0.88, identical cluster balance — the
@@ -118,6 +129,8 @@ object Similarity {
     * trains centroids. Recall is tunable via `Probes` at ~n/C scan cost
     * per extra probe.
     */
+  val MaxCentroids = 256
+  val FitSample = 20000
   private val centCache = graft.Caches.dfCache()
 
   /** The fitted index is trained once per (session, corpus) and persisted —
@@ -129,11 +142,15 @@ object Similarity {
 
   private def fitCentroids(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    val seeds = e.filter(col("vec_id") % 50 === 0)
+    val n = e.count()
+    val seedStride = math.max(50L, n / MaxCentroids)
+    val fitStride = math.max(1L, n / FitSample)
+    val seeds = e.filter(col("vec_id") % seedStride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
+    val fit = if (fitStride == 1L) e else e.filter(col("vec_id") % fitStride === 0)
     (1 to KmeansIters).foldLeft(seeds) { (c, _) =>
-      val assigned = e.join(broadcast(c), lit(true))
+      val assigned = fit.join(broadcast(c), lit(true))
         .withColumn("ccos", VectorOps.cosinePre(
           col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
         .groupBy("vec_id")
