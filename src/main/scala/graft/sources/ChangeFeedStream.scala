@@ -133,8 +133,15 @@ class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
 
   override val schema: StructType = ChangeFeedStream.feedSchema(parameters)
 
+  /** A missing manifest at prepare time (e.g. the table was dropped after
+    * the subscription resolved) pins an EMPTY drain rather than leaving
+    * the cap unset: an unpinned cap would let commits landing mid-drain
+    * keep extending it, and a sustained writer could prevent the
+    * "bounded" AvailableNow drain from ever terminating.
+    */
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = ManifestTable.read(new File(root)).map(_.version)
+    availableNowCap = Some(ManifestTable.read(new File(root))
+      .map(_.version).getOrElse(startVersion - 1L))
 
   override def getDefaultReadLimit: ReadLimit =
     maxVersions.map(v => ReadMaxVersions(v): ReadLimit)

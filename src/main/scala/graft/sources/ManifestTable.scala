@@ -63,11 +63,23 @@ object ManifestTable {
   /** Table name the single-table sinks use. */
   val DefaultTable = "t"
 
-  /** One immutable generation dir: its path relative to the table root, and
-    * min/max stats per tracked column (rendered as strings; timestamps as
-    * epoch micros so comparisons are plain numeric).
+  /** One tracked column's per-generation bounds, TAGGED with the
+    * comparison domain they were collected under — `num` (numeric and
+    * temporal values, decimal-rendered, timestamps as epoch micros) or
+    * `str` (string bounds, compared as UTF-8 bytes — Spark's own binary
+    * string ordering). The tag is what makes string pruning safe: bounds
+    * only ever compare inside the domain they were recorded in, so a
+    * string column whose values happen to parse numerically ("9", "12")
+    * can never have its LEXICAL bounds misread as numeric ones (or vice
+    * versa after a type evolution) — a domain mismatch just keeps the
+    * generation.
     */
-  case class BucketGen(path: String, stats: Map[String, (String, String)])
+  case class ColStat(kind: String, lo: String, hi: String)
+
+  /** One immutable generation dir: its path relative to the table root, and
+    * tagged min/max stats per tracked column.
+    */
+  case class BucketGen(path: String, stats: Map[String, ColStat])
 
   /** One committed change-feed delta: the generation dir holding the rows a
     * commit inserted/updated/deleted in this table, tagged `_change_type`.
@@ -190,8 +202,8 @@ object ManifestTable {
   private def render(m: Manifest): String = {
     def gen(g: BucketGen): JObject = JObject(
       "path" -> JString(g.path),
-      "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, mm) =>
-        c -> JArray(List(JString(mm._1), JString(mm._2)))
+      "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        c -> JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
       }.toList))
     val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> JObject(
@@ -223,10 +235,14 @@ object ManifestTable {
     }
     def gen(gv: JValue): BucketGen = {
       val stats = (gv \ "stats") match {
-        case JObject(ss) => ss.map { case (c, JArray(List(lo, hi))) =>
-          c -> (str(lo), str(hi))
+        case JObject(ss) => ss.collect {
+          case (c, JArray(List(kind, lo, hi))) =>
+            c -> ColStat(str(kind), str(lo), str(hi))
+          // pre-tagging layout: only numeric/temporal columns ever
+          // recorded stats, so untagged bounds ARE numeric-domain
+          case (c, JArray(List(lo, hi))) => c -> ColStat("num", str(lo), str(hi))
         }.toMap
-        case _ => Map.empty[String, (String, String)]
+        case _ => Map.empty[String, ColStat]
       }
       BucketGen(str(gv \ "path"), stats)
     }
@@ -293,10 +309,27 @@ object ManifestTable {
 
   /** A failure plausibly caused by a concurrent winner's GC collecting this
     * attempt's in-flight files mid-write: a missing-file error anywhere in
-    * the cause chain (Spark wraps executor-side read failures in
-    * SparkException layers). Anything else — analysis error, bad schema,
-    * corrupt input — is deterministic and must SURFACE, not re-execute
-    * full bucket rewrites MaxCommitAttempts times before diagnosis.
+    * the cause chain (Spark wraps executor-side failures in SparkException
+    * layers). The shapes, in the order a vanished generation dir produces
+    * them on a local filesystem:
+    *
+    *  - `FileNotFoundException` / `NoSuchFileException` — a read or rename
+    *    of a collected file;
+    *  - `IOException: Mkdirs failed to create …/_temporary/…` — the
+    *    winner's GC deleted the attempt's decided-loss generation dir
+    *    while its write task was still creating `_temporary` subdirs, and
+    *    Hadoop's ChecksumFileSystem reports the vanished parent as a
+    *    failed mkdir, not a missing file;
+    *  - `ExitCodeException` / "No such file or directory" — Hadoop's
+    *    RawLocalFileSystem shells out (chmod/stat) and surfaces a
+    *    vanished `_temporary` dir as the shell's message.
+    *
+    * The bare "does not exist" wording is shared with deterministic
+    * analysis errors ("Table or view does not exist"), so it only counts
+    * when the message names a filesystem path — analysis errors, bad
+    * schemas, and corrupt input must SURFACE on the first attempt, not
+    * re-execute full bucket rewrites MaxCommitAttempts times before
+    * diagnosis.
     */
   private def isFileRace(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
@@ -304,13 +337,12 @@ object ManifestTable {
       case _: java.nio.file.NoSuchFileException => true
       case t =>
         val msg = t.getMessage
-        // "No such file or directory": Hadoop's RawLocalFileSystem shells
-        // out (chmod/stat) and surfaces a vanished _temporary dir as an
-        // ExitCodeException carrying the shell's message, not a
-        // FileNotFoundException
+        val pathShaped = msg != null && (msg.contains("/") || msg.contains("file:"))
         msg != null && (msg.contains("FileNotFoundException") ||
-          msg.contains("does not exist") ||
-          msg.contains("No such file or directory"))
+          msg.contains("Mkdirs failed to create") ||
+          msg.contains("No such file or directory") ||
+          t.getClass.getSimpleName == "ExitCodeException" ||
+          (msg.contains("does not exist") && pathShaped))
     }
 
   /** Snapshots retained by [[gc]]: readers may time-travel this many
@@ -506,25 +538,48 @@ object ManifestTable {
 
   // ---- min/max stats: rendering, pruning ----
 
-  /** Stats domain: temporal values as epoch micros (dates included, so a
-    * date column compares correctly against timestamp bounds), everything
-    * else numeric via BigDecimal. A value that doesn't parse numerically
-    * (a string stats column) yields None — the stat is simply omitted and
-    * the generation is always kept, never a crashed commit or a wrong
-    * prune.
+  /** Stats domain a column's TYPE collects and prunes under: `num` for
+    * numeric/temporal (temporal values as epoch micros, so a date column
+    * compares correctly against timestamp bounds; everything else via
+    * BigDecimal), `str` for strings (UTF-8 byte order — Spark's own binary
+    * string comparison, so what the stats rank is exactly what the
+    * engine's `>=`/`<=` rank). Other types record no stats. Gating on the
+    * DataType (not per-value parseability) plus the domain TAG on every
+    * stored stat keeps a string column whose values parse numerically
+    * ("9", "12") from ever having its lexical bounds (min="12", max="9")
+    * misread as numeric ones — the numeric-string misprune stays
+    * impossible while string clustering columns finally prune.
     */
-  /** Columns eligible for min/max stats: numeric and temporal TYPES only.
-    * Gating on the column's DataType (not per-value parseability) keeps a
-    * string column whose values happen to parse numerically ("9", "12")
-    * from recording LEXICAL min/max (min="12", max="9") that range pruning
-    * would then misread as numeric bounds and wrongly skip a generation.
+  private def statsKind(dt: DataType): Option[String] = dt match {
+    case _: org.apache.spark.sql.types.NumericType => Some("num")
+    case org.apache.spark.sql.types.DateType => Some("num")
+    case org.apache.spark.sql.types.TimestampType => Some("num")
+    case org.apache.spark.sql.types.TimestampNTZType => Some("num")
+    case org.apache.spark.sql.types.StringType => Some("str")
+    case _ => None
+  }
+
+  /** String bounds longer than this are dropped (generation always kept):
+    * manifest entries must stay metadata-sized even when a tracked string
+    * column carries document-sized values.
     */
-  private def statsEligible(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.NumericType => true
-    case org.apache.spark.sql.types.DateType => true
-    case org.apache.spark.sql.types.TimestampType => true
-    case org.apache.spark.sql.types.TimestampNTZType => true
-    case _ => false
+  private val MaxStringStatLen = 256
+
+  /** Spark's string ordering is binary UTF-8 (UTF8String), which DIFFERS
+    * from Java's UTF-16 `compareTo` for supplementary characters — string
+    * pruning must rank bounds exactly as the engine ranks the filter, or
+    * a generation could be wrongly skipped.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def statValue(v: Any): Option[BigDecimal] = v match {
@@ -545,25 +600,34 @@ object ManifestTable {
     * physical plan, zero extra scans of the bucket).
     */
   def writeGen(df: DataFrame, dest: File,
-      statsCols: Seq[String]): Map[String, (String, String)] = {
-    val present = statsCols.filter(c =>
-      df.columns.contains(c) && statsEligible(df.schema(c).dataType))
+      statsCols: Seq[String]): Map[String, ColStat] = {
+    val present = statsCols.flatMap(c =>
+      if (df.columns.contains(c))
+        statsKind(df.schema(c).dataType).map(k => c -> k)
+      else None)
     if (present.isEmpty) {
       df.write.mode("overwrite").parquet(dest.toString)
       Map.empty
     } else {
       val obs = Observation()
-      val metrics = present.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val metrics = present.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
       df.observe(obs, metrics.head, metrics.tail: _*)
         .write.mode("overwrite").parquet(dest.toString)
       val row = obs.get
-      present.flatMap { c =>
-        (statValue(row(s"min_$c")), statValue(row(s"max_$c"))) match {
-          case (Some(lo), Some(hi)) =>
-            Some(c -> (lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
-          case _ => None
+      present.flatMap {
+        case (c, "str") => (row(s"min_$c"), row(s"max_$c")) match {
+          case (lo: String, hi: String)
+              if lo.length <= MaxStringStatLen && hi.length <= MaxStringStatLen =>
+            Some(c -> ColStat("str", lo, hi))
+          case _ => None // null bounds or document-sized values: no stat
         }
+        case (c, _) =>
+          (statValue(row(s"min_$c")), statValue(row(s"max_$c"))) match {
+            case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
+              lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
+            case _ => None
+          }
       }.toMap
     }
   }
@@ -578,24 +642,39 @@ object ManifestTable {
 
   private def gensMatchingRange(ts: TableState, gens: Seq[BucketGen],
       column: String, lower: Any, upper: Any): Seq[BucketGen] = {
-    // pruning is type-gated like collection: stats recorded for a column
-    // that is not (or no longer) numeric/temporal — e.g. written by an
-    // older layout — must not be reinterpreted as numeric bounds
-    val eligible = ts.schemaJson.nonEmpty &&
-      ts.schema.fields.find(_.name == column).exists(f => statsEligible(f.dataType))
-    if (!eligible) gens
-    else {
-      val lo = statValue(lower)
-      val hi = statValue(upper)
-      gens.filter { g =>
-        g.stats.get(column) match {
-          case Some((mn, mx)) =>
-            val bmn = BigDecimal(mn)
-            val bmx = BigDecimal(mx)
-            hi.forall(bmn <= _) && lo.forall(bmx >= _)
-          case None => true
+    // pruning is domain-gated like collection: the predicate's domain
+    // comes from the column's CURRENT type, and a stored stat only
+    // participates when its tag matches — a stat written under an older
+    // layout or before a type evolution keeps its generation instead of
+    // being reinterpreted in the wrong domain
+    val kind = if (ts.schemaJson.isEmpty) None
+      else ts.schema.fields.find(_.name == column)
+        .flatMap(f => statsKind(f.dataType))
+    kind match {
+      case Some("num") =>
+        val lo = statValue(lower)
+        val hi = statValue(upper)
+        gens.filter { g =>
+          g.stats.get(column) match {
+            case Some(ColStat("num", mn, mx)) =>
+              val bmn = BigDecimal(mn)
+              val bmx = BigDecimal(mx)
+              hi.forall(bmn <= _) && lo.forall(bmx >= _)
+            case _ => true
+          }
         }
-      }
+      case Some("str") =>
+        val lo = Option(lower).map(_.toString)
+        val hi = Option(upper).map(_.toString)
+        gens.filter { g =>
+          g.stats.get(column) match {
+            case Some(ColStat("str", mn, mx)) =>
+              hi.forall(utf8Compare(mn, _) <= 0) &&
+                lo.forall(utf8Compare(mx, _) >= 0)
+            case _ => true
+          }
+        }
+      case _ => gens
     }
   }
 
@@ -676,6 +755,16 @@ object ManifestTable {
     */
   val MaxCommitAttempts = 10
 
+  /** Test-only fault injection: called once per [[mergeBatch]] attempt,
+    * after the attempt's generation dirs are written but before its
+    * commit, with the attempt's base manifest version. A spec can move
+    * the manifest (a competing commit) and throw the exact failure shape
+    * a winner's GC inflicts on a loser's in-flight write, making the
+    * race-casualty classification deterministic instead of
+    * thread-timing-dependent. Production value: no-op.
+    */
+  private[graft] var commitFaultInjector: (File, Long) => Unit = (_, _) => ()
+
   def mergeBatch(root: File, qid: String, batchId: Long,
       batches: Seq[TableBatch]): Unit = {
     var attempt = 0
@@ -689,6 +778,7 @@ object ManifestTable {
         val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
           mergeTable(root, manifest, nonce, tb).map(tb.name -> _)
         }.toMap
+        commitFaultInjector(root, manifest.version)
         // an all-empty micro-batch (Spark does deliver them) must NOT
         // commit: a bucketless manifest helps no reader, and re-running
         // the empty batch is a harmless no-op, so skipping the lastBatch
@@ -1085,16 +1175,40 @@ object ManifestTable {
             // and a degenerate single-value column both collapse to fewer
             // strata on that dimension, never a crash)
             val ck = columns.indices.map(i => s"__graft_ck$i")
+            val kinds = columns.map(c =>
+              statsKind(ts.schema(c).dataType).getOrElse("num"))
             val keyed = columns.zipWithIndex.foldLeft(df) {
-              case (acc, (c, i)) =>
+              case (acc, (c, i)) if kinds(i) == "num" =>
                 acc.withColumn(ck(i), col(c).cast("double"))
+              case (acc, _) => acc
             }
-            val strata = columns.indices.map { i =>
-              val cuts = keyed.stat.approxQuantile(ck(i),
-                (1 until q).map(_.toDouble / q).toArray, 0.01)
-                .filterNot(_.isNaN).distinct.sorted
-              cuts.foldLeft(lit(0)) { (acc, c) =>
-                acc + when(col(ck(i)) > c, 1).otherwise(0)
+            val strata = columns.zipWithIndex.map { case (c, i) =>
+              if (kinds(i) == "str") {
+                // approxQuantile is numeric-only: a STRING dimension cuts
+                // at evenly-spaced ranks of a bounded uniform row sample
+                // (driver-side, ≤ ~20k values regardless of bucket size),
+                // sorted in UTF-8 byte order — exactly how the plan's `>`
+                // ranks strings, so cell stats stay tight and correct
+                val n = math.max(1L, df.count())
+                val vals = (if (n <= 20000L) df.select(col(c)).na.drop
+                  else df.select(col(c)).na.drop
+                    .sample(withReplacement = false, 20000.0 / n, 42L))
+                  .collect().map(_.getString(0))
+                  .sortWith(utf8Compare(_, _) < 0)
+                val cuts =
+                  if (vals.isEmpty) Seq.empty[String]
+                  else (1 until q).map(j => vals(j * (vals.length - 1) / q))
+                    .distinct
+                cuts.foldLeft(lit(0)) { (acc, cut) =>
+                  acc + when(col(c) > lit(cut), 1).otherwise(0)
+                }
+              } else {
+                val cuts = keyed.stat.approxQuantile(ck(i),
+                  (1 until q).map(_.toDouble / q).toArray, 0.01)
+                  .filterNot(_.isNaN).distinct.sorted
+                cuts.foldLeft(lit(0)) { (acc, cutV) =>
+                  acc + when(col(ck(i)) > cutV, 1).otherwise(0)
+                }
               }
             }
             // mixed-radix cell id: one stratum per dimension

@@ -161,15 +161,50 @@ object IncrementalMart {
             // leak their rows into the extremum ahead of the counts
             val pinV = batch
               .agg(max(col(ManifestTable.CommitVersionCol))).head.getLong(0)
-            val src = cfg.prepare(ManifestTable.readTable(spark,
-              cfg.sourceRoot, version = Some(pinV), table = cfg.sourceTable))
             val rGroups = deltas.filter(col("delta_retracts") > 0)
               .select(cfg.groupCols.map(col).toIndexedSeq: _*)
-            val srcCond = cfg.groupCols
-              .map(k => src(k) <=> rGroups(k)).reduce(_ && _)
+            // only the columns the recompute aggregates travel through the
+            // scan (and the fallback's multiset algebra below)
+            val projCols =
+              (cfg.groupCols ++ (cfg.maxCols ++ cfg.minCols).distinct)
+                .map(col).toIndexedSeq
+            def groupRows(df: DataFrame): DataFrame = {
+              val c = cfg.groupCols.map(k => df(k) <=> rGroups(k)).reduce(_ && _)
+              df.join(rGroups, c, "left_semi").select(projCols: _*)
+            }
+            val pinned =
+              try groupRows(cfg.prepare(ManifestTable.readTable(spark,
+                cfg.sourceRoot, version = Some(pinV), table = cfg.sourceTable)))
+              catch {
+                case _: java.io.FileNotFoundException =>
+                  // the batch's last commit version aged out of SNAPSHOT
+                  // retention (a subscriber restarting several versions
+                  // behind: RetainVersions < ChangeRetainVersions, and the
+                  // feed contract serves starting points the snapshot
+                  // window no longer does). Reconstruct the retracted
+                  // groups' row-multiset AT pinV exactly: the oldest
+                  // retained snapshot minus the feed changes in (pinV, r]
+                  // this subscriber hasn't folded yet — a range the feed
+                  // still retains precisely because its window is wider.
+                  val live = ManifestTable.read(new File(cfg.sourceRoot))
+                    .map(_.version).getOrElse(pinV)
+                  val r = live - ManifestTable.RetainVersions + 1
+                  val snapR = groupRows(cfg.prepare(ManifestTable.readTable(
+                    spark, cfg.sourceRoot, version = Some(r),
+                    table = cfg.sourceTable)))
+                  val chg = cfg.prepare(ManifestTable.readChangeFeed(spark,
+                    cfg.sourceRoot, pinV + 1, Some(r), cfg.sourceTable))
+                  val added = groupRows(chg.filter(
+                    col(ManifestTable.ChangeTypeCol)
+                      .isin("insert", "update_postimage")))
+                  val removed = groupRows(chg.filter(
+                    col(ManifestTable.ChangeTypeCol)
+                      .isin("delete", "update_preimage")))
+                  snapR.exceptAll(added).union(removed)
+              }
             val rcAggs = cfg.maxCols.map(c => max(col(c)).as(s"rc_max_$c")) ++
               cfg.minCols.map(c => min(col(c)).as(s"rc_min_$c"))
-            val recomputed = src.join(rGroups, srcCond, "left_semi")
+            val recomputed = pinned
               .groupBy(cfg.groupCols.map(col).toIndexedSeq: _*)
               .agg(rcAggs.head, rcAggs.tail.toIndexedSeq: _*)
             val rCond = cfg.groupCols
