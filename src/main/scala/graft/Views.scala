@@ -37,6 +37,18 @@ object Views {
       .createOrReplaceTempView(s"${prefix}can_txn_anomaly")
   }
 
+  /** A [[graft.sources.ManifestTable]] as a queryable view THROUGH the
+    * `format("graft")` batch provider, so every predicate a SQL user
+    * writes against it reaches the manifest's generation pruning (the
+    * plain-SELECT micro-partition skipping the reference's warehouse
+    * provides) — unlike a view over `readTable`, which always plans a
+    * full scan.
+    */
+  def registerManifest(spark: SparkSession, root: String, name: String,
+      table: String = graft.sources.ManifestTable.DefaultTable): Unit =
+    spark.read.format("graft").option("path", root).option("table", table)
+      .load().createOrReplaceTempView(name)
+
   /** Any operator result as a view, e.g.
     * `registerQuery(spark, dir, "q1_agg")` → `SELECT * FROM graft_q1_agg`.
     */

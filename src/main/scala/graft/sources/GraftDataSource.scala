@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, StartsWith, XxHash64}
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+
+/** Batch read surface for [[ManifestTable]]:
+  * `spark.read.format("graft").option("path", root).load()` resolves the
+  * committed snapshot through the manifest and — the point — prunes
+  * generation dirs from the PLAN's own predicates, so every plain
+  * `SELECT … WHERE ts BETWEEN …` (or a filtered registered view) gets the
+  * same manifest-level data skipping `readTableRanges` provides to
+  * callers who know to ask for it. The reference's users get exactly this
+  * for free: every Snowflake query prunes micro-partitions from metadata
+  * (docs/architecture.md), and its ops views are plain SELECTs
+  * (sql/07_ops_views.sql).
+  *
+  * Architecture: a custom [[FileIndex]] inside a [[HadoopFsRelation]]
+  * (the Delta/Iceberg batch-read shape) rather than a bespoke DSv2
+  * `PartitionReader`. Catalyst hands `listFiles` the compiled data
+  * filters; the index maps range/equality conjuncts onto the manifest's
+  * tagged min/max stats and lists ONLY surviving generation dirs — at
+  * 100 TB the object-store listing cost itself scales with what the
+  * predicate keeps, not with the table. Everything downstream of the
+  * listing is stock Spark: the vectorized parquet reader, row-group
+  * pushdown, column pruning, and whole-stage codegen survive untouched,
+  * where a hand-rolled `Batch`/`PartitionReader` would re-implement that
+  * scan worse (the same reasoning the `graft-cdf` streaming source
+  * documents for staying on the DataFrame scan path).
+  *
+  * Options: `path` (table root, required), `table` (default `t`),
+  * `version` (time travel within the retention window).
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val params = CaseInsensitiveMap(parameters)
+    val root = params.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (table root) is required"))
+    val table = params.getOrElse("table", ManifestTable.DefaultTable)
+    val version = params.get("version").map(_.toLong)
+    val spark = sqlContext.sparkSession
+    val index = new ManifestFileIndex(spark, root, table, version)
+    HadoopFsRelation(index, new StructType(), index.tableSchema,
+      None, new ParquetFileFormat, Map.empty)(spark)
+  }
+}
+
+/** [[FileIndex]] over one committed [[ManifestTable]] snapshot, resolved
+  * ONCE at construction so a query plans against a single version even
+  * while writers keep committing (the same snapshot-isolation contract
+  * every other read path honors).
+  *
+  * `listFiles` is where pruning lives: each data-filter conjunct that
+  * shapes up as `col ⋈ literal` (⋈ ∈ {=, <=>, <, <=, >, >=, IN,
+  * STARTSWITH}) becomes a [lower, upper] window on that column, windows
+  * intersect through [[ManifestTable.gensForRange]]'s domain-tagged stats
+  * algebra (numeric/temporal vs lexical — never cross-read), and only
+  * generations every window keeps are listed. Unsupported filter shapes
+  * simply don't prune — never a wrong skip. The exactness contract stays
+  * with the engine: Spark re-applies EVERY filter on the scan's rows, so
+  * pruning can only drop files the stats PROVE irrelevant.
+  */
+class ManifestFileIndex(spark: SparkSession, root: String, table: String,
+    version: Option[Long]) extends FileIndex {
+
+  private val manifest = ManifestTable.resolve(new File(root), version)
+  private val ts = manifest.table(table)
+
+  val tableSchema: StructType = ts.schema
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  /** One bound extracted from a pushed conjunct: null end = unbounded
+    * (which [[ManifestTable.gensForRange]] treats as always-overlapping
+    * on that side).
+    */
+  private case class Window(column: String, lower: Any, upper: Any)
+
+  /** Catalyst literal → the external value the stats algebra compares:
+    * temporal internals to epoch micros, `Decimal`/`UTF8String` unwrapped.
+    * None = a value pruning can't reason about (prune nothing).
+    */
+  private def external(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case DateType => Some(v.asInstanceOf[Number].longValue * 86400000000L)
+      case TimestampType | TimestampNTZType => Some(v)
+      case _: NumericType => Some(v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case x => x
+      })
+      case StringType => Some(v.toString)
+      case _ => None
+    }
+
+  private def windows(e: Expression): Seq[Window] = e match {
+    case And(l, r) => windows(l) ++ windows(r)
+    case _: IsNotNull => Nil
+    case EqualTo(a: Attribute, Literal(v, dt)) =>
+      external(v, dt).map(x => Window(a.name, x, x)).toSeq
+    case EqualTo(Literal(v, dt), a: Attribute) =>
+      external(v, dt).map(x => Window(a.name, x, x)).toSeq
+    case EqualNullSafe(a: Attribute, Literal(v, dt)) if v != null =>
+      external(v, dt).map(x => Window(a.name, x, x)).toSeq
+    case EqualNullSafe(Literal(v, dt), a: Attribute) if v != null =>
+      external(v, dt).map(x => Window(a.name, x, x)).toSeq
+    // strict bounds prune as inclusive ones — conservative, never wrong
+    case GreaterThan(a: Attribute, Literal(v, dt)) =>
+      external(v, dt).map(x => Window(a.name, x, null)).toSeq
+    case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      external(v, dt).map(x => Window(a.name, x, null)).toSeq
+    case LessThan(a: Attribute, Literal(v, dt)) =>
+      external(v, dt).map(x => Window(a.name, null, x)).toSeq
+    case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+      external(v, dt).map(x => Window(a.name, null, x)).toSeq
+    // literal-first comparisons flip
+    case GreaterThan(Literal(v, dt), a: Attribute) =>
+      external(v, dt).map(x => Window(a.name, null, x)).toSeq
+    case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+      external(v, dt).map(x => Window(a.name, null, x)).toSeq
+    case LessThan(Literal(v, dt), a: Attribute) =>
+      external(v, dt).map(x => Window(a.name, x, null)).toSeq
+    case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+      external(v, dt).map(x => Window(a.name, x, null)).toSeq
+    // IN prunes on the value set's span (its min/max): exact per-value
+    // skipping would need per-value windows OR'd, but span pruning is
+    // already what keeps a point-lookup IN from scanning the table
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case Literal(v, _) => v != null
+        case _ => false
+      } =>
+      val ext = vs.collect { case Literal(v, dt) => external(v, dt) }.flatten
+      if (ext.size != vs.size) Nil
+      else a.dataType match {
+        case StringType =>
+          val ss = ext.map(_.toString).sorted // String ordering only feeds
+          Seq(Window(a.name, ss.head, ss.last)) // a conservative span
+        case _ =>
+          val ds = ext.map(x => BigDecimal(x.toString))
+          Seq(Window(a.name, ds.min.bigDecimal, ds.max.bigDecimal))
+      }
+    // prefix predicate on a string column: [prefix, ∞) lexically
+    case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
+      Seq(Window(a.name, v.toString, null))
+    case _ => Nil
+  }
+
+  private def equalityLiterals(dataFilters: Seq[Expression]): Map[String, Literal] = {
+    def go(e: Expression): Seq[(String, Literal)] = e match {
+      case And(l, r) => go(l) ++ go(r)
+      case EqualTo(a: Attribute, l @ Literal(v, _)) if v != null => Seq(a.name -> l)
+      case EqualTo(l @ Literal(v, _), a: Attribute) if v != null => Seq(a.name -> l)
+      case EqualNullSafe(a: Attribute, l @ Literal(v, _)) if v != null => Seq(a.name -> l)
+      case EqualNullSafe(l @ Literal(v, _), a: Attribute) if v != null => Seq(a.name -> l)
+      case _ => Nil
+    }
+    dataFilters.flatMap(go).toMap
+  }
+
+  /** Bucket pruning for point lookups: when the predicate pins EVERY
+    * merge-key column with an equality, the row can live in exactly one
+    * hash bucket — evaluate the writer's own `pmod(xxhash64(keys), n)`
+    * expression driver-side on the pinned literals (the manifest records
+    * the layout, so no caller-supplied bucketing is needed) and restrict
+    * to that bucket's generations. A 1/numBuckets scan for every
+    * `WHERE key = …` SQL lookup, with zero jobs launched to decide it.
+    */
+  private def bucketFor(dataFilters: Seq[Expression]): Option[Long] =
+    if (ts.mergeKeys.isEmpty || ts.numBuckets <= 0) None
+    else {
+      val eqs = equalityLiterals(dataFilters)
+      val lits = ts.mergeKeys.map(eqs.get)
+      if (lits.exists(_.isEmpty)) None
+      else {
+        val h = XxHash64(lits.flatten, 42L).eval(null).asInstanceOf[Long]
+        Some(((h % ts.numBuckets) + ts.numBuckets) % ts.numBuckets)
+      }
+    }
+
+  /** Generations every extracted window keeps, within the covering bucket
+    * when one is pinned (path-set intersection — conjunct semantics).
+    */
+  private def prunedGens(dataFilters: Seq[Expression]): Seq[String] = {
+    val base = bucketFor(dataFilters) match {
+      case Some(b) => ts.buckets.getOrElse(b, Nil)
+      case None => ts.gens
+    }
+    val ws = dataFilters.flatMap(windows)
+    if (ws.isEmpty) base.map(_.path)
+    else {
+      val kept = ws.map(w =>
+        ManifestTable.gensForRange(ts, w.column, w.lower, w.upper)
+          .map(_.path).toSet)
+        .reduce(_ intersect _)
+      base.map(_.path).filter(kept) // keep manifest order
+    }
+  }
+
+  private def listGen(rel: String): Array[FileStatus] = {
+    val p = new Path(new File(root, rel).toString)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val files = prunedGens(dataFilters).toArray.flatMap(listGen)
+    Seq(PartitionDirectory(InternalRow.empty, files))
+  }
+
+  // full-listing metadata (broadcast sizing, EXPLAIN): computed once,
+  // over the manifest's dirs only — never a recursive root walk
+  private lazy val allFiles: Array[FileStatus] =
+    ts.gens.map(_.path).toArray.flatMap(listGen)
+
+  override def inputFiles: Array[String] = allFiles.map(_.getPath.toString)
+
+  override def sizeInBytes: Long = allFiles.map(_.getLen).sum
+
+  override def toString: String =
+    s"ManifestFileIndex($root/$table@v${manifest.version})"
+}

@@ -98,7 +98,8 @@ object ManifestTable {
     * touch this table, which is still a complete feed.
     */
   case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
-      changes: Seq[ChangeGen] = Nil, feedFrom: Long = -1L) {
+      changes: Seq[ChangeGen] = Nil, feedFrom: Long = -1L,
+      mergeKeys: Seq[String] = Nil, numBuckets: Int = -1) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
   }
@@ -169,7 +170,10 @@ object ManifestTable {
             (Nil, -1L) // feed gap: reset instead of serving holes
           case None => (prevState.changes, prevState.feedFrom)
         }
-        acc + (name -> TableState(u.schemaJson, next, changes, feedFrom))
+        val (mk, nb) =
+          if (u.mergeKeys.nonEmpty) (u.mergeKeys, u.numBuckets)
+          else (prevState.mergeKeys, prevState.numBuckets)
+        acc + (name -> TableState(u.schemaJson, next, changes, feedFrom, mk, nb))
       }
       val nextBatch =
         if (queryId == qid) math.max(lastBatch, batchId) else batchId
@@ -189,11 +193,16 @@ object ManifestTable {
     * bucket's list (merge rewrite) or appending to it (append batch).
     * `changePath` is the change-feed dir recorded for this commit (feed
     * batches only); `logicalChange = false` marks physical-only rewrites
-    * (compaction) that must not break an active feed.
+    * (compaction) that must not break an active feed. `mergeKeys` /
+    * `numBuckets` record the writer's bucketing in the manifest (Nil/-1 =
+    * leave the table's recorded layout unchanged — physical rewrites),
+    * which is what lets a READER prune a key-equality predicate to the
+    * single covering bucket without being told the layout out of band.
     */
   case class TableUpdate(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
     append: Boolean, changePath: Option[String] = None,
-    logicalChange: Boolean = true)
+    logicalChange: Boolean = true,
+    mergeKeys: Seq[String] = Nil, numBuckets: Int = -1)
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
@@ -213,7 +222,9 @@ object ManifestTable {
         }.toList),
         "changes" -> JArray(ts.changes.map(c => JObject(
           "version" -> JLong(c.version), "path" -> JString(c.path))).toList),
-        "feedFrom" -> JLong(ts.feedFrom))
+        "feedFrom" -> JLong(ts.feedFrom),
+        "mergeKeys" -> JArray(ts.mergeKeys.map(JString(_)).toList),
+        "numBuckets" -> JLong(ts.numBuckets.toLong))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -266,7 +277,16 @@ object ManifestTable {
           case JNothing => -1L
           case v => long(v)
         }
-        name -> TableState(str(tv \ "schema"), buckets, changes, feedFrom)
+        val mergeKeys = (tv \ "mergeKeys") match {
+          case JArray(ks) => ks.map(str)
+          case _ => Nil
+        }
+        val numBuckets = (tv \ "numBuckets") match {
+          case JNothing => -1
+          case v => long(v).toInt
+        }
+        name -> TableState(str(tv \ "schema"), buckets, changes, feedFrom,
+          mergeKeys, numBuckets)
       }.toMap
       case _ => Map.empty[String, TableState]
     }
@@ -458,7 +478,7 @@ object ManifestTable {
       }.foreach(deleteRecursively)
   }
 
-  private def resolve(root: File, version: Option[Long]): Manifest =
+  private[sources] def resolve(root: File, version: Option[Long]): Manifest =
     version match {
       case None =>
         read(root).getOrElse(throw new java.io.FileNotFoundException(
@@ -910,7 +930,8 @@ object ManifestTable {
             Some(rel)
           }
         }
-        Some(TableUpdate(unified.json, written, tb.append, changePath))
+        Some(TableUpdate(unified.json, written, tb.append, changePath,
+          mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets))
       }
     } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
   }

@@ -316,4 +316,98 @@ class PlanSpec extends SparkSpec {
       l.trim.startsWith("(") && l.contains("Scan parquet"))
     assert(scans <= 6, s"$scans parquet scans")
   }
+
+  test("format(\"graft\") read prunes generations from the PLAN's own predicates — same file subset as readTableRanges, same rows as a full-scan filter") {
+    import java.io.File
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.TableBatch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_dsv")
+      .resolve("t").toString
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // four append batches, each a narrow day-slice: per-generation ts
+    // stats are tight, so a one-day predicate must open ~1/4 of the files
+    (0 until 4).foreach { d =>
+      val df = (0 until 100).map { i =>
+        (d * 100L + i,
+          java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:${i % 60}%02d"),
+          s"client_${('a' + d).toChar}", i * 1.5)
+      }.toDF("event_id", "ts", "client_id", "value")
+      ManifestTable.mergeBatch(root, "q", d.toLong, Seq(
+        TableBatch(t, df, Seq("event_id"), 2,
+          statsCols = Seq("ts", "client_id"), append = true)))
+    }
+    val ts1 = ManifestTable.read(root).get.table(t)
+    val lo = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-02 23:59:59")
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    def filesUnder(rels: Seq[String]): Long =
+      rels.map(rel => Option(new File(root, rel).listFiles).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).sum.toLong
+
+    val plain = spark.read.format("graft").option("path", target).load()
+    val filtered = plain.filter(col("ts").between(lit(lo), lit(hi)))
+
+    // the filtered read opens exactly the generations the manifest's
+    // stats algebra keeps (what readTableRanges opens), not the table
+    val expectedRels = ManifestTable.gensForRange(ts1, "ts", lo, hi).map(_.path)
+    val totalFiles = filesUnder(ts1.gens.map(_.path))
+    val keptFiles = filesUnder(expectedRels)
+    assert(keptFiles < totalFiles, "setup produced unprunable stats")
+    assert(scanFiles(filtered) == keptFiles,
+      "plan-predicate pruning opened a different file subset than the manifest algebra")
+    assert(scanFiles(plain) == totalFiles)
+
+    // rows: pruned read ≡ full-scan filter ≡ readTableRanges
+    val viaProvider = filtered.collect().map(_.toString).toSet
+    val viaApi = ManifestTable.readTableRange(spark, target, "ts", lo, hi)
+      .collect().map(_.toString).toSet
+    val fullScan = ManifestTable.readTable(spark, target)
+      .filter(col("ts").between(lit(lo), lit(hi)))
+      .collect().map(_.toString).toSet
+    assert(viaProvider == fullScan && viaProvider == viaApi
+      && viaProvider.nonEmpty)
+
+    // STRING equality prunes through the provider too (lexical stats)
+    val strFiltered = plain.filter(col("client_id") === "client_c")
+    val strKept = filesUnder(ManifestTable.gensForRange(ts1, "client_id",
+      "client_c", "client_c").map(_.path))
+    assert(strKept < totalFiles)
+    assert(scanFiles(strFiltered) == strKept)
+    assert(strFiltered.count() == 100L)
+
+    // a registered view prunes the same way — the "plain SELECT" surface
+    Views.registerManifest(spark, target, "dsv_events")
+    val viaView = spark.sql(
+      s"SELECT * FROM dsv_events WHERE ts BETWEEN '$lo' AND '$hi'")
+    assert(scanFiles(viaView) == keptFiles,
+      "view predicate failed to reach the manifest pruning")
+
+    // a merge-key equality pins the single covering hash bucket (the
+    // manifest records the writer's layout), so a plain SQL point lookup
+    // opens 1/numBuckets of the table before stats even apply
+    val keyFiltered = plain.filter(col("event_id") === 142L)
+    val b = ManifestTable.bucketsForKeys(spark, Seq(142L), 2).head
+    val bucketFiles = filesUnder(ts1.buckets(b).map(_.path))
+    assert(bucketFiles < totalFiles)
+    assert(scanFiles(keyFiltered) == bucketFiles,
+      "merge-key equality failed to prune to the covering bucket")
+    assert(keyFiltered.count() == 1L)
+
+    // time travel rides the same surface (oldest RETAINED version: two
+    // of the four append batches visible)
+    val v2 = spark.read.format("graft").option("path", target)
+      .option("version", "2").load()
+    assert(v2.count() == 200L)
+  }
 }
