@@ -98,7 +98,7 @@ object Similarity {
     * shuffles and a sort); the buffer per group key is O(width) doubles,
     * bounded regardless of corpus size.
     */
-  private def elementMean(width: Int, vec: Column): Column =
+  private[graft] def elementMean(width: Int, vec: Column): Column =
     array((0 until width).map(i =>
       (sum(element_at(vec, i + 1).cast("double")) / count(lit(1)))
         .cast("float")): _*)
