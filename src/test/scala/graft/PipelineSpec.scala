@@ -533,8 +533,10 @@ class PipelineSpec extends SparkSpec {
     val rows = run("mm_frame_sample").collect()
     assert(rows.nonEmpty)
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
-    val lens = Tables.documents(spark, sf)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    // frame arithmetic runs over the PAYLOAD (container header + body),
+    // so expectations derive from the media table's own byte lengths
+    val lens = operators.Multimodal.mediaTable(spark, sf)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("len"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     byDoc.foreach { case (doc, fr) =>
       val nFrames = (lens(doc) - 1) / FrameBytes + 1
