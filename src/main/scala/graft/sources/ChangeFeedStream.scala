@@ -2,17 +2,29 @@ package graft.sources
 
 import java.io.File
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{FilePartition, LogicalRelation, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** Structured Streaming source over a [[ManifestTable]] change data feed —
   * the streaming half of the CDF contract (the Delta `readChangeFeed`
@@ -59,10 +71,14 @@ import org.apache.spark.sql.types.StructType
   * worse. This v1-plumbing + v2-admission hybrid is the same shape the
   * Delta Lake streaming source ships.)
   */
-class ChangeFeedStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class ChangeFeedStreamProvider extends StreamSourceProvider with DataSourceRegister
+  with TableProvider {
   import ChangeFeedStream._
 
   override def shortName(): String = "graft-cdf"
+
+  // ---- v1 Source contract: kept for direct-driver callers; the engine
+  // resolves the TableProvider (DSv2) path below once it sees one ----
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
@@ -72,6 +88,43 @@ class ChangeFeedStreamProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedStream(sqlContext.sparkSession, parameters)
+
+  // ---- DSv2 TableProvider: `readStream.format("graft-cdf")` resolves
+  // here, planning through [[CdfMicroBatchStream]] ----
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    feedSchema(options.asCaseSensitiveMap.asScala.toMap)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftCdfTable(properties.asScala.toMap)
+}
+
+/** DSv2 table over a [[ManifestTable]] change data feed: one capability
+  * (micro-batch read), schema pinned at resolution like every streaming
+  * source.
+  */
+class GraftCdfTable(params: Map[String, String]) extends Table with SupportsRead {
+  private val cim = CaseInsensitiveMap(params)
+
+  override def name(): String = {
+    val t = cim.getOrElse("table", ManifestTable.DefaultTable)
+    s"graft-cdf:${cim.getOrElse("path", "?")}/$t"
+  }
+
+  override def schema(): StructType = ChangeFeedStream.feedSchema(params)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftCdfTable.this.schema()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CdfMicroBatchStream(SparkSession.active, params)
+      }
+    }
 }
 
 object ChangeFeedStream {
@@ -214,4 +267,166 @@ class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
   override def stop(): Unit = ()
 
   override def toString: String = s"ChangeFeedStream[$root/$table)"
+}
+
+/** The modern (DSv2 `MicroBatchStream`) change-feed scan — same offset
+  * algebra, admission control, and AvailableNow pinning as the v1
+  * [[ChangeFeedStream]], with the scan itself planned natively:
+  *
+  *  - offsets ARE manifest versions; `planInputPartitions(start, end]`
+  *    maps to the feed dirs of exactly those committed versions via the
+  *    same validated [[ManifestTable.feedGens]] gate batch readers use,
+  *    so feed gaps fail loudly on every path;
+  *  - each feed file becomes a [[PartitionedFile]] whose PARTITION VALUE
+  *    is its commit version — `_commit_version` is injected by the
+  *    stock v2 parquet machinery as a partition column, not computed
+  *    per row; `_change_type` is real data in the delta files;
+  *  - [[ParquetPartitionReaderFactory]] (the engine's own v2 parquet
+  *    reader) does the reading — vectorized/columnar batches, null
+  *    backfill for columns added by sink-side schema evolution — so the
+  *    port keeps every scan property the v1 hybrid was kept around for;
+  *  - files pack into input partitions with the engine's own
+  *    split-size/bin-packing rule ([[FilePartition.getFilePartitions]]),
+  *    so a many-file backlog drain parallelizes like any batch scan.
+  */
+class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+  import ChangeFeedStream.ReadMaxVersions
+
+  private val params = CaseInsensitiveMap(parameters)
+  private val root = params("path")
+  private val table = params.getOrElse("table", ManifestTable.DefaultTable)
+  private val maxVersions = params.get("maxVersionsPerTrigger").map(_.toLong)
+
+  private val startVersion: Long = {
+    val explicit = params.get("startingVersion").map(_.toLong)
+    explicit.getOrElse {
+      val m = ManifestTable.read(new File(root)).getOrElse(
+        throw new IllegalStateException(s"no committed table at $root"))
+      m.table(table).feedFrom
+    }
+  }
+
+  /** Table schema pinned at stream creation (the v1 source's contract:
+    * sink-side evolution surfaces on the consumer's next restart).
+    */
+  private val dataSchema: StructType = {
+    val m = ManifestTable.read(new File(root)).getOrElse(
+      throw new IllegalStateException(s"no committed table at $root"))
+    m.table(table).schema.add(ManifestTable.ChangeTypeCol, "string")
+  }
+
+  private val partitionSchema =
+    StructType(Seq(StructField(ManifestTable.CommitVersionCol, LongType)))
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestTable.read(new File(root))
+      .map(_.version).getOrElse(startVersion - 1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(v => ReadMaxVersions(v): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val floor = Option(start).map(ver).getOrElse(startVersion - 1L)
+    ManifestTable.read(new File(root)).map { m =>
+      val avail = availableNowCap.fold(m.version)(math.min(m.version, _))
+      val target = limit match {
+        case rv: ReadMaxVersions => math.min(avail, floor + rv.maxVersions)
+        case _ => avail
+      }
+      if (target <= floor || target < startVersion) start
+      else LongOffset(target): OffsetV2
+    }.getOrElse(start)
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead " +
+        "(SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): OffsetV2 =
+    ManifestTable.read(new File(root))
+      .map(m => LongOffset(m.version): OffsetV2).orNull
+
+  override def initialOffset(): OffsetV2 = LongOffset(startVersion - 1L)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: OffsetV2,
+      end: OffsetV2): Array[InputPartition] = {
+    val from = ver(start) + 1L
+    val to = ver(end)
+    if (to < from) return Array.empty
+    val (_, sel) = ManifestTable.feedGens(root, from, Some(to), table)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = sel.flatMap { c =>
+      val p = new Path(new File(root, c.path).toString)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p)
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(f => PartitionedFile(InternalRow(c.version),
+          SparkPath.fromPath(f.getPath), 0L, f.getLen))
+    }
+    FilePartition.getFilePartitions(spark, files,
+      FilePartition.maxSplitBytes(spark, files.map(_.length).sum))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the conf plumbing ParquetScan.createReaderFactory performs before
+    // handing the reader factory its broadcast configuration: the reader
+    // resolves its ReadSupport and requested schema from here
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val schemaJson = dataSchema.json
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schemaJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, schemaJson)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(dataSchema, hadoopConf)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    val bcast = spark.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(sqlConf, bcast,
+      dataSchema, dataSchema, partitionSchema,
+      Array.empty, None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  private def ver(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json().trim.toLong
+  }
+
+  override def toString: String = s"CdfMicroBatchStream[$root/$table]"
 }

@@ -972,9 +972,14 @@ object ManifestTable {
     * instead of silently returning a feed with holes — an incremental
     * consumer fed a partial delta would diverge without noticing.
     */
-  def readChangeFeed(spark: SparkSession, root: String, fromVersion: Long,
-      toVersion: Option[Long] = None,
-      table: String = DefaultTable): DataFrame = {
+  /** Validated feed-delta selection for `[fromVersion, toVersion]` — the
+    * shared gate both [[readChangeFeed]] and the streaming scans sit on:
+    * completeness errors (no active feed, or a start before what the feed
+    * can serve) throw HERE, so no consumer path can read a feed with
+    * holes. Returns (table state, selected deltas).
+    */
+  private[sources] def feedGens(root: String, fromVersion: Long,
+      toVersion: Option[Long], table: String): (TableState, Seq[ChangeGen]) = {
     val m = resolve(new File(root), None)
     val ts = m.table(table)
     if (ts.feedFrom < 0) throw new IllegalStateException(
@@ -983,7 +988,13 @@ object ManifestTable {
       s"change feed for $table serves versions >= ${ts.feedFrom}; " +
         s"$fromVersion is before the feed opened or past retention")
     val hi = toVersion.getOrElse(m.version)
-    val sel = ts.changes.filter(c => c.version >= fromVersion && c.version <= hi)
+    (ts, ts.changes.filter(c => c.version >= fromVersion && c.version <= hi))
+  }
+
+  def readChangeFeed(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None,
+      table: String = DefaultTable): DataFrame = {
+    val (ts, sel) = feedGens(root, fromVersion, toVersion, table)
     val schema = ts.schema.add(ChangeTypeCol, "string")
     if (sel.isEmpty)
       spark.createDataFrame(

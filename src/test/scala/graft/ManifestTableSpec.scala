@@ -1036,6 +1036,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(martRows == expected)
   }
 
+  test("change-feed stream: the engine plans graft-cdf through the DSv2 MicroBatchStream (not the legacy Source path)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = tmp("graft_cdfv2")
+    val root = new File(target)
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(0 until 10, 1),
+        Seq("event_id"), 2, append = true, changeFeed = true)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfv2_ckpt").toString
+    var n = 0L
+    val q = spark.readStream.format("graft-cdf").option("path", target).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, _: Long) => { n += b.count(); () })
+      .start()
+    q.awaitTermination()
+    assert(n == 10L)
+    val srcDesc = q.recentProgress.flatMap(_.sources.map(_.description))
+    assert(srcDesc.exists(_.contains("CdfMicroBatchStream")),
+      s"drain did not run on the DSv2 stream: ${srcDesc.mkString(";")}")
+  }
+
   test("change-feed stream: a manifest missing at AvailableNow prepare pins an empty drain — commits landing mid-drain cannot extend it") {
     import graft.sources.ChangeFeedStream
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
