@@ -221,16 +221,44 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     }
   }
 
+  /** Listing threshold: below it the driver lists serially (no job
+    * latency for point lookups that pruned to a handful of dirs); above
+    * it the listing DISTRIBUTES — at 100 TB a predicate can still keep
+    * thousands of generation dirs, and a serial driver loop over an
+    * object store would dominate query latency (the parallel-listing
+    * rule every table format applies).
+    */
+  private val ParallelListThreshold = 32
+
+  private def listGens(rels: Seq[String]): Array[FileStatus] =
+    if (rels.size <= ParallelListThreshold) rels.toArray.flatMap(listGen)
+    else {
+      val rootS = root
+      val bconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      spark.sparkContext
+        .parallelize(rels, math.min(rels.size, 64))
+        .flatMap { rel =>
+          val p = new Path(new File(rootS, rel).toString)
+          val fs = p.getFileSystem(bconf.value.value)
+          fs.listStatus(p).filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        }.collect()
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = prunedGens(dataFilters).toArray.flatMap(listGen)
+    val files = listGens(prunedGens(dataFilters))
     Seq(PartitionDirectory(InternalRow.empty, files))
   }
 
   // full-listing metadata (broadcast sizing, EXPLAIN): computed once,
   // over the manifest's dirs only — never a recursive root walk
   private lazy val allFiles: Array[FileStatus] =
-    ts.gens.map(_.path).toArray.flatMap(listGen)
+    listGens(ts.gens.map(_.path))
 
   override def inputFiles: Array[String] = allFiles.map(_.getPath.toString)
 
