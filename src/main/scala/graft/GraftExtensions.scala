@@ -20,5 +20,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // metadata-only COUNT(*) over format("graft") relations — answered
+    // from the manifest's recorded row counts, zero scan jobs
+    ext.injectOptimizerRule(plans.MetadataCountRule)
   }
 }

@@ -1,15 +1,17 @@
 package graft.sources
 
 import java.io.File
+import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, StartsWith, XxHash64}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types._
 
 /** Batch read surface for [[ManifestTable]]:
@@ -39,7 +41,8 @@ import org.apache.spark.sql.types._
   * Options: `path` (table root, required), `table` (default `t`),
   * `version` (time travel within the retention window).
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -51,9 +54,79 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val table = params.getOrElse("table", ManifestTable.DefaultTable)
     val version = params.get("version").map(_.toLong)
     val spark = sqlContext.sparkSession
+    // ad-hoc sessions get the metadata-count rewrite without wiring
+    // GraftExtensions (same dual registration as the as-of strategy);
+    // idempotent across repeated reads
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.MetadataCountRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.MetadataCountRule(spark))
     val index = new ManifestFileIndex(spark, root, table, version)
     HadoopFsRelation(index, new StructType(), index.tableSchema,
       None, new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  /** Write surface: `df.write.format("graft").option("path", root)
+    * .option("mergeKeys", "k1,k2").mode(...).save()`.
+    *
+    * SaveMode mapping onto the manifest commit protocol (every mode ends
+    * in ONE atomic manifest swap, with the OCC rebase-and-retry loop):
+    *  - `Append` — the table's merge semantics: upsert on `mergeKeys`
+    *    (`option("appendOnly", true)` instead adds narrow-stats
+    *    generations without reading existing data — the immutable-fact
+    *    shape);
+    *  - `Overwrite` — wholesale replacement: data, schema, and layout all
+    *    come from this write; untouched buckets drop from the new
+    *    snapshot (older snapshots keep serving them within retention). An
+    *    active change feed resets, as for any non-feed logical change;
+    *  - `ErrorIfExists` (the writer default) / `Ignore` — consult the
+    *    committed manifest for the target table.
+    *
+    * Layout options: `mergeKeys` (comma-separated; defaults to the
+    * table's recorded keys), `buckets` (default 16 or the recorded
+    * layout), `statsCols` (min/max-tracked columns; defaults to the merge
+    * keys so key lookups prune), `changeFeed` (publish Delta-CDF-shaped
+    * deltas — Append only).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val params = CaseInsensitiveMap(parameters)
+    val root = params.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (table root) is required"))
+    val table = params.getOrElse("table", ManifestTable.DefaultTable)
+    val existing = ManifestTable.read(new File(root))
+      .map(_.table(table)).filter(_.schemaJson.nonEmpty)
+
+    val skip = mode match {
+      case SaveMode.ErrorIfExists if existing.nonEmpty =>
+        throw new IllegalStateException(
+          s"table '$table' at $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if existing.nonEmpty => true
+      case _ => false
+    }
+    if (!skip) {
+      val mergeKeys = params.get("mergeKeys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(existing.map(_.mergeKeys).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          "option 'mergeKeys' is required for a table without a recorded layout"))
+      val numBuckets = params.get("buckets").map(_.toInt)
+        .orElse(existing.map(_.numBuckets).filter(_ > 0)).getOrElse(16)
+      val statsCols = params.get("statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(mergeKeys)
+      val appendOnly = params.get("appendOnly").exists(_.toBoolean)
+      val changeFeed = params.get("changeFeed").exists(_.toBoolean)
+      val overwrite = mode == SaveMode.Overwrite && existing.nonEmpty
+      // each save is its own commit identity: DataFrameWriter has no
+      // replay contract (streaming sinks do — they come through
+      // mergeBatch with their checkpointed (queryId, batchId) directly)
+      ManifestTable.mergeBatch(new File(root), s"write-${UUID.randomUUID()}",
+        0L, Seq(ManifestTable.TableBatch(table, data, mergeKeys, numBuckets,
+          statsCols = statsCols, append = appendOnly && !overwrite,
+          changeFeed = changeFeed && !overwrite, overwrite = overwrite)))
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 
@@ -79,6 +152,13 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
   private val ts = manifest.table(table)
 
   val tableSchema: StructType = ts.schema
+
+  /** Exact table row count from manifest metadata alone (None when any
+    * generation predates count recording) — what lets
+    * [[graft.plans.MetadataCountRule]] answer a bare COUNT(*) with zero
+    * scan jobs. Snapshot-pinned like everything else on this index.
+    */
+  def metadataRowCount: Option[Long] = ts.rowCount
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 

@@ -76,10 +76,17 @@ object ManifestTable {
     */
   case class ColStat(kind: String, lo: String, hi: String)
 
-  /** One immutable generation dir: its path relative to the table root, and
-    * tagged min/max stats per tracked column.
+  /** One immutable generation dir: its path relative to the table root,
+    * tagged min/max stats per tracked column, and its exact row count
+    * (−1 = unknown, for generations committed before counts were
+    * recorded). Counts cost nothing to collect (the write observes them
+    * on the stream it already materializes) and buy metadata-only
+    * `COUNT(*)` — the reference's warehouse answers bare counts from
+    * micro-partition metadata without scanning, and so does every other
+    * table format (Delta's OptimizeMetadataOnlyDeltaQuery).
     */
-  case class BucketGen(path: String, stats: Map[String, ColStat])
+  case class BucketGen(path: String, stats: Map[String, ColStat],
+      rows: Long = -1L)
 
   /** One committed change-feed delta: the generation dir holding the rows a
     * commit inserted/updated/deleted in this table, tagged `_change_type`.
@@ -102,6 +109,15 @@ object ManifestTable {
       mergeKeys: Seq[String] = Nil, numBuckets: Int = -1) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
+
+    /** The table's exact row count from manifest metadata alone — `None`
+      * when ANY generation predates count recording (a metadata answer
+      * must never be a guess; the caller falls back to scanning).
+      */
+    def rowCount: Option[Long] = {
+      val gs = gens
+      if (gs.exists(_.rows < 0L)) None else Some(gs.map(_.rows).sum)
+    }
   }
 
   /** version: monotonically increasing commit counter.
@@ -150,6 +166,7 @@ object ManifestTable {
             u.buckets.foldLeft(prev) { case (bs, (b, gens)) =>
               bs + (b -> (bs.getOrElse(b, Nil) ++ gens))
             }
+          else if (u.replaceAll) u.buckets // overwrite: untouched buckets drop
           else prev ++ u.buckets
         val (changes, feedFrom) = u.changePath match {
           case Some(rel) =>
@@ -202,7 +219,8 @@ object ManifestTable {
   case class TableUpdate(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
     append: Boolean, changePath: Option[String] = None,
     logicalChange: Boolean = true,
-    mergeKeys: Seq[String] = Nil, numBuckets: Int = -1)
+    mergeKeys: Seq[String] = Nil, numBuckets: Int = -1,
+    replaceAll: Boolean = false)
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
@@ -211,6 +229,7 @@ object ManifestTable {
   private def render(m: Manifest): String = {
     def gen(g: BucketGen): JObject = JObject(
       "path" -> JString(g.path),
+      "rows" -> JLong(g.rows),
       "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         c -> JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
       }.toList))
@@ -255,7 +274,11 @@ object ManifestTable {
         }.toMap
         case _ => Map.empty[String, ColStat]
       }
-      BucketGen(str(gv \ "path"), stats)
+      val rows = (gv \ "rows") match {
+        case JNothing => -1L // pre-count manifests: unknown, never guessed
+        case v => long(v)
+      }
+      BucketGen(str(gv \ "path"), stats, rows)
     }
     val tables = (j \ "tables") match {
       case JObject(fields) => fields.map { case (name, tv) =>
@@ -620,22 +643,22 @@ object ManifestTable {
     * physical plan, zero extra scans of the bucket).
     */
   def writeGen(df: DataFrame, dest: File,
-      statsCols: Seq[String]): Map[String, ColStat] = {
+      statsCols: Seq[String]): (Map[String, ColStat], Long) = {
     val present = statsCols.flatMap(c =>
       if (df.columns.contains(c))
         statsKind(df.schema(c).dataType).map(k => c -> k)
       else None)
-    if (present.isEmpty) {
-      df.write.mode("overwrite").parquet(dest.toString)
-      Map.empty
-    } else {
-      val obs = Observation()
-      val metrics = present.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
-      df.observe(obs, metrics.head, metrics.tail: _*)
-        .write.mode("overwrite").parquet(dest.toString)
-      val row = obs.get
-      present.flatMap {
+    // the row count rides the same Observation as the min/max stats — the
+    // write already materializes every row, so the count is free and the
+    // manifest can answer bare COUNT(*) queries without a scan
+    val obs = Observation()
+    val metrics = count(lit(1)).as("rows_") +: present.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").parquet(dest.toString)
+    val row = obs.get
+    val nRows = row("rows_") match { case n: Number => n.longValue; case _ => -1L }
+    val stats = present.flatMap {
         case (c, "str") => (row(s"min_$c"), row(s"max_$c")) match {
           case (lo: String, hi: String)
               if lo.length <= MaxStringStatLen && hi.length <= MaxStringStatLen =>
@@ -649,7 +672,7 @@ object ManifestTable {
             case _ => None
           }
       }.toMap
-    }
+    (stats, nRows)
   }
 
   /** Generation dirs whose recorded [min,max] for `column` can overlap
@@ -743,9 +766,13 @@ object ManifestTable {
     */
   case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
       numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false,
-      deleteKeys: Option[DataFrame] = None, changeFeed: Boolean = false) {
+      deleteKeys: Option[DataFrame] = None, changeFeed: Boolean = false,
+      overwrite: Boolean = false) {
     require(!(append && deleteKeys.nonEmpty),
       "append batches cannot carry a delete set")
+    require(!(overwrite && (append || deleteKeys.nonEmpty || changeFeed)),
+      "overwrite batches replace the table wholesale: no append, no delete " +
+        "set, and no change feed (a full replacement is a feed reset)")
   }
 
   private val BucketCol = "__graft_bucket"
@@ -833,8 +860,12 @@ object ManifestTable {
       tb: TableBatch): Option[TableUpdate] = {
     val spark = tb.rows.sparkSession
     val prev = manifest.table(tb.name)
-    val unified = unify(
-      if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
+    // an overwrite replaces the table wholesale, schema included — nothing
+    // of the previous snapshot survives to need unification
+    val unified =
+      if (tb.overwrite) tb.rows.schema
+      else unify(
+        if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
     val aligned = tb.rows.select(unified.fields.map { f =>
       // cast even present columns: a batch arriving with a drifted numeric
       // type (int where the manifest says double) must land under the
@@ -862,7 +893,7 @@ object ManifestTable {
           val inc = incoming.filter(col(BucketCol) === b).drop(BucketCol)
           val (out, chg): (DataFrame, Option[DataFrame]) =
             prev.buckets.get(b) match {
-              case Some(gens) if !tb.append =>
+              case Some(gens) if !tb.append && !tb.overwrite =>
                 val existing = spark.read.schema(unified)
                   .parquet(gens.map(g => new File(root, g.path).toString): _*)
                 delKeys match {
@@ -913,8 +944,8 @@ object ManifestTable {
           // the loser's become orphans GC collects once the version is
           // decided (the in-flight guard in [[gc]])
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
-          val stats = writeGen(out, new File(root, rel), tb.statsCols)
-          (b -> Seq(BucketGen(rel, stats)), chg)
+          val (stats, nRows) = writeGen(out, new File(root, rel), tb.statsCols)
+          (b -> Seq(BucketGen(rel, stats, nRows)), chg)
         }
         val written = results.map(_._1).toMap
         // the commit's change-feed delta: one immutable dir per (table,
@@ -931,7 +962,8 @@ object ManifestTable {
           }
         }
         Some(TableUpdate(unified.json, written, tb.append, changePath,
-          mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets))
+          mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets,
+          replaceAll = tb.overwrite))
       }
     } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
   }
@@ -1120,8 +1152,8 @@ object ManifestTable {
           val df = spark.read.schema(ts.schema)
             .parquet(gens.map(g => new File(root, g.path).toString): _*)
           val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
-          val stats = writeGen(df, new File(root, rel), statsCols)
-          b -> Seq(BucketGen(rel, stats))
+          val (stats, nRows) = writeGen(df, new File(root, rel), statsCols)
+          b -> Seq(BucketGen(rel, stats, nRows))
         }
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
@@ -1250,9 +1282,9 @@ object ManifestTable {
             val cols = ts.schema.fieldNames.map(col).toIndexedSeq
             b -> present.toSeq.map { i =>
               val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
-              val st = writeGen(keyed.filter(cellId === i).select(cols: _*),
-                new File(root, rel), stats)
-              BucketGen(rel, st)
+              val (st, nRows) = writeGen(keyed.filter(cellId === i)
+                .select(cols: _*), new File(root, rel), stats)
+              BucketGen(rel, st, nRows)
             }
           } finally { df.unpersist(); () }
         }

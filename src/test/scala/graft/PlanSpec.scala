@@ -410,4 +410,132 @@ class PlanSpec extends SparkSpec {
       .option("version", "2").load()
     assert(v2.count() == 200L)
   }
+
+  test("format(\"graft\") write path: SaveMode semantics over the manifest commit protocol, interop with the bespoke read API") {
+    import java.io.File
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_dsw")
+      .resolve("t").toString
+
+    def write(df: DataFrame, mode: SaveMode): Unit =
+      df.write.format("graft").option("path", target)
+        .option("mergeKeys", "id").option("buckets", "4").mode(mode).save()
+
+    // first save creates the table
+    val a = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    write(a, SaveMode.ErrorIfExists)
+    val read0 = spark.read.format("graft").option("path", target).load()
+    assert(read0.count() == 3L)
+
+    // ErrorIfExists against the existing table throws; Ignore no-ops
+    intercept[IllegalStateException] { write(a, SaveMode.ErrorIfExists) }
+    write(Seq((9L, "x", 0.0)).toDF("id", "name", "v"), SaveMode.Ignore)
+    assert(spark.read.format("graft").option("path", target).load()
+      .count() == 3L)
+
+    // Append upserts on the recorded merge keys (no re-supplied layout):
+    // id=2 updates, id=4 inserts
+    Seq((2L, "B", 22.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+      .write.format("graft").option("path", target)
+      .mode(SaveMode.Append).save()
+    val afterAppend = spark.read.format("graft").option("path", target)
+      .load().sort("id").as[(Long, String, Double)].collect().toSeq
+    assert(afterAppend == Seq((1L, "a", 10.0), (2L, "B", 22.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    // and the write surface lands in the SAME table the bespoke API reads
+    assert(ManifestTable.readTable(spark, target).count() == 4L)
+
+    // Overwrite replaces data AND schema; untouched buckets drop
+    val b = Seq((100L, 1), (200L, 2)).toDF("id", "grade")
+    write(b, SaveMode.Overwrite)
+    val afterOverwrite = spark.read.format("graft").option("path", target)
+      .load()
+    assert(afterOverwrite.columns.toSeq == Seq("id", "grade"))
+    assert(afterOverwrite.sort("id").as[(Long, Int)].collect().toSeq ==
+      Seq((100L, 1), (200L, 2)))
+    // previous snapshots keep serving within retention (time travel)
+    val mv = ManifestTable.read(new File(target)).get.version
+    val prev = spark.read.format("graft").option("path", target)
+      .option("version", (mv - 1).toString).load()
+    assert(prev.count() == 4L && prev.columns.toSeq == Seq("id", "name", "v"))
+  }
+
+  test("bare COUNT(*) over a format(\"graft\") relation answers from manifest metadata: zero scan, exact through merge/append/overwrite") {
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.{BucketGen, TableState}
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_cnt")
+      .resolve("t").toString
+
+    def graftDf = spark.read.format("graft").option("path", target).load()
+    // counts file scans through AQE wrappers too — aggregates plan
+    // adaptively, and their scans live inside query stages
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.executedPlan)
+      case q: QueryStageExec => countScans(q.plan)
+      case f: FileSourceScanExec => 1 + f.children.map(countScans).sum
+      case other => other.children.map(countScans).sum
+    }
+    def scans(df: DataFrame): Int = {
+      df.collect()
+      countScans(df.queryExecution.executedPlan)
+    }
+
+    (1 to 500).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .write.format("graft").option("path", target)
+      .option("mergeKeys", "id").option("buckets", "4")
+      .mode(SaveMode.Append).save()
+    // upsert (300 overlap, 200 new) then an append-only batch
+    (301 to 800).map(i => (i.toLong, s"m$i")).toDF("id", "name")
+      .write.format("graft").option("path", target)
+      .mode(SaveMode.Append).save()
+    (10001 to 10100).map(i => (i.toLong, s"a$i")).toDF("id", "name")
+      .write.format("graft").option("path", target)
+      .option("appendOnly", "true").mode(SaveMode.Append).save()
+
+    // the count matches the scan-derived truth…
+    val metaCount = graftDf.count()
+    assert(metaCount == ManifestTable.readTable(spark, target).count())
+    assert(metaCount == 900L)
+    // …and came from metadata: the aggregate plans over a LocalTableScan,
+    // no file scan anywhere
+    val agg = graftDf.groupBy().count()
+    agg.collect()
+    val exec = agg.queryExecution.executedPlan
+    assert(countScans(exec) == 0, s"metadata count still scanned files:\n$exec")
+    assert(exec.toString.contains("LocalTableScan"), exec.toString)
+    // SQL COUNT(*) through a registered view takes the same shortcut
+    Views.registerManifest(spark, target, "cnt_view")
+    val sqlAgg = spark.sql("SELECT COUNT(*) AS c FROM cnt_view")
+    assert(sqlAgg.as[Long].head() == 900L)
+    assert(scans(spark.sql("SELECT COUNT(*) AS c FROM cnt_view")) == 0)
+
+    // a FILTERED count must scan (the rewrite is gated on the bare shape)
+    assert(scans(graftDf.filter(col("id") > 400L).groupBy().count()) > 0)
+    assert(graftDf.filter(col("id") > 400L).count() == 500L)
+    // count(col) (null-sensitive) and count(distinct) are not rewritten
+    assert(scans(graftDf.agg(count(col("name")))) > 0)
+    assert(scans(graftDf.agg(countDistinct(col("name")))) > 0)
+
+    // overwrite keeps the metadata exact
+    Seq((1L, "z")).toDF("id", "name").write.format("graft")
+      .option("path", target).mode(SaveMode.Overwrite).save()
+    assert(graftDf.count() == 1L)
+
+    // a generation without a recorded count (legacy manifest) disables the
+    // metadata answer rather than guessing
+    assert(TableState("{}", Map(0L -> Seq(BucketGen("p", Map.empty, 5L),
+      BucketGen("q", Map.empty)))).rowCount.isEmpty)
+    assert(TableState("{}", Map(0L -> Seq(BucketGen("p", Map.empty, 5L),
+      BucketGen("q", Map.empty, 7L)))).rowCount.contains(12L))
+  }
 }
