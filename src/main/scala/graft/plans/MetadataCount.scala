@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -11,71 +11,90 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 import graft.sources.ManifestFileIndex
 
-/** Metadata-only `COUNT(*)`: a bare count over an UNFILTERED
-  * `format("graft")` relation is answered from the manifest's recorded
-  * per-generation row counts — zero jobs, zero files opened. The
-  * reference's warehouse serves exactly this from micro-partition
-  * metadata (a bare `SELECT COUNT(*)` never scans), and Delta ships the
+/** Metadata-only aggregates: `COUNT(*)`, `MIN(col)` and `MAX(col)` over
+  * an UNFILTERED `format("graft")` relation are answered from the
+  * manifest's recorded per-generation row counts and column bounds —
+  * zero jobs, zero files opened. The reference's warehouse serves
+  * exactly these from micro-partition metadata (a bare
+  * `SELECT COUNT(*), MAX(load_ts)` never scans), and Delta ships the
   * same rewrite (OptimizeMetadataOnlyDeltaQuery); stock Spark instead
-  * plans a zero-column scan of every file, which at 100 TB is still a
-  * full listing + footer pass over the table.
+  * plans a scan of every file, which at 100 TB is still a full listing +
+  * footer pass over the table.
   *
   * Safety gates, each of which falls back to the scan (the rewrite must
   * never be a guess):
-  *  - every aggregate expression is a plain `COUNT(1)`/`COUNT(*)` —
-  *    no DISTINCT, no FILTER clause, no other aggregates in the list;
+  *  - every aggregate expression is a plain `COUNT(1)`/`COUNT(*)`,
+  *    `MIN(col)` or `MAX(col)` — no DISTINCT, no FILTER clause, no other
+  *    aggregates in the list (`COUNT(col)` is null-sensitive and stats
+  *    don't record null counts, so it scans);
   *  - no grouping, and the child is the relation itself (optionally
   *    through an attribute-only Project) — a Filter in between keeps the
   *    plan untouched;
-  *  - the snapshot's every generation carries a recorded count
-  *    ([[graft.sources.ManifestTable.TableState.rowCount]] is None
-  *    otherwise — e.g. a table with pre-count legacy commits).
+  *  - the snapshot's metadata actually covers the question: every
+  *    generation carries a row count for COUNT, and every non-empty
+  *    generation carries a current-domain stat for the MIN/MAX column
+  *    ([[ManifestFileIndex.metadataBound]]'s contract — legacy commits,
+  *    dropped over-length string bounds, or an evolved comparison domain
+  *    all disqualify).
   *
   * Registered by [[graft.GraftExtensions]] (the deployment path) and
   * self-registered into `experimental.extraOptimizations` by
   * [[graft.sources.GraftDataSource]] for ad-hoc sessions — same dual
   * path as the as-of join strategy.
   */
-case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MetadataAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def isCountStar(ne: NamedExpression): Boolean = ne match {
-    case Alias(ae: AggregateExpression, _) =>
-      ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
-        (ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) => true
-          case _ => false
-        })
-    case _ => false
-  }
+  /** The metadata answer for one aggregate output (as a Catalyst-internal
+    * value, possibly null), or None when this aggregate can't be answered
+    * without a scan.
+    */
+  private def answer(ne: NamedExpression, idx: ManifestFileIndex): Option[Any] =
+    ne match {
+      case Alias(ae: AggregateExpression, _)
+          if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) => idx.metadataRowCount
+          case Min(a: Attribute) =>
+            idx.metadataBound(a.name, lower = true).map(_.orNull)
+          case Max(a: Attribute) =>
+            idx.metadataBound(a.name, lower = false).map(_.orNull)
+          case _ => None
+        }
+      case _ => None
+    }
 
-  /** The manifest row count when `plan` IS the graft relation (modulo an
+  /** The graft file index when `plan` IS the relation (modulo an
     * attribute-only projection) — anything else, including any Filter,
     * returns None.
     */
-  private def metadataCount(plan: LogicalPlan): Option[Long] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case fsr: HadoopFsRelation => fsr.location match {
-        case idx: ManifestFileIndex => idx.metadataRowCount
+  private def graftIndex(plan: LogicalPlan): Option[ManifestFileIndex] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation => fsr.location match {
+          case idx: ManifestFileIndex => Some(idx)
+          case _ => None
+        }
         case _ => None
       }
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[Attribute]) =>
+        graftIndex(child)
       case _ => None
     }
-    case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
-      metadataCount(child)
-    case _ => None
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // matched by type, not constructor shape (Aggregate's arity differs
     // across Spark minors)
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(isCountStar) =>
-      metadataCount(agg.child) match {
-        case Some(n) =>
-          LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
-            Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => n))))
+          agg.aggregateExpressions.nonEmpty =>
+      graftIndex(agg.child) match {
+        case Some(idx) =>
+          val answers = agg.aggregateExpressions.map(answer(_, idx))
+          if (answers.forall(_.isDefined))
+            LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+              Seq(InternalRow.fromSeq(answers.map(_.get))))
+          else agg
         case None => agg
       }
   }

@@ -10,9 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe,
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Batch read surface for [[ManifestTable]]:
   * `spark.read.format("graft").option("path", root).load()` resolves the
@@ -42,7 +45,7 @@ import org.apache.spark.sql.types._
   * `version` (time travel within the retention window).
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -58,9 +61,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // GraftExtensions (same dual registration as the as-of strategy);
     // idempotent across repeated reads
     if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.MetadataCountRule]))
+        .exists(_.isInstanceOf[graft.plans.MetadataAggRule]))
       spark.experimental.extraOptimizations ++=
-        Seq(graft.plans.MetadataCountRule(spark))
+        Seq(graft.plans.MetadataAggRule(spark))
     val index = new ManifestFileIndex(spark, root, table, version)
     HadoopFsRelation(index, new StructType(), index.tableSchema,
       None, new ParquetFileFormat, Map.empty)(spark)
@@ -105,28 +108,84 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case _ => false
     }
     if (!skip) {
-      val mergeKeys = params.get("mergeKeys")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .orElse(existing.map(_.mergeKeys).filter(_.nonEmpty))
-        .getOrElse(throw new IllegalArgumentException(
-          "option 'mergeKeys' is required for a table without a recorded layout"))
-      val numBuckets = params.get("buckets").map(_.toInt)
-        .orElse(existing.map(_.numBuckets).filter(_ > 0)).getOrElse(16)
-      val statsCols = params.get("statsCols")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(mergeKeys)
-      val appendOnly = params.get("appendOnly").exists(_.toBoolean)
-      val changeFeed = params.get("changeFeed").exists(_.toBoolean)
       val overwrite = mode == SaveMode.Overwrite && existing.nonEmpty
       // each save is its own commit identity: DataFrameWriter has no
       // replay contract (streaming sinks do — they come through
       // mergeBatch with their checkpointed (queryId, batchId) directly)
       ManifestTable.mergeBatch(new File(root), s"write-${UUID.randomUUID()}",
-        0L, Seq(ManifestTable.TableBatch(table, data, mergeKeys, numBuckets,
-          statsCols = statsCols, append = appendOnly && !overwrite,
-          changeFeed = changeFeed && !overwrite, overwrite = overwrite)))
+        0L, Seq(GraftDataSource.tableBatch(table, data, params, existing,
+          overwrite)))
     }
     createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming sink: `df.writeStream.format("graft").option("path", root)
+    * .option("mergeKeys", …).start()` — each micro-batch lands through the
+    * SAME atomic multi-generation commit as the batch writer and the
+    * foreachBatch sinks, keyed for idempotence on a checkpoint-stable
+    * identity + batch id, so a restart's replayed batch is an exact no-op
+    * (the manifest's (queryId, lastBatch) contract).
+    *
+    * OutputMode mapping: Append/Update merge (upsert on the merge keys —
+    * for an aggregate stream in Update mode each emitted group row
+    * replaces its previous version, which IS the upsert); Complete
+    * overwrites the table with each batch's full result. All layout
+    * options of the batch writer apply (`appendOnly`, `changeFeed`,
+    * `statsCols`, `buckets`).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val params = CaseInsensitiveMap(parameters)
+    val root = params.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (table root) is required"))
+    val table = params.getOrElse("table", ManifestTable.DefaultTable)
+    // a checkpoint-stable commit identity: restarts resume the same qid,
+    // so the manifest's replay suppression holds across them
+    val qid = "graft-sink:" +
+      params.getOrElse("checkpointLocation", root + "/" + table)
+    val complete = outputMode == OutputMode.Complete()
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is streaming-tagged and single-action; the
+        // merge runs several actions over it — re-wrap as a batch frame
+        // over the same rows (the DeltaSink pattern)
+        val batch = org.apache.spark.sql.graftbridge.Bridge.batchDf(data)
+        val existing = ManifestTable.read(new File(root))
+          .map(_.table(table)).filter(_.schemaJson.nonEmpty)
+        ManifestTable.mergeBatch(new File(root), qid, batchId,
+          Seq(GraftDataSource.tableBatch(table, batch, params, existing,
+            overwrite = complete && existing.nonEmpty)))
+      }
+      override def toString: String = s"GraftSink($root/$table)"
+    }
+  }
+}
+
+object GraftDataSource {
+  /** Shared batch/streaming writer wiring: resolve the layout (explicit
+    * options, else the table's recorded layout) and build the
+    * [[ManifestTable.TableBatch]].
+    */
+  private[sources] def tableBatch(table: String, data: DataFrame,
+      params: CaseInsensitiveMap[String],
+      existing: Option[ManifestTable.TableState],
+      overwrite: Boolean): ManifestTable.TableBatch = {
+    val mergeKeys = params.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(existing.map(_.mergeKeys).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "option 'mergeKeys' is required for a table without a recorded layout"))
+    val numBuckets = params.get("buckets").map(_.toInt)
+      .orElse(existing.map(_.numBuckets).filter(_ > 0)).getOrElse(16)
+    val statsCols = params.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(mergeKeys)
+    val appendOnly = params.get("appendOnly").exists(_.toBoolean)
+    val changeFeed = params.get("changeFeed").exists(_.toBoolean)
+    ManifestTable.TableBatch(table, data, mergeKeys, numBuckets,
+      statsCols = statsCols, append = appendOnly && !overwrite,
+      changeFeed = changeFeed && !overwrite, overwrite = overwrite)
   }
 }
 
@@ -155,10 +214,79 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
 
   /** Exact table row count from manifest metadata alone (None when any
     * generation predates count recording) — what lets
-    * [[graft.plans.MetadataCountRule]] answer a bare COUNT(*) with zero
+    * [[graft.plans.MetadataAggRule]] answer a bare COUNT(*) with zero
     * scan jobs. Snapshot-pinned like everything else on this index.
     */
   def metadataRowCount: Option[Long] = ts.rowCount
+
+  /** Exact MIN (`lower=true`) or MAX of `column` from the manifest's
+    * per-generation bounds — each generation's recorded lo/hi IS its
+    * exact min/max (observed on the write), so the global extremum is the
+    * extremum over generations. Answerable only when every non-empty
+    * generation carries a stat for the column in the column's CURRENT
+    * comparison domain (the same never-cross-read rule pruning applies);
+    * a generation with an unknown count, a dropped over-length string
+    * bound, an all-null column, or a pre-stats commit disqualifies the
+    * metadata answer and the query scans instead.
+    *
+    * Returns: None = can't answer; Some(None) = answer is SQL NULL (no
+    * rows); Some(Some(v)) = the extremum as a Catalyst-internal value.
+    */
+  def metadataBound(column: String, lower: Boolean): Option[Option[Any]] = {
+    val field = tableSchema.fields.find(_.name == column) match {
+      case Some(f) => f
+      case None => return None
+    }
+    // generations KNOWN empty (delete-only rewrites) contribute no rows —
+    // their absent stats must not disqualify the answer
+    val live = ts.gens.filter(_.rows != 0L)
+    if (live.isEmpty) return Some(None)
+    val stats = live.map(_.stats.get(column))
+    if (stats.exists(_.isEmpty)) return None
+    val expectKind = field.dataType match {
+      case StringType => "str"
+      case _ => "num"
+    }
+    val ss = stats.flatten
+    if (ss.exists(_.kind != expectKind)) return None
+    val bounds = ss.map(s => if (lower) s.lo else s.hi)
+    if (expectKind == "str") {
+      val ord = new Ordering[String] {
+        def compare(a: String, b: String): Int = ManifestTable.utf8Compare(a, b)
+      }
+      Some(Some(UTF8String.fromString(
+        if (lower) bounds.min(ord) else bounds.max(ord))))
+    } else {
+      val ds = bounds.map(BigDecimal(_))
+      val best = if (lower) ds.min else ds.max
+      internalNum(best, field.dataType).map(v => Some(v))
+    }
+  }
+
+  /** A num-domain bound as the column type's Catalyst-internal value;
+    * None when the conversion isn't exact (never guess).
+    */
+  private def internalNum(d: BigDecimal, dt: DataType): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case ByteType => d.bigDecimal.byteValueExact()
+      case ShortType => d.bigDecimal.shortValueExact()
+      case IntegerType => d.bigDecimal.intValueExact()
+      case LongType => d.bigDecimal.longValueExact()
+      case FloatType => d.toFloat
+      case DoubleType => d.toDouble
+      case t: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(d)
+        if (dec.changePrecision(t.precision, t.scale)) dec
+        else throw new ArithmeticException("precision")
+      // temporal stats are epoch micros (timestamps) / day-scaled micros
+      // (dates) — exactly the internal encodings
+      case TimestampType | TimestampNTZType => d.bigDecimal.longValueExact()
+      case DateType =>
+        val micros = d.bigDecimal.longValueExact()
+        if (micros % 86400000000L != 0L) throw new ArithmeticException("date")
+        (micros / 86400000000L).toInt
+      case _ => throw new ArithmeticException("unsupported")
+    }).toOption
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 

@@ -613,7 +613,7 @@ object ManifestTable {
     * pruning must rank bounds exactly as the engine ranks the filter, or
     * a generation could be wrongly skipped.
     */
-  private def utf8Compare(a: String, b: String): Int = {
+  private[sources] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
     var i = 0
     val n = math.min(x.length, y.length)

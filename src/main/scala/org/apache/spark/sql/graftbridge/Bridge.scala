@@ -20,4 +20,17 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-plan a streaming micro-batch DataFrame as a plain BATCH frame over
+    * the same rows (`internalCreateDataFrame` is private[sql]). A v1
+    * `Sink.addBatch` receives a frame whose plan is streaming-tagged; a
+    * sink that runs several actions over it (the manifest merge does —
+    * bucket split, per-bucket writes) must re-wrap it first, exactly as
+    * DeltaSink does.
+    */
+  def batchDf(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ss = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+      isStreaming = false)
+  }
 }

@@ -464,7 +464,7 @@ class PlanSpec extends SparkSpec {
     assert(prev.count() == 4L && prev.columns.toSeq == Seq("id", "name", "v"))
   }
 
-  test("bare COUNT(*) over a format(\"graft\") relation answers from manifest metadata: zero scan, exact through merge/append/overwrite") {
+  test("bare COUNT(*)/MIN/MAX over a format(\"graft\") relation answer from manifest metadata: zero scan, exact through merge/append/overwrite") {
     import graft.sources.ManifestTable
     import graft.sources.ManifestTable.{BucketGen, TableState}
     import org.apache.spark.sql.SaveMode
@@ -519,6 +519,20 @@ class PlanSpec extends SparkSpec {
     assert(sqlAgg.as[Long].head() == 900L)
     assert(scans(spark.sql("SELECT COUNT(*) AS c FROM cnt_view")) == 0)
 
+    // MIN/MAX over a stats-tracked column (id is the merge key, so every
+    // generation carries its bounds) answer from metadata too — including
+    // mixed with COUNT(*) in one aggregate list
+    val minMax = graftDf.agg(count(lit(1)).as("c"),
+      min(col("id")).as("lo"), max(col("id")).as("hi"))
+    assert(minMax.as[(Long, Long, Long)].head() == ((900L, 1L, 10100L)))
+    assert(scans(graftDf.agg(count(lit(1)).as("c"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"))) == 0)
+    // …but an untracked column has no bounds: the query scans and still
+    // answers correctly
+    val nameMin = graftDf.agg(min(col("name")).as("lo"))
+    assert(nameMin.as[String].head() == "a10001")
+    assert(scans(graftDf.agg(min(col("name")).as("lo"))) > 0)
+
     // a FILTERED count must scan (the rewrite is gated on the bare shape)
     assert(scans(graftDf.filter(col("id") > 400L).groupBy().count()) > 0)
     assert(graftDf.filter(col("id") > 400L).count() == 500L)
@@ -526,10 +540,16 @@ class PlanSpec extends SparkSpec {
     assert(scans(graftDf.agg(count(col("name")))) > 0)
     assert(scans(graftDf.agg(countDistinct(col("name")))) > 0)
 
-    // overwrite keeps the metadata exact
-    Seq((1L, "z")).toDF("id", "name").write.format("graft")
-      .option("path", target).mode(SaveMode.Overwrite).save()
-    assert(graftDf.count() == 1L)
+    // overwrite keeps the metadata exact; with string stats tracked, a
+    // lexical MIN answers from metadata too
+    Seq((7L, "z"), (8L, "y")).toDF("id", "name").write.format("graft")
+      .option("path", target).option("statsCols", "id,name")
+      .mode(SaveMode.Overwrite).save()
+    assert(graftDf.count() == 2L)
+    val strMin = graftDf.agg(min(col("name")).as("lo"), max(col("id")).as("hi"))
+    assert(strMin.as[(String, Long)].head() == (("y", 8L)))
+    assert(scans(graftDf.agg(min(col("name")).as("lo"),
+      max(col("id")).as("hi"))) == 0)
 
     // a generation without a recorded count (legacy manifest) disables the
     // metadata answer rather than guessing

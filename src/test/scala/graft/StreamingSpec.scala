@@ -554,4 +554,84 @@ class StreamingSpec extends SparkSpec {
       assert(ManifestTable.read(root).get.version == m.version)
     } finally spark.sparkContext.setLocalProperty(key, null)
   }
+
+  test("writeStream.format(\"graft\") sink: per-batch atomic upsert commits, replay-idempotent across a checkpointed restart") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.ManifestTable
+    import java.io.File
+    val base = java.nio.file.Files.createTempDirectory("graft_ssink")
+    val target = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def startQuery(in: MemoryStream[(Long, String)]) =
+      in.toDF().toDF("id", "name")
+        .writeStream.format("graft")
+        .option("path", target).option("mergeKeys", "id")
+        .option("buckets", "4").option("checkpointLocation", ckpt)
+        .start()
+
+    val in = MemoryStream[(Long, String)]
+    val q = startQuery(in)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(ManifestTable.readTable(spark, target).count() == 2L)
+      // second micro-batch upserts: id=2 updates, id=3 inserts
+      in.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      val afterTwo = spark.read.format("graft").option("path", target).load()
+        .sort("id").as[(Long, String)].collect().toSeq
+      assert(afterTwo == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    } finally q.stop()
+
+    val committedVersion = ManifestTable.read(new File(target)).get.version
+
+    // the sink's commit identity is checkpoint-stable, so a replayed batch
+    // id is an exact no-op: re-delivering batch 1 by hand (what a crash
+    // between sink commit and engine commit-log write causes on restart)
+    // must change NOTHING — no new version, no re-merged rows
+    ManifestTable.mergeBatch(new File(target), s"graft-sink:$ckpt", 1L,
+      Seq(ManifestTable.TableBatch(ManifestTable.DefaultTable,
+        Seq((2L, "REPLAYED"), (3L, "REPLAYED")).toDF("id", "name"),
+        Seq("id"), 4)))
+    assert(ManifestTable.read(new File(target)).get.version == committedVersion)
+
+    // a restart from the same checkpoint resumes the same identity and
+    // keeps merging new batches into the same table
+    val q2 = startQuery(in)
+    try {
+      in.addData((3L, "C"), (4L, "d"))
+      q2.processAllAvailable()
+      val finalRows = spark.read.format("graft").option("path", target).load()
+        .sort("id").as[(Long, String)].collect().toSeq
+      assert(finalRows == Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d")))
+      assert(ManifestTable.read(new File(target)).get.version > committedVersion)
+    } finally q2.stop()
+  }
+
+  test("writeStream.format(\"graft\") in Complete mode overwrites the table with each batch's full aggregate") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.ManifestTable
+    val base = java.nio.file.Files.createTempDirectory("graft_ssinkc")
+    val target = base.resolve("t").toString
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("path", target).option("mergeKeys", "k")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      in.addData(("x", 1L), ("x", 2L), ("y", 5L))
+      q.processAllAvailable()
+      assert(ManifestTable.readTable(spark, target).sort("k")
+        .as[(String, Long)].collect().toSeq == Seq(("x", 3L), ("y", 5L)))
+      in.addData(("y", 1L), ("z", 9L))
+      q.processAllAvailable()
+      // Complete mode: the table IS the latest full result, nothing stale
+      assert(ManifestTable.readTable(spark, target).sort("k")
+        .as[(String, Long)].collect().toSeq ==
+        Seq(("x", 3L), ("y", 6L), ("z", 9L)))
+    } finally q.stop()
+  }
 }
