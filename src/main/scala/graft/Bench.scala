@@ -54,6 +54,7 @@ object Bench {
         operators.Curation.buildClusters(spark, warmDir)
         operators.Similarity.buildPca(spark, warmDir)
         operators.Similarity.buildPq(spark, warmDir)
+        operators.TextAnalysis.buildBpeMerges(spark, warmDir)
       }
     } catch { case _: Throwable => () }
 
@@ -73,7 +74,9 @@ object Bench {
       "build:pca" -> timed("build:pca")(
         operators.Similarity.buildPca(spark, sfDir)),
       "build:pq_index" -> timed("build:pq_index")(
-        operators.Similarity.buildPq(spark, sfDir)))
+        operators.Similarity.buildPq(spark, sfDir)),
+      "build:bpe_merges" -> timed("build:bpe_merges")(
+        operators.TextAnalysis.buildBpeMerges(spark, sfDir)))
       .map { case (k, v) => k -> v.getOrElse(-1.0) }
 
     // dev-only subset filter; unset (driver default) = all queries

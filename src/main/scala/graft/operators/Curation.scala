@@ -537,6 +537,59 @@ object Curation {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Bigram LM perplexity (the CCNet/KenLM-shaped upgrade of the unigram
+    // filter): P(w2|w1) with add-one smoothing over the corpus-trained
+    // bigram table, scored as per-doc mean NLL. Shape at scale: the
+    // (doc, prev, term) tf grain joins the bigram counts on a KEYED
+    // shuffle and the context counts on `prev` — neither side is
+    // broadcast-hinted because an open vocabulary makes both
+    // corpus-sized at 100 TB (AQE still broadcasts them when they're
+    // small); only the scalar vocab size crosses as a literal join. The
+    // per-doc window for bigram formation partitions on doc_id — state
+    // bounded by document length.
+    "doc_bigram_lm" -> Q(
+      (s, d) => {
+        val seq = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = docs(s, d).select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+        val bt = toks
+          .withColumn("prev", lag("term", 1).over(seq))
+          .filter(col("prev").isNotNull)
+          .groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("tf"))
+        val bigram = bt.groupBy("prev", "term").agg(sum("tf").as("c2"))
+        val context = bigram.groupBy("prev").agg(sum("c2").as("c1"))
+        val vocab = toks.agg(countDistinct(col("term")).as("vocab"))
+        bt.join(bigram, Seq("prev", "term")).join(context, Seq("prev"))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+            round(sum(col("tf").cast("double") *
+              log((col("c1") + col("vocab")).cast("double") / (col("c2") + 1))) /
+              sum(col("tf")), 6).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([{'p': w[i], 't': w[i+1]}
+        |    for i in generate_series(1, len(w) - 1)]) AS g
+        |  FROM toks),
+        |bt AS (SELECT doc_id, g.p AS prev, g.t AS term, count(*) AS tf
+        |  FROM grams GROUP BY 1, 2, 3),
+        |bigram AS (SELECT prev, term, sum(tf) AS c2 FROM bt GROUP BY 1, 2),
+        |context AS (SELECT prev, sum(c2) AS c1 FROM bigram GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(w) AS t FROM toks))
+        |SELECT doc_id, cast(sum(tf) as bigint) AS n_bigrams,
+        |  round(sum(cast(tf as double) *
+        |    ln(cast(c1 + vocab as double) / (c2 + 1))) / sum(tf), 6)
+        |    AS avg_nll
+        |FROM bt JOIN bigram USING (prev, term) JOIN context USING (prev)
+        |  CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ----------------------------------------------------------------
     // Near-dup cluster resolution: connected components over the union of
     // the exact-dup edges and the Jaccard-verified near-dup edges, via
     // min-label propagation. Each round is one shuffle (edge join + min

@@ -656,4 +656,61 @@ class PipelineSpec extends SparkSpec {
     assert(post.nonEmpty && post.intersect(deleted).isEmpty,
       "deleted vectors still surface as neighbors")
   }
+
+  test("doc_bpe_train learns exactly the merges an independent sequential BPE trainer learns") {
+    // independent reference: plain-Scala Sennrich BPE over the same word
+    // frequencies — argmax with (freq desc, left, right) tie-break, greedy
+    // left-to-right merge application (a fresh symbol never re-merges
+    // within its own round)
+    def refTrain(wordFreq: Map[String, Long], maxMerges: Int,
+        minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+      var words: Seq[(Vector[String], Long)] =
+        wordFreq.toSeq.map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var rank = 0
+      var done = false
+      while (rank < maxMerges && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.indices.dropRight(1).foreach { i =>
+            val k = (syms(i), syms(i + 1))
+            pc(k) = pc.getOrElse(k, 0L) + f
+          }
+        }
+        val best = pc.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+        best match {
+          case Some(((l, r), f)) if f >= minFreq =>
+            out += ((rank, l, r, l + r, f))
+            words = words.map { case (syms, wf) =>
+              val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+              syms.foreach { x =>
+                if (acc.nonEmpty && acc.last == l && x == r)
+                  acc(acc.length - 1) = l + r
+                else acc += x
+              }
+              acc.toVector -> wf
+            }
+            rank += 1
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+
+    val wordFreq = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refTrain(wordFreq, maxMerges = 40, minFreq = 2L)
+    assert(expected.size > 10, "corpus too degenerate to train on")
+
+    val learned = run("doc_bpe_train").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq"))).toSeq
+    assert(learned == expected,
+      s"distributed trainer diverged from reference at " +
+        s"${learned.zip(expected).indexWhere { case (a, b) => a != b }}")
+  }
 }
