@@ -142,6 +142,90 @@ object TextAnalysis {
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // The published Gopher quality-filter ruleset (Rae et al. 2021,
+    // appendix A1) over the corpus: word count window, mean word length
+    // window, symbol-to-word ratio, bullet/ellipsis line fractions,
+    // alphabetic-word fraction, and ≥2-of-the-stop-set containment — the
+    // standard pre-training document filter, map-only per document (each
+    // metric is one Column expression; a 100 TB corpus filters
+    // embarrassingly parallel with zero shuffle before the final sort).
+    "doc_gopher_rules" -> Q(
+      (s, d) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        docs(s, d)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("lines", split(col("text"), "\n"))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("mean_word_len",
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / col("n_words"))
+          // one '…' weighs like one '#': ratio = (hash + ellipsis)/words,
+          // computed as (3·hash + ellipsis_len_diff)/(3·words) so both
+          // engines stay in exact integer arithmetic until ONE division
+          .withColumn("symbol_ratio",
+            ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) * 3 +
+              (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))))
+              .cast("double") / (col("n_words") * 3))
+          .withColumn("bullet_frac",
+            size(filter(col("lines"), l =>
+              substring(trim(l), 1, 1).isin("-", "•")))
+              .cast("double") / size(col("lines")))
+          .withColumn("ellipsis_frac",
+            size(filter(col("lines"), l => rtrim(l).endsWith("...")))
+              .cast("double") / size(col("lines")))
+          .withColumn("alpha_frac",
+            size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+              .cast("double") / col("n_words"))
+          .withColumn("stop_hits",
+            stops.map(w => array_contains(col("toks"), w).cast("long"))
+              .reduce(_ + _))
+          .withColumn("passes",
+            col("n_words").between(50, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("symbol_ratio") < 0.1 &&
+              col("bullet_frac") < 0.9 &&
+              col("ellipsis_frac") < 0.3 &&
+              col("alpha_frac") > 0.8 &&
+              col("stop_hits") >= 2)
+          .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "bullet_frac", "ellipsis_frac", "alpha_frac", "stop_hits",
+            "passes")
+          .orderBy("doc_id")
+      }, {
+        val stopSum = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(w => s"cast(list_contains(toks, '$w') as bigint)").mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+           |    str_split(text, chr(10)) AS lines, text
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    cast(len(toks) as bigint) AS n_words,
+           |    cast(list_sum(list_transform(toks, x -> length(x))) as double)
+           |      / len(toks) AS mean_word_len,
+           |    cast((length(text) - length(regexp_replace(text, '#', '', 'g'))) * 3
+           |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g')))
+           |      as double) / (len(toks) * 3) AS symbol_ratio,
+           |    cast(len(list_filter(lines, x ->
+           |      substr(trim(x), 1, 1) IN ('-', '•'))) as double)
+           |      / len(lines) AS bullet_frac,
+           |    cast(len(list_filter(lines, x ->
+           |      rtrim(x) LIKE '%...')) as double) / len(lines) AS ellipsis_frac,
+           |    cast(len(list_filter(toks, x ->
+           |      regexp_matches(x, '[a-zA-Z]'))) as double)
+           |      / len(toks) AS alpha_frac,
+           |    $stopSum AS stop_hits
+           |  FROM t)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           |  ellipsis_frac, alpha_frac, stop_hits,
+           |  (n_words BETWEEN 50 AND 100000) AND
+           |    (mean_word_len BETWEEN 3.0 AND 10.0) AND
+           |    symbol_ratio < 0.1 AND bullet_frac < 0.9 AND
+           |    ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
+           |    stop_hits >= 2 AS passes
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     // Faithful subword tokenization: classic greedy BPE under the fixture
     // merges table, as a codegen'd Expression (graft.functions.BpeTokens)
     // — map-only, one pass per document. Fully hash-oracled: the DuckDB

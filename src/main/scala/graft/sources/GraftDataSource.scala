@@ -183,9 +183,13 @@ object GraftDataSource {
       .getOrElse(mergeKeys)
     val appendOnly = params.get("appendOnly").exists(_.toBoolean)
     val changeFeed = params.get("changeFeed").exists(_.toBoolean)
+    val searchCols = params.get("searchCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     ManifestTable.TableBatch(table, data, mergeKeys, numBuckets,
       statsCols = statsCols, append = appendOnly && !overwrite,
-      changeFeed = changeFeed && !overwrite, overwrite = overwrite)
+      changeFeed = changeFeed && !overwrite, overwrite = overwrite,
+      searchCols = searchCols)
   }
 }
 
@@ -357,8 +361,17 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
       if (ext.size != vs.size) Nil
       else a.dataType match {
         case StringType =>
-          val ss = ext.map(_.toString).sorted // String ordering only feeds
-          Seq(Window(a.name, ss.head, ss.last)) // a conservative span
+          // span endpoints must come from the SAME ordering the stats
+          // algebra compares with (UTF-8 bytes == code points), not
+          // java.lang.String's UTF-16 code-unit order — the two disagree
+          // for supplementary code points vs U+E000..U+FFFF, and a span
+          // picked under the wrong order can exclude a matching file
+          val ord = new Ordering[String] {
+            def compare(x: String, y: String): Int =
+              ManifestTable.utf8Compare(x, y)
+          }
+          val ss = ext.map(_.toString)
+          Seq(Window(a.name, ss.min(ord), ss.max(ord)))
         case _ =>
           val ds = ext.map(x => BigDecimal(x.toString))
           Seq(Window(a.name, ds.min.bigDecimal, ds.max.bigDecimal))
@@ -404,21 +417,51 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
   /** Generations every extracted window keeps, within the covering bucket
     * when one is pinned (path-set intersection — conjunct semantics).
     */
-  private def prunedGens(dataFilters: Seq[Expression]): Seq[String] = {
+  private def prunedGens(dataFilters: Seq[Expression])
+      : Seq[ManifestTable.BucketGen] = {
     val base = bucketFor(dataFilters) match {
       case Some(b) => ts.buckets.getOrElse(b, Nil)
       case None => ts.gens
     }
     val ws = dataFilters.flatMap(windows)
-    if (ws.isEmpty) base.map(_.path)
+    if (ws.isEmpty) base
     else {
       val kept = ws.map(w =>
         ManifestTable.gensForRange(ts, w.column, w.lower, w.upper)
           .map(_.path).toSet)
         .reduce(_ intersect _)
-      base.map(_.path).filter(kept) // keep manifest order
+      base.filter(g => kept(g.path)) // keep manifest order
     }
   }
+
+  import ManifestFileIndex.{MaxNeedleValues, Needle}
+
+  private def needleValue(v: Any, dt: DataType): Option[(String, Any)] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(("long", java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)))
+      case StringType => Some(("str", v.toString))
+      case _ => None
+    }
+
+  private def needles(e: Expression): Seq[Needle] = e match {
+    case And(l, r) => needles(l) ++ needles(r)
+    case EqualTo(a: Attribute, Literal(v, dt)) if v != null =>
+      needleValue(v, dt).map { case (d, x) => Needle(a.name, d, Seq(x)) }.toSeq
+    case EqualTo(Literal(v, dt), a: Attribute) if v != null =>
+      needleValue(v, dt).map { case (d, x) => Needle(a.name, d, Seq(x)) }.toSeq
+    case EqualNullSafe(a: Attribute, Literal(v, dt)) if v != null =>
+      needleValue(v, dt).map { case (d, x) => Needle(a.name, d, Seq(x)) }.toSeq
+    case EqualNullSafe(Literal(v, dt), a: Attribute) if v != null =>
+      needleValue(v, dt).map { case (d, x) => Needle(a.name, d, Seq(x)) }.toSeq
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.size <= MaxNeedleValues &&
+        vs.forall { case Literal(v, _) => v != null; case _ => false } =>
+      val pairs = vs.collect { case Literal(v, dt) => needleValue(v, dt) }.flatten
+      if (pairs.size != vs.size || pairs.map(_._1).distinct.size != 1) Nil
+      else Seq(Needle(a.name, pairs.head._1, pairs.map(_._2)))
+    case _ => Nil
+  }
+
 
   private def listGen(rel: String): Array[FileStatus] = {
     val p = new Path(new File(root, rel).toString)
@@ -438,35 +481,67 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     */
   private val ParallelListThreshold = 32
 
-  private def listGens(rels: Seq[String]): Array[FileStatus] =
-    if (rels.size <= ParallelListThreshold) rels.toArray.flatMap(listGen)
-    else {
+  // sidecar cache for the serial path: the snapshot is immutable, so a
+  // (generation, column) filter read once is valid for this index's life
+  private val sidecarCache = scala.collection.mutable.HashMap
+    .empty[(String, String), Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
+
+  private def listGens(gens: Seq[ManifestTable.BucketGen],
+      ns: Seq[Needle]): Array[FileStatus] =
+    if (gens.size <= ParallelListThreshold) {
+      val conf = spark.sessionState.newHadoopConf()
+      val rootS = root
+      gens.toArray.filter { g =>
+        ns.forall { n =>
+          !g.search.contains(n.column) || {
+            val bf = sidecarCache.getOrElseUpdate((g.path, n.column),
+              ManifestTable.readSearchSidecar(conf, rootS, g.path, n.column))
+            bf match {
+              case Some((dom, f)) if dom == n.domain =>
+                n.values.exists { v =>
+                  if (dom == "long") f.mightContainLong(v.asInstanceOf[Long])
+                  else f.mightContainString(v.asInstanceOf[String])
+                }
+              case _ => true
+            }
+          }
+        }
+      }.flatMap(g => listGen(g.path))
+    } else {
+      // past the threshold BOTH the listing and the sidecar probes
+      // distribute — at 100 TB a predicate can keep thousands of
+      // generation dirs, and a serial driver loop over an object store
+      // (listing or sidecar reads alike) would dominate query latency
       val rootS = root
       val bconf = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()))
       spark.sparkContext
-        .parallelize(rels, math.min(rels.size, 64))
-        .flatMap { rel =>
-          val p = new Path(new File(rootS, rel).toString)
-          val fs = p.getFileSystem(bconf.value.value)
-          fs.listStatus(p).filter { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        .parallelize(gens, math.min(gens.size, 64))
+        .flatMap { g =>
+          val conf = bconf.value.value
+          if (!ManifestFileIndex.sidecarKeeps(conf, rootS, g, ns)) Nil
+          else {
+            val p = new Path(new File(rootS, g.path).toString)
+            val fs = p.getFileSystem(conf)
+            fs.listStatus(p).filter { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
           }
         }.collect()
     }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = listGens(prunedGens(dataFilters))
+    val files = listGens(prunedGens(dataFilters), dataFilters.flatMap(needles))
     Seq(PartitionDirectory(InternalRow.empty, files))
   }
 
   // full-listing metadata (broadcast sizing, EXPLAIN): computed once,
   // over the manifest's dirs only — never a recursive root walk
   private lazy val allFiles: Array[FileStatus] =
-    listGens(ts.gens.map(_.path))
+    listGens(ts.gens, Nil)
 
   override def inputFiles: Array[String] = allFiles.map(_.getPath.toString)
 
@@ -474,4 +549,45 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
 
   override def toString: String =
     s"ManifestFileIndex($root/$table@v${manifest.version})"
+}
+
+object ManifestFileIndex {
+
+  /** One equality conjunct usable against a generation's search sidecar:
+    * the column, the domain its literal hashes in (`long` for integral
+    * types, `str` for strings — [[ManifestTable.searchKind]]'s write-side
+    * rule exactly), and the candidate values (one for `=`, the set for
+    * `IN`). A generation survives only if EVERY needle on a column it
+    * indexes might contain at least one of its values. Top-level (not an
+    * index inner class) so the distributed-listing closure ships needles
+    * without dragging the index — and its SparkSession — along.
+    */
+  private[sources] case class Needle(column: String, domain: String,
+    values: Seq[Any])
+
+  /** IN lists past this size skip sidecar testing (the membership probes
+    * would cost more than they prune) — the generation is kept.
+    */
+  private[sources] val MaxNeedleValues = 256
+
+  /** Sidecar verdict for one generation against all needles — true keeps.
+    * Any absent/unreadable sidecar or domain mismatch keeps the
+    * generation; only a filter that PROVES every candidate value absent
+    * skips it (bloom filters have no false negatives, so the skip is
+    * exact up to the write-side/read-side domain agreement the tag
+    * enforces).
+    */
+  private[sources] def sidecarKeeps(conf: org.apache.hadoop.conf.Configuration,
+      rootS: String, g: ManifestTable.BucketGen, ns: Seq[Needle]): Boolean =
+    ns.forall { n =>
+      !g.search.contains(n.column) ||
+        (ManifestTable.readSearchSidecar(conf, rootS, g.path, n.column) match {
+          case Some((dom, bf)) if dom == n.domain =>
+            n.values.exists { v =>
+              if (dom == "long") bf.mightContainLong(v.asInstanceOf[Long])
+              else bf.mightContainString(v.asInstanceOf[String])
+            }
+          case _ => true
+        })
+    }
 }

@@ -86,7 +86,7 @@ object ManifestTable {
     * table format (Delta's OptimizeMetadataOnlyDeltaQuery).
     */
   case class BucketGen(path: String, stats: Map[String, ColStat],
-      rows: Long = -1L)
+      rows: Long = -1L, search: Seq[String] = Nil)
 
   /** One committed change-feed delta: the generation dir holding the rows a
     * commit inserted/updated/deleted in this table, tagged `_change_type`.
@@ -228,11 +228,15 @@ object ManifestTable {
 
   private def render(m: Manifest): String = {
     def gen(g: BucketGen): JObject = JObject(
-      "path" -> JString(g.path),
-      "rows" -> JLong(g.rows),
-      "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-        c -> JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
-      }.toList))
+      List(
+        "path" -> JString(g.path),
+        "rows" -> JLong(g.rows),
+        "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+          c -> (JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
+            : JValue)
+        }.toList)) ++
+      (if (g.search.isEmpty) Nil
+       else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))))
     val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> JObject(
         "schema" -> JString(ts.schemaJson),
@@ -278,7 +282,11 @@ object ManifestTable {
         case JNothing => -1L // pre-count manifests: unknown, never guessed
         case v => long(v)
       }
-      BucketGen(str(gv \ "path"), stats, rows)
+      val search = (gv \ "search") match {
+        case JArray(cs) => cs.map(str)
+        case _ => Nil // pre-search-index manifests: no sidecars recorded
+      }
+      BucketGen(str(gv \ "path"), stats, rows, search)
     }
     val tables = (j \ "tables") match {
       case JObject(fields) => fields.map { case (name, tv) =>
@@ -638,12 +646,100 @@ object ManifestTable {
     case other => scala.util.Try(BigDecimal(other.toString)).toOption
   }
 
+  // ---- search-optimization sidecars (point-lookup pruning on columns
+  //      min/max spans can't skip) ----
+
+  /** Columns eligible for a search sidecar and the domain their values
+    * hash in: every integral type inserts as a long (so an int→long type
+    * evolution keeps old sidecars valid), strings as UTF-8 strings.
+    * Fractional/temporal/complex columns are ineligible — point equality
+    * on them is either ill-posed (floating point) or better served by
+    * clustering (timestamps are range-queried).
+    */
+  private[sources] def searchKind(dt: DataType): Option[String] = dt match {
+    case org.apache.spark.sql.types.ByteType
+       | org.apache.spark.sql.types.ShortType
+       | org.apache.spark.sql.types.IntegerType
+       | org.apache.spark.sql.types.LongType => Some("long")
+    case org.apache.spark.sql.types.StringType => Some("str")
+    case _ => None
+  }
+
+  /** Search-sidecar false-positive rate: a false positive only costs an
+    * extra generation scan (the engine re-applies the exact predicate);
+    * 2% keeps the sidecar near the information-theoretic ~8 bits/value.
+    */
+  private val SearchFpp = 0.02
+
+  private def searchSidecarName(column: String) = s"_search_$column"
+
+  /** Write one column's membership sidecar next to the generation's
+    * parquet: a 5-byte header (magic + domain tag) followed by a standard
+    * Spark [[org.apache.spark.util.sketch.BloomFilter]]. The leading
+    * underscore keeps it invisible to every parquet listing, so data
+    * reads are untouched; it lives INSIDE the immutable generation dir,
+    * so GC/time-travel liveness needs no extra bookkeeping and the
+    * manifest stays metadata-sized (it records only WHICH columns are
+    * indexed — [[BucketGen.search]]).
+    */
+  private def writeSearchSidecar(spark: SparkSession, dest: File,
+      column: String, kind: String, expected: Long): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    // one columnar re-read of the files just written: IO-local, one
+    // column, and only on explicit searchCols opt-in
+    val vals = spark.read.parquet(dest.toString).select(col(column)).na.drop()
+    val zero = BloomFilter.create(math.max(expected, 1L), SearchFpp)
+    val bf = vals.rdd.treeAggregate(zero)(
+      (f, row) => {
+        kind match {
+          case "long" => f.putLong(row.get(0).asInstanceOf[Number].longValue)
+          case _ => f.putString(row.getString(0))
+        }
+        f
+      },
+      (a, b) => { a.mergeInPlace(b); a })
+    val p = new org.apache.hadoop.fs.Path(
+      new File(dest, searchSidecarName(column)).toString)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+    try {
+      out.write(Array[Byte]('G', 'S', 'B', '1',
+        if (kind == "long") 'L' else 'S'))
+      bf.writeTo(out)
+    } finally out.close()
+  }
+
+  /** Load a generation's search sidecar for `column`: (domain, filter), or
+    * None when absent/unreadable/unknown-layout — the caller keeps the
+    * generation (a sidecar problem must never become a wrong skip).
+    */
+  private[sources] def readSearchSidecar(conf: org.apache.hadoop.conf.Configuration,
+      root: String, genRel: String, column: String)
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(
+        new File(new File(root, genRel), searchSidecarName(column)).toString)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val header = new Array[Byte](5)
+        in.readFully(header)
+        require(header(0) == 'G' && header(1) == 'S' && header(2) == 'B' &&
+          header(3) == '1')
+        val kind = if (header(4) == 'L') "long" else "str"
+        (kind, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      } finally in.close()
+    }.toOption
+
   /** Write one generation dir, observing per-column min/max DURING the write
     * pass (`Dataset.observe` — an accumulator-backed aggregate on the same
-    * physical plan, zero extra scans of the bucket).
+    * physical plan, zero extra scans of the bucket). `searchCols` (opt-in)
+    * additionally writes a membership sidecar per eligible column — the
+    * engine's analogue of the reference warehouse's search optimization
+    * service: equality lookups on columns whose values scatter across
+    * every generation (so min/max spans keep everything) can then skip
+    * the generations that provably don't contain the needle.
     */
-  def writeGen(df: DataFrame, dest: File,
-      statsCols: Seq[String]): (Map[String, ColStat], Long) = {
+  def writeGen(df: DataFrame, dest: File, statsCols: Seq[String],
+      searchCols: Seq[String] = Nil): (Map[String, ColStat], Long, Seq[String]) = {
     val present = statsCols.flatMap(c =>
       if (df.columns.contains(c))
         statsKind(df.schema(c).dataType).map(k => c -> k)
@@ -654,8 +750,21 @@ object ManifestTable {
     val obs = Observation()
     val metrics = count(lit(1)).as("rows_") +: present.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
-    df.observe(obs, metrics.head, metrics.tail: _*)
-      .write.mode("overwrite").parquet(dest.toString)
+    val eligible = searchCols.distinct.flatMap { c =>
+      if (!df.columns.contains(c)) None
+      else searchKind(df.schema(c).dataType).map(k => c -> k)
+    }
+    val writer = df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite")
+    // searched columns ALSO get parquet-native bloom filters: the
+    // generation sidecar skips whole dirs, and within the dirs a lookup
+    // does open, parquet-mr's row-group bloom check (driven by the
+    // pushed-down equality, stock Spark) skips row groups — the two
+    // levels compose like Snowflake's partition pruning + search access
+    // path
+    eligible.foldLeft(writer) { case (w, (c, _)) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(dest.toString)
     val row = obs.get
     val nRows = row("rows_") match { case n: Number => n.longValue; case _ => -1L }
     val stats = present.flatMap {
@@ -672,7 +781,11 @@ object ManifestTable {
             case _ => None
           }
       }.toMap
-    (stats, nRows)
+    val searched = eligible.map { case (c, kind) =>
+      writeSearchSidecar(df.sparkSession, dest, c, kind, math.max(nRows, 1L))
+      c
+    }
+    (stats, nRows, searched)
   }
 
   /** Generation dirs whose recorded [min,max] for `column` can overlap
@@ -767,7 +880,7 @@ object ManifestTable {
   case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
       numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false,
       deleteKeys: Option[DataFrame] = None, changeFeed: Boolean = false,
-      overwrite: Boolean = false) {
+      overwrite: Boolean = false, searchCols: Seq[String] = Nil) {
     require(!(append && deleteKeys.nonEmpty),
       "append batches cannot carry a delete set")
     require(!(overwrite && (append || deleteKeys.nonEmpty || changeFeed)),
@@ -944,8 +1057,9 @@ object ManifestTable {
           // the loser's become orphans GC collects once the version is
           // decided (the in-flight guard in [[gc]])
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
-          val (stats, nRows) = writeGen(out, new File(root, rel), tb.statsCols)
-          (b -> Seq(BucketGen(rel, stats, nRows)), chg)
+          val (stats, nRows, searched) =
+            writeGen(out, new File(root, rel), tb.statsCols, tb.searchCols)
+          (b -> Seq(BucketGen(rel, stats, nRows, searched)), chg)
         }
         val written = results.map(_._1).toMap
         // the commit's change-feed delta: one immutable dir per (table,
@@ -1152,8 +1266,11 @@ object ManifestTable {
           val df = spark.read.schema(ts.schema)
             .parquet(gens.map(g => new File(root, g.path).toString): _*)
           val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
-          val (stats, nRows) = writeGen(df, new File(root, rel), statsCols)
-          b -> Seq(BucketGen(rel, stats, nRows))
+          // physical rewrites carry the rewritten generations' indexing
+          // forward: a compacted bucket must not silently stop pruning
+          val (stats, nRows, searched) = writeGen(df, new File(root, rel),
+            statsCols, gens.flatMap(_.search).distinct)
+          b -> Seq(BucketGen(rel, stats, nRows, searched))
         }
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
@@ -1282,9 +1399,10 @@ object ManifestTable {
             val cols = ts.schema.fieldNames.map(col).toIndexedSeq
             b -> present.toSeq.map { i =>
               val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
-              val (st, nRows) = writeGen(keyed.filter(cellId === i)
-                .select(cols: _*), new File(root, rel), stats)
-              BucketGen(rel, st, nRows)
+              val (st, nRows, searched) = writeGen(keyed.filter(cellId === i)
+                .select(cols: _*), new File(root, rel), stats,
+                gens.flatMap(_.search).distinct)
+              BucketGen(rel, st, nRows, searched)
             }
           } finally { df.unpersist(); () }
         }

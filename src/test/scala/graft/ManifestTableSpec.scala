@@ -327,6 +327,67 @@ class ManifestTableSpec extends SparkSpec {
     assert(tsAfter.gens.forall(_.stats.contains("ts")))
   }
 
+  test("search sidecars stay current through merge rewrites and compaction; lookups stay exact") {
+    val target = tmp("graft_searchlc")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    def batch(ids: Range, tag: String): DataFrame =
+      ids.map(i => (i.toLong, s"$tag-$i", i * 10L)).toDF("id", "label", "v")
+
+    // two merge batches with search sidecars: the second UPDATES keys the
+    // first inserted, so its rewritten generations' sidecars must reflect
+    // the merged (not just incoming) rows
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, batch(0 until 100, "a"), Seq("id"), 2,
+        statsCols = Seq("id"), searchCols = Seq("label"))))
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(t, batch(40 until 60, "b"), Seq("id"), 2,
+        statsCols = Seq("id"), searchCols = Seq("label"))))
+    val ts1 = ManifestTable.read(root).get.table(t)
+    assert(ts1.gens.forall(_.search == Seq("label")))
+
+    val read = spark.read.format("graft").option("path", target).load()
+    // an UPDATED key is found under its new label, absent under the old
+    assert(read.filter(col("label") === "b-45").count() == 1L)
+    assert(read.filter(col("label") === "a-45").count() === 0L)
+    assert(read.filter(col("label") === "a-99").count() == 1L)
+
+    // append a few more indexed generations, then compact: the rewritten
+    // generations re-index (physical rewrites must not stop the pruning)
+    (2 to 4).foreach { b =>
+      ManifestTable.mergeBatch(root, "q", b.toLong, Seq(
+        TableBatch(t, batch(b * 100 until b * 100 + 50, s"g$b"), Seq("id"), 2,
+          statsCols = Seq("id"), append = true, searchCols = Seq("label"))))
+    }
+    val before = ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet
+    ManifestTable.compact(spark, root, statsCols = Seq("id"))
+    val tsC = ManifestTable.read(root).get.table(t)
+    assert(tsC.gens.size == 2 && tsC.gens.forall(_.search == Seq("label")),
+      "compaction dropped the search index")
+    assert(ManifestTable.readTable(spark, target)
+      .collect().map(_.toString).toSet == before)
+    val readC = spark.read.format("graft").option("path", target).load()
+    assert(readC.filter(col("label") === "g3-320").count() == 1L)
+    assert(readC.filter(col("label") === "nope").count() == 0L)
+
+    // searched columns also carry parquet-native bloom filters in the
+    // written files (row-group skipping inside opened generations)
+    import scala.jdk.CollectionConverters._
+    val dataFile = new File(root, tsC.gens.head.path).listFiles
+      .find(f => f.getName.endsWith(".parquet")).get
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val labelCol = rd.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "label").get
+      assert(labelCol.getBloomFilterOffset >= 0,
+        "parquet bloom filter missing on the searched column")
+    } finally rd.close()
+  }
+
   test("sink-side schema evolution: a column added mid-stream publishes, old generations null-backfill, replay stays idempotent") {
     val target = tmp("graft_evolve")
     val root = new File(target)

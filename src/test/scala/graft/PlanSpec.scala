@@ -411,6 +411,124 @@ class PlanSpec extends SparkSpec {
     assert(v2.count() == 200L)
   }
 
+  test("format(\"graft\") IN-span pruning orders string endpoints by UTF-8 bytes — supplementary code points don't mis-prune") {
+    import java.io.File
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.TableBatch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_inspan")
+      .resolve("t").toString
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // U+FFFD sorts ABOVE U+1F600 in UTF-16 code units (FFFD > D83D) but
+    // BELOW it in UTF-8 bytes / code points (EF BF BD < F0 9F 98 80) —
+    // exactly the disagreement that made the old java-sorted IN span
+    // exclude the supplementary-plane generation
+    val lowStr = "�_low"
+    val highStr = "😀_high" // U+1F600
+    Seq(lowStr, highStr).zipWithIndex.foreach { case (s, i) =>
+      val df = (0 until 10).map(j => (i * 10L + j, s + j)).toDF("id", "tag")
+      ManifestTable.mergeBatch(root, "q", i.toLong, Seq(
+        TableBatch(t, df, Seq("id"), 1, statsCols = Seq("tag"), append = true)))
+    }
+    val plain = spark.read.format("graft").option("path", target).load()
+    val inRead = plain.filter(col("tag").isin(lowStr + "3", highStr + "3"))
+    val rows = inRead.collect()
+    assert(rows.length == 2, s"IN span mis-pruned: got ${rows.length} rows")
+    // and both generations were actually opened (no lucky re-filter)
+    val scanned = inRead.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    val ts1 = ManifestTable.read(root).get.table(t)
+    val allFiles = ts1.gens.map(g =>
+      Option(new File(root, g.path).listFiles).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).sum.toLong
+    assert(scanned == allFiles,
+      "both string generations must survive the UTF-8-ordered span")
+  }
+
+  test("search sidecars prune point lookups on columns min/max spans can't skip — exact results, unindexed generations always kept") {
+    import java.io.File
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.TableBatch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_search")
+      .resolve("t").toString
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // 8 append generations whose uid/ref values SCATTER: every
+    // generation's [min,max] spans the full domain on both columns, so
+    // stats pruning keeps everything and only the membership sidecars can
+    // skip — the unclustered-high-cardinality point-lookup shape search
+    // optimization exists for
+    def uid(b: Int, i: Int): String = f"${(i * 2654435761L + b) % 997}%03d-$b-$i"
+    def ref(b: Int, i: Int): Long = i * 8L + b
+    (0 until 8).foreach { b =>
+      val df = (0 until 200).map(i => (b * 1000L + i, uid(b, i), ref(b, i)))
+        .toDF("event_id", "uid", "ref")
+      ManifestTable.mergeBatch(root, "q", b.toLong, Seq(
+        TableBatch(t, df, Seq("event_id"), 1, statsCols = Seq("uid", "ref"),
+          append = true, searchCols = Seq("uid", "ref"))))
+    }
+    // one generation WITHOUT sidecars: pruning must always keep it
+    val plainDf = (0 until 200).map(i => (9000L + i, uid(8, i), ref(8, i)))
+      .toDF("event_id", "uid", "ref")
+    ManifestTable.mergeBatch(root, "q", 8L, Seq(
+      TableBatch(t, plainDf, Seq("event_id"), 1,
+        statsCols = Seq("uid", "ref"), append = true)))
+
+    val ts1 = ManifestTable.read(root).get.table(t)
+    assert(ts1.gens.count(_.search.nonEmpty) == 8 &&
+      ts1.gens.count(_.search.isEmpty) == 1)
+    def filesUnder(rels: Seq[String]): Long =
+      rels.map(rel => Option(new File(root, rel).listFiles).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).sum.toLong
+    val totalFiles = filesUnder(ts1.gens.map(_.path))
+    val unindexedFiles = filesUnder(ts1.gens.filter(_.search.isEmpty).map(_.path))
+    val maxGenFiles = ts1.gens.map(g => filesUnder(Seq(g.path))).max
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val plain = spark.read.format("graft").option("path", target).load()
+
+    // STRING equality: the sidecar keeps its home generation (+ at most a
+    // couple of 2%-fpp false positives) plus the unindexed generation
+    val strLookup = plain.filter(col("uid") === uid(5, 17))
+    val strScanned = scanFiles(strLookup)
+    assert(strScanned <= unindexedFiles + 3 * maxGenFiles &&
+      strScanned < totalFiles,
+      s"string sidecar failed to prune: $strScanned of $totalFiles files")
+    assert(strLookup.select("event_id").as[Long].collect().toSet == Set(5017L))
+
+    // LONG equality prunes the same way
+    val numLookup = plain.filter(col("ref") === ref(3, 40))
+    assert(scanFiles(numLookup) <= unindexedFiles + 3 * maxGenFiles)
+    // ref(3,40)=323 ≡ 3 (mod 8): no other (b,i) under either uid scheme
+    // produces it, so the lookup hits exactly one row
+    assert(numLookup.select("event_id").as[Long].collect().toSet == Set(3040L))
+
+    // IN over two generations' values keeps both (+ fp) and stays exact
+    val inLookup = plain.filter(col("uid").isin(uid(1, 3), uid(6, 120)))
+    assert(scanFiles(inLookup) <= unindexedFiles + 4 * maxGenFiles)
+    assert(inLookup.select("event_id").as[Long].collect().toSet ==
+      Set(1003L, 6120L))
+
+    // results ≡ full-scan filter on every shape above
+    val full = ManifestTable.readTable(spark, target)
+    assert(full.filter(col("uid") === uid(5, 17)).count() == strLookup.count())
+    assert(full.filter(col("uid").isin(uid(1, 3), uid(6, 120))).collect()
+      .map(_.getLong(0)).toSet == Set(1003L, 6120L))
+  }
+
   test("format(\"graft\") write path: SaveMode semantics over the manifest commit protocol, interop with the bespoke read API") {
     import java.io.File
     import graft.sources.ManifestTable
