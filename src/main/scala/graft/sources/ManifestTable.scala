@@ -120,13 +120,25 @@ object ManifestTable {
     }
   }
 
+  /** Per-commit audit record: what the commit DID (MERGE / APPEND /
+    * OVERWRITE / DELETE / UPDATE / COMPACT / RECLUSTER), when, and which
+    * tables it touched — the metadata a `history()` surface serves (the
+    * warehouse QUERY_HISTORY / Delta DESCRIBE HISTORY shape). Recorded in
+    * the version file itself, so history is exactly as durable and as
+    * retained as time travel.
+    */
+  case class CommitInfo(operation: String, timeMs: Long, touched: Seq[String])
+
   /** version: monotonically increasing commit counter.
     * queryId: streaming query identity of the last committed batch.
     * lastBatch: highest batch id folded in for that query (-1 = none).
     * tables: table name → (schema, bucket → current generation dir).
+    * info: audit record of the commit that produced this version
+    * (pre-history manifests parse with the empty record).
     */
   case class Manifest(version: Long, queryId: String, lastBatch: Long,
-      tables: Map[String, TableState]) {
+      tables: Map[String, TableState],
+      info: CommitInfo = CommitInfo("", -1L, Nil)) {
 
     def table(name: String): TableState =
       tables.getOrElse(name, TableState("", Map.empty))
@@ -156,7 +168,7 @@ object ManifestTable {
       *     for vacuumed history errors instead of reconstructing wrongly.
       */
     def advance(qid: String, batchId: Long,
-        updates: Map[String, TableUpdate]): Manifest = {
+        updates: Map[String, TableUpdate], op: String = "WRITE"): Manifest = {
       val nextVersion = version + 1
       val merged = updates.foldLeft(tables) { case (acc, (name, u)) =>
         val prevState = acc.getOrElse(name, TableState("", Map.empty))
@@ -194,7 +206,8 @@ object ManifestTable {
       }
       val nextBatch =
         if (queryId == qid) math.max(lastBatch, batchId) else batchId
-      Manifest(nextVersion, qid, nextBatch, merged)
+      Manifest(nextVersion, qid, nextBatch, merged,
+        CommitInfo(op, System.currentTimeMillis(), updates.keys.toSeq.sorted))
     }
   }
 
@@ -253,6 +266,9 @@ object ManifestTable {
       "version" -> JLong(m.version),
       "queryId" -> JString(m.queryId),
       "lastBatch" -> JLong(m.lastBatch),
+      "op" -> JString(m.info.operation),
+      "ts" -> JLong(m.info.timeMs),
+      "touched" -> JArray(m.info.touched.map(JString(_)).toList),
       "tables" -> tables)))
   }
 
@@ -321,8 +337,12 @@ object ManifestTable {
       }.toMap
       case _ => Map.empty[String, TableState]
     }
+    val info = CommitInfo(
+      (j \ "op") match { case JString(s) => s; case _ => "" },
+      (j \ "ts") match { case JNothing => -1L; case v => long(v) },
+      (j \ "touched") match { case JArray(ts) => ts.map(str); case _ => Nil })
     Manifest(long(j \ "version"), str(j \ "queryId"), long(j \ "lastBatch"),
-      tables)
+      tables, info)
   }
 
   /** The latest committed manifest. The per-version file is the COMMIT
@@ -944,7 +964,11 @@ object ManifestTable {
         // the empty batch is a harmless no-op, so skipping the lastBatch
         // advance is safe
         if (updates.isEmpty) return
-        val next = manifest.advance(qid, batchId, updates)
+        val op =
+          if (batches.exists(_.overwrite)) "OVERWRITE"
+          else if (batches.forall(_.append)) "APPEND"
+          else "MERGE"
+        val next = manifest.advance(qid, batchId, updates, op)
         commit(root, next)
         committed = Some(next)
       } catch {
@@ -1251,6 +1275,246 @@ object ManifestTable {
     * conflicting merge keys — merges already rewrite); published as a
     * normal atomic commit, readers never see a half-compacted table.
     */
+  /** Commit history over the RETAINED version files (the DESCRIBE
+    * HISTORY / QUERY_HISTORY surface): one row per time-travelable
+    * version — operation, commit timestamp, touched tables, and the
+    * writer identity — newest first. History is read from the same
+    * version files time travel resolves, so the two surfaces always
+    * agree on what's visitable; versions GC'd past the retention window
+    * are gone from both. Pre-history commits surface with a null
+    * operation/timestamp rather than a guess.
+    */
+  def history(spark: SparkSession, root: File): DataFrame = {
+    val entries = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(ManifestName + ".v"))
+      .flatMap { f =>
+        scala.util.Try(
+          parse(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+      }
+      .sortBy(-_.version)
+      .map { m =>
+        (m.version,
+          if (m.info.operation.isEmpty) null else m.info.operation,
+          if (m.info.timeMs < 0) null
+          else new java.sql.Timestamp(m.info.timeMs),
+          m.info.touched,
+          m.queryId, m.lastBatch)
+      }.toSeq
+    import spark.implicits._
+    entries.toDF("version", "operation", "commit_ts", "touched_tables",
+      "query_id", "batch_id")
+  }
+
+  /** Predicate delete (the warehouse `DELETE FROM t WHERE …` the
+    * reference's retention jobs run; Delta's DELETE shape): remove every
+    * committed row matching `cond` in ONE atomic commit, touching only
+    * the generations that actually hold matches.
+    *
+    * Two passes, both scale-bounded:
+    *  1. DISCOVERY — one scan through the `format("graft")` read surface
+    *     (so manifest stats/bucket/sidecar pruning applies to the
+    *     predicate before any file opens, and parquet pushdown skips row
+    *     groups inside them) counts the matches and collects the distinct
+    *     FILES holding them; the file set maps back to generation dirs.
+    *     Generations with no matching file — the vast majority under a
+    *     selective predicate on a clustered or searched column — are left
+    *     byte-untouched, keeping their dirs, stats, and sidecars.
+    *  2. REWRITE — each touched generation rewrites alone (keep rows =
+    *     `NOT coalesce(cond, false)`, the SQL DELETE null rule), so
+    *     recluster slice granularity and tight stats survive; a
+    *     generation emptied entirely drops from its bucket (its dir
+    *     becomes an orphan the next GC collects). Search sidecars rebuild
+    *     from the surviving rows.
+    *
+    * With an active change feed the deleted rows publish as `delete`
+    * preimages in the same commit, so CDF subscribers (incremental marts,
+    * index maintainers) retract them exactly; without a feed the delete
+    * is an ordinary logical commit. Snapshot isolation holds throughout:
+    * readers of older retained versions still see the rows. Returns the
+    * number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, root: File,
+      cond: org.apache.spark.sql.Column, table: String = DefaultTable): Long = {
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      if (ts.schemaJson.isEmpty) return 0L
+      val nonce = newNonce()
+      try {
+        // discovery: matched count + the files holding matches, one job,
+        // pruned by the manifest algebra through the provider read path
+        val pruned = spark.read.format("graft")
+          .option("path", root.toString).option("table", table)
+          .option("version", manifest.version.toString).load()
+          .filter(cond)
+        val Array(row) = pruned
+          .select(input_file_name().as("f")) // projected first: aggregates
+          .agg(count(lit(1)).as("n"),        // reject nondeterministic args
+            collect_set(col("f")).as("files"))
+          .collect()
+        val matched = row.getAs[Long]("n")
+        if (matched == 0L) return 0L
+        val touchedDirs: Set[String] = row.getAs[Seq[String]]("files").map { f =>
+          val p = if (f.startsWith("file:")) new File(new java.net.URI(f))
+            else new File(f)
+          p.getParentFile.getCanonicalPath
+        }.toSet
+        def touched(g: BucketGen): Boolean =
+          touchedDirs.contains(new File(root, g.path).getCanonicalPath)
+        val keep = !coalesce(cond, lit(false))
+        val rewritten = ts.buckets.flatMap { case (b, gens) =>
+          if (!gens.exists(touched)) None
+          else Some(b -> gens.zipWithIndex.flatMap { case (g, i) =>
+            if (!touched(g)) Some(g)
+            else {
+              val rel = s"data/$table/b$b-d${manifest.version + 1}-g$i-$nonce"
+              val (stats, nRows, searched) = writeGen(
+                spark.read.schema(ts.schema)
+                  .parquet(new File(root, g.path).toString).filter(keep),
+                new File(root, rel), g.stats.keys.toSeq, g.search)
+              // an emptied generation drops; its dir orphans into GC
+              if (nRows == 0L) None else Some(BucketGen(rel, stats, nRows, searched))
+            }
+          })
+        }
+        // active feed: the deleted rows ARE this commit's delta
+        val changePath =
+          if (ts.feedFrom < 0) None
+          else {
+            val rel = s"data/$table/chg-d${manifest.version + 1}-$nonce"
+            spark.read.schema(ts.schema)
+              .parquet(ts.gens.filter(touched)
+                .map(g => new File(root, g.path).toString): _*)
+              .filter(cond).withColumn(ChangeTypeCol, lit("delete"))
+              .write.mode("overwrite").parquet(new File(root, rel).toString)
+            Some(rel)
+          }
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
+            append = false, changePath = changePath)), "DELETE")
+        commit(root, next)
+        gc(root, next)
+        result = matched
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // rebase on the interleaved commit and re-derive
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
+    }
+    result
+  }
+
+  /** Predicate update (`UPDATE t SET … WHERE …`): rewrite every matching
+    * row with the SET expressions, touching only the generations that
+    * hold matches — same two-pass shape, pruning, OCC retry, and feed
+    * contract as [[deleteWhere]], with the delta published as full
+    * update_preimage/update_postimage pairs (Delta CDF shape) so
+    * incremental consumers retract-and-apply exactly.
+    *
+    * SET columns must exist in the table schema and must NOT be merge
+    * keys: a key-changing update would silently move rows out of their
+    * hash bucket and break point-lookup pruning — that operation is a
+    * delete+insert, which [[mergeBatch]]'s replace-by-key mode already
+    * expresses transactionally. Values cast to the column's committed
+    * type (the writer's own drifted-batch rule). Returns rows updated.
+    */
+  def updateWhere(spark: SparkSession, root: File,
+      cond: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      table: String = DefaultTable): Long = {
+    require(sets.nonEmpty, "updateWhere needs at least one SET column")
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      if (ts.schemaJson.isEmpty) return 0L
+      val schema = ts.schema
+      sets.keys.foreach { c =>
+        require(schema.fieldNames.contains(c), s"SET column '$c' not in schema")
+        require(!ts.mergeKeys.contains(c),
+          s"SET column '$c' is a merge key: a key-changing update is a " +
+            "delete+insert (use mergeBatch with deleteKeys)")
+      }
+      val nonce = newNonce()
+      try {
+        val pruned = spark.read.format("graft")
+          .option("path", root.toString).option("table", table)
+          .option("version", manifest.version.toString).load()
+          .filter(cond)
+        val Array(row) = pruned
+          .select(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n"), collect_set(col("f")).as("files"))
+          .collect()
+        val matched = row.getAs[Long]("n")
+        if (matched == 0L) return 0L
+        val touchedDirs: Set[String] = row.getAs[Seq[String]]("files").map { f =>
+          val p = if (f.startsWith("file:")) new File(new java.net.URI(f))
+            else new File(f)
+          p.getParentFile.getCanonicalPath
+        }.toSet
+        def touched(g: BucketGen): Boolean =
+          touchedDirs.contains(new File(root, g.path).getCanonicalPath)
+        val hit = coalesce(cond, lit(false))
+        def applySets(df: DataFrame): DataFrame = df.select(
+          schema.fields.map { f =>
+            sets.get(f.name) match {
+              case Some(e) =>
+                when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*)
+        val rewritten = ts.buckets.flatMap { case (b, gens) =>
+          if (!gens.exists(touched)) None
+          else Some(b -> gens.zipWithIndex.map { case (g, i) =>
+            if (!touched(g)) g
+            else {
+              val rel = s"data/$table/b$b-u${manifest.version + 1}-g$i-$nonce"
+              val (stats, nRows, searched) = writeGen(
+                applySets(spark.read.schema(schema)
+                  .parquet(new File(root, g.path).toString)),
+                new File(root, rel), g.stats.keys.toSeq, g.search)
+              BucketGen(rel, stats, nRows, searched)
+            }
+          })
+        }
+        val changePath =
+          if (ts.feedFrom < 0) None
+          else {
+            val rel = s"data/$table/chg-u${manifest.version + 1}-$nonce"
+            val matchedRows = spark.read.schema(schema)
+              .parquet(ts.gens.filter(touched)
+                .map(g => new File(root, g.path).toString): _*)
+              .filter(cond)
+            matchedRows.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(applySets(matchedRows)
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .write.mode("overwrite").parquet(new File(root, rel).toString)
+            Some(rel)
+          }
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
+            append = false, changePath = changePath)), "UPDATE")
+        commit(root, next)
+        gc(root, next)
+        result = matched
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
+    }
+    result
+  }
+
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
       statsCols: Seq[String] = Nil): Unit = {
     var attempt = 0
@@ -1276,7 +1540,7 @@ object ManifestTable {
           Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
             // physical-only rewrite: no logical change, an active feed
             // stays intact (no entry, no reset)
-            changePath = None, logicalChange = false)))
+            changePath = None, logicalChange = false)), "COMPACT")
         commit(root, next)
         committed = Some(next)
       } catch {
@@ -1408,7 +1672,7 @@ object ManifestTable {
         }
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
-            changePath = None, logicalChange = false)))
+            changePath = None, logicalChange = false)), "RECLUSTER")
         commit(root, next)
         committed = Some(next)
       } catch {

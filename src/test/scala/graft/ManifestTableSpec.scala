@@ -327,6 +327,120 @@ class ManifestTableSpec extends SparkSpec {
     assert(tsAfter.gens.forall(_.stats.contains("ts")))
   }
 
+  test("deleteWhere removes matching rows atomically: untouched generations keep their dirs, the feed carries delete preimages, old snapshots still serve") {
+    val target = tmp("graft_delete")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // four day-sliced append generations with a change feed
+    (0 until 4).foreach { day =>
+      ManifestTable.mergeBatch(root, "q", day.toLong, Seq(
+        TableBatch(t, rows(day * 50 until (day + 1) * 50, day + 1),
+          Seq("event_id"), 2, statsCols = Seq("ts"), append = true,
+          changeFeed = true)))
+    }
+    val m0 = ManifestTable.read(root).get
+    val ts0 = m0.table(t)
+    val day2 = (col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))) &&
+      (col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00")))
+    val day2Gens = ManifestTable.gensForRange(ts0, "ts",
+      java.sql.Timestamp.valueOf("2024-03-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-02 23:59:59")).map(_.path).toSet
+
+    val deleted = ManifestTable.deleteWhere(spark, root, day2)
+    assert(deleted == 50L)
+    val m1 = ManifestTable.read(root).get
+    val ts1 = m1.table(t)
+    // only day-2's covering generations were rewritten; every other dir
+    // survives byte-identical (same path in the new snapshot)
+    val keptPaths = ts0.gens.map(_.path).filterNot(day2Gens).toSet
+    assert(keptPaths.subsetOf(ts1.gens.map(_.path).toSet),
+      "an uncovered generation was rewritten")
+    assert(ts1.gens.map(_.path).toSet.intersect(day2Gens).isEmpty,
+      "a covering generation survived the delete")
+    // rows: day 2 gone, everything else intact; the old snapshot intact
+    val now = ManifestTable.readTable(spark, target)
+    assert(now.count() == 150L && now.filter(day2).count() == 0L)
+    assert(ManifestTable.readTable(spark, target, version = Some(m0.version))
+      .count() == 200L)
+    // the feed's delete commit carries exactly the removed rows
+    val feed = ManifestTable.readChangeFeed(spark, target,
+      m1.version, Some(m1.version))
+    assert(feed.filter(col(ManifestTable.ChangeTypeCol) === "delete")
+      .count() == 50L)
+    // metadata row count stays exact through the rewrite
+    assert(ts1.rowCount.contains(150L))
+    // a no-match delete is a no-op: same version, nothing rewritten
+    assert(ManifestTable.deleteWhere(spark, root,
+      col("event_id") === 999999L) == 0L)
+    assert(ManifestTable.read(root).get.version == m1.version)
+    // deleting an entire day drops its emptied generations from the
+    // buckets rather than keeping zero-row shells
+    val day1 = col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(ManifestTable.deleteWhere(spark, root, day1) == 50L)
+    val ts2 = ManifestTable.read(root).get.table(t)
+    assert(ts2.gens.forall(_.rows != 0L))
+    assert(ManifestTable.readTable(spark, target).count() == 100L)
+  }
+
+  test("updateWhere rewrites only covering generations, emits pre/postimage pairs, and refuses merge-key SETs") {
+    val target = tmp("graft_update")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    (0 until 4).foreach { day =>
+      ManifestTable.mergeBatch(root, "q", day.toLong, Seq(
+        TableBatch(t, rows(day * 50 until (day + 1) * 50, day + 1),
+          Seq("event_id"), 2, statsCols = Seq("ts"), append = true,
+          changeFeed = true)))
+    }
+    val m0 = ManifestTable.read(root).get
+    val ts0 = m0.table(t)
+    val day2 = (col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))) &&
+      (col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00")))
+    val day2Gens = ManifestTable.gensForRange(ts0, "ts",
+      java.sql.Timestamp.valueOf("2024-03-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-02 23:59:59")).map(_.path).toSet
+
+    val updated = ManifestTable.updateWhere(spark, root, day2,
+      Map("value" -> (col("value") * 2), "event_type" -> lit("boosted")))
+    assert(updated == 50L)
+    val m1 = ManifestTable.read(root).get
+    val ts1 = m1.table(t)
+    assert(ts0.gens.map(_.path).filterNot(day2Gens).toSet
+      .subsetOf(ts1.gens.map(_.path).toSet))
+    assert(ts1.gens.map(_.path).toSet.intersect(day2Gens).isEmpty)
+    val now = ManifestTable.readTable(spark, target)
+    assert(now.count() == 200L)
+    assert(now.filter(day2 && col("event_type") =!= "boosted").count() == 0L)
+    assert(now.filter(col("event_type") === "boosted").count() == 50L)
+    // postimage values really are the doubled originals
+    val origSum = ManifestTable.readTable(spark, target, version = Some(m0.version))
+      .filter(day2).agg(sum("value")).head.getDouble(0)
+    val newSum = now.filter(day2).agg(sum("value")).head.getDouble(0)
+    assert(math.abs(newSum - 2 * origSum) < 1e-9)
+    // the feed carries full pre/postimage pairs for the commit
+    val feed = ManifestTable.readChangeFeed(spark, target,
+      m1.version, Some(m1.version))
+    assert(feed.filter(col(ManifestTable.ChangeTypeCol) === "update_preimage")
+      .count() == 50L)
+    assert(feed.filter(col(ManifestTable.ChangeTypeCol) === "update_postimage")
+      .filter(col("event_type") === "boosted").count() == 50L)
+    // a merge-key SET is refused loudly (it would move rows across buckets)
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, day2,
+        Map("event_id" -> (col("event_id") + 1)))
+    }
+
+    // history serves the retained versions newest-first with their audit
+    // records — the same window time travel can visit
+    val hist = ManifestTable.history(spark, root).collect()
+    assert(hist.nonEmpty && hist.head.getLong(0) == m1.version)
+    assert(hist.head.getString(1) == "UPDATE")
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sortBy(-_))
+    assert(hist.forall(r => !r.isNullAt(2)))
+    assert(hist.head.getAs[scala.collection.Seq[String]]("touched_tables")
+      .toSeq == Seq(t))
+  }
+
   test("search sidecars stay current through merge rewrites and compaction; lookups stay exact") {
     val target = tmp("graft_searchlc")
     val root = new File(target)
