@@ -384,15 +384,36 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the conf plumbing ParquetScan.createReaderFactory performs before
-    // handing the reader factory its broadcast configuration: the reader
-    // resolves its ReadSupport and requested schema from here
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetRead.readerFactory(spark, dataSchema, dataSchema,
+      partitionSchema, Array.empty)
+
+  private def ver(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json().trim.toLong
+  }
+
+  override def toString: String = s"CdfMicroBatchStream[$root/$table]"
+}
+
+/** The conf plumbing `ParquetScan.createReaderFactory` performs before
+  * handing the engine's v2 parquet reader its broadcast configuration:
+  * the reader resolves its ReadSupport and requested schema from here.
+  * Shared by every graft v2 scan — the change-feed stream and the
+  * catalog's batch scan — so both read through the SAME stock
+  * vectorized/columnar machinery (null backfill for evolved columns,
+  * row-group statistics + bloom pushdown via `filters`).
+  */
+object GraftParquetRead {
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+      readSchema: StructType, partitionSchema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : ParquetPartitionReaderFactory = {
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val schemaJson = dataSchema.json
+    val schemaJson = readSchema.json
     hadoopConf.set(
       org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
@@ -404,7 +425,7 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
       sqlConf.nestedSchemaPruningEnabled)
     hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
       sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(dataSchema, hadoopConf)
+    ParquetWriteSupport.setSchema(readSchema, hadoopConf)
     hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
@@ -418,15 +439,7 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
     val bcast = spark.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
     ParquetPartitionReaderFactory(sqlConf, bcast,
-      dataSchema, dataSchema, partitionSchema,
-      Array.empty, None,
+      dataSchema, readSchema, partitionSchema, filters, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
   }
-
-  private def ver(o: OffsetV2): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json().trim.toLong
-  }
-
-  override def toString: String = s"CdfMicroBatchStream[$root/$table]"
 }

@@ -178,13 +178,18 @@ object GraftDataSource {
         "option 'mergeKeys' is required for a table without a recorded layout"))
     val numBuckets = params.get("buckets").map(_.toInt)
       .orElse(existing.map(_.numBuckets).filter(_ > 0)).getOrElse(16)
+    // default chain for what to track: explicit option → the table's
+    // RECORDED layout (what CREATE TABLE or the first writer declared) →
+    // the merge keys (so key lookups always prune)
     val statsCols = params.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(existing.map(_.statsCols).filter(_.nonEmpty))
       .getOrElse(mergeKeys)
     val appendOnly = params.get("appendOnly").exists(_.toBoolean)
     val changeFeed = params.get("changeFeed").exists(_.toBoolean)
     val searchCols = params.get("searchCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(existing.map(_.searchCols).filter(_.nonEmpty))
       .getOrElse(Nil)
     ManifestTable.TableBatch(table, data, mergeKeys, numBuckets,
       statsCols = statsCols, append = appendOnly && !overwrite,
@@ -536,6 +541,72 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val files = listGens(prunedGens(dataFilters), dataFilters.flatMap(needles))
     Seq(PartitionDirectory(InternalRow.empty, files))
+  }
+
+  /** The same pruned listing for callers holding SOURCE filters (the
+    * catalog's DSv2 scan): each translatable filter becomes the Catalyst
+    * conjunct shape the window/needle extractors already understand —
+    * one pruning algebra, two entry points. Untranslatable filters just
+    * don't prune.
+    */
+  def filesForFilters(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Array[FileStatus] = {
+    val exprs = filters.flatMap(filterToExpr)
+    listGens(prunedGens(exprs), exprs.flatMap(needles))
+  }
+
+  private def attr(name: String): Option[Attribute] =
+    tableSchema.fields.find(_.name == name).map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, nullable = true)())
+
+  /** Typed literal for a source-filter value: source filters carry the
+    * EXTERNAL value for the column's type (Spark built them from a typed
+    * comparison), so CatalystTypeConverters + the column's own DataType
+    * reconstruct exactly the literal the plan-side extractors see.
+    */
+  private def litFor(v: Any, dt: DataType): Option[Literal] =
+    scala.util.Try(Literal.create(v, dt)).toOption
+
+  private def filterToExpr(
+      f: org.apache.spark.sql.sources.Filter): Option[Expression] = {
+    import org.apache.spark.sql.sources
+    f match {
+      case sources.And(l, r) =>
+        (filterToExpr(l), filterToExpr(r)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (a, b) => a.orElse(b) // conjuncts prune independently
+        }
+      case sources.EqualTo(c, v) => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield EqualTo(a, l)
+      case sources.EqualNullSafe(c, v) if v != null => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield EqualNullSafe(a, l)
+      case sources.GreaterThan(c, v) => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield GreaterThan(a, l)
+      case sources.GreaterThanOrEqual(c, v) => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield GreaterThanOrEqual(a, l)
+      case sources.LessThan(c, v) => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield LessThan(a, l)
+      case sources.LessThanOrEqual(c, v) => for {
+        a <- attr(c); l <- litFor(v, a.dataType)
+      } yield LessThanOrEqual(a, l)
+      case sources.In(c, vs) if vs != null && vs.nonEmpty => attr(c).flatMap { a =>
+        val ls = vs.toSeq.map(v =>
+          if (v == null) Some(Literal.create(null, a.dataType))
+          else litFor(v, a.dataType))
+        if (ls.exists(_.isEmpty)) None
+        else Some(In(a, ls.flatten))
+      }
+      case sources.StringStartsWith(c, p) if p != null => for {
+        a <- attr(c); l <- litFor(p, StringType)
+      } yield StartsWith(a, l)
+      case _ => None
+    }
   }
 
   // full-listing metadata (broadcast sizing, EXPLAIN): computed once,

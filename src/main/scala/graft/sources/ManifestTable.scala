@@ -106,7 +106,8 @@ object ManifestTable {
     */
   case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
       changes: Seq[ChangeGen] = Nil, feedFrom: Long = -1L,
-      mergeKeys: Seq[String] = Nil, numBuckets: Int = -1) {
+      mergeKeys: Seq[String] = Nil, numBuckets: Int = -1,
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
 
@@ -202,7 +203,14 @@ object ManifestTable {
         val (mk, nb) =
           if (u.mergeKeys.nonEmpty) (u.mergeKeys, u.numBuckets)
           else (prevState.mergeKeys, prevState.numBuckets)
-        acc + (name -> TableState(u.schemaJson, next, changes, feedFrom, mk, nb))
+        // recorded layout follows the writer, like the merge keys: the
+        // latest explicit statsCols/searchCols become the table's
+        // defaults so follow-up writers (SQL INSERTs especially) need no
+        // out-of-band knowledge of what to track
+        val sc = if (u.statsCols.nonEmpty) u.statsCols else prevState.statsCols
+        val xc = if (u.searchCols.nonEmpty) u.searchCols else prevState.searchCols
+        acc + (name -> TableState(u.schemaJson, next, changes, feedFrom,
+          mk, nb, sc, xc))
       }
       val nextBatch =
         if (queryId == qid) math.max(lastBatch, batchId) else batchId
@@ -233,7 +241,8 @@ object ManifestTable {
     append: Boolean, changePath: Option[String] = None,
     logicalChange: Boolean = true,
     mergeKeys: Seq[String] = Nil, numBuckets: Int = -1,
-    replaceAll: Boolean = false)
+    replaceAll: Boolean = false,
+    statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil)
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
@@ -260,7 +269,9 @@ object ManifestTable {
           "version" -> JLong(c.version), "path" -> JString(c.path))).toList),
         "feedFrom" -> JLong(ts.feedFrom),
         "mergeKeys" -> JArray(ts.mergeKeys.map(JString(_)).toList),
-        "numBuckets" -> JLong(ts.numBuckets.toLong))
+        "numBuckets" -> JLong(ts.numBuckets.toLong),
+        "statsCols" -> JArray(ts.statsCols.map(JString(_)).toList),
+        "searchCols" -> JArray(ts.searchCols.map(JString(_)).toList))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -332,8 +343,12 @@ object ManifestTable {
           case JNothing => -1
           case v => long(v).toInt
         }
+        def cols(field: String): Seq[String] = (tv \ field) match {
+          case JArray(cs) => cs.map(str)
+          case _ => Nil
+        }
         name -> TableState(str(tv \ "schema"), buckets, changes, feedFrom,
-          mergeKeys, numBuckets)
+          mergeKeys, numBuckets, cols("statsCols"), cols("searchCols"))
       }.toMap
       case _ => Map.empty[String, TableState]
     }
@@ -1101,7 +1116,8 @@ object ManifestTable {
         }
         Some(TableUpdate(unified.json, written, tb.append, changePath,
           mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets,
-          replaceAll = tb.overwrite))
+          replaceAll = tb.overwrite,
+          statsCols = tb.statsCols, searchCols = tb.searchCols))
       }
     } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
   }
@@ -1275,6 +1291,85 @@ object ManifestTable {
     * conflicting merge keys — merges already rewrite); published as a
     * normal atomic commit, readers never see a half-compacted table.
     */
+  /** DDL: publish an EMPTY table — schema and bucket layout, no data —
+    * as an ordinary versioned commit, so `CREATE TABLE` is transactional,
+    * OCC-serialized against concurrent writers, and visible in
+    * [[history]] like every other operation.
+    */
+  def createTable(root: File, table: String, schema: StructType,
+      mergeKeys: Seq[String], numBuckets: Int,
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil): Unit = {
+    root.mkdirs()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      require(!manifest.tables.get(table).exists(_.schemaJson.nonEmpty),
+        s"table '$table' already exists at $root")
+      try {
+        commit(root, manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(schema.json, Map.empty, append = false,
+            mergeKeys = mergeKeys, numBuckets = numBuckets,
+            statsCols = statsCols, searchCols = searchCols)), "CREATE"))
+        done = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+  }
+
+  /** DDL: drop a table from the root's catalog — a versioned commit; the
+    * dropped generations stay readable through retained older snapshots
+    * and GC collects them as those age out. Returns false when the table
+    * doesn't exist.
+    */
+  def dropTable(root: File, table: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      val manifest = read(root).getOrElse(empty)
+      if (!manifest.tables.get(table).exists(_.schemaJson.nonEmpty))
+        return false
+      try {
+        val next = Manifest(manifest.version + 1, manifest.queryId,
+          manifest.lastBatch, manifest.tables - table,
+          CommitInfo("DROP", System.currentTimeMillis(), Seq(table)))
+        commit(root, next)
+        gc(root, next)
+        return true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+    false
+  }
+
+  /** DDL: rename a table within its root — pure metadata (generation dirs
+    * are opaque recorded paths, so no data moves), one versioned commit.
+    */
+  def renameTable(root: File, from: String, to: String): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.tables.get(from).filter(_.schemaJson.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"table '$from' does not exist at $root"))
+      require(!manifest.tables.get(to).exists(_.schemaJson.nonEmpty),
+        s"table '$to' already exists at $root")
+      try {
+        commit(root, Manifest(manifest.version + 1, manifest.queryId,
+          manifest.lastBatch, manifest.tables - from + (to -> ts),
+          CommitInfo("RENAME", System.currentTimeMillis(), Seq(from, to))))
+        done = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+  }
+
   /** Commit history over the RETAINED version files (the DESCRIBE
     * HISTORY / QUERY_HISTORY surface): one row per time-travelable
     * version — operation, commit timestamp, touched tables, and the

@@ -1,0 +1,148 @@
+package graft
+
+import java.io.File
+
+import graft.sources.{GraftBatchScan, GraftCatalog, ManifestTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** The SQL catalog surface (SURVEY §2.E): named graft tables with the
+  * reference's SQL verbs — CREATE/INSERT/SELECT/DELETE/TRUNCATE/
+  * RENAME/DROP — all riding the manifest commit protocol, with pruned
+  * columnar reads and SQL time travel.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def scanOf(df: DataFrame): GraftBatchScan = {
+    df.collect()
+    df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+      .head.scan.asInstanceOf[GraftBatchScan]
+  }
+
+  test("SQL verbs against named tables: create, insert, pruned select, time travel, delete, truncate, rename, drop") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ops")
+    spark.sql("""CREATE TABLE graft.ops.events
+      (event_id BIGINT, ts TIMESTAMP, client STRING, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='event_id', 'buckets'='2',
+        'statsCols'='ts,event_id', 'searchCols'='client')""")
+    assert(spark.sql("SHOW TABLES IN graft.ops").collect()
+      .map(_.getString(1)).contains("events"))
+
+    // three INSERTs = three append commits, each a narrow day slice
+    (1 to 3).foreach { d =>
+      spark.sql(s"""INSERT INTO graft.ops.events
+        SELECT id + ${d * 1000}, timestamp'2024-03-0$d 12:00:00',
+          'c$d', cast(id as double) * 1.5 FROM range(50)""")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.ops.events")
+      .head.getLong(0) == 150L)
+
+    // the catalog read plans through the native v2 scan with generation
+    // pruning from the pushed predicate AND column pruning
+    val all = scanOf(spark.sql("SELECT event_id FROM graft.ops.events"))
+    val day2 = spark.sql("""SELECT event_id FROM graft.ops.events
+      WHERE ts BETWEEN timestamp'2024-03-02 00:00:00'
+        AND timestamp'2024-03-02 23:59:59'""")
+    assert(day2.collect().map(_.getLong(0)).toSet ==
+      (2000L until 2050L).toSet)
+    val pruned = scanOf(day2)
+    assert(pruned.plannedFiles > 0 && pruned.plannedFiles < all.plannedFiles,
+      s"predicate failed to prune: ${pruned.plannedFiles}/${all.plannedFiles}")
+    assert(pruned.readSchema().fieldNames.toSet == Set("event_id", "ts"),
+      "column pruning failed on the catalog scan")
+
+    // a merge-key equality pins the covering hash bucket
+    val keyed = scanOf(spark.sql(
+      "SELECT v FROM graft.ops.events WHERE event_id = 2013"))
+    assert(keyed.plannedFiles < all.plannedFiles)
+
+    // the recorded searchCols give SQL inserts membership sidecars: an
+    // equality on the unclustered client column prunes through them
+    val side = spark.sql("SELECT event_id FROM graft.ops.events WHERE client = 'c3'")
+    assert(side.collect().length == 50)
+    assert(scanOf(side).plannedFiles < all.plannedFiles,
+      "search sidecar failed to prune on the catalog path")
+
+    // SQL time travel rides the retained snapshots: right after the
+    // second insert the table held 100 rows
+    val root = new File(wh, "ops")
+    val vNow = ManifestTable.read(root).get.version
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.ops.events VERSION AS OF ${vNow - 1}")
+      .head.getLong(0) == 100L)
+
+    // DELETE FROM maps onto the predicate-delete verb (feed contract,
+    // OCC, generation-level rewrite — ManifestTableSpec's coverage)
+    spark.sql("DELETE FROM graft.ops.events WHERE client = 'c2'")
+    assert(spark.sql("SELECT count(*) FROM graft.ops.events")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.ops.events WHERE client = 'c2'")
+      .head.getLong(0) == 0L)
+
+    // INSERT OVERWRITE replaces the table wholesale
+    spark.sql("""INSERT OVERWRITE graft.ops.events
+      SELECT id, timestamp'2024-04-01 00:00:00', 'ow',
+        cast(id as double) FROM range(7)""")
+    assert(spark.sql("SELECT count(*) FROM graft.ops.events")
+      .head.getLong(0) == 7L)
+
+    // every DDL/DML above is a recorded commit: history's newest entries
+    val hist = ManifestTable.history(spark, root).collect()
+    assert(hist.head.getString(1) == "OVERWRITE")
+    assert(hist.map(_.getString(1)).contains("DELETE"))
+
+    // TRUNCATE empties through the same delete verb
+    spark.sql("TRUNCATE TABLE graft.ops.events")
+    assert(spark.sql("SELECT count(*) FROM graft.ops.events")
+      .head.getLong(0) == 0L)
+
+    // RENAME is pure metadata (no data moves), DROP is a versioned commit
+    spark.sql("ALTER TABLE graft.ops.events RENAME TO ops.events_v2")
+    assert(spark.sql("SHOW TABLES IN graft.ops").collect()
+      .map(_.getString(1)).toSet == Set("events_v2"))
+    spark.sql("DROP TABLE graft.ops.events_v2")
+    assert(spark.sql("SHOW TABLES IN graft.ops").collect().isEmpty)
+  }
+
+  test("multi-table namespaces share one manifest root: SQL inserts into two tables interleave with the bespoke API's atomic commits") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat2").toString
+    spark.conf.set("spark.sql.catalog.graft2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft2.mart")
+    spark.sql("""CREATE TABLE graft2.mart.hdr (id BIGINT, k STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id')""")
+    spark.sql("""CREATE TABLE graft2.mart.line (id BIGINT, qty BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO graft2.mart.hdr SELECT id, concat('k', id) FROM range(20)")
+    spark.sql("INSERT INTO graft2.mart.line SELECT id, id * 2 FROM range(30)")
+
+    // both tables live in ONE manifest: a bespoke multi-table commit lands
+    // under the same root and SQL sees it
+    val root = new File(wh, "mart")
+    import spark.implicits._
+    ManifestTable.mergeBatch(root, "api", 0L, Seq(
+      ManifestTable.TableBatch("hdr",
+        Seq((100L, "k100")).toDF("id", "k"), Seq("id"), 16),
+      ManifestTable.TableBatch("line",
+        Seq((100L, 200L)).toDF("id", "qty"), Seq("id"), 4)))
+    assert(spark.sql("SELECT count(*) FROM graft2.mart.hdr")
+      .head.getLong(0) == 21L)
+    assert(spark.sql(
+      "SELECT qty FROM graft2.mart.line WHERE id = 100")
+      .head.getLong(0) == 200L)
+
+    // the SQL-visible schema tracks the manifest's unified schema after a
+    // sink-side evolution through the bespoke API
+    ManifestTable.mergeBatch(root, "api", 1L, Seq(
+      ManifestTable.TableBatch("hdr",
+        Seq((101L, "k101", "extra")).toDF("id", "k", "note"), Seq("id"), 16)))
+    assert(spark.sql("SELECT note FROM graft2.mart.hdr WHERE id = 101")
+      .head.getString(0) == "extra")
+  }
+}
