@@ -65,7 +65,10 @@ case class MetadataAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The graft file index when `plan` IS the relation (modulo an
     * attribute-only projection) — anything else, including any Filter,
-    * returns None.
+    * returns None. Matches BOTH read surfaces: the `format("graft")`
+    * HadoopFsRelation and the catalog's DSv2 scan relation (where a
+    * pushed filter — even though graft keeps all filters residual —
+    * disqualifies for safety).
     */
   private def graftIndex(plan: LogicalPlan): Option[ManifestFileIndex] =
     plan match {
@@ -76,6 +79,17 @@ case class MetadataAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         case _ => None
       }
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        sr.scan match {
+          case s: graft.sources.GraftBatchScan if s.pushed.isEmpty =>
+            Some(s.index)
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.GraftSqlTable => Some(t.index)
+          case _ => None
+        }
       case Project(projectList, child)
           if projectList.forall(_.isInstanceOf[Attribute]) =>
         graftIndex(child)

@@ -65,6 +65,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = new File(options.asScala.getOrElse("warehouse",
       throw new IllegalArgumentException(
         s"catalog '$name' needs option 'warehouse' (root directory)")))
+    // catalog users get the metadata-count rewrite without wiring
+    // GraftExtensions — same dual registration as the format("graft")
+    // provider; idempotent
+    val spark = SparkSession.active
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.MetadataAggRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.MetadataAggRule(spark))
   }
 
   override def name(): String = catalogName
@@ -205,7 +213,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
     * QUERY resolved, the same once-per-query snapshot isolation as the
     * `format("graft")` path.
     */
-  private[sources] lazy val index: ManifestFileIndex =
+  lazy val index: ManifestFileIndex =
     new ManifestFileIndex(spark, root.toString, table, version)
 
   override def name(): String = s"$root/$table" +
@@ -320,8 +328,8 @@ class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
     required, pushed)
 }
 
-class GraftBatchScan(index: ManifestFileIndex, dataSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
+    required: StructType, val pushed: Array[Filter]) extends Scan with Batch {
 
   /** Files the pruned listing kept, observable by specs (the v2 scan has
     * no numFiles metric of its own).

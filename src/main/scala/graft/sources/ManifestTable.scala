@@ -1097,7 +1097,12 @@ object ManifestTable {
           // decided (the in-flight guard in [[gc]])
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
           val (stats, nRows, searched) =
-            writeGen(out, new File(root, rel), tb.statsCols, tb.searchCols)
+            // explicit batch options win; otherwise the table's RECORDED
+            // layout applies, so every writer — bespoke API, SQL INSERT,
+            // streaming sink — keeps tracking what the table declared
+            writeGen(out, new File(root, rel),
+              if (tb.statsCols.nonEmpty) tb.statsCols else prev.statsCols,
+              if (tb.searchCols.nonEmpty) tb.searchCols else prev.searchCols)
           (b -> Seq(BucketGen(rel, stats, nRows, searched)), chg)
         }
         val written = results.map(_._1).toMap

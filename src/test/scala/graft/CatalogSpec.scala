@@ -144,5 +144,27 @@ class CatalogSpec extends SparkSpec {
         Seq((101L, "k101", "extra")).toDF("id", "k", "note"), Seq("id"), 16)))
     assert(spark.sql("SELECT note FROM graft2.mart.hdr WHERE id = 101")
       .head.getString(0) == "extra")
+
+    // bare COUNT(*)/MIN/MAX over a catalog table answer from manifest
+    // metadata — zero scan (the same MetadataAggRule rewrite as the
+    // format("graft") path, registered by the catalog itself)
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val cnt = spark.sql("SELECT count(*) AS n FROM graft2.mart.line")
+    assert(cnt.head.getLong(0) == 31L)
+    assert(cnt.queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }.nonEmpty,
+      "catalog COUNT(*) failed to answer from metadata")
+    val mm = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi FROM graft2.mart.line")
+    assert(mm.head.getLong(0) == 0L && mm.head.getLong(1) == 100L)
+    assert(mm.queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }.nonEmpty,
+      "catalog MIN/MAX failed to answer from metadata")
+    // a filtered count must NOT rewrite (scans and stays correct)
+    val fcnt = spark.sql(
+      "SELECT count(*) FROM graft2.mart.line WHERE id < 10")
+    assert(fcnt.head.getLong(0) == 10L)
+    assert(fcnt.queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }.isEmpty)
   }
 }

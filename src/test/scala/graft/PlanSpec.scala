@@ -468,19 +468,21 @@ class PlanSpec extends SparkSpec {
     // optimization exists for
     def uid(b: Int, i: Int): String = f"${(i * 2654435761L + b) % 997}%03d-$b-$i"
     def ref(b: Int, i: Int): Long = i * 8L + b
-    (0 until 8).foreach { b =>
-      val df = (0 until 200).map(i => (b * 1000L + i, uid(b, i), ref(b, i)))
-        .toDF("event_id", "uid", "ref")
-      ManifestTable.mergeBatch(root, "q", b.toLong, Seq(
-        TableBatch(t, df, Seq("event_id"), 1, statsCols = Seq("uid", "ref"),
-          append = true, searchCols = Seq("uid", "ref"))))
-    }
-    // one generation WITHOUT sidecars: pruning must always keep it
+    // one generation WITHOUT sidecars, written BEFORE any searchCols are
+    // recorded as the table's layout (later batches would otherwise
+    // inherit them): pruning must always keep it
     val plainDf = (0 until 200).map(i => (9000L + i, uid(8, i), ref(8, i)))
       .toDF("event_id", "uid", "ref")
     ManifestTable.mergeBatch(root, "q", 8L, Seq(
       TableBatch(t, plainDf, Seq("event_id"), 1,
         statsCols = Seq("uid", "ref"), append = true)))
+    (0 until 8).foreach { b =>
+      val df = (0 until 200).map(i => (b * 1000L + i, uid(b, i), ref(b, i)))
+        .toDF("event_id", "uid", "ref")
+      ManifestTable.mergeBatch(root, "q", 100L + b, Seq(
+        TableBatch(t, df, Seq("event_id"), 1, statsCols = Seq("uid", "ref"),
+          append = true, searchCols = Seq("uid", "ref"))))
+    }
 
     val ts1 = ManifestTable.read(root).get.table(t)
     assert(ts1.gens.count(_.search.nonEmpty) == 8 &&
