@@ -9,9 +9,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -54,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same commit protocol as every other writer, so SQL INSERTs interleave
   * safely with streaming sinks and compaction.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: File = _
@@ -195,6 +198,124 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     ManifestTable.renameTable(rootOf(oldIdent.namespace), oldIdent.name,
       newIdent.name)
+  }
+
+  // ---- maintenance procedures: the warehouse's `CALL` verbs ----
+  // `CALL graft.system.compact(...)` / recluster / update_where /
+  // delete_where / history — the operational surface (OPTIMIZE,
+  // clustering, audited row mutations returning counts) a SQL-only user
+  // otherwise can't reach.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(ident.name, rootOf)
+  }
+}
+
+/** The catalog's `CALL` procedures. Each binds positionally, runs its
+  * manifest verb on the driver (launching whatever Spark jobs the verb
+  * needs), and returns its result rows as a [[LocalScan]].
+  */
+object GraftProcedures {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names = Seq("compact", "recluster", "history", "delete_where",
+    "update_where")
+
+  private def in(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  private def str(row: InternalRow, i: Int): String = row.getUTF8String(i).toString
+
+  private def scanOf(schema: StructType, rs: InternalRow*)
+      : java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = rs.toArray
+    }).iterator()
+
+  private def bound(name0: String, params: Seq[ProcedureParameter],
+      out: StructType)(run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = name0
+      override def description(): String = s"graft $name0"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = name0
+          override def description(): String = s"graft $name0"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            scanOf(out, run(input): _*)
+        }
+    }
+
+  private val CountSchema = StructType(Seq(StructField("rows", LongType)))
+
+  def load(name: String, rootOf: Array[String] => java.io.File): UnboundProcedure = {
+    def root(ns: String) = rootOf(Array(ns))
+    def spark = SparkSession.active
+    name match {
+      case "compact" => bound("compact",
+        Seq(in("namespace", StringType), in("table", StringType)),
+        new StructType()) { row =>
+        ManifestTable.compact(spark, root(str(row, 0)), str(row, 1))
+        Nil
+      }
+      case "recluster" => bound("recluster",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("columns", StringType), in("slices", IntegerType)),
+        new StructType()) { row =>
+        ManifestTable.reclusterBy(spark, root(str(row, 0)),
+          str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          str(row, 1), row.getInt(3))
+        Nil
+      }
+      case "history" => bound("history",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("operation", StringType),
+          StructField("commit_ts", TimestampType),
+          StructField("touched_tables", ArrayType(StringType)),
+          StructField("query_id", StringType),
+          StructField("batch_id", LongType)))) { row =>
+        ManifestTable.history(spark, root(str(row, 0))).collect().toSeq
+          .map { r =>
+            InternalRow(r.getLong(0),
+              Option(r.getString(1)).map(UTF8String.fromString).orNull,
+              if (r.isNullAt(2)) null
+              else r.getTimestamp(2).getTime * 1000L,
+              new GenericArrayData(r.getSeq[String](3)
+                .map(UTF8String.fromString)),
+              UTF8String.fromString(r.getString(4)), r.getLong(5))
+          }
+      }
+      case "delete_where" => bound("delete_where",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("condition", StringType)), CountSchema) { row =>
+        val n = ManifestTable.deleteWhere(spark, root(str(row, 0)),
+          org.apache.spark.sql.functions.expr(str(row, 2)), str(row, 1))
+        Seq(InternalRow(n))
+      }
+      case "update_where" => bound("update_where",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("condition", StringType), in("set_column", StringType),
+          in("set_expr", StringType)), CountSchema) { row =>
+        val n = ManifestTable.updateWhere(spark, root(str(row, 0)),
+          org.apache.spark.sql.functions.expr(str(row, 2)),
+          Map(str(row, 3) ->
+            org.apache.spark.sql.functions.expr(str(row, 4))), str(row, 1))
+        Seq(InternalRow(n))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure 'system.$other' (have: ${Names.mkString(", ")})")
+    }
   }
 }
 
