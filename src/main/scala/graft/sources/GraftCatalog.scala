@@ -161,6 +161,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF` (the warehouse `AT(TIMESTAMP => …)` shape):
+    * resolves through the commit timestamps the version files record —
+    * the newest retained commit at-or-before the asked instant.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = rootOf(ident.namespace)
+    val v = ManifestTable.versionAt(root, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained commit of ${ident.name} at or before the asked " +
+          "timestamp (outside the retention window, or pre-history)"))
+    new GraftSqlTable(root, ident.name, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {

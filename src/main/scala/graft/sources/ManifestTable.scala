@@ -1405,6 +1405,22 @@ object ManifestTable {
       "query_id", "batch_id")
   }
 
+  /** The newest RETAINED version whose commit timestamp is ≤ `timeMs` —
+    * what `TIMESTAMP AS OF` resolves through (the warehouse
+    * `AT(TIMESTAMP => …)` shape). Pre-history commits (no recorded
+    * timestamp) can't participate; None when no retained commit is old
+    * enough (the caller errors rather than guessing a snapshot).
+    */
+  def versionAt(root: File, timeMs: Long): Option[Long] =
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(ManifestName + ".v"))
+      .flatMap { f =>
+        scala.util.Try(
+          parse(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+      }
+      .filter(m => m.info.timeMs >= 0 && m.info.timeMs <= timeMs)
+      .map(_.version).maxOption
+
   /** Predicate delete (the warehouse `DELETE FROM t WHERE …` the
     * reference's retention jobs run; Delta's DELETE shape): remove every
     * committed row matching `cond` in ONE atomic commit, touching only

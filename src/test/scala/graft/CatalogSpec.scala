@@ -201,6 +201,18 @@ class CatalogSpec extends SparkSpec {
     assert(gensAfter < gensBefore && gensAfter == 2)
     assert(spark.sql("SELECT count(*) FROM graft3.ops.t").head.getLong(0) == 80L)
 
+    // TIMESTAMP AS OF resolves through the recorded commit timestamps:
+    // "now" sees the current state, a far-future instant the same, and a
+    // pre-creation instant errors instead of guessing
+    assert(spark.sql(
+      "SELECT count(*) FROM graft3.ops.t TIMESTAMP AS OF current_timestamp()")
+      .head.getLong(0) == 80L)
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft3.ops.t TIMESTAMP AS OF timestamp'2001-01-01'")
+        .collect()
+    }
+
     // history through SQL: newest-first, operations recorded
     val hist = spark.sql("CALL graft3.system.history('ops')").collect()
     assert(hist.head.getString(1) == "COMPACT")
