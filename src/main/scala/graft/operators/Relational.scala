@@ -616,6 +616,39 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin),
 
     // ----------------------------------------------------------------
+    // Recursive CTE (Spark 4's WITH RECURSIVE → UnionLoop plan): unroll a
+    // 12-installment payment schedule per selected order — the iterative
+    // SQL shape (hierarchies, schedules, transitive closure) warehouses
+    // serve with recursion and pre-4.x Spark could not express. Runs as a
+    // REAL recursive query on the Spark side (spark.sql, not a DataFrame
+    // re-formulation), so the oracle also locks the engine's recursion
+    // semantics against DuckDB's.
+    "q_recursive_cte" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_qrec")
+        s.sql(
+          """WITH RECURSIVE inst AS (
+            |  SELECT o_orderkey, cast(o_orderdate as date) AS due, 1 AS n,
+            |         cast(o_totalprice as double) / 12 AS amt
+            |  FROM orders_qrec WHERE o_orderkey % 97 = 0
+            |  UNION ALL
+            |  SELECT o_orderkey, date_add(due, 30), n + 1, amt
+            |  FROM inst WHERE n < 12
+            |)
+            |SELECT o_orderkey, n, due, amt
+            |FROM inst ORDER BY o_orderkey, n""".stripMargin)
+      },
+      """WITH RECURSIVE inst AS (
+        |  SELECT o_orderkey, cast(o_orderdate as date) AS due, 1 AS n,
+        |         cast(o_totalprice as double) / 12 AS amt
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, due + 30, n + 1, amt
+        |  FROM inst WHERE n < 12
+        |)
+        |SELECT o_orderkey, n, due, amt
+        |FROM inst ORDER BY o_orderkey, n""".stripMargin),
+
     "q_cte_chain" -> Q(
       (s, d) => {
         val monthly = Tables.orders(s, d)
