@@ -239,7 +239,7 @@ object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names = Seq("compact", "recluster", "history", "delete_where",
-    "update_where")
+    "update_where", "detail", "vacuum")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -326,6 +326,40 @@ object GraftProcedures {
           Map(str(row, 3) ->
             org.apache.spark.sql.functions.expr(str(row, 4))), str(row, 1))
         Seq(InternalRow(n))
+      }
+      case "detail" => bound("detail",
+        Seq(in("namespace", StringType), in("table", StringType)),
+        StructType(Seq(
+          StructField("table", StringType),
+          StructField("version", LongType),
+          StructField("merge_keys", ArrayType(StringType)),
+          StructField("num_buckets", IntegerType),
+          StructField("stats_cols", ArrayType(StringType)),
+          StructField("search_cols", ArrayType(StringType)),
+          StructField("num_generations", LongType),
+          StructField("row_count", LongType),
+          StructField("feed_from", LongType)))) { row =>
+        val m = ManifestTable.read(root(str(row, 0))).getOrElse(
+          throw new IllegalStateException(
+            s"no committed tables in namespace ${str(row, 0)}"))
+        val t = str(row, 1)
+        val ts = m.table(t)
+        require(ts.schemaJson.nonEmpty, s"table '$t' does not exist")
+        def arr(ss: Seq[String]) =
+          new GenericArrayData(ss.map(UTF8String.fromString))
+        Seq(InternalRow(UTF8String.fromString(t), m.version,
+          arr(ts.mergeKeys), ts.numBuckets, arr(ts.statsCols),
+          arr(ts.searchCols), ts.gens.size.toLong,
+          ts.rowCount.map(Long.box).orNull, ts.feedFrom))
+      }
+      case "vacuum" => bound("vacuum",
+        Seq(in("namespace", StringType)), new StructType()) { row =>
+        // GC runs after every commit; the explicit verb exists for roots
+        // whose writers stopped (orphans from a crashed writer linger
+        // until SOME commit GCs them)
+        val r = root(str(row, 0))
+        ManifestTable.read(r).foreach(m => ManifestTable.gc(r, m))
+        Nil
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' (have: ${Names.mkString(", ")})")

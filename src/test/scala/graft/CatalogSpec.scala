@@ -225,5 +225,20 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft3.ops.t WHERE v < 10")
       .head.getLong(0) == 10L)
     assert(ManifestTable.read(root).get.table("t").gens.size > 2)
+
+    // detail reports the recorded layout and exact metadata counts
+    val det = spark.sql("CALL graft3.system.detail('ops', 't')").head
+    assert(det.getString(0) == "t")
+    assert(det.getAs[scala.collection.Seq[String]]("merge_keys").toSeq == Seq("id"))
+    assert(det.getInt(3) == 2)
+    assert(det.getLong(7) == 80L)
+    assert(det.getLong(6) == ManifestTable.read(root).get.table("t").gens.size.toLong)
+
+    // vacuum collects a crashed writer's orphan dir without a commit
+    val orphan = new File(root, "data/t/b0-v1-deadbeef")
+    orphan.mkdirs()
+    new File(orphan, "junk.parquet").createNewFile()
+    spark.sql("CALL graft3.system.vacuum('ops')")
+    assert(!orphan.exists, "vacuum left the orphan generation dir")
   }
 }
