@@ -95,6 +95,42 @@ object Timeseries {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
 
+    // Event-type transition matrix (first-order Markov over each user's
+    // event sequence): one lag window per user (single hash shuffle on the
+    // high-cardinality user key), then a count aggregate over the tiny
+    // (from,to) type grid and a per-from normalization — the
+    // next-event-prediction / funnel-discovery primitive. At 100 TB the
+    // per-user window dominates and partitions by user; the matrix itself
+    // is type²-sized regardless of corpus.
+    "ev_transition_matrix" -> Q(
+      (s, d) => {
+        val seq = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tot = Window.partitionBy("from_type")
+        ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead("event_type", 1).over(seq))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob",
+            round(col("n").cast("double") / sum("n").over(tot), 6))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(cast(n as double) /
+        |    sum(n) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM m ORDER BY from_type, to_type""".stripMargin),
+
     // As-of join: for each purchase, the most recent click at ts' <= ts by
     // the same user. Union-sort-window: clicks and purchases interleave in
     // one event-time order per user; a running last(click_ts) answers the
