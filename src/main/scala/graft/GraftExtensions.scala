@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     // metadata-only COUNT(*) over format("graft") relations — answered
     // from the manifest's recorded row counts, zero scan jobs
-    ext.injectOptimizerRule(plans.MetadataAggRule)
+    ext.injectOptimizerRule(_ => plans.MetadataAggRule())
   }
 }

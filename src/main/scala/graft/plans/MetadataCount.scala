@@ -42,7 +42,20 @@ import graft.sources.ManifestFileIndex
   * [[graft.sources.GraftDataSource]] for ad-hoc sessions — same dual
   * path as the as-of join strategy.
   */
-case class MetadataAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+object MetadataAggRule {
+  /** Idempotent per-session registration. The rule itself is stateless
+    * (it captures NO session — multi-session applications each register
+    * into their own `experimental.extraOptimizations`), so callers on
+    * the ad-hoc paths (provider reads, catalog scans) register into
+    * whatever session is actually planning the query.
+    */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[MetadataAggRule]))
+      spark.experimental.extraOptimizations ++= Seq(MetadataAggRule())
+}
+
+case class MetadataAggRule() extends Rule[LogicalPlan] {
 
   /** The metadata answer for one aggregate output (as a Catalyst-internal
     * value, possibly null), or None when this aggregate can't be answered

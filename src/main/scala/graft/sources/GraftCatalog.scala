@@ -70,12 +70,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"catalog '$name' needs option 'warehouse' (root directory)")))
     // catalog users get the metadata-count rewrite without wiring
     // GraftExtensions — same dual registration as the format("graft")
-    // provider; idempotent
-    val spark = SparkSession.active
-    if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.MetadataAggRule]))
-      spark.experimental.extraOptimizations ++=
-        Seq(graft.plans.MetadataAggRule(spark))
+    // provider; idempotent, and re-registered per scan build
+    // (GraftSqlTable.newScanBuilder) so in multi-session applications
+    // EVERY session that queries through this catalog gets the rule,
+    // not just the one active at first catalog use
+    graft.plans.MetadataAggRule.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -372,7 +371,8 @@ object GraftProcedures {
   * DELETE/TRUNCATE mapped to [[ManifestTable.deleteWhere]].
   */
 class GraftSqlTable(root: File, table: String, version: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -392,11 +392,31 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
     ManifestTable.resolve(root, version).table(table).schema
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // BATCH_WRITE alongside V1_BATCH_WRITE: INSERTs still dispatch on
+    // the V1Write the builder returns; BATCH_WRITE is what the
+    // row-level ReplaceData write path requires
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** SQL `MERGE INTO` / `UPDATE` / subquery `DELETE` plan natively
+    * through the group-based copy-on-write plumbing ([[GraftRowLevelBuilder]]);
+    * translatable DELETEs keep resolving to the metadata
+    * [[ManifestTable.deleteWhere]] path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable prefers [[SupportsDelete]]).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(root, table, index, info)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // scan-build time is the first moment the PLANNING session is known
+    // for certain — register the metadata-agg rewrite there, so every
+    // session that reads a graft table by name gets it (idempotent)
+    graft.plans.MetadataAggRule.register(spark)
     new GraftScanBuilder(index, schema())
+  }
 
   // ---- writes: INSERT INTO appends, INSERT OVERWRITE replaces ----
 
@@ -410,10 +430,20 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
               val existing = ManifestTable.read(root)
                 .map(_.table(table)).filter(_.schemaJson.nonEmpty)
+              // a table with an active change feed must keep publishing
+              // deltas through SQL INSERTs too — a non-feed data commit
+              // would reset the feed and break running CDF consumers
+              // (deleteWhere/updateWhere already honor this contract);
+              // INSERT OVERWRITE is a wholesale replacement and resets
+              // the feed by design, like every other overwrite
+              val feedActive = existing.exists(_.feedFrom >= 0)
               val params = org.apache.spark.sql.catalyst.util
-                .CaseInsensitiveMap(Map(
-                  if (overwrite) "mode" -> "overwrite"
-                  else "appendOnly" -> "true"))
+                .CaseInsensitiveMap(
+                  (if (overwrite) Map("mode" -> "overwrite")
+                   else Map("appendOnly" -> "true")) ++
+                  (if (feedActive && !overwrite)
+                     Map("changeFeed" -> "true")
+                   else Map.empty[String, String]))
               ManifestTable.mergeBatch(root,
                 s"sql-insert-${UUID.randomUUID()}", 0L,
                 Seq(GraftDataSource.tableBatch(table, data, params, existing,
@@ -481,7 +511,7 @@ class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
   with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = tableSchema
+  protected var requiredSchema: StructType = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -490,11 +520,11 @@ class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(rs: StructType): Unit =
+    requiredSchema = rs
 
   override def build(): Scan = new GraftBatchScan(index, tableSchema,
-    required, pushed)
+    requiredSchema, pushed)
 }
 
 class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
@@ -509,15 +539,35 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
 
   override def toBatch: Batch = this
 
+  /** Filters the listing prunes with — subclasses (the row-level scan)
+    * append runtime group filters on top of the pushed set.
+    */
+  protected def effectiveFilters: Seq[Filter] = pushed.toIndexedSeq
+
+  /** Hook: the exact files this scan planned (the row-level operation
+    * records them as the groups its write replaces).
+    */
+  protected def planned(
+      files: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val files = index.filesForFilters(pushed.toIndexedSeq)
+    val files = index.filesForFilters(effectiveFilters)
     plannedFiles = files.length
-    val parts = files.map(f => org.apache.spark.sql.execution.datasources
-      .PartitionedFile(InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPath(f.getPath), 0L, f.getLen))
-    FilePartition.getFilePartitions(spark, parts.toIndexedSeq,
-      FilePartition.maxSplitBytes(spark, parts.map(_.length).sum))
+    planned(files)
+    // slice each file into maxSplitBytes chunks BEFORE bin-packing —
+    // parquet splits at row-group boundaries, so a single multi-GB
+    // generation file fans out across tasks instead of serializing in
+    // one (the same split rule FileSourceScanExec applies on the
+    // format("graft") path)
+    val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.getLen).sum)
+    val parts = files.flatMap { f =>
+      val path = org.apache.spark.paths.SparkPath.fromPath(f.getPath)
+      (0L until f.getLen by maxSplit).map(off =>
+        org.apache.spark.sql.execution.datasources.PartitionedFile(
+          InternalRow.empty, path, off, math.min(maxSplit, f.getLen - off)))
+    }
+    FilePartition.getFilePartitions(spark, parts.toIndexedSeq, maxSplit)
       .toArray
   }
 

@@ -60,10 +60,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // ad-hoc sessions get the metadata-count rewrite without wiring
     // GraftExtensions (same dual registration as the as-of strategy);
     // idempotent across repeated reads
-    if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.MetadataAggRule]))
-      spark.experimental.extraOptimizations ++=
-        Seq(graft.plans.MetadataAggRule(spark))
+    graft.plans.MetadataAggRule.register(spark)
     val index = new ManifestFileIndex(spark, root, table, version)
     HadoopFsRelation(index, new StructType(), index.tableSchema,
       None, new ParquetFileFormat, Map.empty)(spark)
@@ -227,6 +224,16 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     * scan jobs. Snapshot-pinned like everything else on this index.
     */
   def metadataRowCount: Option[Long] = ts.rowCount
+
+  /** The snapshot version this index pinned at construction — the
+    * row-level write's OCC base.
+    */
+  def snapshotVersion: Long = manifest.version
+
+  /** The table's recorded merge keys (row-level runtime group filtering
+    * exposes these as its filter attributes).
+    */
+  def mergeKeys: Seq[String] = ts.mergeKeys
 
   /** Exact MIN (`lower=true`) or MAX of `column` from the manifest's
     * per-generation bounds — each generation's recorded lo/hi IS its
@@ -399,33 +406,69 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     dataFilters.flatMap(go).toMap
   }
 
-  /** Bucket pruning for point lookups: when the predicate pins EVERY
-    * merge-key column with an equality, the row can live in exactly one
-    * hash bucket — evaluate the writer's own `pmod(xxhash64(keys), n)`
-    * expression driver-side on the pinned literals (the manifest records
-    * the layout, so no caller-supplied bucketing is needed) and restrict
-    * to that bucket's generations. A 1/numBuckets scan for every
-    * `WHERE key = …` SQL lookup, with zero jobs launched to decide it.
+  /** Per-column bounded IN-lists from the pushed conjuncts (all-literal,
+    * ≤ [[ManifestFileIndex.MaxNeedleValues]] values) — what the
+    * row-level runtime group filter pushes (the matched merge keys as a
+    * dynamic IN-subquery), and what a hand-written `key IN (…)` lookup
+    * pushes statically.
     */
-  private def bucketFor(dataFilters: Seq[Expression]): Option[Long] =
+  private def inLiteralSets(
+      dataFilters: Seq[Expression]): Map[String, Seq[Literal]] = {
+    def go(e: Expression): Seq[(String, Seq[Literal])] = e match {
+      case And(l, r) => go(l) ++ go(r)
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.size <= ManifestFileIndex.MaxNeedleValues &&
+            vs.forall { case Literal(v, _) => v != null; case _ => false } =>
+        Seq(a.name -> vs.collect { case l: Literal => l })
+      case _ => Nil
+    }
+    dataFilters.flatMap(go).toMap
+  }
+
+  /** Bucket pruning for point and set lookups: when the predicate pins
+    * EVERY merge-key column with an equality or a bounded IN-list, the
+    * matching rows can live only in the hash buckets of those key
+    * tuples — evaluate the writer's own `pmod(xxhash64(keys), n)`
+    * expression driver-side on each pinned combination (the manifest
+    * records the layout, so no caller-supplied bucketing is needed) and
+    * restrict to those buckets' generations. A 1/numBuckets scan for
+    * every `WHERE key = …` SQL lookup, and — through the same algebra —
+    * the narrowing that pins a row-level MERGE's rewrite to the buckets
+    * actually holding its matched keys (the runtime group filter arrives
+    * exactly as `key IN (matched values)`). Composite keys take the
+    * cross product of their per-column sets — an over-approximation of
+    * the true tuple set, so never a wrong skip — capped so the
+    * driver-side hashing stays trivial.
+    */
+  private def bucketsFor(dataFilters: Seq[Expression]): Option[Set[Long]] =
     if (ts.mergeKeys.isEmpty || ts.numBuckets <= 0) None
     else {
       val eqs = equalityLiterals(dataFilters)
-      val lits = ts.mergeKeys.map(eqs.get)
-      if (lits.exists(_.isEmpty)) None
+      val ins = inLiteralSets(dataFilters)
+      val perKey: Seq[Seq[Literal]] = ts.mergeKeys.map(k =>
+        eqs.get(k).map(Seq(_)).orElse(ins.get(k)).getOrElse(Nil))
+      if (perKey.exists(_.isEmpty) ||
+          perKey.map(_.size.toLong).product >
+            ManifestFileIndex.MaxNeedleValues) None
       else {
-        val h = XxHash64(lits.flatten, 42L).eval(null).asInstanceOf[Long]
-        Some(((h % ts.numBuckets) + ts.numBuckets) % ts.numBuckets)
+        val combos = perKey.foldLeft(Seq(Seq.empty[Literal])) {
+          (acc, vs) => acc.flatMap(c => vs.map(c :+ _))
+        }
+        Some(combos.map { lits =>
+          val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long]
+          ((h % ts.numBuckets) + ts.numBuckets) % ts.numBuckets
+        }.toSet)
       }
     }
 
-  /** Generations every extracted window keeps, within the covering bucket
-    * when one is pinned (path-set intersection — conjunct semantics).
+  /** Generations every extracted window keeps, within the covering
+    * bucket set when one is pinned (path-set intersection — conjunct
+    * semantics).
     */
   private def prunedGens(dataFilters: Seq[Expression])
       : Seq[ManifestTable.BucketGen] = {
-    val base = bucketFor(dataFilters) match {
-      case Some(b) => ts.buckets.getOrElse(b, Nil)
+    val base = bucketsFor(dataFilters) match {
+      case Some(bs) => bs.toSeq.sorted.flatMap(b => ts.buckets.getOrElse(b, Nil))
       case None => ts.gens
     }
     val ws = dataFilters.flatMap(windows)
@@ -487,8 +530,11 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
   private val ParallelListThreshold = 32
 
   // sidecar cache for the serial path: the snapshot is immutable, so a
-  // (generation, column) filter read once is valid for this index's life
-  private val sidecarCache = scala.collection.mutable.HashMap
+  // (generation, column) filter read once is valid for this index's life.
+  // TrieMap because one index can be planned from several threads at once
+  // (a DataFrame shared across threads, AQE re-planning) — lock-free
+  // lookups, and a racing double-load just wastes one read
+  private val sidecarCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
 
   private def listGens(gens: Seq[ManifestTable.BucketGen],

@@ -478,15 +478,23 @@ object ManifestTable {
     new File(root, s"$ManifestName.v$v")
 
   /** Version embedded in a generation dir name (`b3-v7-nonce`,
-    * `b3-c7-nonce`, `chg-v7-nonce`; legacy `b3-7`): the second dash token
-    * with its v/c marker stripped. Unparseable → 0, i.e. always
-    * collectible, matching the pre-versioned-naming behavior.
+    * `b3-c7-nonce`, `b3-d7-g0-nonce`, `b3-u7-g0-nonce`, `chg-v7-nonce`;
+    * legacy `b3-7`): the second dash token with its operation marker
+    * (v=write, c=recluster, d=delete, u=update, m=row-level merge)
+    * stripped. Unparseable →
+    * 0, i.e. always collectible, matching the pre-versioned-naming
+    * behavior. The marker set must cover every writer's naming scheme:
+    * a dir GC can't date is a dir GC may collect out from under an
+    * in-flight writer (survivable — the race-casualty retry rebases —
+    * but wasteful).
     */
   private def dirVersion(name: String): Long = {
     val parts = name.split('-')
     if (parts.length < 2) 0L
     else {
-      val tok = parts(1).dropWhile(c => c == 'v' || c == 'c')
+      val tok = parts(1)
+        .dropWhile(c => c == 'v' || c == 'c' || c == 'd' || c == 'u' ||
+          c == 'm')
       if (tok.nonEmpty && tok.forall(_.isDigit)) tok.toLong else 0L
     }
   }
@@ -1460,19 +1468,25 @@ object ManifestTable {
       val nonce = newNonce()
       try {
         // discovery: matched count + the files holding matches, one job,
-        // pruned by the manifest algebra through the provider read path
+        // pruned by the manifest algebra through the provider read path.
+        // Aggregated PER FILE (distributed hash agg, map-side partial —
+        // each task holds at most its own files' keys) rather than a
+        // collect_set funneling every path through ONE reducer's buffer:
+        // a broad delete at 100 TB can touch millions of files, and the
+        // driver result is one small row per file either way
         val pruned = spark.read.format("graft")
           .option("path", root.toString).option("table", table)
           .option("version", manifest.version.toString).load()
           .filter(cond)
-        val Array(row) = pruned
+        val fileRows = pruned
           .select(input_file_name().as("f")) // projected first: aggregates
-          .agg(count(lit(1)).as("n"),        // reject nondeterministic args
-            collect_set(col("f")).as("files"))
+          .groupBy(col("f"))                 // reject nondeterministic args
+          .agg(count(lit(1)).as("n"))
           .collect()
-        val matched = row.getAs[Long]("n")
+        val matched = fileRows.iterator.map(_.getAs[Long]("n")).sum
         if (matched == 0L) return 0L
-        val touchedDirs: Set[String] = row.getAs[Seq[String]]("files").map { f =>
+        val touchedDirs: Set[String] = fileRows.map { r =>
+          val f = r.getAs[String]("f")
           val p = if (f.startsWith("file:")) new File(new java.net.URI(f))
             else new File(f)
           p.getParentFile.getCanonicalPath
@@ -1563,13 +1577,16 @@ object ManifestTable {
           .option("path", root.toString).option("table", table)
           .option("version", manifest.version.toString).load()
           .filter(cond)
-        val Array(row) = pruned
+        // per-file distributed aggregation, not a one-reducer collect_set
+        // — same discovery contract as deleteWhere
+        val fileRows = pruned
           .select(input_file_name().as("f"))
-          .agg(count(lit(1)).as("n"), collect_set(col("f")).as("files"))
+          .groupBy(col("f")).agg(count(lit(1)).as("n"))
           .collect()
-        val matched = row.getAs[Long]("n")
+        val matched = fileRows.iterator.map(_.getAs[Long]("n")).sum
         if (matched == 0L) return 0L
-        val touchedDirs: Set[String] = row.getAs[Seq[String]]("files").map { f =>
+        val touchedDirs: Set[String] = fileRows.map { r =>
+          val f = r.getAs[String]("f")
           val p = if (f.startsWith("file:")) new File(new java.net.URI(f))
             else new File(f)
           p.getParentFile.getCanonicalPath
@@ -1629,6 +1646,163 @@ object ManifestTable {
       }
     }
     result
+  }
+
+  /** Group-replacement commit for the native SQL row-level operations
+    * (MERGE INTO / UPDATE / subquery DELETE → Spark's group-based
+    * `ReplaceData` plan): drop exactly the generations whose files the
+    * operation's scan planned (`replacedFiles`), re-bucket the
+    * replacement rows on the table's recorded merge-key hash, and
+    * publish both in ONE atomic manifest swap.
+    *
+    * OCC contract: the replacement rows were computed against the
+    * snapshot `baseVersion` pinned by the operation's scan. If a
+    * concurrent commit changed THIS TABLE since, the statement's answer
+    * is stale — rebasing would require re-running the whole rewrite
+    * query, so the statement aborts with [[ConcurrentCommitException]]
+    * (the Delta/Iceberg conflict contract); commits that touched only
+    * other tables of the namespace rebase transparently.
+    *
+    * Change feed: with an active feed the commit publishes an EXACT
+    * keyed diff of the replaced generations' rows vs their replacements
+    * — delete preimages, insert rows, and update_preimage/postimage
+    * pairs for rows whose non-key columns actually changed (a group
+    * rewrite re-emits untouched rows; those must NOT appear in the
+    * feed). If merge keys are not unique in the touched groups (an
+    * append-mode table), the diff is ill-posed and the feed resets —
+    * the documented gap semantics rather than a wrong delta.
+    */
+  def replaceGroups(spark: SparkSession, root: File, table: String,
+      replacedFiles: Seq[String], rows: DataFrame, op: String,
+      baseVersion: Long): Unit = {
+    val replacedDirs: Set[String] = replacedFiles.map { f =>
+      val p = if (f.startsWith("file:")) new File(new java.net.URI(f))
+        else new File(f)
+      p.getParentFile.getCanonicalPath
+    }.toSet
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      val baseTs = resolve(root, Some(baseVersion)).table(table)
+      val ts = manifest.table(table)
+      if (ts != baseTs) // someone changed THIS table under the statement
+        throw new ConcurrentCommitException(manifest.version)
+      require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
+      val schema = ts.schema
+      def touched(g: BucketGen): Boolean =
+        replacedDirs.contains(new File(root, g.path).getCanonicalPath)
+      val nonce = newNonce()
+      val aligned = rows.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val bucketExpr =
+        pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
+          lit(ts.numBuckets))
+      val withBucket = aligned.withColumn(BucketCol, bucketExpr).persist()
+      try {
+        val presentBuckets = withBucket.select(BucketCol).distinct()
+          .collect().map(_.getLong(0)).toSet // bounded: ≤ numBuckets rows
+        val touchedBuckets = ts.buckets.collect {
+          case (b, gens) if gens.exists(touched) => b
+        }.toSet
+        val rewritten: Map[Long, Seq[BucketGen]] =
+          (presentBuckets ++ touchedBuckets).toSeq.sorted.map { b =>
+            val kept = ts.buckets.getOrElse(b, Nil).filterNot(touched)
+            val gens =
+              if (!presentBuckets.contains(b)) kept
+              else {
+                val rel = s"data/$table/b$b-m${manifest.version + 1}-$nonce"
+                val (stats, nRows, searched) = writeGen(
+                  withBucket.filter(col(BucketCol) === b).drop(BucketCol),
+                  new File(root, rel), ts.statsCols, ts.searchCols)
+                if (nRows == 0L) kept
+                else kept :+ BucketGen(rel, stats, nRows, searched)
+              }
+            b -> gens
+          }.toMap
+        val changePath =
+          if (ts.feedFrom < 0) None
+          else replaceDelta(spark, root, table, ts, replacedDirs, aligned,
+            manifest.version + 1, nonce)
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
+            changePath = changePath)), op)
+        commit(root, next)
+        gc(root, next)
+        done = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // loop re-checks: other-table commits rebase,
+                       // same-table commits abort above
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      } finally { withBucket.unpersist(); () }
+    }
+  }
+
+  /** The keyed diff a group replacement publishes to an active change
+    * feed (see [[replaceGroups]]); None = feed must reset (non-unique
+    * merge keys make the diff ill-posed).
+    */
+  private def replaceDelta(spark: SparkSession, root: File, table: String,
+      ts: TableState, replacedDirs: Set[String], replacement: DataFrame,
+      nextVersion: Long, nonce: String): Option[String] = {
+    val schema = ts.schema
+    val keys = ts.mergeKeys
+    def touched(g: BucketGen): Boolean =
+      replacedDirs.contains(new File(root, g.path).getCanonicalPath)
+    val oldDirs = ts.gens.filter(touched).map(g =>
+      new File(root, g.path).toString)
+    val oldRows =
+      if (oldDirs.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(oldDirs: _*)
+    def uniqueKeys(df: DataFrame): Boolean = df
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+    if (!uniqueKeys(oldRows) || !uniqueKeys(replacement)) return None
+    // null-safe per-column comparison; map-typed columns (not orderable)
+    // compare through their canonical JSON rendering
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val o = oldRows.select(schema.fieldNames.map(c =>
+      col(c).as(s"__o_$c")).toIndexedSeq: _*).withColumn("__o", lit(true))
+    val n = replacement.select(schema.fieldNames.map(c =>
+      col(c).as(s"__n_$c")).toIndexedSeq: _*).withColumn("__n", lit(true))
+    val joined = o.join(n,
+      keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _),
+      "full_outer").persist()
+    try {
+      def oCols = schema.fieldNames.map(c => col(s"__o_$c").as(c)).toIndexedSeq
+      def nCols = schema.fieldNames.map(c => col(s"__n_$c").as(c)).toIndexedSeq
+      val changedCond = schema.fields.filterNot(f => keys.contains(f.name))
+        .map { f =>
+          if (hasMap(f.dataType))
+            !(to_json(col(s"__o_${f.name}")) <=> to_json(col(s"__n_${f.name}")))
+          else !(col(s"__o_${f.name}") <=> col(s"__n_${f.name}"))
+        }.reduceOption(_ || _).getOrElse(lit(false))
+      val inserts = joined.filter(col("__o").isNull)
+        .select(nCols: _*).withColumn(ChangeTypeCol, lit("insert"))
+      val deletes = joined.filter(col("__n").isNull)
+        .select(oCols: _*).withColumn(ChangeTypeCol, lit("delete"))
+      val changed = joined
+        .filter(col("__o").isNotNull && col("__n").isNotNull && changedCond)
+      val pre = changed.select(oCols: _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val post = changed.select(nCols: _*)
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val rel = s"data/$table/chg-m$nextVersion-$nonce"
+      inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        .write.mode("overwrite").parquet(new File(root, rel).toString)
+      Some(rel)
+    } finally { joined.unpersist(); () }
   }
 
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
@@ -1774,16 +1948,73 @@ object ManifestTable {
             }
             // mixed-radix cell id: one stratum per dimension
             val cellId = strata.reduceLeft((acc, s) => acc * q + s)
-            val present = keyed.groupBy(cellId.as("__s")).count()
-              .collect().map(_.getInt(0)).sorted
             val cols = ts.schema.fieldNames.map(col).toIndexedSeq
-            b -> present.toSeq.map { i =>
+            val cellCol = "__graft_cell"
+            val withCell = keyed.withColumn(cellCol, cellId)
+            // ONE aggregation job answers which cells exist, their row
+            // counts, AND their per-column bounds (the old shape paid a
+            // count job plus one observe-write PER CELL — ~slices
+            // sequential scans of the bucket)
+            val statFields = stats.flatMap(c =>
+              if (ts.schema.fieldNames.contains(c))
+                statsKind(ts.schema(c).dataType).map(k => c -> k)
+              else None)
+            val aggExprs = count(lit(1)).as("rows_") +:
+              statFields.flatMap { case (c, _) =>
+                Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+            val cellRows = withCell.groupBy(col(cellCol))
+              .agg(aggExprs.head, aggExprs.tail: _*)
+              .collect().sortBy(_.getInt(0)) // bounded: ≤ q^k cells
+            // ONE write job lands every cell in its own dir:
+            // repartition-by-cell co-locates each cell in exactly one
+            // task, dynamic partitioning fans the dirs out, then each
+            // cell dir renames into its generation name (a metadata move)
+            val searchCols = gens.flatMap(_.search).distinct.filter(c =>
+              ts.schema.fieldNames.contains(c) &&
+                searchKind(ts.schema(c).dataType).nonEmpty)
+            val tmpRel = s"data/$table/b$b-c${manifest.version + 1}-tmp-$nonce"
+            val tmpDir = new File(root, tmpRel)
+            val writer = withCell.select(col(cellCol) +: cols: _*)
+              .repartition(col(cellCol))
+              .write.partitionBy(cellCol).mode("overwrite")
+            searchCols.foldLeft(writer) { (w, c) =>
+              w.option(s"parquet.bloom.filter.enabled#$c", "true")
+            }.parquet(tmpDir.toString)
+            val genList = cellRows.toSeq.map { r =>
+              val i = r.getInt(0)
               val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
-              val (st, nRows, searched) = writeGen(keyed.filter(cellId === i)
-                .select(cols: _*), new File(root, rel), stats,
-                gens.flatMap(_.search).distinct)
-              BucketGen(rel, st, nRows, searched)
+              val dest = new File(root, rel)
+              val src = new File(tmpDir, s"$cellCol=$i")
+              require(src.isDirectory && src.renameTo(dest),
+                s"recluster: cannot move cell dir $src -> $dest")
+              val nRows = r.getAs[Long]("rows_")
+              val genStats = statFields.flatMap {
+                case (c, "str") =>
+                  (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
+                    case (lo: String, hi: String)
+                        if lo.length <= MaxStringStatLen &&
+                          hi.length <= MaxStringStatLen =>
+                      Some(c -> ColStat("str", lo, hi))
+                    case _ => None
+                  }
+                case (c, _) =>
+                  (statValue(r.getAs[Any](s"min_$c")),
+                    statValue(r.getAs[Any](s"max_$c"))) match {
+                    case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
+                      lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
+                    case _ => None
+                  }
+              }.toMap
+              val searched = searchCols.map { c =>
+                writeSearchSidecar(spark, dest,
+                  c, searchKind(ts.schema(c).dataType).get,
+                  math.max(nRows, 1L))
+                c
+              }
+              BucketGen(rel, genStats, nRows, searched)
             }
+            deleteRecursively(tmpDir)
+            b -> genList
           } finally { df.unpersist(); () }
         }
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,

@@ -1,0 +1,265 @@
+package graft.sources
+
+import java.io.File
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{InputPartition, ScanBuilder, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native SQL row-level operations on graft catalog tables — the plumbing
+  * that lets the reference's operating verb, a literal `MERGE INTO …
+  * WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED THEN INSERT …` statement
+  * (reference sql/05_merge_canonical.sql:4-53), plus SQL `UPDATE` and
+  * subquery-conditioned `DELETE`, plan and run unchanged against
+  * `graft.ns.t`.
+  *
+  * Shape: GROUP-BASED copy-on-write (Spark's `ReplaceData` plan — the
+  * Iceberg copy-on-write shape, not delta-based `WriteDelta`), which is
+  * the natural fit for a manifest of immutable generation dirs:
+  *
+  *  1. Spark rewrites the statement into a query over this operation's
+  *     SCAN (affected groups only) producing the groups' SURVIVING rows
+  *     (deletes dropped, updates applied, merge-inserts appended);
+  *  2. the scan prunes statically from pushed predicates (the manifest
+  *     window/needle/bucket algebra) and at RUNTIME from Spark's
+  *     row-level group filter — a dynamic IN-subquery of the matched
+  *     merge keys pushed through [[SupportsRuntimeV2Filtering]], so a
+  *     selective MERGE touches only the generations that provably hold
+  *     matched keys, not the whole table;
+  *  3. tasks stage the replacement rows (length-prefixed UnsafeRow
+  *     files — transient shuffle-grade bytes, not the durable format);
+  *  4. commit() re-buckets the staged rows on the table's recorded
+  *     merge-key hash and publishes ONE atomic manifest swap that drops
+  *     exactly the scanned generations and adds the replacements —
+  *     snapshot isolation, time travel, and the change feed all ride the
+  *     ordinary commit protocol ([[ManifestTable.replaceGroups]]).
+  *
+  * Concurrency: the scan pins the table's resolved snapshot version; a
+  * conflicting data commit on the SAME table between scan and commit
+  * aborts the statement (the query's answer is stale — rebasing a group
+  * rewrite means re-running the query, which is the caller's decision);
+  * commits that touched only OTHER tables of the namespace rebase
+  * transparently.
+  */
+class GraftRowLevelBuilder(root: File, table: String,
+    index: ManifestFileIndex, info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, table, index, info.command)
+}
+
+class GraftRowLevelOperation(val root: File, val table: String,
+    val index: ManifestFileIndex, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** Files the operation's scan actually planned (post static + runtime
+    * pruning) — the groups the write's commit replaces. Written by
+    * [[GraftRowLevelScan.planInputPartitions]] before any write task
+    * runs (Spark plans the scan side of the ReplaceData query first).
+    */
+  @volatile var replacedFiles: Seq[String] = Nil
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(index, index.tableSchema) {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new GraftRowLevelScan(GraftRowLevelOperation.this, index,
+          index.tableSchema, requiredSchema, pushedFilters())
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceDataWrite(GraftRowLevelOperation.this, info.schema())
+    }
+
+  override def description(): String =
+    s"GraftRowLevelOperation($cmd, $root/$table@v${index.snapshotVersion})"
+}
+
+/** The row-level operation's scan: the ordinary pruned batch scan plus
+  * runtime group filtering. `filterAttributes` exposes the table's merge
+  * keys, so Spark's `RowLevelOperationRuntimeGroupFiltering` plans a
+  * dynamic IN-subquery of the merge-key values the condition matches and
+  * pushes it here; the needle/bucket algebra then keeps only generations
+  * that might hold those keys. Best-effort by contract: an IN list past
+  * the needle cap simply doesn't narrow (never a wrong skip), and every
+  * predicate is re-applied on the rows by the rewrite query itself.
+  */
+class GraftRowLevelScan(op: GraftRowLevelOperation, index: ManifestFileIndex,
+    dataSchema: StructType, required: StructType, pushed: Array[Filter])
+  extends GraftBatchScan(index, dataSchema, required, pushed)
+  with SupportsRuntimeV2Filtering {
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    index.mergeKeys.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(k))
+      .toArray
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtime = org.apache.spark.sql.graftbridge.Bridge.toV1Filters(predicates)
+
+  override protected def effectiveFilters: Seq[Filter] =
+    (pushed ++ runtime).toIndexedSeq
+
+  override protected def planned(files: Array[FileStatus]): Unit =
+    op.replacedFiles = files.map(_.getPath.toString).toIndexedSeq
+
+  override def description(): String =
+    s"GraftRowLevelScan($index, pushed=${pushed.mkString(",")}, " +
+      s"runtime=${runtime.mkString(",")})"
+}
+
+/** Commit message: one staged file of replacement rows (empty path = the
+  * task saw no rows and staged nothing).
+  */
+case class StagedFile(path: String) extends WriterCommitMessage
+
+class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
+  extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val spark = SparkSession.active
+    // staged under the table's data dir with the target version in the
+    // name, so GC's in-flight guard protects it exactly like an
+    // in-flight generation dir; after the commit it is an orphan the
+    // commit's own GC (or an explicit delete below) removes
+    private val stagingRel =
+      s"data/${op.table}/stage-m${op.index.snapshotVersion + 1}-" +
+        UUID.randomUUID().toString.take(8)
+    private val stagingDir = new File(op.root, stagingRel)
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      StagingWriterFactory(schema, stagingDir.toString,
+        new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.collect {
+        case StagedFile(p) if p.nonEmpty => p
+      }
+      val rows =
+        if (staged.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else {
+          val n = schema.length
+          val rdd = spark.sparkContext
+            .binaryFiles(stagingDir.toString, staged.length)
+            .flatMap { case (_, pds) =>
+              StagingWriterFactory.decode(n, pds.open())
+            }
+          org.apache.spark.sql.graftbridge.Bridge
+            .internalRowsDf(spark, rdd, schema)
+        }
+      ManifestTable.replaceGroups(spark, op.root, op.table, op.replacedFiles,
+        rows, op.command.toString, op.index.snapshotVersion)
+      ManifestTable.deleteRecursively(stagingDir)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      ManifestTable.deleteRecursively(stagingDir)
+  }
+
+  override def description(): String = s"GraftReplaceDataWrite($op)"
+}
+
+/** Task-side staging: each writer streams its rows as length-prefixed
+  * UnsafeRow bytes to one file under the staging dir (Hadoop FS API, so
+  * the staging location is the table's own shared storage on a real
+  * cluster). Deliberately NOT parquet: these bytes live only between the
+  * write job and its commit, and the commit re-reads them exactly once
+  * to bucket + publish through [[ManifestTable.writeGen]] — the durable
+  * format with stats, sidecars, and compression happens there.
+  */
+case class StagingWriterFactory(schema: StructType, stagingDir: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val path =
+      new Path(s"$stagingDir/part-$partitionId-$taskId.urow")
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+    private var proj: UnsafeProjection = _
+    private val buf = new Array[Byte](4096)
+
+    override def write(row: InternalRow): Unit = {
+      if (out == null) out = path.getFileSystem(conf.value).create(path, true)
+      if (proj == null) {
+        // ReplaceDataExec only applies its row projection when the
+        // operation declared metadata attributes; without them the raw
+        // query row arrives with Spark's __row_operation int PREPENDED
+        // to the data columns (RowDeltaUtils.OPERATION_COLUMN). Detect
+        // the layout from the first row's arity and bind the data
+        // columns at the right offset — exact for both shapes, and a
+        // layout drift in a future Spark fails loudly here instead of
+        // corrupting rows
+        val offset = row.numFields - schema.length
+        require(offset == 0 || offset == 1,
+          s"replace-data row has ${row.numFields} fields for " +
+            s"${schema.length} data columns — unknown row layout")
+        proj = UnsafeProjection.create(
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i + offset, f.dataType, nullable = true)
+          }.toIndexedSeq)
+      }
+      val u = proj(row)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, buf)
+    }
+
+    override def commit(): WriterCommitMessage =
+      if (out == null) StagedFile("")
+      else { out.close(); StagedFile(path.toString) }
+
+    override def abort(): Unit = if (out != null) {
+      out.close()
+      path.getFileSystem(conf.value).delete(path, false); ()
+    }
+
+    override def close(): Unit = ()
+  }
+}
+
+object StagingWriterFactory {
+  /** Decode one staged file back into UnsafeRows (fresh backing array per
+    * row — downstream operators may buffer references).
+    */
+  def decode(numFields: Int,
+      in: java.io.DataInputStream): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var nextRow: InternalRow = fetch()
+      private def fetch(): InternalRow = {
+        val b0 = in.read()
+        if (b0 < 0) { in.close(); null }
+        else {
+          val size = (b0 << 24) | (in.read() << 16) |
+            (in.read() << 8) | in.read()
+          val bytes = new Array[Byte](size)
+          in.readFully(bytes)
+          val r = new UnsafeRow(numFields)
+          r.pointTo(bytes, size)
+          r
+        }
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; nextRow = fetch(); r
+      }
+    }
+}

@@ -28,6 +28,25 @@ object Bridge {
     * bucket split, per-bucket writes) must re-wrap it first, exactly as
     * DeltaSink does.
     */
+  /** DataFrame over an RDD of InternalRows under a known schema
+    * (`internalCreateDataFrame` again) — how the row-level write's commit
+    * re-reads its staged UnsafeRow files as a queryable frame.
+    */
+  def internalRowsDf(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** DSv2 runtime Predicates → v1 source Filters (`PredicateUtils` is
+    * private[sql]); untranslatable predicates drop — for the row-level
+    * scan that only means less pruning, never a wrong skip.
+    */
+  def toV1Filters(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
   def batchDf(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ss = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ss.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
