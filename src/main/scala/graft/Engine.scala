@@ -17,6 +17,11 @@ object Engine {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // the engine's own extensions (as-of strategy, metadata-agg
+      // rewrite, named change-feed resolution) — the deployment path a
+      // cluster job would configure; the ad-hoc fallbacks stay for
+      // sessions built without it
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

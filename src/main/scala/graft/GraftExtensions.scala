@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT(*) over format("graft") relations — answered
     // from the manifest's recorded row counts, zero scan jobs
     ext.injectOptimizerRule(_ => plans.MetadataAggRule())
+    // readStream.option("readChangeFeed", true).table("graft.ns.t") —
+    // feed subscription by catalog name (the output-schema rewrite the
+    // table object can't do itself because loadTable never sees options)
+    ext.injectResolutionRule(_ => plans.ResolveChangeFeedRead())
   }
 }

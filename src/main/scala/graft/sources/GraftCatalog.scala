@@ -394,9 +394,10 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE alongside V1_BATCH_WRITE: INSERTs still dispatch on
     // the V1Write the builder returns; BATCH_WRITE is what the
-    // row-level ReplaceData write path requires
+    // row-level ReplaceData write path requires. MICRO_BATCH_READ is
+    // the named change-feed subscription (readChangeFeed option).
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** SQL `MERGE INTO` / `UPDATE` / subquery `DELETE` plan natively
@@ -415,7 +416,27 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
     // for certain — register the metadata-agg rewrite there, so every
     // session that reads a graft table by name gets it (idempotent)
     graft.plans.MetadataAggRule.register(spark)
-    new GraftScanBuilder(index, schema())
+    if (options.getBoolean(GraftSqlTable.ReadChangeFeedOption, false)) {
+      // named feed subscription: plan the SAME CdfMicroBatchStream as
+      // format("graft-cdf"), so offsets/checkpoints/admission control
+      // are identical between the two entry points; pacing options
+      // (startingVersion, maxVersionsPerTrigger) pass straight through
+      import scala.jdk.CollectionConverters._
+      val params = options.asCaseSensitiveMap.asScala.toMap ++
+        Map("path" -> root.toString, "table" -> table)
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType =
+              ChangeFeedStream.feedSchema(params)
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              new CdfMicroBatchStream(spark, params)
+            override def description(): String =
+              s"GraftNamedCdfScan($root/$table)"
+          }
+      }
+    } else new GraftScanBuilder(index, schema())
   }
 
   // ---- writes: INSERT INTO appends, INSERT OVERWRITE replaces ----
@@ -471,6 +492,11 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
 
 object GraftSqlTable {
   import org.apache.spark.sql.Column
+
+  /** Read option selecting the change feed instead of the table rows —
+    * Delta's option name, so a reader migrating over keeps its spelling.
+    */
+  val ReadChangeFeedOption = "readChangeFeed"
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 

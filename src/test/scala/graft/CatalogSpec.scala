@@ -241,4 +241,56 @@ class CatalogSpec extends SparkSpec {
     spark.sql("CALL graft3.system.vacuum('ops')")
     assert(!orphan.exists, "vacuum left the orphan generation dir")
   }
+
+  test("readStream.table with readChangeFeed subscribes to the feed by catalog name — same stream, same checkpoints, SQL INSERT keeps feeding it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat4").toString
+    spark.conf.set("spark.sql.catalog.graft4", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft4.ops")
+    spark.sql("""CREATE TABLE graft4.ops.t (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    val root = new File(wh, "ops")
+    // open the feed through the provider writer
+    import spark.implicits._
+    (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id")
+      .option("changeFeed", "true").mode("append").save()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat4_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("readChangeFeed", "true").table("graft4.ops.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.collect().map(_.toString)
+          seen.synchronized { seen ++= got }: Unit
+        }.start()
+      q.awaitTermination()
+    }
+
+    // first drain: the feed's retained history, with the CDF columns the
+    // named subscription resolved onto the relation
+    drain()
+    val feedFrom = ManifestTable.read(root).get.table("t").feedFrom
+    val expect = ManifestTable
+      .readChangeFeed(spark, root.toString, feedFrom, None, "t")
+      .collect().map(_.toString)
+    assert(seen.size == 20 && seen.toSet == expect.toSet)
+
+    // restart: the checkpoint holds, zero replay
+    drain()
+    assert(seen.size == 20, "named feed subscription replayed deltas")
+
+    // SQL INSERT into the feed-active table keeps the feed alive (a
+    // non-feed commit would reset it and fail this drain loudly) and
+    // its rows arrive as insert deltas
+    spark.sql("INSERT INTO graft4.ops.t SELECT id + 100, -1.0 FROM range(5)")
+    drain()
+    assert(seen.size == 25, s"SQL INSERT deltas missing: ${seen.size}")
+    assert(seen.count(_.contains("insert")) == 25)
+  }
 }
