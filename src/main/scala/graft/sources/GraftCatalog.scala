@@ -237,8 +237,8 @@ object GraftProcedures {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names = Seq("compact", "recluster", "history", "delete_where",
-    "update_where", "detail", "vacuum")
+  val Names = Seq("compact", "recluster", "zorder", "index", "history",
+    "delete_where", "update_where", "detail", "vacuum")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -288,6 +288,25 @@ object GraftProcedures {
           str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           str(row, 1), row.getInt(3))
         Nil
+      }
+      case "zorder" => bound("zorder",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("columns", StringType), in("slices", IntegerType)),
+        new StructType()) { row =>
+        ManifestTable.reclusterBy(spark, root(str(row, 0)),
+          str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          str(row, 1), row.getInt(3), zorder = true)
+        Nil
+      }
+      case "index" => bound("index",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("search_cols", StringType), in("stats_cols", StringType)),
+        StructType(Seq(StructField("generations", LongType)))) { row =>
+        def cols(i: Int) =
+          str(row, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val n = ManifestTable.buildIndexes(spark, root(str(row, 0)),
+          str(row, 1), cols(2), cols(3))
+        Seq(InternalRow(n))
       }
       case "history" => bound("history",
         Seq(in("namespace", StringType)),

@@ -219,6 +219,15 @@ object ManifestTable {
     }
   }
 
+  /** Z-order rank resolution: each clustering dimension quantile-ranks
+    * into 2^ZBits levels before the bit interleave — fine enough that an
+    * equal-count curve cut (any realistic slice count) never collapses
+    * cells, coarse enough that the rank expression stays one bounded
+    * codegen'd sum per dimension.
+    */
+  val ZBits = 6
+  val ZLevels: Int = 1 << ZBits
+
   /** Change-feed retention: entries this many versions back are served;
     * older ones prune (and their dirs GC) — the CDF analogue of the
     * snapshot retention window, sized larger because feeds are deltas
@@ -246,19 +255,45 @@ object ManifestTable {
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
+  /** One commit's DELTA log entry — what a non-checkpoint version file
+    * records instead of a full snapshot: exactly the [[Manifest.advance]]
+    * inputs (writer identity, operation, per-table updates) plus the
+    * commit timestamp, so replaying the entry through `advance` itself
+    * reconstructs the manifest bit-for-bit. The Delta-log shape: commit
+    * cost tracks the COMMIT's size (touched generations), not the
+    * table's, and every [[CheckpointInterval]]-th commit writes a full
+    * snapshot so reads fold at most an interval of deltas.
+    */
+  private[sources] case class CommitDelta(version: Long, queryId: String,
+    batchId: Long, op: String, timeMs: Long,
+    updates: Map[String, TableUpdate])
+
+  /** Fold one delta entry onto its base snapshot — the SAME `advance`
+    * the writer ran, with the recorded commit timestamp restored (the
+    * only non-deterministic input).
+    */
+  private def applyDelta(prev: Manifest, d: CommitDelta): Manifest = {
+    require(prev.version == d.version - 1,
+      s"delta v${d.version} cannot fold onto snapshot v${prev.version}")
+    val next = prev.advance(d.queryId, d.batchId, d.updates, d.op)
+    next.copy(info = next.info.copy(timeMs = d.timeMs))
+  }
+
   // ---- serialization (JSON via the json4s that ships in Spark) ----
 
+  private def genJson(g: BucketGen): JObject = JObject(
+    List(
+      "path" -> JString(g.path),
+      "rows" -> JLong(g.rows),
+      "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        c -> (JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
+          : JValue)
+      }.toList)) ++
+    (if (g.search.isEmpty) Nil
+     else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))))
+
   private def render(m: Manifest): String = {
-    def gen(g: BucketGen): JObject = JObject(
-      List(
-        "path" -> JString(g.path),
-        "rows" -> JLong(g.rows),
-        "stats" -> JObject(g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-          c -> (JArray(List(JString(s.kind), JString(s.lo), JString(s.hi)))
-            : JValue)
-        }.toList)) ++
-      (if (g.search.isEmpty) Nil
-       else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))))
+    def gen(g: BucketGen): JObject = genJson(g)
     val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> JObject(
         "schema" -> JString(ts.schemaJson),
@@ -360,24 +395,159 @@ object ManifestTable {
       tables, info)
   }
 
+  private def renderDelta(d: CommitDelta): String = {
+    val updates = JObject(d.updates.toSeq.sortBy(_._1).map { case (name, u) =>
+      name -> JObject(
+        "schema" -> JString(u.schemaJson),
+        "append" -> JBool(u.append),
+        "replaceAll" -> JBool(u.replaceAll),
+        "logicalChange" -> JBool(u.logicalChange),
+        "buckets" -> JObject(u.buckets.toSeq.sortBy(_._1).map { case (b, gens) =>
+          b.toString -> (JArray(gens.map(genJson).toList): JValue)
+        }.toList),
+        "changePath" -> u.changePath.map(JString(_)).getOrElse(JNothing),
+        "mergeKeys" -> JArray(u.mergeKeys.map(JString(_)).toList),
+        "numBuckets" -> JLong(u.numBuckets.toLong),
+        "statsCols" -> JArray(u.statsCols.map(JString(_)).toList),
+        "searchCols" -> JArray(u.searchCols.map(JString(_)).toList))
+    }.toList)
+    JsonMethods.pretty(JsonMethods.render(JObject(
+      "version" -> JLong(d.version),
+      "queryId" -> JString(d.queryId),
+      "batchId" -> JLong(d.batchId),
+      "op" -> JString(d.op),
+      "ts" -> JLong(d.timeMs),
+      "delta" -> updates)))
+  }
+
+  private def parseDelta(j: JValue): CommitDelta = {
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other => other.values.toString
+    }
+    def long(v: JValue): Long = v match {
+      case JLong(n) => n
+      case JInt(n) => n.toLong
+      case other => other.values.toString.toLong
+    }
+    def gen(gv: JValue): BucketGen = {
+      val stats = (gv \ "stats") match {
+        case JObject(ss) => ss.collect {
+          case (c, JArray(List(kind, lo, hi))) =>
+            c -> ColStat(str(kind), str(lo), str(hi))
+        }.toMap
+        case _ => Map.empty[String, ColStat]
+      }
+      val search = (gv \ "search") match {
+        case JArray(cs) => cs.map(str)
+        case _ => Nil
+      }
+      BucketGen(str(gv \ "path"), stats, long(gv \ "rows"), search)
+    }
+    val updates = (j \ "delta") match {
+      case JObject(fields) => fields.map { case (name, uv) =>
+        def cols(field: String): Seq[String] = (uv \ field) match {
+          case JArray(cs) => cs.map(str)
+          case _ => Nil
+        }
+        name -> TableUpdate(
+          str(uv \ "schema"),
+          (uv \ "buckets") match {
+            case JObject(bs) => bs.map { case (b, gvs) =>
+              b.toLong -> (gvs match {
+                case JArray(gens) => gens.map(gen)
+                case single => Seq(gen(single))
+              })
+            }.toMap
+            case _ => Map.empty[Long, Seq[BucketGen]]
+          },
+          append = (uv \ "append") == JBool(true),
+          changePath = (uv \ "changePath") match {
+            case JString(s) => Some(s)
+            case _ => None
+          },
+          logicalChange = (uv \ "logicalChange") != JBool(false),
+          mergeKeys = cols("mergeKeys"),
+          numBuckets = long(uv \ "numBuckets").toInt,
+          replaceAll = (uv \ "replaceAll") == JBool(true),
+          statsCols = cols("statsCols"), searchCols = cols("searchCols"))
+      }.toMap
+      case _ => Map.empty[String, TableUpdate]
+    }
+    CommitDelta(long(j \ "version"), str(j \ "queryId"),
+      long(j \ "batchId"), str(j \ "op"), long(j \ "ts"), updates)
+  }
+
+  /** One version file, either shape: Right = full snapshot (checkpoint
+    * commits, DDL commits, and every pre-checkpointing manifest — the
+    * legacy layout keeps parsing), Left = delta log entry.
+    */
+  private def parseEntry(text: String): Either[CommitDelta, Manifest] = {
+    val j = JsonMethods.parse(text)
+    (j \ "delta") match {
+      case _: JObject => Left(parseDelta(j))
+      case _ => Right(parse(text))
+    }
+  }
+
+  /** Reconstruct the manifest AT version `v` from the log: parse the
+    * version file; a delta entry folds onto the reconstruction of `v-1`
+    * (walk bounded by [[CheckpointInterval]] — a full snapshot is never
+    * further back than one interval plus any interleaved DDL fulls).
+    * None = the version (or part of its chain) aged out of retention.
+    */
+  private def reconstruct(root: File, v: Long): Option[Manifest] = {
+    val f = versionFile(root, v)
+    if (!f.exists) None
+    else parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8)) match {
+      case Right(full) => Some(full)
+      case Left(delta) =>
+        (if (v <= 1) Some(empty) else reconstruct(root, v - 1))
+          .map(applyDelta(_, delta))
+    }
+  }
+
   /** The latest committed manifest. The per-version file is the COMMIT
     * POINT (created exclusively, see [[commit]]); the live pointer is only
-    * a cache a crashed-or-racing writer may not have refreshed — so the
+    * a cache — a FULL snapshot refreshed on checkpoint commits — so the
     * read rolls FORWARD from the hint, probing `.v{hint+1}, .v{hint+2}…`
-    * until the newest committed version. The probe loop is short by
-    * construction: every successful commit refreshes the hint, so the gap
-    * is at most the handful of in-flight writers.
+    * and folding delta entries until the newest committed version. The
+    * probe loop is bounded by the checkpoint interval plus the handful of
+    * in-flight writers.
     */
   def read(root: File): Option[Manifest] = {
     val f = new File(root, ManifestName)
-    val hint =
-      if (f.exists) Some(parse(new String(Files.readAllBytes(f.toPath), UTF_8)))
-      else None
+    // only a FULL snapshot can seed the fold — a pointer holding a delta
+    // entry (possible after operator interference; a crashed writer
+    // never leaves one) is ignored rather than misfolded
+    val hint: Option[Manifest] =
+      if (!f.exists) None
+      else scala.util.Try(
+        parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8)))
+        .toOption.flatMap {
+          case Right(full) => Some(full)
+          case Left(_) => None
+        }
     var latest = hint
-    var v = hint.map(_.version).getOrElse(0L) + 1
+    var v = hint.map(_.version + 1).getOrElse {
+      // no usable pointer: fold from the oldest retained log entry — by
+      // the sweep's anchor invariant that entry is a checkpoint (or v1,
+      // which folds from the empty manifest)
+      val present = Option(root.listFiles).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith(ManifestName + ".v"))
+        .map(_.stripPrefix(ManifestName + ".v"))
+        .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      if (present.isEmpty) return None
+      present.min
+    }
     var vf = versionFile(root, v)
     while (vf.exists) {
-      latest = Some(parse(new String(Files.readAllBytes(vf.toPath), UTF_8)))
+      val entry = parseEntry(new String(Files.readAllBytes(vf.toPath), UTF_8))
+      latest = entry match {
+        case Right(full) => Some(full)
+        case Left(delta) => Some(applyDelta(
+          latest.getOrElse(empty), delta))
+      }
       v += 1
       vf = versionFile(root, v)
     }
@@ -452,21 +622,50 @@ object ManifestTable {
     * tmp names carry the writer's nonce so racing writers never scribble
     * on each other's tmp files.
     */
-  def commit(root: File, m: Manifest): Unit = {
+  /** Every Nth commit writes a FULL snapshot version file (and refreshes
+    * the live pointer); the commits between write delta entries sized by
+    * what they touched. Commit cost therefore tracks the batch, not the
+    * table: a one-bucket merge on a 100k-generation table serializes one
+    * bucket's worth of JSON, with the full-snapshot cost amortized 1/N —
+    * the Delta log-compaction shape.
+    */
+  val CheckpointInterval = 10
+
+  def commit(root: File, m: Manifest,
+      delta: Option[CommitDelta] = None): Unit = {
     Files.createDirectories(root.toPath)
+    delta.foreach(d => require(d.version == m.version,
+      s"delta v${d.version} does not describe commit v${m.version}"))
     val nonce = newNonce()
+    val full = delta.isEmpty || m.version % CheckpointInterval == 0
+    val body = if (full) render(m) else renderDelta(delta.get)
     val vtmp = new File(root, s".${ManifestName}.v.$nonce.tmp")
-    Files.write(vtmp.toPath, render(m).getBytes(UTF_8))
+    Files.write(vtmp.toPath, body.getBytes(UTF_8))
     try Files.createLink(versionFile(root, m.version).toPath, vtmp.toPath): Unit
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConcurrentCommitException(m.version)
     } finally Files.deleteIfExists(vtmp.toPath)
-    val tmp = new File(root, s".${ManifestName}.$nonce.tmp")
-    Files.write(tmp.toPath, render(m).getBytes(UTF_8))
-    Files.move(tmp.toPath, new File(root, ManifestName).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    // the live pointer (a full-snapshot CACHE reads fold forward from)
+    // refreshes only on full commits — a per-commit refresh would put
+    // the whole-table serialization back on every commit's path. A root
+    // with no pointer yet (first commits of a fresh table) bootstraps
+    // one immediately so readers always have a fold base.
+    if (full || !new File(root, ManifestName).exists) {
+      val tmp = new File(root, s".${ManifestName}.$nonce.tmp")
+      Files.write(tmp.toPath, render(m).getBytes(UTF_8))
+      Files.move(tmp.toPath, new File(root, ManifestName).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    }
   }
+
+  /** The delta entry for a commit produced by `advance(qid, batchId,
+    * updates, op)` — what the advance-shaped writers hand [[commit]].
+    */
+  private def deltaOf(next: Manifest, qid: String, batchId: Long,
+      updates: Map[String, TableUpdate], op: String): Option[CommitDelta] =
+    Some(CommitDelta(next.version, qid, batchId, op, next.info.timeMs,
+      updates))
 
   /** Writer-attempt nonce: distinguishes concurrent writers' tmp files and
     * generation dirs (dashless so dir-name version parsing stays trivial).
@@ -502,12 +701,8 @@ object ManifestTable {
   /** Data paths (across ALL tables) a retained version resolves; Nil if the
     * version's manifest is gone (aged out or never published).
     */
-  def readVersionBuckets(root: File, v: Long): Seq[String] = {
-    val f = versionFile(root, v)
-    if (f.exists)
-      parse(new String(Files.readAllBytes(f.toPath), UTF_8)).allPaths
-    else Nil
-  }
+  def readVersionBuckets(root: File, v: Long): Seq[String] =
+    reconstruct(root, v).map(_.allPaths).getOrElse(Nil)
 
   private def retainedVersions(root: File, current: Long): Seq[Long] =
     ((current - RetainVersions + 1) max 0) to current
@@ -536,18 +731,30 @@ object ManifestTable {
         .filter(d => dirVersion(d.getName) <= m.version)
         .foreach(deleteRecursively)
     }
+    // version-file sweep anchor: every retained version must stay
+    // RECONSTRUCTIBLE, so the sweep keeps the log back to the newest
+    // interval checkpoint at-or-below the oldest retained version — and
+    // never deletes above the live pointer's version either, so the
+    // pointer's fold-forward chain survives even when a checkpoint
+    // commit crashed between its commit point and the pointer refresh
+    val pointerV = {
+      val p = new File(root, ManifestName)
+      if (!p.exists) 0L
+      else scala.util.Try(
+        parse(new String(Files.readAllBytes(p.toPath), UTF_8)).version)
+        .getOrElse(0L)
+    }
+    val anchor = math.min(
+      (retained.min / CheckpointInterval) * CheckpointInterval, pointerV)
     val stale = root.listFiles
     if (stale != null)
       stale.filter { f =>
         val n = f.getName
         n.startsWith(s"$ManifestName.v") && {
           val v = n.stripPrefix(s"$ManifestName.v").toLong
-          // in-flight guard (mirror of the data-dir sweep): a version file
-          // NEWER than the one this GC runs under is a concurrent writer's
-          // commit point — deleting it would un-commit that batch (read()
-          // rolls forward from the stale hint and would never see it, and
-          // a later writer could re-win the version).
-          !retained.contains(v) && v <= m.version
+          // the v > m.version in-flight guard (a concurrent writer's
+          // commit point) is implied: anchor <= m.version always
+          v < anchor
         }
       }.foreach(deleteRecursively)
   }
@@ -558,15 +765,21 @@ object ManifestTable {
         read(root).getOrElse(throw new java.io.FileNotFoundException(
           s"no $ManifestName under $root"))
       case Some(v) =>
-        val f = versionFile(root, v)
-        if (f.exists) parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+        val live = read(root)
+        if (live.exists(_.version == v)) live.get
         else {
-          // crash window: live pointer swapped but the .v file didn't land
-          // — the live manifest IS that version, serve it
-          val live = read(root)
-          if (live.exists(_.version == v)) live.get
-          else throw new java.io.FileNotFoundException(
-            s"version $v of $root is not retained (window $RetainVersions)")
+          // the RETENTION window gates time travel, not mere log-file
+          // presence: the sweep keeps extra entries below the window
+          // only as the fold chain's anchor, and their DATA dirs are
+          // already vacuumed — serving them would resolve a snapshot
+          // whose files are gone
+          val current = live.map(_.version).getOrElse(0L)
+          if (v <= current - RetainVersions)
+            throw new java.io.FileNotFoundException(
+              s"version $v of $root is not retained (window $RetainVersions)")
+          reconstruct(root, v).getOrElse(
+            throw new java.io.FileNotFoundException(
+              s"version $v of $root is not retained (window $RetainVersions)"))
         }
     }
 
@@ -725,6 +938,26 @@ object ManifestTable {
     * manifest stays metadata-sized (it records only WHICH columns are
     * indexed — [[BucketGen.search]]).
     */
+  /** Serialize one built filter into its sidecar file — callable from the
+    * DRIVER (fresh-write path) or an EXECUTOR (the backfill verb writes
+    * each generation's filter from the task that reduced it, so a
+    * many-generation retrofit never funnels every filter's bytes through
+    * the driver).
+    */
+  private[sources] def writeSidecarFile(
+      conf: org.apache.hadoop.conf.Configuration, genDir: String,
+      column: String, kind: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      new File(genDir, searchSidecarName(column)).toString)
+    val out = p.getFileSystem(conf).create(p, true)
+    try {
+      out.write(Array[Byte]('G', 'S', 'B', '1',
+        if (kind == "long") 'L' else 'S'))
+      bf.writeTo(out)
+    } finally out.close()
+  }
+
   private def writeSearchSidecar(spark: SparkSession, dest: File,
       column: String, kind: String, expected: Long): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
@@ -741,14 +974,8 @@ object ManifestTable {
         f
       },
       (a, b) => { a.mergeInPlace(b); a })
-    val p = new org.apache.hadoop.fs.Path(
-      new File(dest, searchSidecarName(column)).toString)
-    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
-    try {
-      out.write(Array[Byte]('G', 'S', 'B', '1',
-        if (kind == "long") 'L' else 'S'))
-      bf.writeTo(out)
-    } finally out.close()
+    writeSidecarFile(spark.sessionState.newHadoopConf(), dest.toString,
+      column, kind, bf)
   }
 
   /** Load a generation's search sidecar for `column`: (domain, filter), or
@@ -992,7 +1219,7 @@ object ManifestTable {
           else if (batches.forall(_.append)) "APPEND"
           else "MERGE"
         val next = manifest.advance(qid, batchId, updates, op)
-        commit(root, next)
+        commit(root, next, deltaOf(next, qid, batchId, updates, op))
         committed = Some(next)
       } catch {
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
@@ -1397,17 +1624,24 @@ object ManifestTable {
       .filter(_.getName.startsWith(ManifestName + ".v"))
       .flatMap { f =>
         scala.util.Try(
-          parse(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
       }
-      .sortBy(-_.version)
-      .map { m =>
-        (m.version,
-          if (m.info.operation.isEmpty) null else m.info.operation,
-          if (m.info.timeMs < 0) null
-          else new java.sql.Timestamp(m.info.timeMs),
-          m.info.touched,
-          m.queryId, m.lastBatch)
-      }.toSeq
+      .map {
+        case Right(m) =>
+          (m.version,
+            if (m.info.operation.isEmpty) null else m.info.operation,
+            if (m.info.timeMs < 0) null
+            else new java.sql.Timestamp(m.info.timeMs),
+            m.info.touched,
+            m.queryId, m.lastBatch)
+        case Left(d) =>
+          (d.version,
+            if (d.op.isEmpty) null else d.op,
+            if (d.timeMs < 0) null else new java.sql.Timestamp(d.timeMs),
+            d.updates.keys.toSeq.sorted,
+            d.queryId, d.batchId)
+      }
+      .sortBy(-_._1).toSeq
     import spark.implicits._
     entries.toDF("version", "operation", "commit_ts", "touched_tables",
       "query_id", "batch_id")
@@ -1424,10 +1658,14 @@ object ManifestTable {
       .filter(_.getName.startsWith(ManifestName + ".v"))
       .flatMap { f =>
         scala.util.Try(
-          parse(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
       }
-      .filter(m => m.info.timeMs >= 0 && m.info.timeMs <= timeMs)
-      .map(_.version).maxOption
+      .map {
+        case Right(m) => (m.version, m.info.timeMs)
+        case Left(d) => (d.version, d.timeMs)
+      }
+      .filter { case (_, ts) => ts >= 0 && ts <= timeMs }
+      .map(_._1).maxOption
 
   /** Predicate delete (the warehouse `DELETE FROM t WHERE …` the
     * reference's retention jobs run; Delta's DELETE shape): remove every
@@ -1521,10 +1759,12 @@ object ManifestTable {
               .write.mode("overwrite").parquet(new File(root, rel).toString)
             Some(rel)
           }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
+          append = false, changePath = changePath))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
-            append = false, changePath = changePath)), "DELETE")
-        commit(root, next)
+          updates, "DELETE")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "DELETE"))
         gc(root, next)
         result = matched
       } catch {
@@ -1630,10 +1870,12 @@ object ManifestTable {
               .write.mode("overwrite").parquet(new File(root, rel).toString)
             Some(rel)
           }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
+          append = false, changePath = changePath))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(ts.schemaJson, rewritten.toMap,
-            append = false, changePath = changePath)), "UPDATE")
-        commit(root, next)
+          updates, "UPDATE")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "UPDATE"))
         gc(root, next)
         result = matched
       } catch {
@@ -1724,10 +1966,12 @@ object ManifestTable {
           if (ts.feedFrom < 0) None
           else replaceDelta(spark, root, table, ts, replacedDirs, aligned,
             manifest.version + 1, nonce)
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+          append = false, changePath = changePath))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
-            changePath = changePath)), op)
-        commit(root, next)
+          updates, op)
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, op))
         gc(root, next)
         done = true
       } catch {
@@ -1805,6 +2049,168 @@ object ManifestTable {
     } finally { joined.unpersist(); () }
   }
 
+  /** Retrofit search sidecars and min/max stats onto EXISTING generations
+    * — the `ALTER TABLE … ADD SEARCH OPTIMIZATION` analogue. The write
+    * path indexes only what the writer declared at write time
+    * ([[writeGen]]); this verb closes the gap for tables that grew first
+    * and indexed later, WITHOUT touching a single data row: generation
+    * dirs keep their paths (snapshot isolation and the change feed are
+    * untouched — `logicalChange = false`), gaining only an additive
+    * `_search_*` sidecar file inside and stats entries in the manifest.
+    *
+    * Scale shape: per requested search column, ONE distributed pass over
+    * only the generations missing that column's sidecar — rows key by
+    * their generation dir, per-partition partial filters merge by key,
+    * and each generation's final filter is WRITTEN FROM THE TASK that
+    * reduced it (never funneling all filters' bytes through the driver).
+    * Stats backfill likewise: one grouped aggregation over the missing
+    * generations, one small row per generation back to the driver. The
+    * requested columns also become the table's RECORDED statsCols /
+    * searchCols, so every future writer keeps them current.
+    *
+    * Returns the number of generations that gained an index or stats.
+    */
+  def buildIndexes(spark: SparkSession, root: File, table: String,
+      searchCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.util.sketch.BloomFilter
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      if (ts.schemaJson.isEmpty) return 0L
+      val schema = ts.schema
+      val search = searchCols.distinct.filter(c =>
+        schema.fieldNames.contains(c) && searchKind(schema(c).dataType).nonEmpty)
+      val stats = statsCols.distinct.filter(c =>
+        schema.fieldNames.contains(c) && statsKind(schema(c).dataType).nonEmpty)
+      def dirKey(g: BucketGen): String =
+        new File(root, g.path).getCanonicalPath
+      def missingSearch(g: BucketGen): Seq[String] =
+        search.filterNot(g.search.contains)
+      def missingStats(g: BucketGen): Seq[String] =
+        stats.filterNot(g.stats.contains)
+      val todo = ts.gens.filter(g =>
+        missingSearch(g).nonEmpty || missingStats(g).nonEmpty)
+      if (todo.isEmpty) return 0L
+      try {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        // -- sidecar backfill: one job per requested column over the
+        //    generations missing it --
+        search.foreach { c =>
+          val kind = searchKind(schema(c).dataType).get
+          val needs = ts.gens.filter(g => !g.search.contains(c))
+          if (needs.nonEmpty) {
+            val sizes = needs.map(g =>
+              dirKey(g) -> math.max(g.rows, 1L)).toMap
+            val bSizes = spark.sparkContext.broadcast(sizes)
+            val fpp = SearchFpp
+            val rows = spark.read.schema(schema)
+              .parquet(needs.map(g => new File(root, g.path).toString): _*)
+              .select(input_file_name().as("__f"), col(c).as("__v"))
+              .na.drop(Seq("__v"))
+            rows.rdd.mapPartitions { it =>
+              // per-partition partial filters keyed by generation dir
+              val partial = scala.collection.mutable.HashMap
+                .empty[String, BloomFilter]
+              it.foreach { r =>
+                val f = r.getString(0)
+                val dir = new File(
+                  if (f.startsWith("file:")) new java.net.URI(f).getPath
+                  else f).getParentFile.getCanonicalPath
+                val bf = partial.getOrElseUpdate(dir,
+                  BloomFilter.create(
+                    bSizes.value.getOrElse(dir, 1L), fpp))
+                if (kind == "long")
+                  bf.putLong(r.get(1).asInstanceOf[Number].longValue)
+                else bf.putString(r.get(1).toString)
+              }
+              partial.iterator
+            }.reduceByKey { (a, b) => a.mergeInPlace(b); a }
+              .foreach { case (dir, bf) =>
+                // task-side serialize straight into the generation dir
+                writeSidecarFile(conf.value, dir, c, kind, bf)
+              }
+          }
+        }
+        // -- stats backfill: one grouped pass over generations missing
+        //    any requested column's bounds --
+        val statFields = stats.map(c =>
+          c -> statsKind(schema(c).dataType).get)
+        val statsByDir: Map[String, Map[String, ColStat]] =
+          if (statFields.isEmpty) Map.empty
+          else {
+            val needs = ts.gens.filter(g => missingStats(g).nonEmpty)
+            if (needs.isEmpty) Map.empty
+            else {
+              val aggs = statFields.flatMap { case (c, _) =>
+                Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+              spark.read.schema(schema)
+                .parquet(needs.map(g => new File(root, g.path).toString): _*)
+                .groupBy(regexp_replace(input_file_name(),
+                  "/[^/]*$", "").as("__dir"))
+                .agg(aggs.head, aggs.tail: _*)
+                .collect().map { r =>
+                  val f = r.getString(0)
+                  val dir = new File(
+                    if (f.startsWith("file:")) new java.net.URI(f).getPath
+                    else f).getCanonicalPath
+                  dir -> statFields.flatMap {
+                    case (c, "str") =>
+                      (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
+                        case (lo: String, hi: String)
+                            if lo.length <= MaxStringStatLen &&
+                              hi.length <= MaxStringStatLen =>
+                          Some(c -> ColStat("str", lo, hi))
+                        case _ => None
+                      }
+                    case (c, _) =>
+                      (statValue(r.getAs[Any](s"min_$c")),
+                        statValue(r.getAs[Any](s"max_$c"))) match {
+                        case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
+                          lo.bigDecimal.toPlainString,
+                          hi.bigDecimal.toPlainString))
+                        case _ => None
+                      }
+                  }.toMap
+                }.toMap
+            }
+          }
+        // -- publish: same dirs, richer metadata; recorded layout adopts
+        //    the requested columns so future writers keep indexing --
+        val rewritten = ts.buckets.map { case (b, gens) =>
+          b -> gens.map { g =>
+            val k = dirKey(g)
+            g.copy(
+              stats = g.stats ++
+                statsByDir.getOrElse(k, Map.empty)
+                  .view.filterKeys(c => !g.stats.contains(c)).toMap,
+              search = (g.search ++ missingSearch(g)).distinct)
+          }
+        }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+          append = false, changePath = None, logicalChange = false,
+          statsCols = (ts.statsCols ++ stats).distinct,
+          searchCols = (ts.searchCols ++ search).distinct))
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          updates, "INDEX")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "INDEX"))
+        gc(root, next)
+        result = todo.size.toLong
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // rebase: a data commit may have replaced gens
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
+    }
+    result
+  }
+
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
       statsCols: Seq[String] = Nil): Unit = {
     var attempt = 0
@@ -1826,12 +2232,15 @@ object ManifestTable {
             statsCols, gens.flatMap(_.search).distinct)
           b -> Seq(BucketGen(rel, stats, nRows, searched))
         }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+          append = false,
+          // physical-only rewrite: no logical change, an active feed
+          // stays intact (no entry, no reset)
+          changePath = None, logicalChange = false))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
-            // physical-only rewrite: no logical change, an active feed
-            // stays intact (no entry, no reset)
-            changePath = None, logicalChange = false)), "COMPACT")
-        commit(root, next)
+          updates, "COMPACT")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "COMPACT"))
         committed = Some(next)
       } catch {
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
@@ -1886,10 +2295,14 @@ object ManifestTable {
     */
   def reclusterBy(spark: SparkSession, root: File, columns: Seq[String],
       table: String = DefaultTable, slices: Int = 4,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
     require(columns.nonEmpty, "reclusterBy needs at least one column")
     require(slices >= 2, s"recluster needs >= 2 slices, got $slices")
-    // per-dimension strata: smallest q with q^k >= slices
+    require(!zorder || columns.size <= 8,
+      "z-order interleaving supports up to 8 clustering columns")
+    // per-dimension strata: smallest q with q^k >= slices (grid mode);
+    // z-order mode ranks each dimension much finer (ZLevels) and cuts
+    // the interleaved curve into `slices` equal-count cells instead
     val q = math.max(2,
       math.ceil(math.pow(slices.toDouble, 1.0 / columns.size)).toInt)
     var attempt = 0
@@ -1917,37 +2330,74 @@ object ManifestTable {
                 acc.withColumn(ck(i), col(c).cast("double"))
               case (acc, _) => acc
             }
-            val strata = columns.zipWithIndex.map { case (c, i) =>
-              if (kinds(i) == "str") {
-                // approxQuantile is numeric-only: a STRING dimension cuts
-                // at evenly-spaced ranks of a bounded uniform row sample
-                // (driver-side, ≤ ~20k values regardless of bucket size),
-                // sorted in UTF-8 byte order — exactly how the plan's `>`
-                // ranks strings, so cell stats stay tight and correct
-                val n = math.max(1L, df.count())
-                val vals = (if (n <= 20000L) df.select(col(c)).na.drop
-                  else df.select(col(c)).na.drop
-                    .sample(withReplacement = false, 20000.0 / n, 42L))
-                  .collect().map(_.getString(0))
-                  .sortWith(utf8Compare(_, _) < 0)
-                val cuts =
-                  if (vals.isEmpty) Seq.empty[String]
-                  else (1 until q).map(j => vals(j * (vals.length - 1) / q))
-                    .distinct
-                cuts.foldLeft(lit(0)) { (acc, cut) =>
-                  acc + when(col(c) > lit(cut), 1).otherwise(0)
+            // per-dimension rank in [0, levels-1] at the bucket's own
+            // quantiles (grid mode: levels = q strata; z-order mode:
+            // levels = ZLevels fine ranks feeding the bit interleave)
+            def rankExprs(levels: Int) = columns.zipWithIndex.map {
+              case (c, i) =>
+                if (kinds(i) == "str") {
+                  // approxQuantile is numeric-only: a STRING dimension
+                  // cuts at evenly-spaced ranks of a bounded uniform row
+                  // sample (driver-side, ≤ ~20k values regardless of
+                  // bucket size), sorted in UTF-8 byte order — exactly
+                  // how the plan's `>` ranks strings, so cell stats stay
+                  // tight and correct
+                  val n = math.max(1L, df.count())
+                  val vals = (if (n <= 20000L) df.select(col(c)).na.drop
+                    else df.select(col(c)).na.drop
+                      .sample(withReplacement = false, 20000.0 / n, 42L))
+                    .collect().map(_.getString(0))
+                    .sortWith(utf8Compare(_, _) < 0)
+                  val cuts =
+                    if (vals.isEmpty) Seq.empty[String]
+                    else (1 until levels)
+                      .map(j => vals(j * (vals.length - 1) / levels))
+                      .distinct
+                  cuts.foldLeft(lit(0)) { (acc, cut) =>
+                    acc + when(col(c) > lit(cut), 1).otherwise(0)
+                  }
+                } else {
+                  val cuts = keyed.stat.approxQuantile(ck(i),
+                    (1 until levels).map(_.toDouble / levels).toArray,
+                    math.min(0.01, 0.5 / levels))
+                    .filterNot(_.isNaN).distinct.sorted
+                  cuts.foldLeft(lit(0)) { (acc, cutV) =>
+                    acc + when(col(ck(i)) > cutV, 1).otherwise(0)
+                  }
                 }
-              } else {
-                val cuts = keyed.stat.approxQuantile(ck(i),
-                  (1 until q).map(_.toDouble / q).toArray, 0.01)
+            }
+            val cellId =
+              if (!zorder)
+                // mixed-radix cell id: one stratum per dimension — the
+                // depth-1 grid (independent per-dimension quantiles)
+                rankExprs(q).reduceLeft((acc, s) => acc * q + s)
+              else {
+                // TRUE bit interleaving: rank every dimension into
+                // ZLevels fine quantile levels, interleave the rank bits
+                // into one z-value, and cut the CURVE into `slices`
+                // equal-count cells at the z-value's own quantiles.
+                // Cells adapt to the joint distribution (correlated
+                // dimensions no longer concentrate in a few diagonal
+                // grid cells), while each cell still records plain
+                // per-dimension min/max rectangles — the pruning algebra
+                // is untouched, only the cell SHAPE changed.
+                val k = columns.size
+                val ranks = rankExprs(ZLevels)
+                val zv = (for {
+                  i <- ranks.indices
+                  bit <- 0 until ZBits
+                } yield shiftleft(
+                  shiftright(ranks(i).cast("long"), bit).bitwiseAND(lit(1L)),
+                  bit * k + i)).reduce(_ + _)
+                val zc = "__graft_zv"
+                val zKeyed = keyed.withColumn(zc, zv.cast("double"))
+                val zCuts = zKeyed.stat.approxQuantile(zc,
+                  (1 until slices).map(_.toDouble / slices).toArray, 0.005)
                   .filterNot(_.isNaN).distinct.sorted
-                cuts.foldLeft(lit(0)) { (acc, cutV) =>
-                  acc + when(col(ck(i)) > cutV, 1).otherwise(0)
+                zCuts.foldLeft(lit(0)) { (acc, cutV) =>
+                  acc + when(zv.cast("double") > cutV, 1).otherwise(0)
                 }
               }
-            }
-            // mixed-radix cell id: one stratum per dimension
-            val cellId = strata.reduceLeft((acc, s) => acc * q + s)
             val cols = ts.schema.fieldNames.map(col).toIndexedSeq
             val cellCol = "__graft_cell"
             val withCell = keyed.withColumn(cellCol, cellId)
@@ -2017,10 +2467,12 @@ object ManifestTable {
             b -> genList
           } finally { df.unpersist(); () }
         }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+          append = false, changePath = None, logicalChange = false))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(ts.schemaJson, rewritten, append = false,
-            changePath = None, logicalChange = false)), "RECLUSTER")
-        commit(root, next)
+          updates, "RECLUSTER")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "RECLUSTER"))
         committed = Some(next)
       } catch {
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>

@@ -1,0 +1,166 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.sources.ManifestTable
+import graft.sources.ManifestTable.TableBatch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The physical-maintenance verbs added for long-lived tables: the
+  * search/stats BACKFILL (`CALL graft.system.index` —
+  * `ALTER TABLE … ADD SEARCH OPTIMIZATION`'s analogue: retrofit sidecars
+  * and bounds onto existing generations without touching a row) and
+  * TRUE Z-ORDER reclustering (bit-interleaved curve cells that adapt to
+  * correlated clustering columns, vs the depth-1 quantile grid).
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("index backfill: existing generations gain sidecars + stats without row rewrites; lookups prune; feed untouched") {
+    val target = tmp("graft_idxbf")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // a table that grew WITHOUT indexing: 8 append commits, client ids
+    // scattering across every generation (min/max spans never prune),
+    // with an ACTIVE change feed
+    (0 until 8).foreach { i =>
+      ManifestTable.mergeBatch(root, "q", i.toLong, Seq(
+        TableBatch(t,
+          (0 until 50).map(j =>
+            (i * 100L + j, s"c${(i * 50 + j) % 40}", (i * 50 + j).toLong))
+            .toDF("event_id", "client", "seq"),
+          Seq("event_id"), 2, append = true, changeFeed = true)))
+    }
+    val before = ManifestTable.read(root).get.table(t)
+    assert(before.gens.size == 16) // 8 commits × 2 buckets
+    assert(before.gens.forall(_.search.isEmpty))
+    assert(before.gens.forall(!_.stats.contains("seq")))
+    val genPaths = before.gens.map(_.path).toSet
+
+    def lookup() = spark.read.format("graft").option("path", target).load()
+      .filter(col("client") === "c7").select("event_id")
+    def ranged() = spark.read.format("graft").option("path", target).load()
+      .filter(col("seq").between(100L, 140L)).select("event_id")
+    val fullFiles = scanFiles(
+      spark.read.format("graft").option("path", target).load())
+    val expectLookup = lookup().collect().map(_.getLong(0)).toSet
+    val expectRanged = ranged().collect().map(_.getLong(0)).toSet
+    assert(scanFiles(lookup()) == fullFiles, "nothing should prune yet")
+
+    // the retrofit: one verb, zero row rewrites
+    val indexed = ManifestTable.buildIndexes(spark, root, t,
+      searchCols = Seq("client"), statsCols = Seq("seq"))
+    assert(indexed == 16)
+
+    val after = ManifestTable.read(root).get.table(t)
+    // SAME generation dirs — no data moved, snapshots and feed intact
+    assert(after.gens.map(_.path).toSet == genPaths)
+    assert(after.feedFrom >= 0, "backfill reset the change feed")
+    assert(after.gens.forall(_.search == Seq("client")))
+    assert(after.gens.forall(_.stats.contains("seq")))
+    // recorded layout adopted: FUTURE writers keep indexing
+    assert(after.searchCols == Seq("client") &&
+      after.statsCols.contains("seq"))
+
+    // point lookup now prunes through the retrofitted sidecars (2% fpp:
+    // expected ~all-but-matching skipped) and stays EXACT
+    assert(lookup().collect().map(_.getLong(0)).toSet == expectLookup)
+    val lookupFiles = scanFiles(lookup())
+    assert(lookupFiles < fullFiles,
+      s"sidecar backfill failed to prune: $lookupFiles/$fullFiles")
+    // range read prunes through the retrofitted stats and stays exact
+    assert(ranged().collect().map(_.getLong(0)).toSet == expectRanged)
+    val rangedFiles = scanFiles(ranged())
+    assert(rangedFiles < fullFiles,
+      s"stats backfill failed to prune: $rangedFiles/$fullFiles")
+
+    // idempotent: nothing left to do
+    assert(ManifestTable.buildIndexes(spark, root, t,
+      Seq("client"), Seq("seq")) == 0L)
+
+    // a write AFTER the retrofit indexes itself from the recorded layout
+    ManifestTable.mergeBatch(root, "q", 8L, Seq(
+      TableBatch(t, Seq((9999L, "c7", 9999L)).toDF("event_id", "client", "seq"),
+        Seq("event_id"), 2, append = true, changeFeed = true)))
+    val last = ManifestTable.read(root).get.table(t)
+    assert(last.gens.count(_.search == Seq("client")) == last.gens.size)
+  }
+
+  test("z-order recluster: bit-interleaved cells open strictly fewer generations than the depth-1 grid at equal slice count") {
+    // CORRELATED clustering columns (y tracks x — ts vs monotonically
+    // assigned ids, the classic warehouse pair): independent
+    // per-dimension quantile strata concentrate the data in the grid's
+    // DIAGONAL cells, so a small window straddling a stratum boundary
+    // clips several dense diagonal cells plus their boundary slivers.
+    // The interleaved curve follows the diagonal monotonically: its
+    // equal-count cells are SEGMENTS of the diagonal with tight
+    // rectangles, and the same window covers a couple of them.
+    def data: DataFrame = {
+      val rng = new scala.util.Random(7)
+      (0 until 4000).map { i =>
+        val x = rng.nextDouble() * 1000.0
+        (i.toLong, x, x + rng.nextGaussian() * 20.0)
+      }.toDF("event_id", "x", "y")
+    }
+    def build(): String = {
+      val target = tmp("graft_zvsg")
+      ManifestTable.mergeBatch(new File(target), "q", 0L, Seq(
+        TableBatch(ManifestTable.DefaultTable, data, Seq("event_id"), 1)))
+      target
+    }
+    val slices = 16
+    val grid = build()
+    val zord = build()
+    ManifestTable.reclusterBy(spark, new File(grid), Seq("x", "y"),
+      slices = slices)
+    ManifestTable.reclusterBy(spark, new File(zord), Seq("x", "y"),
+      slices = slices, zorder = true)
+    val gridTs = ManifestTable.read(new File(grid)).get
+      .table(ManifestTable.DefaultTable)
+    val zordTs = ManifestTable.read(new File(zord)).get
+      .table(ManifestTable.DefaultTable)
+    // equal budgets (the grid's q² = 16 never exceeds it; empty
+    // off-diagonal combinations just don't materialize)
+    assert(zordTs.gens.size == slices)
+    assert(gridTs.gens.size <= slices,
+      s"grid produced ${gridTs.gens.size} cells for a $slices budget")
+
+    // a small diagonal window straddling the MEDIAN boundary of both
+    // dimensions (~10% of rows): the grid opens the four boundary cells
+    // — two of them dense diagonal quarters
+    def window(target: String) = spark.read.format("graft")
+      .option("path", target).load()
+      .filter(col("x").between(450.0, 550.0) &&
+        col("y").between(450.0, 550.0))
+    assert(window(grid).collect().map(_.getLong(0)).toSet ==
+      window(zord).collect().map(_.getLong(0)).toSet)
+    val gridFiles = scanFiles(window(grid))
+    val zordFiles = scanFiles(window(zord))
+    assert(zordFiles < gridFiles,
+      s"z-order opened $zordFiles generations vs the grid's $gridFiles")
+    // and the opened generations hold fewer ROWS — the byte cost that
+    // actually matters
+    def openedRows(ts: ManifestTable.TableState): Long = {
+      def overlaps(g: ManifestTable.BucketGen, c: String): Boolean =
+        g.stats.get(c).forall(s =>
+          !(BigDecimal(s.lo) > 550.0 || BigDecimal(s.hi) < 450.0))
+      ts.gens.filter(g => overlaps(g, "x") && overlaps(g, "y"))
+        .map(_.rows).sum
+    }
+    assert(openedRows(zordTs) * 2 < openedRows(gridTs),
+      s"z cells scan ${openedRows(zordTs)} rows vs grid ${openedRows(gridTs)}")
+  }
+}
