@@ -994,6 +994,32 @@ object Relational {
          |JOIN (VALUES ('1-URGENT','hot'), ('2-HIGH','hot'), ('3-MEDIUM','warm'),
          |             ('4-NOT SPECIFIED','cold'), ('5-LOW','cold')) AS t(priority, tier)
          |  ON o_orderpriority = priority
-         |GROUP BY tier ORDER BY tier""".stripMargin)
+         |GROUP BY tier ORDER BY tier""".stripMargin),
+
+    // Key-skew profiler: the distribution of group sizes under a join /
+    // aggregation key — min/avg/p50/p99/max and the max/avg skew ratio,
+    // the numbers that decide whether a key needs salting or AQE skew
+    // handling BEFORE the expensive job runs. Two hash aggregations
+    // (sizes, then a 1-row profile); the percentiles interpolate over
+    // exact integer counts so both engines agree bit-for-bit.
+    "q_skew_profile" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_n"),
+          max(col("n")).as("max_n"),
+          round(avg(col("n")), 6).as("avg_n"),
+          round(expr("percentile(n, 0.5)"), 6).as("p50_n"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99_n"),
+          round(max(col("n")) / avg(col("n")), 6).as("skew_ratio")),
+      """WITH sizes AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT count(*) AS n_groups, min(n) AS min_n, max(n) AS max_n,
+        |  round(avg(n), 6) AS avg_n,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_n,
+        |  round(quantile_cont(n, 0.99), 6) AS p99_n,
+        |  round(max(n) / avg(n), 6) AS skew_ratio
+        |FROM sizes""".stripMargin)
   )
 }

@@ -260,6 +260,43 @@ object TextAnalysis {
     // Corpus statistics: global top-k bigrams by document frequency —
     // explode is map-only; the count groupBy shuffles (ngram) keys and
     // the global top-k runs as TakeOrderedAndProject.
+    // Zipf-law fit over the corpus vocabulary: regression slope/intercept
+    // of ln(frequency) against ln(rank) for the top-1000 tokens — the
+    // standard corpus-health diagnostic (natural language sits near
+    // slope −1; templated/synthetic text drifts off it). Scale shape:
+    // vocabulary frequency table via hash aggregation, top-k via
+    // distributed TakeOrdered (never a global sort), then the rank
+    // window and regression run on the 1000-row frame.
+    "doc_zipf_slope" -> Q(
+      (s, d) => {
+        val freq = docs(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val top = freq.orderBy(col("n").desc, col("tok")).limit(1000)
+        top.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("tok"))))
+          .agg(count(lit(1)).as("n_types"),
+            round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"),
+            round(expr("regr_intercept(ln(n), ln(rank))"), 6)
+              .as("zipf_intercept"))
+      },
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (
+        |  SELECT tok, count(*) AS n FROM toks
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |top AS (SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 1000),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |  FROM top)
+        |SELECT count(*) AS n_types,
+        |  round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept
+        |FROM ranked""".stripMargin),
+
     "doc_topk_ngrams" -> Q(
       (s, d) => docs(s, d)
         // tokens bound as a column first: ngrams' lambdas reference the

@@ -968,6 +968,81 @@ object Timeseries {
         |  count(DISTINCT date_trunc('day', ts)) AS n_days,
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS est_within_5pct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // RFM segmentation (recency / frequency / monetary quartile scores) —
+    // the classic user-value grid. Deliberately NOT ntile windows: a
+    // global ntile is a single-partition sort over every user, which at
+    // 100 TB is the one operator that cannot scale. Instead ONE exact
+    // percentile aggregate computes the three quartile thresholds (a
+    // 1-row frame), and scoring is a broadcast join + pure Column
+    // comparisons — map-only over the per-user aggregates. Monetary sums
+    // land as integer CENTS before thresholding so both engines quantize
+    // identically (double sum noise ~1e-9 absolute is crushed by the
+    // round-to-cents, and percentile interpolation over integers at
+    // dyadic fractions is exact in both engines).
+    "ev_rfm" -> Q(
+      (s, d) => {
+        val e = ev(s, d)
+        val per = e.groupBy("user_id").agg(
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          expr("cast(round(sum(CASE WHEN event_type = 'purchase' " +
+            "THEN value ELSE 0.0 END) * 100) as bigint)").as("monetary_cents"))
+        val anchor = e.agg(max(col("ts")).as("anchor_ts"))
+        val withRec = per.crossJoin(broadcast(anchor))
+          .withColumn("recency_days",
+            datediff(col("anchor_ts"), col("last_ts")).cast("bigint"))
+        val th = withRec.agg(
+          expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
+          expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+          expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").as("mq"))
+        def up(v: Column, q: Column) = // higher value → higher score
+          lit(1) + when(v > q.getItem(0), 1).otherwise(0) +
+            when(v > q.getItem(1), 1).otherwise(0) +
+            when(v > q.getItem(2), 1).otherwise(0)
+        def down(v: Column, q: Column) = // lower value → higher score
+          lit(4) - (when(v > q.getItem(0), 1).otherwise(0) +
+            when(v > q.getItem(1), 1).otherwise(0) +
+            when(v > q.getItem(2), 1).otherwise(0))
+        withRec.crossJoin(broadcast(th))
+          .withColumn("r_score", down(col("recency_days"), col("rq")))
+          .withColumn("f_score", up(col("frequency"), col("fq")))
+          .withColumn("m_score", up(col("monetary_cents"), col("mq")))
+          .withColumn("segment", concat(col("r_score").cast("string"),
+            col("f_score").cast("string"), col("m_score").cast("string")))
+          .select("user_id", "recency_days", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score", "segment")
+          .orderBy("user_id")
+      },
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+        |    cast(round(sum(CASE WHEN event_type = 'purchase'
+        |      THEN value ELSE 0.0 END) * 100) AS bigint) AS monetary_cents
+        |  FROM events GROUP BY user_id),
+        |rec AS (
+        |  SELECT user_id, frequency, monetary_cents,
+        |    cast(date_diff('day', last_ts, (SELECT max(ts) FROM events))
+        |      AS bigint) AS recency_days
+        |  FROM per),
+        |th AS (
+        |  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+        |  FROM rec)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  4 - ((recency_days > rq[1])::int + (recency_days > rq[2])::int +
+        |    (recency_days > rq[3])::int) AS r_score,
+        |  1 + (frequency > fq[1])::int + (frequency > fq[2])::int +
+        |    (frequency > fq[3])::int AS f_score,
+        |  1 + (monetary_cents > mq[1])::int + (monetary_cents > mq[2])::int +
+        |    (monetary_cents > mq[3])::int AS m_score,
+        |  (4 - ((recency_days > rq[1])::int + (recency_days > rq[2])::int +
+        |    (recency_days > rq[3])::int))::varchar ||
+        |  (1 + (frequency > fq[1])::int + (frequency > fq[2])::int +
+        |    (frequency > fq[3])::int)::varchar ||
+        |  (1 + (monetary_cents > mq[1])::int + (monetary_cents > mq[2])::int +
+        |    (monetary_cents > mq[3])::int)::varchar AS segment
+        |FROM rec, th ORDER BY user_id""".stripMargin)
   )
 }

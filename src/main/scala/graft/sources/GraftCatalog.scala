@@ -417,6 +417,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
     // the named change-feed subscription (readChangeFeed option).
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** SQL `MERGE INTO` / `UPDATE` / subquery `DELETE` plan natively
@@ -461,10 +462,20 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
   // ---- writes: INSERT INTO appends, INSERT OVERWRITE replaces ----
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    // SupportsStreamingUpdateAsAppend: streaming Update mode lands as the
+    // same per-epoch merge (each updated group row replaces its previous
+    // version — that IS the upsert); Complete comes through truncate()
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          import scala.jdk.CollectionConverters._
+          new GraftStreamingWrite(root, table, info.queryId(), info.schema(),
+            info.options().asCaseSensitiveMap.asScala.toMap, overwrite)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {

@@ -190,53 +190,144 @@ case class StagingWriterFactory(schema: StructType, stagingDir: String,
     conf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val path =
-      new Path(s"$stagingDir/part-$partitionId-$taskId.urow")
-    private var out: org.apache.hadoop.fs.FSDataOutputStream = _
-    private var proj: UnsafeProjection = _
-    private val buf = new Array[Byte](4096)
+      taskId: Long): DataWriter[InternalRow] =
+    StagingWriterFactory.writer(schema,
+      new Path(s"$stagingDir/part-$partitionId-$taskId.urow"), conf)
+}
 
-    override def write(row: InternalRow): Unit = {
-      if (out == null) out = path.getFileSystem(conf.value).create(path, true)
-      if (proj == null) {
-        // ReplaceDataExec only applies its row projection when the
-        // operation declared metadata attributes; without them the raw
-        // query row arrives with Spark's __row_operation int PREPENDED
-        // to the data columns (RowDeltaUtils.OPERATION_COLUMN). Detect
-        // the layout from the first row's arity and bind the data
-        // columns at the right offset — exact for both shapes, and a
-        // layout drift in a future Spark fails loudly here instead of
-        // corrupting rows
-        val offset = row.numFields - schema.length
-        require(offset == 0 || offset == 1,
-          s"replace-data row has ${row.numFields} fields for " +
-            s"${schema.length} data columns — unknown row layout")
-        proj = UnsafeProjection.create(
-          schema.fields.zipWithIndex.map { case (f, i) =>
-            org.apache.spark.sql.catalyst.expressions
-              .BoundReference(i + offset, f.dataType, nullable = true)
-          }.toIndexedSeq)
-      }
-      val u = proj(row)
-      out.writeInt(u.getSizeInBytes)
-      u.writeToStream(out, buf)
-    }
+/** The streaming twin: one staging file per (epoch, partition, task), so
+  * each micro-batch's commit reads exactly its own files.
+  */
+case class StreamingStagingWriterFactory(schema: StructType,
+    stagingDir: String, conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
-    override def commit(): WriterCommitMessage =
-      if (out == null) StagedFile("")
-      else { out.close(); StagedFile(path.toString) }
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    StagingWriterFactory.writer(schema,
+      new Path(s"$stagingDir/ep$epochId/part-$partitionId-$taskId.urow"),
+      conf)
+}
 
-    override def abort(): Unit = if (out != null) {
-      out.close()
-      path.getFileSystem(conf.value).delete(path, false); ()
-    }
+/** `df.writeStream.toTable("graft.ns.t")` — the named streaming sink:
+  * every micro-batch stages its rows (same transient UnsafeRow files as
+  * the row-level write, one subdir per epoch under a dot-dir the GC
+  * never sweeps) and commits through [[ManifestTable.mergeBatch]] keyed
+  * on the streaming QUERY id + epoch, so restarts replay as exact no-ops
+  * — identical idempotence, layout resolution, and feed contract as the
+  * `format("graft")` sink, reached by catalog name. OutputMode mapping
+  * rides the builder: Append/Update merge (upsert on the recorded merge
+  * keys — `SupportsStreamingUpdateAsAppend`), Complete overwrites the
+  * table with each epoch's full result (`SupportsTruncate`). An active
+  * change feed keeps publishing unless the writer explicitly opts out.
+  */
+class GraftStreamingWrite(root: File, table: String, queryId: String,
+    schema: StructType, options: Map[String, String], overwrite: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-    override def close(): Unit = ()
+  private def spark = SparkSession.active
+  private val stagingDir = new File(root, s".stage-$queryId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    StreamingStagingWriterFactory(schema, stagingDir.toString,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val s = spark
+    val staged = messages.collect { case StagedFile(p) if p.nonEmpty => p }
+    val epochDir = new File(stagingDir, s"ep$epochId")
+    try {
+      val rows =
+        if (staged.isEmpty)
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else {
+          val n = schema.length
+          val rdd = s.sparkContext
+            .binaryFiles(epochDir.toString, staged.length)
+            .flatMap { case (_, pds) =>
+              StagingWriterFactory.decode(n, pds.open())
+            }
+          org.apache.spark.sql.graftbridge.Bridge.internalRowsDf(s, rdd, schema)
+        }
+      val existing = ManifestTable.read(root)
+        .map(_.table(table)).filter(_.schemaJson.nonEmpty)
+      // same feed contract as the SQL INSERT path: a feed-active table
+      // keeps publishing deltas unless the writer explicitly opted out
+      val cim = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(options)
+      val feedActive = existing.exists(_.feedFrom >= 0)
+      val params = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+        options ++
+          (if (feedActive && !overwrite && !cim.contains("changeFeed"))
+             Map("changeFeed" -> "true")
+           else Map.empty[String, String]))
+      ManifestTable.mergeBatch(root, s"sql-stream:$queryId", epochId,
+        Seq(GraftDataSource.tableBatch(table, rows, params, existing,
+          overwrite = overwrite && existing.nonEmpty)))
+    } finally ManifestTable.deleteRecursively(epochDir)
   }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    ManifestTable.deleteRecursively(new File(stagingDir, s"ep$epochId"))
+
+  override def toString: String = s"GraftStreamingWrite($root/$table)"
 }
 
 object StagingWriterFactory {
+
+  /** One staging writer: length-prefixed UnsafeRows to `path`, created
+    * lazily on the first row (no file for empty tasks).
+    */
+  private[sources] def writer(schema: StructType, path: Path,
+      conf: SerializableConfiguration): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+      private var proj: UnsafeProjection = _
+      private val buf = new Array[Byte](4096)
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null) out = path.getFileSystem(conf.value).create(path, true)
+        if (proj == null) {
+          // ReplaceDataExec only applies its row projection when the
+          // operation declared metadata attributes; without them the raw
+          // query row arrives with Spark's __row_operation int PREPENDED
+          // to the data columns (RowDeltaUtils.OPERATION_COLUMN). Detect
+          // the layout from the first row's arity and bind the data
+          // columns at the right offset — exact for both shapes
+          // (streaming writes always arrive at offset 0), and a layout
+          // drift in a future Spark fails loudly here instead of
+          // corrupting rows
+          val offset = row.numFields - schema.length
+          require(offset == 0 || offset == 1,
+            s"write row has ${row.numFields} fields for " +
+              s"${schema.length} data columns — unknown row layout")
+          proj = UnsafeProjection.create(
+            schema.fields.zipWithIndex.map { case (f, i) =>
+              org.apache.spark.sql.catalyst.expressions
+                .BoundReference(i + offset, f.dataType, nullable = true)
+            }.toIndexedSeq)
+        }
+        val u = proj(row)
+        out.writeInt(u.getSizeInBytes)
+        u.writeToStream(out, buf)
+      }
+
+      override def commit(): WriterCommitMessage =
+        if (out == null) StagedFile("")
+        else { out.close(); StagedFile(path.toString) }
+
+      override def abort(): Unit = if (out != null) {
+        out.close()
+        path.getFileSystem(conf.value).delete(path, false); ()
+      }
+
+      override def close(): Unit = ()
+    }
+
   /** Decode one staged file back into UnsafeRows (fresh backing array per
     * row — downstream operators may buffer references).
     */

@@ -293,4 +293,68 @@ class CatalogSpec extends SparkSpec {
     assert(seen.size == 25, s"SQL INSERT deltas missing: ${seen.size}")
     assert(seen.count(_.contains("insert")) == 25)
   }
+
+  test("writeStream.toTable: micro-batches land as manifest commits — upsert semantics, restart no-replay, Complete overwrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat5").toString
+    spark.conf.set("spark.sql.catalog.graft5", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft5.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft5.ops")
+    spark.sql("""CREATE TABLE graft5.ops.t (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    val root = new File(wh, "ops")
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat5_ck").toString
+    def drain(): Unit = {
+      val q = in.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft5.ops.t")
+      q.awaitTermination()
+    }
+    in.addData((0L until 10L).map(i => (i, i.toDouble)): _*)
+    drain()
+    assert(spark.sql("SELECT count(*) FROM graft5.ops.t").head.getLong(0) == 10L)
+
+    // overlapping keys UPSERT (Append mode merges on the recorded keys)
+    in.addData((5L until 15L).map(i => (i, -i.toDouble)): _*)
+    drain()
+    assert(spark.sql("SELECT count(*) FROM graft5.ops.t").head.getLong(0) == 15L)
+    assert(spark.sql("SELECT v FROM graft5.ops.t WHERE id = 7")
+      .head.getDouble(0) == -7.0, "streamed upsert did not replace")
+
+    // restart with nothing new: the checkpointed query id + epoch replay
+    // through the manifest's (queryId, batchId) contract — zero effect
+    val vBefore = ManifestTable.read(root).get.version
+    drain()
+    assert(ManifestTable.read(root).get.version == vBefore,
+      "an empty restart advanced the table version")
+
+    // Complete mode: each epoch's full aggregate result OVERWRITES
+    spark.sql("""CREATE TABLE graft5.ops.agg (id BIGINT, n BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    val in2 = MemoryStream[Long]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cat5_ck2").toString
+    def drainAgg(): Unit = {
+      val q = in2.toDF().toDF("id").groupBy("id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft5.ops.agg")
+      q.awaitTermination()
+    }
+    in2.addData(1L, 1L, 2L)
+    drainAgg()
+    in2.addData(1L, 3L)
+    drainAgg()
+    val agg = spark.sql("SELECT id, n FROM graft5.ops.agg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(agg == Seq((1L, 3L), (2L, 1L), (3L, 1L)), s"complete-mode: $agg")
+  }
 }
