@@ -196,9 +196,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves on write (unify-on-merge)")
+  /** `ALTER TABLE … ADD COLUMNS (…)` (append-only, nullable — the same
+    * unify-on-merge evolution the write path applies, as a pure metadata
+    * commit: old generations null-backfill, zero rewrites) and
+    * `ALTER TABLE … SET TBLPROPERTIES ('statsCols'='…'|'searchCols'='…')`
+    * (recorded-layout adoption — pair with `CALL graft.system.index` to
+    * backfill EXISTING generations). Anything else — renames, drops,
+    * retypes, repositioning — is refused: those change committed bytes'
+    * meaning, which an immutable-generation layout answers with
+    * rewrite verbs, not metadata edits.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = rootOf(ident.namespace)
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    var statsCols: Seq[String] = Nil
+    var searchCols: Seq[String] = Nil
+    def cols(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft supports top-level ADD COLUMNS only")
+        require(a.isNullable,
+          "added columns must be nullable (existing rows null-backfill)")
+        require(a.position == null,
+          "added columns append at the end (no FIRST/AFTER)")
+        adds += org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case p: TableChange.SetProperty
+          if p.property.equalsIgnoreCase("statsCols") =>
+        statsCols = cols(p.value)
+      case p: TableChange.SetProperty
+          if p.property.equalsIgnoreCase("searchCols") =>
+        searchCols = cols(p.value)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other (graft supports ADD " +
+          "COLUMNS and SET TBLPROPERTIES statsCols/searchCols)")
+    }
+    ManifestTable.alterTable(root, ident.name, adds.toSeq,
+      statsCols, searchCols)
+    new GraftSqlTable(root, ident.name, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace.length == 1 &&

@@ -1559,6 +1559,50 @@ object ManifestTable {
     }
   }
 
+  /** DDL: extend a table's schema and/or its recorded stats/search layout
+    * — the metadata-only `ALTER TABLE` verbs. Added columns APPEND to the
+    * unified schema (never reorder, never retype — the same
+    * unify-on-merge rule the write path applies), so every committed
+    * generation null-backfills under the evolved schema with zero data
+    * rewrites; the recorded statsCols/searchCols adoption makes future
+    * writers track the named columns (backfilling EXISTING generations
+    * is [[buildIndexes]]' job — ALTER stays a pure metadata commit). An
+    * active change feed is untouched (`logicalChange = false`): schema
+    * extension is exactly the sink-side evolution the CDF contract
+    * already serves across a consumer restart.
+    */
+  def alterTable(root: File, table: String,
+      addColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      require(ts.schemaJson.nonEmpty, s"table '$table' does not exist at $root")
+      val schema = ts.schema
+      addColumns.foreach(f => require(!schema.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists"))
+      val evolved = unify(Some(schema), StructType(addColumns))
+      (statsCols ++ searchCols).foreach(c =>
+        require(evolved.fieldNames.contains(c),
+          s"layout column '$c' not in the table schema"))
+      try {
+        val updates = Map(table -> TableUpdate(evolved.json, Map.empty,
+          append = false, changePath = None, logicalChange = false,
+          statsCols = statsCols, searchCols = searchCols))
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          updates, "ALTER")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "ALTER"))
+        done = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+  }
+
   /** DDL: drop a table from the root's catalog — a versioned commit; the
     * dropped generations stay readable through retained older snapshots
     * and GC collects them as those age out. Returns false when the table

@@ -357,4 +357,55 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(agg == Seq((1L, 3L), (2L, 1L), (3L, 1L)), s"complete-mode: $agg")
   }
+
+  test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
+    spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft6.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft6.ops")
+    spark.sql("""CREATE TABLE graft6.ops.t (id BIGINT, client STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("""INSERT INTO graft6.ops.t
+      SELECT id, concat('c', id % 10) FROM range(100)""")
+    val root = new File(wh, "ops")
+    val gensBefore = ManifestTable.read(root).get.table("t").gens
+      .map(_.path).toSet
+
+    // append-only schema evolution, zero data rewrites
+    spark.sql("ALTER TABLE graft6.ops.t ADD COLUMNS (note STRING)")
+    assert(ManifestTable.read(root).get.table("t").gens.map(_.path).toSet
+      == gensBefore, "ADD COLUMNS rewrote data")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft6.ops.t WHERE note IS NULL")
+      .head.getLong(0) == 100L)
+    spark.sql(
+      "INSERT INTO graft6.ops.t SELECT 1000, 'cx', 'annotated'")
+    assert(spark.sql(
+      "SELECT note FROM graft6.ops.t WHERE id = 1000").head.getString(0)
+      == "annotated")
+
+    // recorded-layout adoption + backfill = pruning on an old table
+    spark.sql(
+      "ALTER TABLE graft6.ops.t SET TBLPROPERTIES ('searchCols'='client')")
+    assert(ManifestTable.read(root).get.table("t").searchCols ==
+      Seq("client"))
+    val n = spark.sql(
+      "CALL graft6.system.index('ops', 't', 'client', '')").head.getLong(0)
+    assert(n > 0)
+    assert(ManifestTable.read(root).get.table("t").gens
+      .forall(_.search == Seq("client")))
+
+    // the ALTERs are first-class history entries
+    val ops = ManifestTable.history(spark, root).collect()
+      .map(_.getString(1)).toSeq
+    assert(ops.contains("ALTER") && ops.contains("INDEX"))
+
+    // refused shapes fail loudly instead of lying about committed bytes
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft6.ops.t DROP COLUMN note")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft6.ops.t RENAME COLUMN note TO memo")
+    }
+  }
 }
