@@ -1058,6 +1058,78 @@ object ManifestTable {
     (stats, nRows, searched)
   }
 
+  /** Write MANY generation dirs from one keyed frame in ONE pass — the
+    * shared machinery under recluster cells and group-replacement
+    * buckets: `keyed` must hold exactly `schema`'s columns plus a LONG
+    * `keyCol`; ONE aggregation job computes every key's row count and
+    * per-column bounds, ONE repartition-by-key dynamic-partitioning
+    * write lands each key in its own dir (all rows of a key co-locate
+    * in one task), each key dir renames into `relFor(key)` (a metadata
+    * move), and sidecars build per key. The alternative — one filtered
+    * scan + observe-write PER KEY — re-reads the frame key-count times;
+    * this shape reads it twice regardless of how many generations come
+    * out.
+    */
+  private def writeKeyedGens(spark: SparkSession, root: File,
+      keyed: DataFrame, keyCol: String, schema: StructType,
+      statsCols: Seq[String], searchCols: Seq[String],
+      tmpRel: String, relFor: Long => String): Seq[(Long, BucketGen)] = {
+    val statFields = statsCols.distinct.flatMap(c =>
+      if (schema.fieldNames.contains(c))
+        statsKind(schema(c).dataType).map(k => c -> k)
+      else None)
+    val aggExprs = count(lit(1)).as("rows_") +:
+      statFields.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+    val keyRows = keyed.groupBy(col(keyCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().sortBy(_.getLong(0)) // bounded: one small row per key
+    val search = searchCols.distinct.filter(c =>
+      schema.fieldNames.contains(c) && searchKind(schema(c).dataType).nonEmpty)
+    val tmpDir = new File(root, tmpRel)
+    val cols = schema.fieldNames.map(col).toIndexedSeq
+    val writer = keyed.select(col(keyCol) +: cols: _*)
+      .repartition(col(keyCol))
+      .write.partitionBy(keyCol).mode("overwrite")
+    search.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(tmpDir.toString)
+    val out = keyRows.toSeq.map { r =>
+      val k = r.getLong(0)
+      val rel = relFor(k)
+      val dest = new File(root, rel)
+      val src = new File(tmpDir, s"$keyCol=$k")
+      require(src.isDirectory && src.renameTo(dest),
+        s"cannot move keyed generation dir $src -> $dest")
+      val nRows = r.getAs[Long]("rows_")
+      val genStats = statFields.flatMap {
+        case (c, "str") =>
+          (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
+            case (lo: String, hi: String)
+                if lo.length <= MaxStringStatLen &&
+                  hi.length <= MaxStringStatLen =>
+              Some(c -> ColStat("str", lo, hi))
+            case _ => None
+          }
+        case (c, _) =>
+          (statValue(r.getAs[Any](s"min_$c")),
+            statValue(r.getAs[Any](s"max_$c"))) match {
+            case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
+              lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
+            case _ => None
+          }
+      }.toMap
+      val searched = search.map { c =>
+        writeSearchSidecar(spark, dest, c,
+          searchKind(schema(c).dataType).get, math.max(nRows, 1L))
+        c
+      }
+      k -> BucketGen(rel, genStats, nRows, searched)
+    }
+    deleteRecursively(tmpDir)
+    out
+  }
+
   /** Generation dirs whose recorded [min,max] for `column` can overlap
     * [lower,upper] — generations with no stats for the column are always
     * kept (pruning must never turn a stats gap into a wrong answer).
@@ -1991,20 +2063,18 @@ object ManifestTable {
         val touchedBuckets = ts.buckets.collect {
           case (b, gens) if gens.exists(touched) => b
         }.toSet
+        // ONE pass writes every present bucket's replacement generation
+        // (repartition-by-bucket + dynamic partitioning — never a
+        // filtered re-scan per bucket)
+        val written: Map[Long, BucketGen] = writeKeyedGens(spark, root,
+          withBucket, BucketCol, schema, ts.statsCols, ts.searchCols,
+          tmpRel = s"data/$table/stage-m${manifest.version + 1}-w$nonce",
+          relFor = b => s"data/$table/b$b-m${manifest.version + 1}-$nonce")
+          .toMap
         val rewritten: Map[Long, Seq[BucketGen]] =
           (presentBuckets ++ touchedBuckets).toSeq.sorted.map { b =>
             val kept = ts.buckets.getOrElse(b, Nil).filterNot(touched)
-            val gens =
-              if (!presentBuckets.contains(b)) kept
-              else {
-                val rel = s"data/$table/b$b-m${manifest.version + 1}-$nonce"
-                val (stats, nRows, searched) = writeGen(
-                  withBucket.filter(col(BucketCol) === b).drop(BucketCol),
-                  new File(root, rel), ts.statsCols, ts.searchCols)
-                if (nRows == 0L) kept
-                else kept :+ BucketGen(rel, stats, nRows, searched)
-              }
-            b -> gens
+            b -> (kept ++ written.get(b))
           }.toMap
         val changePath =
           if (ts.feedFrom < 0) None
@@ -2442,73 +2512,22 @@ object ManifestTable {
                   acc + when(zv.cast("double") > cutV, 1).otherwise(0)
                 }
               }
-            val cols = ts.schema.fieldNames.map(col).toIndexedSeq
             val cellCol = "__graft_cell"
-            val withCell = keyed.withColumn(cellCol, cellId)
+            val withCell = keyed
+              .withColumn(cellCol, cellId.cast("long"))
+              .select(col(cellCol) +:
+                ts.schema.fieldNames.map(col).toIndexedSeq: _*)
             // ONE aggregation job answers which cells exist, their row
-            // counts, AND their per-column bounds (the old shape paid a
-            // count job plus one observe-write PER CELL — ~slices
-            // sequential scans of the bucket)
-            val statFields = stats.flatMap(c =>
-              if (ts.schema.fieldNames.contains(c))
-                statsKind(ts.schema(c).dataType).map(k => c -> k)
-              else None)
-            val aggExprs = count(lit(1)).as("rows_") +:
-              statFields.flatMap { case (c, _) =>
-                Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
-            val cellRows = withCell.groupBy(col(cellCol))
-              .agg(aggExprs.head, aggExprs.tail: _*)
-              .collect().sortBy(_.getInt(0)) // bounded: ≤ q^k cells
-            // ONE write job lands every cell in its own dir:
-            // repartition-by-cell co-locates each cell in exactly one
-            // task, dynamic partitioning fans the dirs out, then each
-            // cell dir renames into its generation name (a metadata move)
-            val searchCols = gens.flatMap(_.search).distinct.filter(c =>
-              ts.schema.fieldNames.contains(c) &&
-                searchKind(ts.schema(c).dataType).nonEmpty)
-            val tmpRel = s"data/$table/b$b-c${manifest.version + 1}-tmp-$nonce"
-            val tmpDir = new File(root, tmpRel)
-            val writer = withCell.select(col(cellCol) +: cols: _*)
-              .repartition(col(cellCol))
-              .write.partitionBy(cellCol).mode("overwrite")
-            searchCols.foldLeft(writer) { (w, c) =>
-              w.option(s"parquet.bloom.filter.enabled#$c", "true")
-            }.parquet(tmpDir.toString)
-            val genList = cellRows.toSeq.map { r =>
-              val i = r.getInt(0)
-              val rel = s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce"
-              val dest = new File(root, rel)
-              val src = new File(tmpDir, s"$cellCol=$i")
-              require(src.isDirectory && src.renameTo(dest),
-                s"recluster: cannot move cell dir $src -> $dest")
-              val nRows = r.getAs[Long]("rows_")
-              val genStats = statFields.flatMap {
-                case (c, "str") =>
-                  (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
-                    case (lo: String, hi: String)
-                        if lo.length <= MaxStringStatLen &&
-                          hi.length <= MaxStringStatLen =>
-                      Some(c -> ColStat("str", lo, hi))
-                    case _ => None
-                  }
-                case (c, _) =>
-                  (statValue(r.getAs[Any](s"min_$c")),
-                    statValue(r.getAs[Any](s"max_$c"))) match {
-                    case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
-                      lo.bigDecimal.toPlainString, hi.bigDecimal.toPlainString))
-                    case _ => None
-                  }
-              }.toMap
-              val searched = searchCols.map { c =>
-                writeSearchSidecar(spark, dest,
-                  c, searchKind(ts.schema(c).dataType).get,
-                  math.max(nRows, 1L))
-                c
-              }
-              BucketGen(rel, genStats, nRows, searched)
-            }
-            deleteRecursively(tmpDir)
-            b -> genList
+            // counts, AND their per-column bounds; ONE repartition-by-
+            // cell dynamic-partitioning write lands every cell dir (the
+            // old shape paid a count job plus one observe-write PER
+            // CELL — ~slices sequential scans of the bucket)
+            b -> writeKeyedGens(spark, root, withCell, cellCol, ts.schema,
+              stats, gens.flatMap(_.search).distinct,
+              tmpRel = s"data/$table/b$b-c${manifest.version + 1}-tmp-$nonce",
+              relFor = i =>
+                s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce")
+              .map(_._2)
           } finally { df.unpersist(); () }
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
