@@ -671,6 +671,19 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
     GraftParquetRead.readerFactory(SparkSession.active, dataSchema,
       required, new StructType(), pushed)
 
+  /** The table declares MICRO_BATCH_READ for its change-feed surface,
+    * so a plain `spark.readStream.table("graft.ns.t")` passes the
+    * capability check and lands here — fail with the actionable message
+    * instead of the default UnsupportedOperationException deep in
+    * execution.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "graft tables stream through their change feed: set " +
+        s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true) on the " +
+        "readStream (plain streaming table scans are not supported)")
+
   override def description(): String =
     s"GraftBatchScan($index, pushed=${pushed.mkString(",")})"
 }

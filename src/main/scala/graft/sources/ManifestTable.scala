@@ -948,14 +948,29 @@ object ManifestTable {
       conf: org.apache.hadoop.conf.Configuration, genDir: String,
       column: String, kind: String,
       bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
-    val p = new org.apache.hadoop.fs.Path(
+    // write to an attempt-unique tmp name, then RENAME into place: with
+    // task retries or speculative execution two attempts may write the
+    // same sidecar concurrently, and two create-overwrite streams would
+    // interleave bytes into a corrupt file (tolerated by the reader, but
+    // silently costing the pruning). Rename is atomic, so the final file
+    // is always ONE attempt's complete bytes, whichever lands last.
+    val dest = new org.apache.hadoop.fs.Path(
       new File(genDir, searchSidecarName(column)).toString)
-    val out = p.getFileSystem(conf).create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      new File(genDir,
+        s".${searchSidecarName(column)}.${newNonce().take(8)}.tmp").toString)
+    val fs = dest.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try {
       out.write(Array[Byte]('G', 'S', 'B', '1',
         if (kind == "long") 'L' else 'S'))
       bf.writeTo(out)
     } finally out.close()
+    fs.delete(dest, false) // rename does not overwrite on every FS
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false) // another attempt won the rename race
+      ()
+    }
   }
 
   private def writeSearchSidecar(spark: SparkSession, dest: File,

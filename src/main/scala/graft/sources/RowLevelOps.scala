@@ -119,6 +119,22 @@ class GraftRowLevelScan(op: GraftRowLevelOperation, index: ManifestFileIndex,
   override protected def planned(files: Array[FileStatus]): Unit =
     op.replacedFiles = files.map(_.getPath.toString).toIndexedSeq
 
+  /** A group-based ReplaceData scan must return EVERY row of every file
+    * it plans: the commit drops the planned files wholesale and keeps
+    * only this scan's output, so the pushed/runtime predicates may prune
+    * which GENERATIONS participate ([[effectiveFilters]]) but must never
+    * reach the parquet reader — row-group / page / bloom skipping inside
+    * a planned file would silently delete its surviving, non-matching
+    * rows (a file with row groups x∈[1,4] and x∈[5,9] under
+    * `DELETE WHERE x=5` would lose the first group). The copy-on-write
+    * equivalent of Iceberg's ignoreResiduals: scan unfiltered, let the
+    * rewrite query's own Filter node drop the condemned rows.
+    */
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GraftParquetRead.readerFactory(SparkSession.active, dataSchema,
+      required, new StructType(), Array.empty)
+
   override def description(): String =
     s"GraftRowLevelScan($index, pushed=${pushed.mkString(",")}, " +
       s"runtime=${runtime.mkString(",")})"
@@ -134,18 +150,23 @@ class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val spark = SparkSession.active
-    // staged under the table's data dir with the target version in the
-    // name, so GC's in-flight guard protects it exactly like an
-    // in-flight generation dir; after the commit it is an orphan the
-    // commit's own GC (or an explicit delete below) removes
+    // staged under a GC-EXEMPT dot-prefixed dir at the table root (the
+    // same contract as GraftStreamingWrite's `.stage-<queryId>`): GC
+    // only sweeps `data/<table>/*`, so a concurrent writer winning the
+    // next version can never collect these files mid-statement — a
+    // versioned name under data/ would date as the winner's version and
+    // be swept, breaking replaceGroups' other-table rebase retry (which
+    // re-reads the staged files). Deleted explicitly in commit/abort.
     private val stagingRel =
-      s"data/${op.table}/stage-m${op.index.snapshotVersion + 1}-" +
-        UUID.randomUUID().toString.take(8)
+      s".stage-rl-${UUID.randomUUID().toString.take(8)}"
     private val stagingDir = new File(op.root, stagingRel)
+    // the leaf the read lists must NOT be dot-prefixed: Hadoop's input
+    // glob applies its hidden-file filter to the expanded path itself
+    private val rowsDir = new File(stagingDir, "rows")
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      StagingWriterFactory(schema, stagingDir.toString,
+      StagingWriterFactory(schema, rowsDir.toString,
         new SerializableConfiguration(spark.sessionState.newHadoopConf()))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -159,7 +180,7 @@ class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
         else {
           val n = schema.length
           val rdd = spark.sparkContext
-            .binaryFiles(stagingDir.toString, staged.length)
+            .binaryFiles(rowsDir.toString, staged.length)
             .flatMap { case (_, pds) =>
               StagingWriterFactory.decode(n, pds.open())
             }
@@ -267,12 +288,21 @@ class GraftStreamingWrite(root: File, table: String, queryId: String,
       ManifestTable.mergeBatch(root, s"sql-stream:$queryId", epochId,
         Seq(GraftDataSource.tableBatch(table, rows, params, existing,
           overwrite = overwrite && existing.nonEmpty)))
-    } finally ManifestTable.deleteRecursively(epochDir)
+    } finally {
+      ManifestTable.deleteRecursively(epochDir)
+      // the parent dot-dir is invisible to GC by design; without this a
+      // long-lived deployment accumulates one orphan dir per query id.
+      // File.delete only succeeds on an EMPTY dir, so a concurrent
+      // epoch's in-flight subdir keeps the parent alive
+      stagingDir.delete(): Unit
+    }
   }
 
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
     ManifestTable.deleteRecursively(new File(stagingDir, s"ep$epochId"))
+    stagingDir.delete(): Unit
+  }
 
   override def toString: String = s"GraftStreamingWrite($root/$table)"
 }

@@ -292,6 +292,23 @@ class CatalogSpec extends SparkSpec {
     drain()
     assert(seen.size == 25, s"SQL INSERT deltas missing: ${seen.size}")
     assert(seen.count(_.contains("insert")) == 25)
+
+    // a PLAIN streaming table read (no readChangeFeed) passes the
+    // capability check — it must fail with the actionable message at
+    // stream start, not an opaque UnsupportedOperationException deep in
+    // execution
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_cat4_ck2")
+    val err = intercept[Exception] {
+      val q = spark.readStream.table("graft4.ops.t")
+        .writeStream.option("checkpointLocation", ck2.toString)
+        .trigger(Trigger.AvailableNow()).format("noop").start()
+      q.awaitTermination()
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("readChangeFeed"),
+      s"plain streaming read should point at readChangeFeed, got: $chain")
   }
 
   test("writeStream.toTable: micro-batches land as manifest commits — upsert semantics, restart no-replay, Complete overwrites") {

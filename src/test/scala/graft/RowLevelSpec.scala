@@ -270,4 +270,68 @@ class RowLevelSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM rl6.ops.t WHERE id = 0")
       .head.getDouble(0) == -1.0, "stale replacement must not publish")
   }
+
+  test("multi-row-group generations: DELETE keeps surviving rows of skipped row groups") {
+    // the group-based rewrite drops planned files WHOLESALE and keeps
+    // only the scan's output — so the scan must read every row of every
+    // planned file. If the pushed condition reached the parquet reader,
+    // row-group stats/bloom skipping would drop whole row groups of
+    // SURVIVING rows and the commit would silently delete them. Fixture
+    // files must genuinely have >1 row group for this to bite: shrink
+    // the parquet block size for the insert.
+    val wh = catalog("rl7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl7.ops")
+    // searchCols turns on the parquet bloom filter for `sc` — the most
+    // aggressive in-file skipping path an equality DELETE can trigger
+    spark.sql("""CREATE TABLE rl7.ops.t (id BIGINT, sc STRING, pad STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+        'searchCols'='sc')""")
+    val prevBlock = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    spark.conf.set("spark.hadoop.parquet.block.size", "4096")
+    try {
+      spark.sql("""INSERT INTO rl7.ops.t
+        SELECT id, concat('k', id), repeat(uuid(), 4) FROM range(4000)""")
+    } finally {
+      prevBlock.fold(spark.conf.unset("spark.hadoop.parquet.block.size"))(
+        v => spark.conf.set("spark.hadoop.parquet.block.size", v))
+    }
+    val root = new File(wh, "ops")
+    // the premise: the single generation's file really has multiple row
+    // groups (otherwise this test can't catch in-file skipping at all)
+    val gen = ManifestTable.read(root).get.table("t").gens.head
+    val pq = new File(new File(root, gen.path), "").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    val conf = spark.sessionState.newHadoopConf()
+    val rowGroups = pq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size finally r.close()
+    }.sum
+    assert(rowGroups > 1,
+      s"fixture degenerated to $rowGroups row group(s) — tighten block size")
+
+    // equality on the bloom-indexed column: one matching row in one row
+    // group; all other row groups of the same file must SURVIVE. The
+    // subquery conjunct keeps the statement off the metadata
+    // SupportsDelete path (this must exercise the row-level scan) while
+    // the translatable `sc = 'k3999'` conjunct still pushes statically —
+    // the exact shape that would trigger bloom/stats row-group skipping
+    spark.sql("""DELETE FROM rl7.ops.t WHERE sc = 'k3999'
+      AND id IN (SELECT id FROM range(4000))""")
+    assert(spark.sql("SELECT count(*) FROM rl7.ops.t").head.getLong(0)
+      == 3999L, "rows from parquet-skipped row groups were lost")
+    assert(spark.sql("SELECT count(*) FROM rl7.ops.t WHERE sc = 'k3999'")
+      .head.getLong(0) == 0L)
+
+    // and a range UPDATE over the same multi-row-group file: untouched
+    // ranges survive with their original values
+    spark.sql("UPDATE rl7.ops.t SET sc = 'hit' WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM rl7.ops.t").head.getLong(0)
+      == 3999L)
+    assert(spark.sql("SELECT count(*) FROM rl7.ops.t WHERE sc = 'hit'")
+      .head.getLong(0) == 10L)
+    assert(spark.sql("SELECT sc FROM rl7.ops.t WHERE id = 2000")
+      .head.getString(0) == "k2000", "surviving row lost its value")
+  }
 }
