@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // feed subscription by catalog name (the output-schema rewrite the
     // table object can't do itself because loadTable never sees options)
     ext.injectResolutionRule(_ => plans.ResolveChangeFeedRead())
+    // merge-on-read reconciliation: relations over tables with
+    // outstanding row deltas rewrite into base ∪ latest-delta plans —
+    // injected pre-pushdown so the base leg keeps pruning/pushdown
+    ext.injectOptimizerRule(_ => plans.MergeOnReadRule())
   }
 }

@@ -75,6 +75,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // EVERY session that queries through this catalog gets the rule,
     // not just the one active at first catalog use
     graft.plans.MetadataAggRule.register(SparkSession.active)
+    graft.plans.MergeOnReadRule.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -191,8 +192,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def propCols(k: String): Seq[String] =
       props.get(k.toLowerCase).orElse(props.get(k))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // per-table operating properties ride TBLPROPERTIES: retention
+    // windows, checkpoint interval, and the row-level write mode
+    // (copy-on-write default, merge-on-read for heavy-update tables)
+    val recorded = ManifestTable.KnownProps.flatMap(k =>
+      props.get(k.toLowerCase).orElse(props.get(k)).map(k -> _)).toMap
+    recorded.get("rowLevelMode").foreach(m =>
+      require(GraftSqlTable.RowLevelModes.contains(m),
+        s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, got '$m'"))
     ManifestTable.createTable(rootOf(ident.namespace), ident.name, schema,
-      mergeKeys, buckets, propCols("statsCols"), propCols("searchCols"))
+      mergeKeys, buckets, propCols("statsCols"), propCols("searchCols"),
+      recorded)
     new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
   }
 
@@ -213,8 +223,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .empty[org.apache.spark.sql.types.StructField]
     var statsCols: Seq[String] = Nil
     var searchCols: Seq[String] = Nil
+    val props = scala.collection.mutable.Map.empty[String, String]
     def cols(v: String): Seq[String] =
       v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def knownProp(name: String): Option[String] =
+      ManifestTable.KnownProps.find(_.equalsIgnoreCase(name))
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -231,12 +244,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty
           if p.property.equalsIgnoreCase("searchCols") =>
         searchCols = cols(p.value)
+      case p: TableChange.SetProperty if knownProp(p.property).nonEmpty =>
+        val key = knownProp(p.property).get
+        if (key == "rowLevelMode")
+          require(GraftSqlTable.RowLevelModes.contains(p.value),
+            s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, " +
+              s"got '${p.value}'")
+        else
+          require(scala.util.Try(p.value.trim.toInt).toOption.exists(_ > 0),
+            s"table property '$key' must be a positive integer, " +
+              s"got '${p.value}'")
+        props += key -> p.value
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (graft supports ADD " +
-          "COLUMNS and SET TBLPROPERTIES statsCols/searchCols)")
+          "COLUMNS and SET TBLPROPERTIES statsCols/searchCols/" +
+          ManifestTable.KnownProps.toSeq.sorted.mkString("/") + ")")
     }
     ManifestTable.alterTable(root, ident.name, adds.toSeq,
-      statsCols, searchCols)
+      statsCols, searchCols, props.toMap)
     new GraftSqlTable(root, ident.name, None)
   }
 
@@ -429,7 +454,8 @@ object GraftProcedures {
   * V1-fallback writes onto the manifest commit protocol, and filter-based
   * DELETE/TRUNCATE mapped to [[ManifestTable.deleteWhere]].
   */
-class GraftSqlTable(root: File, table: String, version: Option[Long])
+class GraftSqlTable(root: File, table: String, version: Option[Long],
+    private[graft] val raw: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
@@ -442,7 +468,18 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
     * `format("graft")` path.
     */
   lazy val index: ManifestFileIndex =
-    new ManifestFileIndex(spark, root.toString, table, version)
+    new ManifestFileIndex(spark, root.toString, table, version, raw)
+
+  private[graft] def rootDir: File = root
+
+  private[graft] def tableName: String = table
+
+  /** This table re-pinned to the index's exact snapshot, marked as a
+    * merge-on-read reconciliation base leg so
+    * [[graft.plans.ResolveMergeOnRead]] never re-wraps it.
+    */
+  private[graft] def rawClone: GraftSqlTable =
+    new GraftSqlTable(root, table, Some(index.snapshotVersion), raw = true)
 
   override def name(): String = s"$root/$table" +
     version.fold("")(v => s"@v$v")
@@ -460,22 +497,32 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
       TableCapability.STREAMING_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** SQL `MERGE INTO` / `UPDATE` / subquery `DELETE` plan natively
-    * through the group-based copy-on-write plumbing ([[GraftRowLevelBuilder]]);
-    * translatable DELETEs keep resolving to the metadata
-    * [[ManifestTable.deleteWhere]] path (Spark's
-    * OptimizeMetadataOnlyDeleteFromTable prefers [[SupportsDelete]]).
+  /** SQL `MERGE INTO` / `UPDATE` / subquery `DELETE` plan natively:
+    * through the group-based copy-on-write plumbing
+    * ([[GraftRowLevelBuilder]]) by default, or — when the table declares
+    * `TBLPROPERTIES ('rowLevelMode'='merge-on-read')` — through the
+    * delta-based `SupportsDelta` path ([[GraftDeltaBuilder]]), which
+    * writes only the CHANGED rows plus key tombstones instead of
+    * rewriting every touched generation. Translatable DELETEs keep
+    * resolving to the metadata [[ManifestTable.deleteWhere]] path
+    * (Spark's OptimizeMetadataOnlyDeleteFromTable prefers
+    * [[SupportsDelete]]).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelBuilder(root, table, index, info)
+    if (index.state.props.get("rowLevelMode")
+        .contains(GraftSqlTable.MergeOnRead))
+      new GraftDeltaBuilder(root, table, index, info)
+    else new GraftRowLevelBuilder(root, table, index, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // scan-build time is the first moment the PLANNING session is known
     // for certain — register the metadata-agg rewrite there, so every
-    // session that reads a graft table by name gets it (idempotent)
+    // session that reads a graft table by name gets it (idempotent);
+    // ditto the merge-on-read reconciliation fallback
     graft.plans.MetadataAggRule.register(spark)
+    graft.plans.MergeOnReadRule.register(spark)
     if (options.getBoolean(GraftSqlTable.ReadChangeFeedOption, false)) {
       // named feed subscription: plan the SAME CdfMicroBatchStream as
       // format("graft-cdf"), so offsets/checkpoints/admission control
@@ -547,7 +594,12 @@ class GraftSqlTable(root: File, table: String, version: Option[Long])
   // ---- DELETE FROM / TRUNCATE ----
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftSqlTable.filterToColumn(f).isDefined)
+    // a merge-on-read table routes EVERY delete through the delta path
+    // (key tombstones, no generation rewrite) — refusing here makes
+    // Spark fall back to the row-level operation
+    !index.state.props.get("rowLevelMode")
+      .contains(GraftSqlTable.MergeOnRead) &&
+      filters.forall(f => GraftSqlTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.flatMap(GraftSqlTable.filterToColumn)
@@ -567,6 +619,13 @@ object GraftSqlTable {
     * Delta's option name, so a reader migrating over keeps its spelling.
     */
   val ReadChangeFeedOption = "readChangeFeed"
+
+  /** Row-level write modes a table may declare via
+    * `TBLPROPERTIES ('rowLevelMode'='…')`.
+    */
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+  val RowLevelModes: Set[String] = Set(CopyOnWrite, MergeOnRead)
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 

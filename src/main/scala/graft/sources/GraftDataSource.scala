@@ -211,12 +211,30 @@ object GraftDataSource {
   * pruning can only drop files the stats PROVE irrelevant.
   */
 class ManifestFileIndex(spark: SparkSession, root: String, table: String,
-    version: Option[Long]) extends FileIndex {
+    version: Option[Long], val raw: Boolean = false) extends FileIndex {
 
   private val manifest = ManifestTable.resolve(new File(root), version)
   private val ts = manifest.table(table)
 
   val tableSchema: StructType = ts.schema
+
+  /** The pinned table state — what merge-on-read reconciliation
+    * ([[graft.plans.ResolveMergeOnRead]]) folds onto this index's base
+    * scan. `raw = true` marks the reconciliation's own base leg so the
+    * rule never re-wraps it.
+    */
+  private[graft] def state: ManifestTable.TableState = ts
+
+  private[graft] def rootPath: String = root
+
+  private[graft] def tableName: String = table
+
+  /** This index, re-pinned to the same snapshot, marked as a
+    * reconciliation base leg.
+    */
+  private[graft] def rawCopy: ManifestFileIndex =
+    new ManifestFileIndex(spark, root, table, Some(manifest.version),
+      raw = true)
 
   /** Exact table row count from manifest metadata alone (None when any
     * generation predates count recording) — what lets
@@ -249,6 +267,9 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     * rows); Some(Some(v)) = the extremum as a Catalyst-internal value.
     */
   def metadataBound(column: String, lower: Boolean): Option[Option[Any]] = {
+    // outstanding merge-on-read deltas make base-generation bounds
+    // non-authoritative (a tombstone may have removed the extremum)
+    if (ts.deltas.nonEmpty) return None
     val field = tableSchema.fields.find(_.name == column) match {
       case Some(f) => f
       case None => return None

@@ -107,15 +107,29 @@ object ManifestTable {
   case class TableState(schemaJson: String, buckets: Map[Long, Seq[BucketGen]],
       changes: Seq[ChangeGen] = Nil, feedFrom: Long = -1L,
       mergeKeys: Seq[String] = Nil, numBuckets: Int = -1,
-      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil,
+      deltas: Map[Long, Seq[BucketGen]] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def gens: Seq[BucketGen] = buckets.values.flatten.toSeq
 
+    /** Per-bucket MERGE-ON-READ delta generations, in commit order: each
+      * holds key-addressed upserts and tombstones (the table schema plus
+      * the [[RowOpCol]] marker) a read reconciles onto the bucket's base
+      * generations — latest entry per key wins. Only row-level
+      * operations on a `rowLevelMode = merge-on-read` table append here;
+      * [[collapseDeltas]] (and compact) folds them back into base.
+      */
+    def deltaGens: Seq[BucketGen] = deltas.values.flatten.toSeq
+
     /** The table's exact row count from manifest metadata alone — `None`
-      * when ANY generation predates count recording (a metadata answer
-      * must never be a guess; the caller falls back to scanning).
+      * when ANY generation predates count recording, or when
+      * merge-on-read deltas are outstanding (tombstones/updates make the
+      * base counts non-authoritative; a metadata answer must never be a
+      * guess — the caller falls back to scanning).
       */
     def rowCount: Option[Long] = {
+      if (deltas.nonEmpty) return None
       val gs = gens
       if (gs.exists(_.rows < 0L)) None else Some(gs.map(_.rows).sum)
     }
@@ -149,7 +163,8 @@ object ManifestTable {
       */
     def allPaths: Seq[String] =
       tables.values.flatMap(ts =>
-        ts.gens.map(_.path) ++ ts.changes.map(_.path)).toSeq
+        ts.gens.map(_.path) ++ ts.deltaGens.map(_.path) ++
+          ts.changes.map(_.path)).toSeq
 
     /** Fold a committed batch in. On a query-id change the batch counter
       * RESTARTS (ids from a fresh checkpoint begin at 0 again); continuing
@@ -186,7 +201,8 @@ object ManifestTable {
             val opened =
               if (prevState.feedFrom < 0) nextVersion else prevState.feedFrom
             val all = prevState.changes :+ ChangeGen(nextVersion, rel)
-            val cutoff = nextVersion - ChangeRetainVersions
+            val cutoff = nextVersion -
+              intProp(prevState, "changeRetainVersions", ChangeRetainVersions)
             val (pruned, kept) = all.partition(_.version <= cutoff)
             // feedFrom advances only past versions whose entries were
             // ACTUALLY pruned: on a sparse feed (few commits far apart)
@@ -209,8 +225,22 @@ object ManifestTable {
         // out-of-band knowledge of what to track
         val sc = if (u.statsCols.nonEmpty) u.statsCols else prevState.statsCols
         val xc = if (u.searchCols.nonEmpty) u.searchCols else prevState.searchCols
+        // merge-on-read bookkeeping: a base overwrite drops every delta
+        // (nothing survives to reconcile onto); a collapsing writer
+        // names the buckets whose deltas its base rewrite absorbed;
+        // delta commits append per bucket in commit order (the order
+        // reconciliation resolves latest-wins by)
+        val afterClear =
+          if (u.replaceAll) Map.empty[Long, Seq[BucketGen]]
+          else if (u.clearDeltas.nonEmpty) prevState.deltas -- u.clearDeltas
+          else prevState.deltas
+        val nextDeltas = u.deltaBuckets.foldLeft(afterClear) {
+          case (ds, (b, gens)) => ds + (b -> (ds.getOrElse(b, Nil) ++ gens))
+        }
+        val pr =
+          if (u.props.nonEmpty) prevState.props ++ u.props else prevState.props
         acc + (name -> TableState(u.schemaJson, next, changes, feedFrom,
-          mk, nb, sc, xc))
+          mk, nb, sc, xc, nextDeltas, pr))
       }
       val nextBatch =
         if (queryId == qid) math.max(lastBatch, batchId) else batchId
@@ -251,7 +281,10 @@ object ManifestTable {
     logicalChange: Boolean = true,
     mergeKeys: Seq[String] = Nil, numBuckets: Int = -1,
     replaceAll: Boolean = false,
-    statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil)
+    statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil,
+    deltaBuckets: Map[Long, Seq[BucketGen]] = Map.empty,
+    clearDeltas: Seq[Long] = Nil,
+    props: Map[String, String] = Map.empty)
 
   val empty: Manifest = Manifest(0L, "", -1L, Map.empty)
 
@@ -292,21 +325,28 @@ object ManifestTable {
     (if (g.search.isEmpty) Nil
      else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))))
 
+  private def bucketsJson(bs: Map[Long, Seq[BucketGen]]): JObject =
+    JObject(bs.toSeq.sortBy(_._1).map { case (b, gens) =>
+      b.toString -> (JArray(gens.map(genJson).toList): JValue)
+    }.toList)
+
+  private def propsJson(ps: Map[String, String]): JObject =
+    JObject(ps.toSeq.sorted.map { case (k, v) => k -> (JString(v): JValue) }.toList)
+
   private def render(m: Manifest): String = {
-    def gen(g: BucketGen): JObject = genJson(g)
     val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> JObject(
         "schema" -> JString(ts.schemaJson),
-        "buckets" -> JObject(ts.buckets.toSeq.sortBy(_._1).map { case (b, gens) =>
-          b.toString -> JArray(gens.map(gen).toList)
-        }.toList),
+        "buckets" -> bucketsJson(ts.buckets),
         "changes" -> JArray(ts.changes.map(c => JObject(
           "version" -> JLong(c.version), "path" -> JString(c.path))).toList),
         "feedFrom" -> JLong(ts.feedFrom),
         "mergeKeys" -> JArray(ts.mergeKeys.map(JString(_)).toList),
         "numBuckets" -> JLong(ts.numBuckets.toLong),
         "statsCols" -> JArray(ts.statsCols.map(JString(_)).toList),
-        "searchCols" -> JArray(ts.searchCols.map(JString(_)).toList))
+        "searchCols" -> JArray(ts.searchCols.map(JString(_)).toList),
+        "deltas" -> bucketsJson(ts.deltas),
+        "props" -> propsJson(ts.props))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -350,17 +390,22 @@ object ManifestTable {
       }
       BucketGen(str(gv \ "path"), stats, rows, search)
     }
+    def bucketsOf(v: JValue): Map[Long, Seq[BucketGen]] = v match {
+      case JObject(bs) => bs.map { case (b, gvs) =>
+        b.toLong -> (gvs match {
+          case JArray(gens) => gens.map(gen)
+          case single => Seq(gen(single))
+        })
+      }.toMap
+      case _ => Map.empty[Long, Seq[BucketGen]]
+    }
+    def propsOf(v: JValue): Map[String, String] = v match {
+      case JObject(ps) => ps.collect { case (k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty
+    }
     val tables = (j \ "tables") match {
       case JObject(fields) => fields.map { case (name, tv) =>
-        val buckets = (tv \ "buckets") match {
-          case JObject(bs) => bs.map { case (b, gvs) =>
-            b.toLong -> (gvs match {
-              case JArray(gens) => gens.map(gen)
-              case single => Seq(gen(single))
-            })
-          }.toMap
-          case _ => Map.empty[Long, Seq[BucketGen]]
-        }
+        val buckets = bucketsOf(tv \ "buckets")
         val changes = (tv \ "changes") match {
           case JArray(cs) => cs.map(cv =>
             ChangeGen(long(cv \ "version"), str(cv \ "path")))
@@ -383,7 +428,8 @@ object ManifestTable {
           case _ => Nil
         }
         name -> TableState(str(tv \ "schema"), buckets, changes, feedFrom,
-          mergeKeys, numBuckets, cols("statsCols"), cols("searchCols"))
+          mergeKeys, numBuckets, cols("statsCols"), cols("searchCols"),
+          bucketsOf(tv \ "deltas"), propsOf(tv \ "props"))
       }.toMap
       case _ => Map.empty[String, TableState]
     }
@@ -402,14 +448,15 @@ object ManifestTable {
         "append" -> JBool(u.append),
         "replaceAll" -> JBool(u.replaceAll),
         "logicalChange" -> JBool(u.logicalChange),
-        "buckets" -> JObject(u.buckets.toSeq.sortBy(_._1).map { case (b, gens) =>
-          b.toString -> (JArray(gens.map(genJson).toList): JValue)
-        }.toList),
+        "buckets" -> bucketsJson(u.buckets),
         "changePath" -> u.changePath.map(JString(_)).getOrElse(JNothing),
         "mergeKeys" -> JArray(u.mergeKeys.map(JString(_)).toList),
         "numBuckets" -> JLong(u.numBuckets.toLong),
         "statsCols" -> JArray(u.statsCols.map(JString(_)).toList),
-        "searchCols" -> JArray(u.searchCols.map(JString(_)).toList))
+        "searchCols" -> JArray(u.searchCols.map(JString(_)).toList),
+        "deltaBuckets" -> bucketsJson(u.deltaBuckets),
+        "clearDeltas" -> JArray(u.clearDeltas.map(JLong(_)).toList),
+        "props" -> propsJson(u.props))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
       "version" -> JLong(d.version),
@@ -450,17 +497,18 @@ object ManifestTable {
           case JArray(cs) => cs.map(str)
           case _ => Nil
         }
+        def bucketsOf(v: JValue): Map[Long, Seq[BucketGen]] = v match {
+          case JObject(bs) => bs.map { case (b, gvs) =>
+            b.toLong -> (gvs match {
+              case JArray(gens) => gens.map(gen)
+              case single => Seq(gen(single))
+            })
+          }.toMap
+          case _ => Map.empty[Long, Seq[BucketGen]]
+        }
         name -> TableUpdate(
           str(uv \ "schema"),
-          (uv \ "buckets") match {
-            case JObject(bs) => bs.map { case (b, gvs) =>
-              b.toLong -> (gvs match {
-                case JArray(gens) => gens.map(gen)
-                case single => Seq(gen(single))
-              })
-            }.toMap
-            case _ => Map.empty[Long, Seq[BucketGen]]
-          },
+          bucketsOf(uv \ "buckets"),
           append = (uv \ "append") == JBool(true),
           changePath = (uv \ "changePath") match {
             case JString(s) => Some(s)
@@ -470,7 +518,16 @@ object ManifestTable {
           mergeKeys = cols("mergeKeys"),
           numBuckets = long(uv \ "numBuckets").toInt,
           replaceAll = (uv \ "replaceAll") == JBool(true),
-          statsCols = cols("statsCols"), searchCols = cols("searchCols"))
+          statsCols = cols("statsCols"), searchCols = cols("searchCols"),
+          deltaBuckets = bucketsOf(uv \ "deltaBuckets"),
+          clearDeltas = (uv \ "clearDeltas") match {
+            case JArray(vs) => vs.map(long)
+            case _ => Nil
+          },
+          props = (uv \ "props") match {
+            case JObject(ps) => ps.collect { case (k, JString(s)) => k -> s }.toMap
+            case _ => Map.empty
+          })
       }.toMap
       case _ => Map.empty[String, TableUpdate]
     }
@@ -604,9 +661,46 @@ object ManifestTable {
   /** Snapshots retained by [[gc]]: readers may time-travel this many
     * versions back (current + RetainVersions-1 older), and a reader still
     * iterating a recent pre-GC snapshot keeps its files — the same
-    * retention contract a Delta VACUUM window provides.
+    * retention contract a Delta VACUUM window provides. This is the
+    * DEFAULT; each table may widen (or narrow) its own window with
+    * `TBLPROPERTIES ('retainVersions'='N')` — the root's physical
+    * retention (what GC keeps reconstructible) is the WIDEST table's
+    * window, since one manifest spans the namespace, while time travel
+    * on a specific table gates on THAT table's window
+    * ([[readTable]]) — the per-table analogue of the warehouse's
+    * `DATA_RETENTION_TIME_IN_DAYS`.
     */
   val RetainVersions = 3
+
+  /** A positive-int table property with its compile-time default —
+    * `retainVersions`, `changeRetainVersions`, `checkpointInterval` all
+    * ride TBLPROPERTIES through this.
+    */
+  private def intProp(ts: TableState, key: String, dflt: Int): Int =
+    ts.props.get(key)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(dflt)
+
+  /** The keys [[createTable]]/[[alterTable]] accept as table properties. */
+  val KnownProps: Set[String] =
+    Set("retainVersions", "changeRetainVersions", "checkpointInterval",
+      "rowLevelMode")
+
+  private[sources] def retainVersionsOf(ts: TableState): Int =
+    intProp(ts, "retainVersions", RetainVersions)
+
+  /** The root's physical retention window: the widest table's. */
+  private def retainOf(m: Manifest): Int =
+    (RetainVersions +: m.tables.values.toSeq.map(retainVersionsOf)).max
+
+  /** The root's snapshot interval: the most eager table's (a smaller
+    * interval only ADDS full snapshots — always safe for every reader).
+    */
+  private def checkpointIntervalOf(m: Manifest): Int = {
+    val declared = m.tables.values.toSeq
+      .map(ts => intProp(ts, "checkpointInterval", CheckpointInterval))
+    if (declared.isEmpty) CheckpointInterval else declared.min
+  }
 
   /** Publish with optimistic concurrency. The per-version manifest
     * (`.v{N}`) is created via an EXCLUSIVE hard link of a fully-written
@@ -637,7 +731,7 @@ object ManifestTable {
     delta.foreach(d => require(d.version == m.version,
       s"delta v${d.version} does not describe commit v${m.version}"))
     val nonce = newNonce()
-    val full = delta.isEmpty || m.version % CheckpointInterval == 0
+    val full = delta.isEmpty || m.version % checkpointIntervalOf(m) == 0
     val body = if (full) render(m) else renderDelta(delta.get)
     val vtmp = new File(root, s".${ManifestName}.v.$nonce.tmp")
     Files.write(vtmp.toPath, body.getBytes(UTF_8))
@@ -704,8 +798,8 @@ object ManifestTable {
   def readVersionBuckets(root: File, v: Long): Seq[String] =
     reconstruct(root, v).map(_.allPaths).getOrElse(Nil)
 
-  private def retainedVersions(root: File, current: Long): Seq[Long] =
-    ((current - RetainVersions + 1) max 0) to current
+  private def retainedVersions(m: Manifest): Seq[Long] =
+    ((m.version - retainOf(m) + 1) max 0) to m.version
 
   /** Vacuum: drop every generation directory no RETAINED snapshot references
     * (superseded generations past the retention window, and orphans from
@@ -714,7 +808,7 @@ object ManifestTable {
     * commit, so nothing a retained snapshot resolves is ever deleted.
     */
   def gc(root: File, m: Manifest): Unit = {
-    val retained = retainedVersions(root, m.version)
+    val retained = retainedVersions(m)
     val live: Set[String] =
       retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
     val tableDirs = new File(root, "data").listFiles
@@ -744,8 +838,25 @@ object ManifestTable {
         parse(new String(Files.readAllBytes(p.toPath), UTF_8)).version)
         .getOrElse(0L)
     }
-    val anchor = math.min(
-      (retained.min / CheckpointInterval) * CheckpointInterval, pointerV)
+    // the anchor can't assume fulls sit at multiples of the CURRENT
+    // interval — a per-table checkpointInterval property may have
+    // changed mid-history — so walk down from the oldest retained
+    // version to the newest entry that actually IS a full snapshot
+    // (bounded by the widest interval the history ever used)
+    val fullAnchor = {
+      var v = retained.min
+      var found = -1L
+      while (found < 0 && v >= 0) {
+        val f = versionFile(root, v)
+        if (!f.exists) found = v // already swept below here: safe floor
+        else if (scala.util.Try(parseEntry(
+            new String(Files.readAllBytes(f.toPath), UTF_8)).isRight)
+            .getOrElse(true)) found = v
+        else v -= 1
+      }
+      found max 0L
+    }
+    val anchor = math.min(fullAnchor, pointerV)
     val stale = root.listFiles
     if (stale != null)
       stale.filter { f =>
@@ -774,12 +885,13 @@ object ManifestTable {
           // already vacuumed — serving them would resolve a snapshot
           // whose files are gone
           val current = live.map(_.version).getOrElse(0L)
-          if (v <= current - RetainVersions)
+          val window = live.map(retainOf).getOrElse(RetainVersions)
+          if (v <= current - window)
             throw new java.io.FileNotFoundException(
-              s"version $v of $root is not retained (window $RetainVersions)")
+              s"version $v of $root is not retained (window $window)")
           reconstruct(root, v).getOrElse(
             throw new java.io.FileNotFoundException(
-              s"version $v of $root is not retained (window $RetainVersions)"))
+              s"version $v of $root is not retained (window $window)"))
         }
     }
 
@@ -794,7 +906,21 @@ object ManifestTable {
       version: Option[Long] = None, table: String = DefaultTable): DataFrame = {
     val m = resolve(new File(root), version)
     val ts = m.table(table)
-    readDirs(spark, root, ts, ts.gens.map(_.path))
+    // per-table retention: the ROOT keeps the widest table's history
+    // reconstructible, but time travel on THIS table honors the window
+    // IT declared (TBLPROPERTIES retainVersions)
+    version.foreach { v =>
+      val live = read(new File(root))
+      val current = live.map(_.version).getOrElse(0L)
+      val window = live.map(lm => retainVersionsOf(lm.table(table)))
+        .getOrElse(RetainVersions)
+      if (v <= current - window)
+        throw new java.io.FileNotFoundException(
+          s"version $v of table '$table' is not retained " +
+            s"(table window $window)")
+    }
+    reconcileDeltas(spark, root, ts,
+      readDirs(spark, root, ts, ts.gens.map(_.path)))
   }
 
   private def readDirs(spark: SparkSession, root: String, ts: TableState,
@@ -1251,6 +1377,70 @@ object ManifestTable {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Merge-on-read delta rows carry this marker column alongside the
+    * table schema: "i" insert, "u" update (upsert), "d" delete
+    * (tombstone — non-key columns null).
+    */
+  val RowOpCol = "_row_op"
+
+  /** Reconciliation broadcasts the touched-key side of its anti-join
+    * when the manifest-recorded delta row total stays under this — the
+    * scale path: the base scan never shuffles, it streams through a
+    * broadcast hash anti-join. Past the bound (a table overdue for
+    * compaction) the join falls back to a shuffled key join.
+    */
+  val BroadcastDeltaRows = 4000000L
+
+  /** The merge-on-read read-side contract: fold a table's outstanding
+    * row deltas onto `base` (the base generations' rows, table schema).
+    * Per key, the LATEST delta entry wins — a tombstone removes the row,
+    * an upsert replaces it; keys with no delta entry pass through
+    * untouched. Delta entries order per bucket by commit order, and a
+    * key hashes to exactly one bucket, so the per-bucket sequence IS the
+    * key's global order.
+    *
+    * Shape at scale: the delta side is bounded by churn since the last
+    * compaction (compact/collapseDeltas fold it away), so the plan is
+    * base-scan → broadcast hash anti-join + a small windowed
+    * latest-per-key over delta rows only. The base scan itself never
+    * shuffles or re-sorts.
+    */
+  def reconcileDeltas(spark: SparkSession, root: String, ts: TableState,
+      base: DataFrame): DataFrame = {
+    if (ts.deltas.isEmpty) return base
+    val keys = ts.mergeKeys
+    require(keys.nonEmpty,
+      "merge-on-read reconciliation needs recorded merge keys")
+    val schema = ts.schema
+    val deltaSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(RowOpCol,
+        org.apache.spark.sql.types.StringType))
+    // per delta dir: its position in the bucket's commit order (the
+    // latest-wins sequence); dirs stay few by the compaction contract
+    val legs = ts.deltas.toSeq.flatMap { case (_, gens) =>
+      gens.zipWithIndex.map { case (g, i) =>
+        spark.read.schema(deltaSchema)
+          .parquet(new File(root, g.path).toString)
+          .withColumn("__seq", lit(i.toLong))
+      }
+    }
+    val all = legs.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("__seq").desc)
+    val latest = all
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__seq")
+    val touched = latest.select(keys.map(col).toIndexedSeq: _*)
+    val deltaRows = ts.deltaGens.map(_.rows)
+    val small = deltaRows.forall(_ >= 0L) &&
+      deltaRows.sum <= BroadcastDeltaRows
+    val cond = keys.map(k => base(k) <=> touched(k)).reduce(_ && _)
+    base.join(if (small) broadcast(touched) else touched, cond, "left_anti")
+      .unionByName(latest.filter(col(RowOpCol) =!= "d")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
   /** Multi-table idempotent merge-upsert of one micro-batch: every table's
     * touched buckets are merged and written to NEW immutable generation
     * dirs, then ALL tables publish with ONE atomic manifest swap — a crash
@@ -1287,6 +1477,13 @@ object ManifestTable {
     var attempt = 0
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
+      // a copy-on-write bucket rewrite reads base generation bytes
+      // directly: fold any outstanding merge-on-read deltas first so
+      // the rewrite can't resurrect tombstoned or stale-versioned rows
+      batches.foreach { tb =>
+        if (read(root).exists(_.table(tb.name).deltas.nonEmpty))
+          collapseDeltas(tb.rows.sparkSession, root, tb.name): Unit
+      }
       val manifest = read(root).getOrElse(empty)
       if (manifest.queryId == qid && batchId <= manifest.lastBatch)
         return // replayed batch of the SAME query: already committed
@@ -1625,8 +1822,17 @@ object ManifestTable {
     */
   def createTable(root: File, table: String, schema: StructType,
       mergeKeys: Seq[String], numBuckets: Int,
-      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     root.mkdirs()
+    // merge-on-read row identity: Spark's delta-based rewrites require
+    // non-nullable rowId attributes, and a null merge key has no
+    // defined upsert identity anyway — record the keys non-null
+    val recorded =
+      if (props.get("rowLevelMode").contains("merge-on-read"))
+        StructType(schema.fields.map(f =>
+          if (mergeKeys.contains(f.name)) f.copy(nullable = false) else f))
+      else schema
     var attempt = 0
     var done = false
     while (!done) {
@@ -1635,9 +1841,10 @@ object ManifestTable {
         s"table '$table' already exists at $root")
       try {
         commit(root, manifest.advance(manifest.queryId, manifest.lastBatch,
-          Map(table -> TableUpdate(schema.json, Map.empty, append = false,
+          Map(table -> TableUpdate(recorded.json, Map.empty, append = false,
             mergeKeys = mergeKeys, numBuckets = numBuckets,
-            statsCols = statsCols, searchCols = searchCols)), "CREATE"))
+            statsCols = statsCols, searchCols = searchCols,
+            props = props)), "CREATE"))
         done = true
       } catch {
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
@@ -1660,7 +1867,8 @@ object ManifestTable {
     */
   def alterTable(root: File, table: String,
       addColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
-      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -1670,14 +1878,22 @@ object ManifestTable {
       val schema = ts.schema
       addColumns.foreach(f => require(!schema.fieldNames.contains(f.name),
         s"column '${f.name}' already exists"))
-      val evolved = unify(Some(schema), StructType(addColumns))
+      val evolved0 = unify(Some(schema), StructType(addColumns))
+      // flipping a table INTO merge-on-read adopts the non-null merge
+      // key contract the delta rewrites require
+      val evolved =
+        if (props.get("rowLevelMode").contains("merge-on-read"))
+          StructType(evolved0.fields.map(f =>
+            if (ts.mergeKeys.contains(f.name)) f.copy(nullable = false)
+            else f))
+        else evolved0
       (statsCols ++ searchCols).foreach(c =>
         require(evolved.fieldNames.contains(c),
           s"layout column '$c' not in the table schema"))
       try {
         val updates = Map(table -> TableUpdate(evolved.json, Map.empty,
           append = false, changePath = None, logicalChange = false,
-          statsCols = statsCols, searchCols = searchCols))
+          statsCols = statsCols, searchCols = searchCols, props = props))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           updates, "ALTER")
         commit(root, next, deltaOf(next, manifest.queryId,
@@ -1831,6 +2047,7 @@ object ManifestTable {
     var attempt = 0
     var result = -1L
     while (result < 0) {
+      collapseDeltas(spark, root, table): Unit // CoW rewrite reads base bytes
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
       if (ts.schemaJson.isEmpty) return 0L
@@ -1932,6 +2149,7 @@ object ManifestTable {
     var attempt = 0
     var result = -1L
     while (result < 0) {
+      collapseDeltas(spark, root, table): Unit // CoW rewrite reads base bytes
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
       if (ts.schemaJson.isEmpty) return 0L
@@ -2062,6 +2280,15 @@ object ManifestTable {
       if (ts != baseTs) // someone changed THIS table under the statement
         throw new ConcurrentCommitException(manifest.version)
       require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
+      // a group replacement drops scanned FILES wholesale; outstanding
+      // merge-on-read deltas are not files the scan planned, so the
+      // rewrite would silently resurrect superseded rows. Reachable only
+      // by flipping rowLevelMode back to copy-on-write with deltas still
+      // outstanding — refuse with the remedy rather than corrupt.
+      require(ts.deltas.isEmpty,
+        s"table '$table' has outstanding merge-on-read deltas: run " +
+          "CALL graft.system.compact (or collapseDeltas) before " +
+          "copy-on-write row-level operations")
       val schema = ts.schema
       def touched(g: BucketGen): Boolean =
         replacedDirs.contains(new File(root, g.path).getCanonicalPath)
@@ -2176,6 +2403,168 @@ object ManifestTable {
         .write.mode("overwrite").parquet(new File(root, rel).toString)
       Some(rel)
     } finally { joined.unpersist(); () }
+  }
+
+  /** Publish one MERGE-ON-READ row-delta commit — the SupportsDelta
+    * write path's commit. `staged` holds exactly the statement's change
+    * rows (table schema plus [[RowOpCol]]: "i" insert, "u" update,
+    * "d" tombstone with non-key columns null); they bucket by the
+    * table's recorded merge-key hash and land as ONE new delta
+    * generation per touched bucket. Base generations are untouched, so
+    * a selective MERGE's write volume scales with its CHANGED rows, not
+    * with the size of every bucket it grazed (the Iceberg/Delta
+    * merge-on-read shape; graft's copy-on-write [[replaceGroups]] stays
+    * the default mode). Reads fold the deltas back via
+    * [[reconcileDeltas]]; [[collapseDeltas]]/compact erase them.
+    *
+    * The change feed stays EXACT: preimages for updates/deletes come
+    * from a keyed semi-join against the reconciled pre-statement
+    * snapshot — bounded by the statement's own key set.
+    *
+    * Concurrency: same contract as [[replaceGroups]] — a same-table
+    * commit between the statement's scan and this commit aborts; a
+    * commit that touched only other tables rebases transparently.
+    */
+  def applyRowDeltas(spark: SparkSession, root: File, table: String,
+      staged: DataFrame, op: String, baseVersion: Long): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      val baseTs = resolve(root, Some(baseVersion)).table(table)
+      val ts = manifest.table(table)
+      if (ts != baseTs) // someone changed THIS table under the statement
+        throw new ConcurrentCommitException(manifest.version)
+      require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
+      require(ts.mergeKeys.nonEmpty && ts.numBuckets > 0,
+        s"table '$table' has no recorded merge keys/bucketing")
+      val schema = ts.schema
+      val deltaSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(RowOpCol,
+          org.apache.spark.sql.types.StringType))
+      val nonce = newNonce()
+      val aligned = staged.select((schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) :+ col(RowOpCol))
+        .toIndexedSeq: _*)
+      val bucketExpr =
+        pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
+          lit(ts.numBuckets))
+      val withBucket = aligned.withColumn(BucketCol, bucketExpr).persist()
+      try {
+        val written: Map[Long, BucketGen] = writeKeyedGens(spark, root,
+          withBucket, BucketCol, deltaSchema, ts.statsCols, Nil,
+          tmpRel = s"data/$table/stage-dd${manifest.version + 1}-w$nonce",
+          relFor = b => s"data/$table/b$b-dd${manifest.version + 1}-$nonce")
+          .toMap
+        if (written.isEmpty) return // nothing changed: no commit
+        val changePath =
+          if (ts.feedFrom < 0) None
+          else {
+            val keys = ts.mergeKeys
+            val current = reconcileDeltas(spark, root.toString, ts,
+              readDirs(spark, root.toString, ts, ts.gens.map(_.path)))
+            val touchedKeys = aligned
+              .filter(col(RowOpCol).isin("u", "d"))
+              .select((keys.map(col) :+ col(RowOpCol)).toIndexedSeq: _*)
+            val cond = keys.map(k => current(k) <=> touchedKeys(k))
+              .reduce(_ && _)
+            val old = current.join(
+              touchedKeys.withColumnRenamed(RowOpCol, "__top"),
+              cond, "inner")
+              .select((schema.fieldNames.map(current(_)) :+ col("__top"))
+                .toIndexedSeq: _*)
+            val deletes = old.filter(col("__top") === "d").drop("__top")
+              .withColumn(ChangeTypeCol, lit("delete"))
+            val pre = old.filter(col("__top") === "u").drop("__top")
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            val post = aligned.filter(col(RowOpCol) === "u").drop(RowOpCol)
+              .withColumn(ChangeTypeCol, lit("update_postimage"))
+            val ins = aligned.filter(col(RowOpCol) === "i").drop(RowOpCol)
+              .withColumn(ChangeTypeCol, lit("insert"))
+            val rel = s"data/$table/chg-dd${manifest.version + 1}-$nonce"
+            ins.unionByName(deletes).unionByName(pre).unionByName(post)
+              .write.mode("overwrite").parquet(new File(root, rel).toString)
+            Some(rel)
+          }
+        val updates = Map(table -> TableUpdate(ts.schemaJson, Map.empty,
+          append = true, changePath = changePath,
+          deltaBuckets = written.map { case (b, g) => b -> Seq(g) }))
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          updates, op)
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, op))
+        gc(root, next)
+        done = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // other-table commits rebase; same-table aborts above
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // race casualty of a concurrent winner's GC
+      } finally { withBucket.unpersist(); () }
+    }
+  }
+
+  /** Fold every outstanding merge-on-read delta back into base
+    * generations — one reconciled rewrite of exactly the delta'd
+    * buckets, then a commit that replaces those buckets and clears
+    * their deltas. Physical-only (`logicalChange = false`): the
+    * reconciled rows are what reads already served, so an active change
+    * feed is untouched. compact() runs this first, and copy-on-write
+    * writers (mergeBatch, delete/update_where, recluster) invoke it
+    * before rewriting buckets whose base bytes they read directly.
+    * Returns false when there was nothing to collapse.
+    */
+  def collapseDeltas(spark: SparkSession, root: File,
+      table: String): Boolean = {
+    var attempt = 0
+    while (true) {
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      if (ts.deltas.isEmpty) return false
+      val nonce = newNonce()
+      try {
+        val schema = ts.schema
+        val bucketIds = ts.deltas.keySet.toSeq.sorted
+        val baseDirs = bucketIds.flatMap(b =>
+          ts.buckets.getOrElse(b, Nil)).map(_.path)
+        val reconciled = reconcileDeltas(spark, root.toString, ts,
+          readDirs(spark, root.toString, ts, baseDirs))
+        val bucketExpr =
+          pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
+            lit(ts.numBuckets))
+        val withBucket = reconciled.withColumn(BucketCol, bucketExpr)
+          .persist()
+        try {
+          val written = writeKeyedGens(spark, root, withBucket, BucketCol,
+            schema, ts.statsCols, ts.searchCols,
+            tmpRel = s"data/$table/stage-c${manifest.version + 1}-w$nonce",
+            relFor = b => s"data/$table/b$b-c${manifest.version + 1}-$nonce")
+            .toMap
+          // a bucket whose keys were all tombstoned rewrites to EMPTY —
+          // its base generations still drop
+          val rewritten = bucketIds.map(b => b -> written.get(b).toSeq).toMap
+          val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+            append = false, changePath = None, logicalChange = false,
+            clearDeltas = bucketIds))
+          val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+            updates, "COLLAPSE")
+          commit(root, next, deltaOf(next, manifest.queryId,
+            manifest.lastBatch, updates, "COLLAPSE"))
+          gc(root, next)
+          return true
+        } finally { withBucket.unpersist(); () }
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1
+      }
+    }
+    false
   }
 
   /** Retrofit search sidecars and min/max stats onto EXISTING generations
@@ -2345,6 +2734,10 @@ object ManifestTable {
     var attempt = 0
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
+      // compaction's first job on a merge-on-read table: fold the
+      // outstanding row deltas into base (its own commit), THEN collapse
+      // multi-generation buckets
+      collapseDeltas(spark, root, table): Unit
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
       val multi = ts.buckets.filter(_._2.length > 1)
@@ -2437,6 +2830,7 @@ object ManifestTable {
     var attempt = 0
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
+      collapseDeltas(spark, root, table): Unit // recluster reads base bytes
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
       if (ts.buckets.isEmpty) return

@@ -145,6 +145,189 @@ class GraftRowLevelScan(op: GraftRowLevelOperation, index: ManifestFileIndex,
   */
 case class StagedFile(path: String) extends WriterCommitMessage
 
+/** MERGE-ON-READ row-level operations — the `SupportsDelta` twin of the
+  * copy-on-write [[GraftRowLevelBuilder]], selected by
+  * `TBLPROPERTIES ('rowLevelMode'='merge-on-read')`. Spark rewrites the
+  * statement into a WriteDelta plan whose query emits ONLY the changed
+  * rows, each tagged insert/update/delete with the row's identity
+  * (`rowId` = the table's merge keys — key-addressed deltas, the
+  * Hudi record-key shape, rather than file/position vectors, because
+  * graft rows already carry a unique merge identity and bucket by its
+  * hash). Writers stage the tagged rows; the commit buckets them and
+  * publishes one DELTA generation per touched bucket
+  * ([[ManifestTable.applyRowDeltas]]) — write volume scales with the
+  * statement's changed rows, never with the size of the buckets it
+  * grazed. Reads fold deltas back latest-wins
+  * ([[ManifestTable.reconcileDeltas]], planned by
+  * [[graft.plans.ResolveMergeOnRead]]); compact()/collapseDeltas erase
+  * them.
+  */
+class GraftDeltaBuilder(root: File, table: String,
+    index: ManifestFileIndex, info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftDeltaOperation(root, table, index, info.command)
+}
+
+class GraftDeltaOperation(val root: File, val table: String,
+    val index: ManifestFileIndex, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    index.mergeKeys.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(k))
+      .toArray
+
+  /** Plain pruned scan: a delta write never drops files, so pushed
+    * filters may safely reach the parquet reader here (unlike the
+    * group-based scan) — unmatched rows simply emit no delta.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(index, index.tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(GraftDeltaOperation.this)
+    }
+
+  override def description(): String =
+    s"GraftDeltaOperation($cmd, $root/$table@v${index.snapshotVersion})"
+}
+
+class GraftDeltaWrite(op: GraftDeltaOperation)
+  extends org.apache.spark.sql.connector.write.DeltaWrite {
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+      private val spark = SparkSession.active
+      private val schema = op.index.tableSchema
+      // same GC-exempt dot-dir staging contract as the replace-data
+      // write; the leaf the commit lists stays non-hidden
+      private val stagingDir =
+        new File(op.root, s".stage-rl-${UUID.randomUUID().toString.take(8)}")
+      private val rowsDir = new File(stagingDir, "rows")
+
+      override def createBatchWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+        GraftDeltaWriterFactory(schema, op.index.mergeKeys,
+          rowsDir.toString,
+          new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val staged = messages.collect {
+          case StagedFile(p) if p.nonEmpty => p
+        }
+        try {
+          if (staged.nonEmpty) {
+            val deltaSchema = StructType(schema.fields :+
+              org.apache.spark.sql.types.StructField(
+                ManifestTable.RowOpCol,
+                org.apache.spark.sql.types.StringType))
+            val n = deltaSchema.length
+            val rdd = spark.sparkContext
+              .binaryFiles(rowsDir.toString, staged.length)
+              .flatMap { case (_, pds) =>
+                StagingWriterFactory.decode(n, pds.open())
+              }
+            val rows = org.apache.spark.sql.graftbridge.Bridge
+              .internalRowsDf(spark, rdd, deltaSchema)
+            ManifestTable.applyRowDeltas(spark, op.root, op.table, rows,
+              op.command.toString, op.index.snapshotVersion)
+          }
+        } finally ManifestTable.deleteRecursively(stagingDir)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        ManifestTable.deleteRecursively(stagingDir)
+    }
+
+  override def description(): String = s"GraftDeltaWrite($op)"
+}
+
+/** Task-side delta staging: each callback lands one full-width row
+  * (table schema + [[ManifestTable.RowOpCol]]) in the task's staging
+  * file — inserts/updates carry the new row, deletes carry the merge
+  * keys (from the rowId projection) with every other column null.
+  */
+case class GraftDeltaWriterFactory(schema: StructType, keys: Seq[String],
+    stagingDir: String, conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val deltaSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(ManifestTable.RowOpCol,
+          org.apache.spark.sql.types.StringType))
+      private val inner = StagingWriterFactory.writer(deltaSchema,
+        new Path(s"$stagingDir/part-$partitionId-$taskId.urow"), conf)
+      private val buf = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(deltaSchema.length)
+      private val fieldTypes = schema.fields.map(_.dataType)
+      private val keyIdx = keys.map(schema.fieldIndex).toArray
+      private val keyTypes = keyIdx.map(i => schema(i).dataType)
+
+      private def emit(opTag: String): Unit = {
+        buf.update(schema.length,
+          org.apache.spark.unsafe.types.UTF8String.fromString(opTag))
+        inner.write(buf) // UnsafeProjection copies — buf is reusable
+      }
+
+      private def setRow(row: InternalRow): Unit = {
+        require(row.numFields == schema.length,
+          s"delta row has ${row.numFields} fields for " +
+            s"${schema.length} data columns — unknown row layout")
+        var i = 0
+        while (i < fieldTypes.length) {
+          buf.update(i,
+            if (row.isNullAt(i)) null else row.get(i, fieldTypes(i)))
+          i += 1
+        }
+      }
+
+      override def insert(row: InternalRow): Unit = {
+        setRow(row); emit("i")
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        setRow(row); emit("u")
+      }
+
+      /** A key-changing update arrives as delete + reinsert; the
+        * reinserted row is an upsert under its NEW key.
+        */
+      override def reinsert(meta: InternalRow, row: InternalRow): Unit = {
+        setRow(row); emit("u")
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        require(id.numFields == keyIdx.length,
+          s"delete id has ${id.numFields} fields for " +
+            s"${keyIdx.length} merge keys — unknown row layout")
+        var i = 0
+        while (i < deltaSchema.length) { buf.update(i, null); i += 1 }
+        var j = 0
+        while (j < keyIdx.length) {
+          buf.update(keyIdx(j),
+            if (id.isNullAt(j)) null else id.get(j, keyTypes(j)))
+          j += 1
+        }
+        emit("d")
+      }
+
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+}
+
 class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
   extends Write {
 

@@ -47,6 +47,31 @@ object Bridge {
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 
+  /** Unwrap a row-level operation table (`RowLevelOperationTable` is
+    * private[sql]) — the underlying catalog table, or None when `t` is
+    * not an operation wrapper.
+    */
+  def unwrapRowLevel(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case w: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      Some(w.table)
+    case _ => None
+  }
+
+  /** Re-wrap `wrapper`'s row-level operation around a different inner
+    * table (the merge-on-read rule's raw base leg).
+    */
+  def rewrapRowLevel(wrapper: org.apache.spark.sql.connector.catalog.Table,
+      inner: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.connector.catalog.Table = wrapper match {
+    case w: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      org.apache.spark.sql.connector.write.RowLevelOperationTable(
+        inner.asInstanceOf[
+          org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations],
+        w.operation)
+    case other => other
+  }
+
   def batchDf(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ss = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     ss.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
