@@ -303,7 +303,8 @@ object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
-    "delete_where", "update_where", "detail", "vacuum")
+    "delete_where", "update_where", "detail", "vacuum",
+    "begin", "commit", "rollback", "clone")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -434,6 +435,34 @@ object GraftProcedures {
           arr(ts.mergeKeys), ts.numBuckets, arr(ts.statsCols),
           arr(ts.searchCols), ts.gens.size.toLong,
           ts.rowCount.map(Long.box).orNull, ts.feedFrom))
+      }
+      // -- multi-statement transaction envelope: CALL begin(ns), run
+      //    any number of SQL verbs against the namespace's tables, then
+      //    CALL commit(ns) — ONE manifest swap, nothing visible before
+      //    it, rollback/crash publishes nothing (the reference runbook's
+      //    one-session semantics, main.sql)
+      case "begin" => bound("begin",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("base_version", LongType)))) { row =>
+        Seq(InternalRow(ManifestTable.begin(root(str(row, 0)))))
+      }
+      case "commit" => bound("commit",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        Seq(InternalRow(ManifestTable.commitTxn(root(str(row, 0)))))
+      }
+      case "rollback" => bound("rollback",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("rolled_back", BooleanType)))) { row =>
+        Seq(InternalRow(ManifestTable.rollback(root(str(row, 0)))))
+      }
+      case "clone" => bound("clone",
+        Seq(in("namespace", StringType), in("source", StringType),
+          in("target", StringType), in("version", LongType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val v = row.getLong(3)
+        Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
+          str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
       }
       case "vacuum" => bound("vacuum",
         Seq(in("namespace", StringType)), new StructType()) { row =>

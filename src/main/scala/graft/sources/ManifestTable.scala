@@ -333,32 +333,45 @@ object ManifestTable {
   private def propsJson(ps: Map[String, String]): JObject =
     JObject(ps.toSeq.sorted.map { case (k, v) => k -> (JString(v): JValue) }.toList)
 
-  private def render(m: Manifest): String = {
+  /** Render a full snapshot. With `ckptRef` set the per-table
+    * generation lists are NOT serialized inline — they live in the
+    * referenced parquet checkpoint ([[writeCkpt]]) and the JSON carries
+    * only the metadata header (schemas, feeds, layout, props) plus the
+    * reference — so snapshot cost stops being O(table) driver-side JSON
+    * (the Delta parquet-checkpoint shape).
+    */
+  private def render(m: Manifest, ckptRef: Option[String] = None): String = {
     val tables = JObject(m.tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       name -> JObject(
-        "schema" -> JString(ts.schemaJson),
-        "buckets" -> bucketsJson(ts.buckets),
-        "changes" -> JArray(ts.changes.map(c => JObject(
-          "version" -> JLong(c.version), "path" -> JString(c.path))).toList),
-        "feedFrom" -> JLong(ts.feedFrom),
-        "mergeKeys" -> JArray(ts.mergeKeys.map(JString(_)).toList),
-        "numBuckets" -> JLong(ts.numBuckets.toLong),
-        "statsCols" -> JArray(ts.statsCols.map(JString(_)).toList),
-        "searchCols" -> JArray(ts.searchCols.map(JString(_)).toList),
-        "deltas" -> bucketsJson(ts.deltas),
-        "props" -> propsJson(ts.props))
+        List(
+          "schema" -> (JString(ts.schemaJson): JValue),
+          "changes" -> (JArray(ts.changes.map(c => JObject(
+            "version" -> JLong(c.version),
+            "path" -> JString(c.path))).toList): JValue),
+          "feedFrom" -> (JLong(ts.feedFrom): JValue),
+          "mergeKeys" -> (JArray(ts.mergeKeys.map(JString(_)).toList): JValue),
+          "numBuckets" -> (JLong(ts.numBuckets.toLong): JValue),
+          "statsCols" -> (JArray(ts.statsCols.map(JString(_)).toList): JValue),
+          "searchCols" -> (JArray(ts.searchCols.map(JString(_)).toList): JValue),
+          "props" -> (propsJson(ts.props): JValue)) ++
+        (if (ckptRef.isEmpty)
+           List("buckets" -> (bucketsJson(ts.buckets): JValue),
+             "deltas" -> (bucketsJson(ts.deltas): JValue))
+         else Nil))
     }.toList)
     JsonMethods.pretty(JsonMethods.render(JObject(
-      "version" -> JLong(m.version),
-      "queryId" -> JString(m.queryId),
-      "lastBatch" -> JLong(m.lastBatch),
-      "op" -> JString(m.info.operation),
-      "ts" -> JLong(m.info.timeMs),
-      "touched" -> JArray(m.info.touched.map(JString(_)).toList),
-      "tables" -> tables)))
+      List(
+        "version" -> (JLong(m.version): JValue),
+        "queryId" -> (JString(m.queryId): JValue),
+        "lastBatch" -> (JLong(m.lastBatch): JValue),
+        "op" -> (JString(m.info.operation): JValue),
+        "ts" -> (JLong(m.info.timeMs): JValue),
+        "touched" -> (JArray(m.info.touched.map(JString(_)).toList): JValue),
+        "tables" -> (tables: JValue)) ++
+      ckptRef.map(r => "ckpt" -> (JString(r): JValue)).toList)))
   }
 
-  private def parse(text: String): Manifest = {
+  private def parse(text: String, root: File): Manifest = {
     val j = JsonMethods.parse(text)
     def str(v: JValue): String = v match {
       case JString(s) => s
@@ -437,8 +450,20 @@ object ManifestTable {
       (j \ "op") match { case JString(s) => s; case _ => "" },
       (j \ "ts") match { case JNothing => -1L; case v => long(v) },
       (j \ "touched") match { case JArray(ts) => ts.map(str); case _ => Nil })
+    // a columnar snapshot carries its generation lists in a parquet
+    // checkpoint sidecar instead of inline JSON
+    val withGens = (j \ "ckpt") match {
+      case JString(ref) =>
+        val byTable = readCkpt(root, ref)
+        tables.map { case (name, ts) =>
+          val (bs, ds) = byTable.getOrElse(name,
+            (Map.empty[Long, Seq[BucketGen]], Map.empty[Long, Seq[BucketGen]]))
+          name -> ts.copy(buckets = bs, deltas = ds)
+        }
+      case _ => tables
+    }
     Manifest(long(j \ "version"), str(j \ "queryId"), long(j \ "lastBatch"),
-      tables, info)
+      withGens, info)
   }
 
   private def renderDelta(d: CommitDelta): String = {
@@ -535,15 +560,107 @@ object ManifestTable {
       long(j \ "batchId"), str(j \ "op"), long(j \ "ts"), updates)
   }
 
+  /** Full snapshots at or under this many generation entries serialize
+    * inline (zero-dependency JSON reads — every small table, every
+    * test fixture, every legacy manifest); past it the generation lists
+    * write as a COLUMNAR parquet checkpoint and the version file keeps
+    * only the metadata header + a reference — snapshot cost stops being
+    * O(table) pretty-printed JSON on the driver (Delta's
+    * parquet-checkpoint shape).
+    */
+  val CheckpointInlineMax = 512
+
+  private val ckptCache = scala.collection.concurrent.TrieMap.empty[String,
+    Map[String, (Map[Long, Seq[BucketGen]], Map[Long, Seq[BucketGen]])]]
+
+  private def ckptSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("stats",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("search",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+
+  /** Serialize every table's generation lists (base + delta) as one
+    * parquet checkpoint dir under `_ckpt/`; returns the manifest-root
+    * relative reference the snapshot JSON records.
+    */
+  private def writeCkpt(root: File, m: Manifest, nonce: String): String = {
+    val spark = SparkSession.active
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    m.tables.foreach { case (name, ts) =>
+      def add(kind: String, bs: Map[Long, Seq[BucketGen]]): Unit =
+        bs.foreach { case (b, gens) =>
+          gens.zipWithIndex.foreach { case (g, i) =>
+            val statsJson = JsonMethods.compact(JsonMethods.render(JObject(
+              g.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+                c -> (JArray(List(JString(s.kind), JString(s.lo),
+                  JString(s.hi))): JValue)
+              }.toList)))
+            rows.add(org.apache.spark.sql.Row(name, b, kind, i, g.path,
+              g.rows, statsJson, g.search)): Unit
+          }
+        }
+      add("base", ts.buckets)
+      add("delta", ts.deltas)
+    }
+    val rel = s"_ckpt/ckpt-v${m.version}-$nonce"
+    spark.createDataFrame(rows, ckptSchema)
+      .write.mode("overwrite").parquet(new File(root, rel).toString)
+    rel
+  }
+
+  /** Load (and cache — checkpoint dirs are immutable) one parquet
+    * checkpoint's generation lists, grouped per table.
+    */
+  private def readCkpt(root: File, ref: String)
+      : Map[String, (Map[Long, Seq[BucketGen]], Map[Long, Seq[BucketGen]])] = {
+    val key = new File(root, ref).getCanonicalPath
+    ckptCache.getOrElseUpdate(key, {
+      val spark = SparkSession.active
+      val rows = spark.read.schema(ckptSchema).parquet(key).collect()
+      rows.groupBy(_.getString(0)).map { case (table, rs) =>
+        def side(kind: String): Map[Long, Seq[BucketGen]] =
+          rs.filter(_.getString(2) == kind).groupBy(_.getLong(1))
+            .map { case (b, gs) =>
+              b -> gs.sortBy(_.getInt(3)).toSeq.map { r =>
+                val stats = JsonMethods.parse(r.getString(6)) match {
+                  case JObject(ss) => ss.collect {
+                    case (c, JArray(List(JString(k), JString(lo),
+                        JString(hi)))) => c -> ColStat(k, lo, hi)
+                  }.toMap
+                  case _ => Map.empty[String, ColStat]
+                }
+                BucketGen(r.getString(4), stats, r.getLong(5),
+                  r.getSeq[String](7))
+              }
+            }
+        table -> (side("base"), side("delta"))
+      }
+    })
+  }
+
   /** One version file, either shape: Right = full snapshot (checkpoint
     * commits, DDL commits, and every pre-checkpointing manifest — the
     * legacy layout keeps parsing), Left = delta log entry.
     */
-  private def parseEntry(text: String): Either[CommitDelta, Manifest] = {
+  private def parseEntry(text: String,
+      root: File): Either[CommitDelta, Manifest] = {
     val j = JsonMethods.parse(text)
     (j \ "delta") match {
       case _: JObject => Left(parseDelta(j))
-      case _ => Right(parse(text))
+      case _ => Right(parse(text, root))
     }
   }
 
@@ -556,7 +673,7 @@ object ManifestTable {
   private def reconstruct(root: File, v: Long): Option[Manifest] = {
     val f = versionFile(root, v)
     if (!f.exists) None
-    else parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8)) match {
+    else parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root) match {
       case Right(full) => Some(full)
       case Left(delta) =>
         (if (v <= 1) Some(empty) else reconstruct(root, v - 1))
@@ -573,6 +690,13 @@ object ManifestTable {
     * in-flight writers.
     */
   def read(root: File): Option[Manifest] = {
+    // an open transaction's overlay IS the root's current state for
+    // every reader and writer in this process — read-your-own-writes
+    // inside the envelope, nothing visible on disk until commitTxn
+    activeTxn(root) match {
+      case Some(t) => return Some(t.synchronized(t.overlay))
+      case None =>
+    }
     val f = new File(root, ManifestName)
     // only a FULL snapshot can seed the fold — a pointer holding a delta
     // entry (possible after operator interference; a crashed writer
@@ -580,7 +704,7 @@ object ManifestTable {
     val hint: Option[Manifest] =
       if (!f.exists) None
       else scala.util.Try(
-        parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8)))
+        parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root))
         .toOption.flatMap {
           case Right(full) => Some(full)
           case Left(_) => None
@@ -599,7 +723,7 @@ object ManifestTable {
     }
     var vf = versionFile(root, v)
     while (vf.exists) {
-      val entry = parseEntry(new String(Files.readAllBytes(vf.toPath), UTF_8))
+      val entry = parseEntry(new String(Files.readAllBytes(vf.toPath), UTF_8), root)
       latest = entry match {
         case Right(full) => Some(full)
         case Left(delta) => Some(applyDelta(
@@ -619,6 +743,105 @@ object ManifestTable {
   class ConcurrentCommitException(version: Long)
     extends RuntimeException(
       s"version $version was committed by a concurrent writer")
+
+  // ---- multi-statement transaction envelope ----
+  //
+  // The reference's runbook executes its load script as ONE session
+  // (main.sql: staging COPY → canonical MERGEs → anomaly MERGE), so a
+  // crash mid-script publishes nothing and readers never see a header
+  // without its lines. graft's per-statement commits are already atomic
+  // per verb; the envelope batches consecutive verbs into ONE manifest
+  // swap: begin() snapshots the root, every statement commits into an
+  // in-memory OVERLAY (read-your-own-writes — later statements resolve
+  // tables the earlier ones wrote, exactly like the runbook), and
+  // commitTxn() publishes the final state as a SINGLE version file (a
+  // full snapshot — delta entries replay per-statement advances, which
+  // the collapsed commit deliberately does not preserve). A crash or
+  // rollback() before that point leaves the disk byte-identical; the
+  // statements' data dirs are orphans a later GC collects. Scope: the
+  // envelope is per-root and process-wide — the coordinating runbook
+  // pattern — and a conflicting external commit surfaces at commitTxn
+  // as ConcurrentCommitException with NOTHING published.
+
+  private class Txn(val base: Manifest) {
+    var overlay: Manifest = base
+    var versions: Map[Long, Manifest] = Map(base.version -> base)
+    var ops: Vector[String] = Vector.empty
+  }
+
+  private val txns =
+    scala.collection.concurrent.TrieMap.empty[String, Txn]
+
+  private def txnKey(root: File): String = root.getCanonicalPath
+
+  private def activeTxn(root: File): Option[Txn] = txns.get(txnKey(root))
+
+  /** Open a transaction on `root`. Refuses a second concurrent envelope
+    * on the same root (the runbook is one session).
+    */
+  def begin(root: File): Long = {
+    Files.createDirectories(root.toPath)
+    val base = read(root).getOrElse(empty)
+    val t = new Txn(base)
+    require(txns.putIfAbsent(txnKey(root), t).isEmpty,
+      s"a transaction is already open on $root")
+    base.version
+  }
+
+  /** Publish the open transaction as ONE commit (base version + 1) and
+    * close it. Change-feed entries recorded at intermediate overlay
+    * versions remap to the published version, so CDF consumers see the
+    * envelope exactly as one commit. A concurrent external commit of
+    * the same version aborts the WHOLE envelope — nothing publishes —
+    * and the caller re-runs the script against the new state.
+    */
+  def commitTxn(root: File): Long = {
+    val t = txns.remove(txnKey(root)).getOrElse(
+      throw new IllegalStateException(s"no open transaction on $root"))
+    val (overlay, ops) = t.synchronized((t.overlay, t.ops))
+    if (overlay eq t.base) return t.base.version // empty envelope: no-op
+    val publishV = t.base.version + 1
+    val remapped = overlay.tables.map { case (name, ts) =>
+      val changes = ts.changes.map(c =>
+        if (c.version > t.base.version) c.copy(version = publishV) else c)
+      val feedFrom =
+        if (ts.feedFrom > publishV) publishV else ts.feedFrom
+      name -> ts.copy(changes = changes, feedFrom = feedFrom)
+    }
+    val touched = overlay.tables.keys.toSeq.sorted.filter(n =>
+      !t.base.tables.get(n).contains(overlay.tables(n)))
+    val merged = Manifest(publishV, overlay.queryId, overlay.lastBatch,
+      remapped,
+      CommitInfo("TXN:" + ops.distinct.mkString("+"),
+        System.currentTimeMillis(), touched))
+    try commit(root, merged) // full snapshot: one version file
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(publishV) {
+          override def getMessage: String =
+            s"transaction on $root lost the race for version $publishV " +
+              "to a concurrent writer — NOTHING was published; re-run " +
+              s"the script against the new state (${e.getMessage})"
+        }
+    }
+    gc(root, merged)
+    publishV
+  }
+
+  /** Abandon the open transaction: disk state is untouched; the
+    * statements' data dirs become orphans a later GC collects. Returns
+    * false when no envelope was open.
+    */
+  def rollback(root: File): Boolean = txns.remove(txnKey(root)).nonEmpty
+
+  /** Scala-side envelope: `transaction(root) { …verbs… }` — commits on
+    * success, rolls back on any throw.
+    */
+  def transaction[A](root: File)(body: => A): A = {
+    begin(root)
+    try { val a = body; commitTxn(root); a }
+    catch { case e: Throwable => rollback(root); throw e }
+  }
 
   /** A failure plausibly caused by a concurrent winner's GC collecting this
     * attempt's in-flight files mid-write: a missing-file error anywhere in
@@ -727,12 +950,38 @@ object ManifestTable {
 
   def commit(root: File, m: Manifest,
       delta: Option[CommitDelta] = None): Unit = {
+    // inside a transaction the commit point is the OVERLAY, not the
+    // filesystem: the same OCC contract holds in memory (a stale base
+    // version still loses), and nothing lands on disk until commitTxn
+    activeTxn(root) match {
+      case Some(t) =>
+        t.synchronized {
+          if (m.version != t.overlay.version + 1)
+            throw new ConcurrentCommitException(m.version)
+          t.overlay = m
+          t.versions += (m.version -> m)
+          t.ops :+= m.info.operation
+        }
+        return
+      case None =>
+    }
     Files.createDirectories(root.toPath)
     delta.foreach(d => require(d.version == m.version,
       s"delta v${d.version} does not describe commit v${m.version}"))
     val nonce = newNonce()
     val full = delta.isEmpty || m.version % checkpointIntervalOf(m) == 0
-    val body = if (full) render(m) else renderDelta(delta.get)
+    // large manifests snapshot columnar: the generation lists land in a
+    // parquet checkpoint (written BEFORE the commit point like every
+    // data dir — a crash orphans it for the sweep) and the version file
+    // carries the header + reference
+    val genCount =
+      m.tables.values.map(ts => ts.gens.size + ts.deltaGens.size).sum
+    val ckptRef =
+      if (full && genCount > CheckpointInlineMax &&
+          SparkSession.getActiveSession.nonEmpty)
+        Some(writeCkpt(root, m, nonce))
+      else None
+    val body = if (full) render(m, ckptRef) else renderDelta(delta.get)
     val vtmp = new File(root, s".${ManifestName}.v.$nonce.tmp")
     Files.write(vtmp.toPath, body.getBytes(UTF_8))
     try Files.createLink(versionFile(root, m.version).toPath, vtmp.toPath): Unit
@@ -747,7 +996,7 @@ object ManifestTable {
     // one immediately so readers always have a fold base.
     if (full || !new File(root, ManifestName).exists) {
       val tmp = new File(root, s".${ManifestName}.$nonce.tmp")
-      Files.write(tmp.toPath, render(m).getBytes(UTF_8))
+      Files.write(tmp.toPath, render(m, ckptRef).getBytes(UTF_8))
       Files.move(tmp.toPath, new File(root, ManifestName).toPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
     }
@@ -808,6 +1057,10 @@ object ManifestTable {
     * commit, so nothing a retained snapshot resolves is ever deleted.
     */
   def gc(root: File, m: Manifest): Unit = {
+    // never vacuum under an open transaction: the overlay references
+    // dirs no on-disk version knows about yet, and the final commit's
+    // own GC sweeps once the envelope publishes
+    if (activeTxn(root).nonEmpty) return
     val retained = retainedVersions(m)
     val live: Set[String] =
       retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
@@ -835,7 +1088,7 @@ object ManifestTable {
       val p = new File(root, ManifestName)
       if (!p.exists) 0L
       else scala.util.Try(
-        parse(new String(Files.readAllBytes(p.toPath), UTF_8)).version)
+        parse(new String(Files.readAllBytes(p.toPath), UTF_8), root).version)
         .getOrElse(0L)
     }
     // the anchor can't assume fulls sit at multiples of the CURRENT
@@ -850,7 +1103,7 @@ object ManifestTable {
         val f = versionFile(root, v)
         if (!f.exists) found = v // already swept below here: safe floor
         else if (scala.util.Try(parseEntry(
-            new String(Files.readAllBytes(f.toPath), UTF_8)).isRight)
+            new String(Files.readAllBytes(f.toPath), UTF_8), root).isRight)
             .getOrElse(true)) found = v
         else v -= 1
       }
@@ -868,6 +1121,21 @@ object ManifestTable {
           v < anchor
         }
       }.foreach(deleteRecursively)
+    // parquet checkpoint dirs sweep with their version files: a ckpt
+    // below the anchor can no longer be referenced (the pointer's
+    // version is >= anchor by construction). Orphans from crashed
+    // checkpoint commits age below the anchor and sweep then.
+    val ckptDirs = new File(root, "_ckpt").listFiles
+    if (ckptDirs != null) ckptDirs.filter { d =>
+      val n = d.getName
+      n.startsWith("ckpt-v") && {
+        val tok = n.stripPrefix("ckpt-v").takeWhile(_.isDigit)
+        tok.nonEmpty && tok.toLong < anchor
+      }
+    }.foreach { d =>
+      ckptCache.remove(d.getCanonicalPath)
+      deleteRecursively(d)
+    }
   }
 
   private[sources] def resolve(root: File, version: Option[Long]): Manifest =
@@ -875,6 +1143,13 @@ object ManifestTable {
       case None =>
         read(root).getOrElse(throw new java.io.FileNotFoundException(
           s"no $ManifestName under $root"))
+      case Some(v) if activeTxn(root)
+          .exists(t => t.synchronized(t.versions.contains(v))) =>
+        // an intermediate envelope state (a statement's OCC base within
+        // the transaction) resolves from the overlay chain — those
+        // versions have no files yet
+        activeTxn(root).get.synchronized(
+          activeTxn(root).get.versions(v))
       case Some(v) =>
         val live = read(root)
         if (live.exists(_.version == v)) live.get
@@ -1906,6 +2181,52 @@ object ManifestTable {
     }
   }
 
+  /** Zero-copy CLONE: register `target` as a new table whose state IS
+    * `source`'s at `version` (default: current) — a pure-metadata commit
+    * referencing the SAME generation dirs, no data bytes moved
+    * (Snowflake `CREATE TABLE … CLONE` / Delta shallow clone). GC is
+    * already reference-aware without extra bookkeeping: liveness is the
+    * UNION of every table's recorded paths across the namespace's
+    * retained snapshots, so a shared dir survives until NO table of any
+    * retained version references it — dropping the source, rewriting
+    * either side, or aging the clone out each just removes one
+    * reference. The two tables evolve independently from this commit on:
+    * every rewrite lands under the WRITING table's own `data/<name>/`
+    * namespace, leaving the shared dirs to whoever still points at
+    * them. Outstanding merge-on-read deltas clone with the base (the
+    * clone reconciles identically); the change feed does NOT clone — a
+    * feed is a subscription stream, not table state, so the target
+    * starts feed-inactive.
+    */
+  def cloneTable(root: File, source: String, target: String,
+      version: Option[Long] = None): Long = {
+    var attempt = 0
+    while (true) {
+      val manifest = read(root).getOrElse(empty)
+      val src = resolve(root, version).table(source)
+      require(src.schemaJson.nonEmpty,
+        s"table '$source' does not exist at $root" +
+          version.fold("")(v => s" (version $v)"))
+      require(!manifest.tables.get(target).exists(_.schemaJson.nonEmpty),
+        s"table '$target' already exists at $root")
+      try {
+        val cloned = src.copy(changes = Nil, feedFrom = -1L)
+        val next = Manifest(manifest.version + 1, manifest.queryId,
+          manifest.lastBatch, manifest.tables + (target -> cloned),
+          CommitInfo(
+            s"CLONE:$source@v${version.getOrElse(manifest.version)}",
+            System.currentTimeMillis(), Seq(target)))
+        commit(root, next)
+        gc(root, next)
+        return next.version
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+    -1L
+  }
+
   /** DDL: drop a table from the root's catalog — a versioned commit; the
     * dropped generations stay readable through retained older snapshots
     * and GC collects them as those age out. Returns false when the table
@@ -1971,7 +2292,7 @@ object ManifestTable {
       .filter(_.getName.startsWith(ManifestName + ".v"))
       .flatMap { f =>
         scala.util.Try(
-          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption
       }
       .map {
         case Right(m) =>
@@ -2005,7 +2326,7 @@ object ManifestTable {
       .filter(_.getName.startsWith(ManifestName + ".v"))
       .flatMap { f =>
         scala.util.Try(
-          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8))).toOption
+          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption
       }
       .map {
         case Right(m) => (m.version, m.info.timeMs)
