@@ -1535,12 +1535,60 @@ object ManifestTable {
             case _ => None
           }
       }.toMap
-      val searched = search.map { c =>
-        writeSearchSidecar(spark, dest, c,
-          searchKind(schema(c).dataType).get, math.max(nRows, 1L))
-        c
-      }
-      k -> BucketGen(rel, genStats, nRows, searched)
+      k -> BucketGen(rel, genStats, nRows, search)
+    }
+    // sidecars for EVERY new generation build in ONE distributed pass
+    // (per-partition partial filters keyed by (dir, column), merged by
+    // reduceByKey, serialized from the reducing task — the buildIndexes
+    // shape) instead of one small sequential job per generation: a
+    // MERGE touching hundreds of buckets on a searched table pays one
+    // job, not hundreds
+    if (search.nonEmpty && out.nonEmpty) {
+      import org.apache.spark.util.sketch.BloomFilter
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val sizes = out.map { case (_, g) =>
+        new File(root, g.path).getCanonicalPath -> math.max(g.rows, 1L)
+      }.toMap
+      val bSizes = spark.sparkContext.broadcast(sizes)
+      val kinds = search.map(c =>
+        c -> searchKind(schema(c).dataType).get).toMap
+      val bKinds = spark.sparkContext.broadcast(kinds)
+      val fpp = SearchFpp
+      val rows = spark.read.schema(schema)
+        .parquet(out.map { case (_, g) =>
+          new File(root, g.path).toString }: _*)
+        .select(input_file_name().as("__f") +:
+          search.map(c => col(c)): _*)
+      val searchArr = search.toArray
+      rows.rdd.mapPartitions { it =>
+        val partial = scala.collection.mutable.HashMap
+          .empty[(String, String), BloomFilter]
+        val dirCache = scala.collection.mutable.HashMap.empty[String, String]
+        it.foreach { r =>
+          val f = r.getString(0)
+          val dir = dirCache.getOrElseUpdate(f, new File(
+            if (f.startsWith("file:")) new java.net.URI(f).getPath
+            else f).getParentFile.getCanonicalPath)
+          var i = 0
+          while (i < searchArr.length) {
+            val c = searchArr(i)
+            val v = r.get(i + 1) // column i of the select after __f
+            if (v != null) {
+              val bf = partial.getOrElseUpdate((dir, c),
+                BloomFilter.create(bSizes.value.getOrElse(dir, 1L), fpp))
+              if (bKinds.value(c) == "long")
+                bf.putLong(v.asInstanceOf[Number].longValue)
+              else bf.putString(v.toString)
+            }
+            i += 1
+          }
+        }
+        partial.iterator
+      }.reduceByKey { (a, b) => a.mergeInPlace(b); a }
+        .foreach { case ((dir, c), bf) =>
+          writeSidecarFile(conf.value, dir, c, bKinds.value(c), bf)
+        }
     }
     deleteRecursively(tmpDir)
     out
@@ -3158,7 +3206,16 @@ object ManifestTable {
       val stats = (statsCols ++ columns).distinct
       val nonce = newNonce()
       try {
-        val rewritten = ts.buckets.map { case (b, gens) =>
+        // buckets recluster INDEPENDENTLY (distinct input gens, distinct
+        // output dirs) — submit several buckets' job chains concurrently
+        // so the cluster pipelines them instead of draining one bucket's
+        // quantile/write jobs before the next bucket starts; the commit
+        // below still swaps every bucket atomically at once
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        val futures = ts.buckets.toSeq.map { case (b, gens) => Future {
           val df = spark.read.schema(ts.schema)
             .parquet(gens.map(g => new File(root, g.path).toString): _*)
             .persist()
@@ -3210,11 +3267,11 @@ object ManifestTable {
                   }
                 }
             }
-            val cellId =
+            val (cellFrame, cellId) =
               if (!zorder)
                 // mixed-radix cell id: one stratum per dimension — the
                 // depth-1 grid (independent per-dimension quantiles)
-                rankExprs(q).reduceLeft((acc, s) => acc * q + s)
+                (keyed, rankExprs(q).reduceLeft((acc, s) => acc * q + s))
               else {
                 // TRUE bit interleaving: rank every dimension into
                 // ZLevels fine quantile levels, interleave the rank bits
@@ -3225,25 +3282,37 @@ object ManifestTable {
                 // grid cells), while each cell still records plain
                 // per-dimension min/max rectangles — the pruning algebra
                 // is untouched, only the cell SHAPE changed.
+                //
+                // Each rank is a ZLevels-deep chain of comparisons, so
+                // MATERIALIZE ranks and the z-value as columns and build
+                // everything downstream from the column references —
+                // re-inlining the rank expressions into every interleave
+                // bit and every curve cut multiplies the tree into tens
+                // of thousands of nodes and stalls codegen (measured
+                // ~17× recluster slowdown before this shape)
                 val k = columns.size
-                val ranks = rankExprs(ZLevels)
+                val rkCols = columns.indices.map(i => s"__graft_rk$i")
+                val ranked = rankExprs(ZLevels).zipWithIndex
+                  .foldLeft(keyed) { case (acc, (r, i)) =>
+                    acc.withColumn(rkCols(i), r.cast("long"))
+                  }
                 val zv = (for {
-                  i <- ranks.indices
+                  i <- rkCols.indices
                   bit <- 0 until ZBits
                 } yield shiftleft(
-                  shiftright(ranks(i).cast("long"), bit).bitwiseAND(lit(1L)),
+                  shiftright(col(rkCols(i)), bit).bitwiseAND(lit(1L)),
                   bit * k + i)).reduce(_ + _)
                 val zc = "__graft_zv"
-                val zKeyed = keyed.withColumn(zc, zv.cast("double"))
+                val zKeyed = ranked.withColumn(zc, zv.cast("double"))
                 val zCuts = zKeyed.stat.approxQuantile(zc,
                   (1 until slices).map(_.toDouble / slices).toArray, 0.005)
                   .filterNot(_.isNaN).distinct.sorted
-                zCuts.foldLeft(lit(0)) { (acc, cutV) =>
-                  acc + when(zv.cast("double") > cutV, 1).otherwise(0)
-                }
+                (zKeyed, zCuts.foldLeft(lit(0)) { (acc, cutV) =>
+                  acc + when(col(zc) > cutV, 1).otherwise(0)
+                })
               }
             val cellCol = "__graft_cell"
-            val withCell = keyed
+            val withCell = cellFrame
               .withColumn(cellCol, cellId.cast("long"))
               .select(col(cellCol) +:
                 ts.schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -3259,7 +3328,11 @@ object ManifestTable {
                 s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce")
               .map(_._2)
           } finally { df.unpersist(); () }
-        }
+        } }
+        val rewritten =
+          try Await.result(Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf).toMap
+          finally pool.shutdown()
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false, changePath = None, logicalChange = false))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
