@@ -1020,6 +1020,30 @@ object Relational {
         |  round(quantile_cont(n, 0.5), 6) AS p50_n,
         |  round(quantile_cont(n, 0.99), 6) AS p99_n,
         |  round(max(n) / avg(n), 6) AS skew_ratio
-        |FROM sizes""".stripMargin)
+        |FROM sizes""".stripMargin),
+
+    // The PRODUCTION formulation of the profiler for unbounded key
+    // cardinality: the exact variant above funnels one long per group
+    // into a single percentile buffer — fine at gate scale and as the
+    // oracle contract, but at billions of distinct keys that is
+    // billions of values on one reducer. approx_percentile's
+    // QuantileSummaries sketch partial-aggregates map-side (constant
+    // memory per task, mergeable), so the profile costs one extra
+    // hash-agg pass regardless of key count. Accuracy 10000 ≈ 0.01%
+    // rank error — ample for a salting decision. Rows-only (DuckDB has
+    // no matching sketch); SkewProfileSpec pins approx≈exact at gate
+    // scale.
+    "q_skew_profile_approx" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_n"),
+          max(col("n")).as("max_n"),
+          round(avg(col("n")), 6).as("avg_n"),
+          expr("approx_percentile(n, 0.5, 10000)").as("p50_n"),
+          expr("approx_percentile(n, 0.99, 10000)").as("p99_n"),
+          round(max(col("n")) / avg(col("n")), 6).as("skew_ratio")),
+      None)
   )
 }
