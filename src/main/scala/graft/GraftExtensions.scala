@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // outstanding row deltas rewrite into base ∪ latest-delta plans —
     // injected pre-pushdown so the base leg keeps pruning/pushdown
     ext.injectOptimizerRule(_ => plans.MergeOnReadRule())
+    // materialized-view substitution: subsumed aggregates over a table
+    // with a FRESH self-maintaining mart rewrite onto the mart
+    ext.injectOptimizerRule(_ => plans.MartRewriteRule())
   }
 }

@@ -1,0 +1,265 @@
+package graft.plans
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, min => fmin, sum => fsum}
+
+import graft.sources.{GraftSqlTable, ManifestFileIndex, ManifestTable}
+import graft.streaming.IncrementalMart
+
+/** MATERIALIZED-VIEW query rewrite — the warehouse's automatic MV
+  * substitution (Snowflake rewrites eligible aggregates onto a fresh
+  * MATERIALIZED VIEW; the reference's ops views are exactly such rollups,
+  * sql/07_operational_views.sql) over graft's self-maintaining marts
+  * ([[graft.streaming.IncrementalMart]]).
+  *
+  * A mart declares itself in its own table properties (stamped on every
+  * maintenance commit, or adopted via `ALTER TABLE … SET TBLPROPERTIES`):
+  * `martOf` (source table in the SAME namespace root), `martGroupCols`,
+  * `martValueCols`, `martMaxCols`/`martMinCols`, and `martSourceVersion` —
+  * the source commit version the mart last folded. An aggregate query
+  * over the source rewrites onto the mart when ALL of:
+  *
+  *  - **fresh**: the source's change feed is active and its LAST change
+  *    entry version ≤ the mart's stamp (both read from ONE manifest
+  *    snapshot, so the pair is consistent). Any unfolded source commit
+  *    disables the rewrite — conservative, never stale.
+  *  - **subsumed**: grouping expressions are plain source columns ⊆ the
+  *    mart's group columns; WHERE predicates between the aggregate and
+  *    the scan are deterministic and reference group columns only (they
+  *    re-apply on the mart rows verbatim — group-level filters commute
+  *    with the group-level rollup).
+  *  - **derivable**: every aggregate is `count(*)` → `sum(n_rows)` (the
+  *    partial-count roll-up, coalesced to 0 for the global-empty case),
+  *    `sum(x)` over a NON-NULLABLE `martValueCols` column →
+  *    `sum(sum_x)`, or `min`/`max` over a declared extremum column →
+  *    `min(min_x)`/`max(max_x)`. No DISTINCT, no FILTER clauses.
+  *    `sum` requires non-nullability because the mart's incremental fold
+  *    (like every count-free incremental view maintenance scheme) cannot
+  *    distinguish an all-NULL group (SQL sum = NULL) from a zero-sum
+  *    group; `avg`/`count(col)` are underivable for the same reason —
+  *    they'd need per-column non-null counts the mart doesn't carry.
+  *
+  * The rewrite scales the query's cost from the SOURCE's size to the
+  * mart's (≈ distinct groups): at 100 TB the ops rollup the reference
+  * recomputes per dashboard hit becomes a scan of a churn-maintained
+  * table thousands of times smaller. It is planned declaratively — a
+  * fresh aggregate over the mart relation — so Catalyst still owns
+  * pushdown/pruning on the mart scan, and the result is re-aliased to
+  * the original output ids so parent operators stay resolved.
+  *
+  * Matches both relation surfaces (catalog [[GraftSqlTable]] and
+  * `format("graft")` [[ManifestFileIndex]]); time-traveled reads, `raw`
+  * reconciliation legs, and merge-on-read rewritten unions never match.
+  * Disable per-session with `SET spark.graft.martRewrite=false`.
+  */
+object MartRewriteRule {
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[MartRewriteRule]))
+      spark.experimental.extraOptimizations ++= Seq(MartRewriteRule())
+
+  /** Property keys a mart stamps on itself (see [[IncrementalMart]]). */
+  val Of = "martOf"
+  val SourceRoot = "martSourceRoot"
+  val GroupCols = "martGroupCols"
+  val ValueCols = "martValueCols"
+  val MaxCols = "martMaxCols"
+  val MinCols = "martMinCols"
+  val SourceVersion = "martSourceVersion"
+
+  val Keys: Set[String] =
+    Set(Of, SourceRoot, GroupCols, ValueCols, MaxCols, MinCols, SourceVersion)
+}
+
+case class MartRewriteRule() extends Rule[LogicalPlan] {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.martRewrite", "true").toBoolean) plan
+    else plan.transformDown {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** The aggregate's input chain down to a live graft relation:
+    * deterministic Filters and attribute-only Projects are transparent
+    * (group-subset checks happen later against the collected filters).
+    */
+  private def unwrap(p: LogicalPlan, filters: Seq[Expression])
+      : Option[(File, String, Seq[Expression])] = p match {
+    case f: Filter if f.condition.deterministic =>
+      unwrap(f.child, filters :+ f.condition)
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(pr.child, filters)
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftSqlTable if !g.raw && g.pinnedVersion.isEmpty =>
+        Some((g.rootDir, g.tableName, filters))
+      case _ => None
+    }
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case idx: ManifestFileIndex if !idx.raw && idx.pinnedVersion.isEmpty =>
+          Some((new File(idx.rootPath), idx.tableName, filters))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (root, srcName, filters) = unwrap(agg.child, Nil).getOrElse(return None)
+    val manifest = ManifestTable.read(root).getOrElse(return None)
+    val src = manifest.table(srcName)
+    if (src.schemaJson.isEmpty) return None
+    // freshness gate: active feed + every source data commit folded
+    if (src.feedFrom < 0 || src.changes.isEmpty) return None
+    val lastChange = src.changes.last.version
+    val mart = manifest.tables.find { case (_, ts) =>
+      ts.schemaJson.nonEmpty &&
+        ts.props.get(MartRewriteRule.Of).contains(srcName) &&
+        ts.props.get(MartRewriteRule.SourceRoot)
+          .forall(_ == root.getCanonicalPath) &&
+        ts.props.get(MartRewriteRule.SourceVersion)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .exists(_ >= lastChange)
+    }.getOrElse(return None)
+    val (martName, martTs) = mart
+    def colsOf(key: String): Set[String] = martTs.props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val groupCols = colsOf(MartRewriteRule.GroupCols)
+    val valueCols = colsOf(MartRewriteRule.ValueCols)
+    val maxCols = colsOf(MartRewriteRule.MaxCols)
+    val minCols = colsOf(MartRewriteRule.MinCols)
+    val martFields = martTs.schema.fieldNames.toSet
+    val srcSchema = src.schema
+
+    // subsumption: groupings are plain mart group columns
+    val gNames = agg.groupingExpressions.map {
+      case ar: AttributeReference if groupCols.contains(ar.name) => ar.name
+      case _ => return None
+    }
+    // filters reference group columns only
+    if (filters.exists(_.references.exists(a => !groupCols.contains(a.name))))
+      return None
+
+    // derivability: map each output expression to a mart-side Column
+    def mapAgg(ae: AggregateExpression): Option[Column] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) &&
+            martFields.contains(IncrementalMart.RowsCol) =>
+          Some(coalesce(fsum(col(IncrementalMart.RowsCol)), lit(0L)))
+        case s: Sum => s.child match {
+          case ar: AttributeReference
+              if valueCols.contains(ar.name) &&
+                martFields.contains(s"sum_${ar.name}") &&
+                !srcSchema(ar.name).nullable =>
+            // re-summing the partials may widen the type again (decimal
+            // p+10 → p+20); cast back to the direct aggregate's type
+            Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case ar: AttributeReference if maxCols.contains(ar.name) &&
+              martFields.contains(s"max_${ar.name}") =>
+            Some(fmax(col(s"max_${ar.name}")).cast(ae.dataType))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case ar: AttributeReference if minCols.contains(ar.name) &&
+              martFields.contains(s"min_${ar.name}") =>
+            Some(fmin(col(s"min_${ar.name}")).cast(ae.dataType))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val outNames = agg.aggregateExpressions.map(_.name)
+    if (outNames.distinct.length != outNames.length) return None
+    val mapped: Seq[(String, Either[String, Column])] =
+      agg.aggregateExpressions.map {
+        case ar: AttributeReference if gNames.contains(ar.name) =>
+          ar.name -> Left(ar.name)
+        case al @ Alias(child, _) => child match {
+          case ar: AttributeReference if gNames.contains(ar.name) =>
+            al.name -> Left(ar.name)
+          case ae: AggregateExpression =>
+            al.name -> Right(mapAgg(ae).getOrElse(return None))
+          case _ => return None
+        }
+        case _ => return None
+      }
+
+    // build the substituted plan over the mart, pinned at the SAME
+    // manifest snapshot the freshness check read — through the graft
+    // reader, so the mart scan keeps generation pruning for the
+    // re-applied group predicates
+    val martDf = spark.read.format("graft")
+      .option("path", root.toString).option("table", martName)
+      .option("version", manifest.version).load()
+    val mAttrs = martDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    // group-column types must still line up with the source's
+    if (gNames.exists(n => mAttrs.get(n)
+        .forall(_.dataType != srcSchema(n).dataType))) return None
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val filtered = filters.foldLeft(martDf) { (df, cond) =>
+      df.filter(bridge.column(cond.transform {
+        case ar: AttributeReference => mAttrs(ar.name)
+      }))
+    }
+    // aggregate columns land under collision-proof temp aliases first
+    // (an output name may shadow a grouping column's), then one select
+    // restores the query's names and order
+    val aggCols: Seq[Column] = mapped.zipWithIndex.collect {
+      case ((_, Right(c)), i) => c.as(s"__mart_a$i")
+    }
+    val grouped =
+      if (gNames.isEmpty)
+        // global aggregate: no grouping output to collide with
+        filtered.agg(
+          mapped.head match { case (n, Right(c)) => c.as(n); case _ => return None },
+          mapped.tail.map {
+            case (n, Right(c)) => c.as(n); case _ => return None }: _*)
+      else {
+        val ag =
+          if (aggCols.isEmpty)
+            // SELECT <group cols> … GROUP BY <group cols> — a DISTINCT
+            // over the group columns; the mart holds exactly the groups
+            // present in the source (zero-netted groups are deleted)
+            filtered.select(gNames.distinct.map(col): _*).distinct()
+          else filtered.groupBy(gNames.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        ag.select(mapped.zipWithIndex.map {
+          case ((name, Left(g)), _) => col(g).as(name)
+          case ((name, Right(_)), i) => col(s"__mart_a$i").as(name)
+        }: _*)
+      }
+    logInfo(s"mart rewrite: aggregate over $srcName → $martName " +
+      s"(source v$lastChange ≤ mart stamp)")
+    Some(aliasTo(agg.output, grouped.queryExecution.analyzed))
+  }
+
+  /** Re-bind the substituted plan's output to the original aggregate's
+    * attribute ids (same contract as [[MergeOnReadRule]]'s aliasTo).
+    */
+  private def aliasTo(output: Seq[Attribute], plan: LogicalPlan): LogicalPlan = {
+    require(plan.output.length == output.length,
+      s"mart rewrite arity mismatch: ${plan.output.length} vs ${output.length}")
+    if (plan.output.map(_.exprId) == output.map(_.exprId)) plan
+    else Project(output.zip(plan.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId,
+        qualifier = o.qualifier): NamedExpression
+    }, plan)
+  }
+}

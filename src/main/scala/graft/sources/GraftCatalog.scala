@@ -76,6 +76,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // not just the one active at first catalog use
     graft.plans.MetadataAggRule.register(SparkSession.active)
     graft.plans.MergeOnReadRule.register(SparkSession.active)
+    graft.plans.MartRewriteRule.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -250,10 +251,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(GraftSqlTable.RowLevelModes.contains(p.value),
             s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, " +
               s"got '${p.value}'")
-        else
+        else if (key == "martSourceVersion")
+          require(scala.util.Try(p.value.trim.toLong).isSuccess,
+            s"martSourceVersion must be a commit version, got '${p.value}'")
+        else if (ManifestTable.IntProps.contains(key))
           require(scala.util.Try(p.value.trim.toInt).toOption.exists(_ > 0),
             s"table property '$key' must be a positive integer, " +
               s"got '${p.value}'")
+        // remaining mart declaration keys are free-form name lists
         props += key -> p.value
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (graft supports ADD " +
@@ -503,6 +508,8 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
 
   private[graft] def tableName: String = table
 
+  private[graft] def pinnedVersion: Option[Long] = version
+
   /** This table re-pinned to the index's exact snapshot, marked as a
     * merge-on-read reconciliation base leg so
     * [[graft.plans.ResolveMergeOnRead]] never re-wraps it.
@@ -552,6 +559,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     // ditto the merge-on-read reconciliation fallback
     graft.plans.MetadataAggRule.register(spark)
     graft.plans.MergeOnReadRule.register(spark)
+    graft.plans.MartRewriteRule.register(spark)
     if (options.getBoolean(GraftSqlTable.ReadChangeFeedOption, false)) {
       // named feed subscription: plan the SAME CdfMicroBatchStream as
       // format("graft-cdf"), so offsets/checkpoints/admission control

@@ -61,6 +61,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // GraftExtensions (same dual registration as the as-of strategy);
     // idempotent across repeated reads
     graft.plans.MetadataAggRule.register(spark)
+    graft.plans.MartRewriteRule.register(spark)
     val index = new ManifestFileIndex(spark, root, table, version)
     HadoopFsRelation(index, new StructType(), index.tableSchema,
       None, new ParquetFileFormat, Map.empty)(spark)
@@ -228,6 +229,8 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
   private[graft] def rootPath: String = root
 
   private[graft] def tableName: String = table
+
+  private[graft] def pinnedVersion: Option[Long] = version
 
   /** This index, re-pinned to the same snapshot, marked as a
     * reconciliation base leg.

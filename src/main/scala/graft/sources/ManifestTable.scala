@@ -904,10 +904,21 @@ object ManifestTable {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(dflt)
 
-  /** The keys [[createTable]]/[[alterTable]] accept as table properties. */
+  /** Positive-integer table properties. */
+  val IntProps: Set[String] =
+    Set("retainVersions", "changeRetainVersions", "checkpointInterval")
+
+  /** The keys [[createTable]]/[[alterTable]] accept as table properties:
+    * the operating integers, the row-level mode, and the mart
+    * self-declaration keys ([[graft.plans.MartRewriteRule]]) — the
+    * latter normally stamped by [[graft.streaming.IncrementalMart]] on
+    * every maintenance commit, settable by hand to adopt an existing
+    * rollup table as a mart.
+    */
   val KnownProps: Set[String] =
-    Set("retainVersions", "changeRetainVersions", "checkpointInterval",
-      "rowLevelMode")
+    IntProps ++ Set("rowLevelMode", "martOf", "martSourceRoot",
+      "martGroupCols", "martValueCols", "martMaxCols", "martMinCols",
+      "martSourceVersion")
 
   private[sources] def retainVersionsOf(ts: TableState): Int =
     intProp(ts, "retainVersions", RetainVersions)
@@ -1686,7 +1697,8 @@ object ManifestTable {
   case class TableBatch(name: String, rows: DataFrame, mergeKeys: Seq[String],
       numBuckets: Int, statsCols: Seq[String] = Nil, append: Boolean = false,
       deleteKeys: Option[DataFrame] = None, changeFeed: Boolean = false,
-      overwrite: Boolean = false, searchCols: Seq[String] = Nil) {
+      overwrite: Boolean = false, searchCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty) {
     require(!(append && deleteKeys.nonEmpty),
       "append batches cannot carry a delete set")
     require(!(overwrite && (append || deleteKeys.nonEmpty || changeFeed)),
@@ -1964,7 +1976,8 @@ object ManifestTable {
         Some(TableUpdate(unified.json, written, tb.append, changePath,
           mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets,
           replaceAll = tb.overwrite,
-          statsCols = tb.statsCols, searchCols = tb.searchCols))
+          statsCols = tb.statsCols, searchCols = tb.searchCols,
+          props = tb.props))
       }
     } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
   }

@@ -233,11 +233,29 @@ object IncrementalMart {
                 .as(s"sum_$c"))
             ++ withExtrema._2: _*)
         .filter(col(RowsCol) > 0)
+      // self-declare as a materialized view and stamp the source commit
+      // version this fold reaches — the freshness gate
+      // graft.plans.MartRewriteRule substitutes aggregates on (stale
+      // stamp = no rewrite, never a stale answer); idempotent re-stamps
+      // of the declaration keys are free
+      val srcV = batch
+        .agg(max(col(ManifestTable.CommitVersionCol))).head.getLong(0)
       ManifestTable.mergeBatch(new File(cfg.martRoot),
         EventPipeline.currentQueryId(spark), batchId,
         Seq(TableBatch(cfg.martTable, merged, cfg.groupCols, cfg.numBuckets,
           deleteKeys =
-            Some(deltas.select(cfg.groupCols.map(col).toIndexedSeq: _*)))))
+            Some(deltas.select(cfg.groupCols.map(col).toIndexedSeq: _*)),
+          props = Map(
+            graft.plans.MartRewriteRule.Of -> cfg.sourceTable,
+            graft.plans.MartRewriteRule.SourceRoot ->
+              new File(cfg.sourceRoot).getCanonicalPath,
+            graft.plans.MartRewriteRule.GroupCols ->
+              cfg.groupCols.mkString(","),
+            graft.plans.MartRewriteRule.ValueCols ->
+              cfg.valueCols.mkString(","),
+            graft.plans.MartRewriteRule.MaxCols -> cfg.maxCols.mkString(","),
+            graft.plans.MartRewriteRule.MinCols -> cfg.minCols.mkString(","),
+            graft.plans.MartRewriteRule.SourceVersion -> srcV.toString))))
     } finally { deltas.unpersist(); () }
   }
 }

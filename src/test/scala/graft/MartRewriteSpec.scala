@@ -1,0 +1,192 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, ManifestFileIndex, ManifestTable}
+import graft.sources.ManifestTable.TableBatch
+import graft.streaming.IncrementalMart
+
+/** Materialized-view substitution ([[graft.plans.MartRewriteRule]]):
+  * subsumed aggregates over a source with a FRESH self-maintaining mart
+  * plan onto the mart (proven by relation identity in the optimized
+  * plan), answer exactly what the direct aggregate answers, and fall
+  * back to the source the moment the mart is stale or the shape is not
+  * derivable.
+  */
+class MartRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  /** The graft tables the optimized plan actually scans. */
+  private def scannedTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: ManifestFileIndex => idx.tableName
+          case _ => "?"
+        }
+        case _ => "?"
+      }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name()
+    }
+
+  /** One root holding the feed-active source `t` and its mart `m`
+    * (count + sum(value) + max(value) per grp), drained through the
+    * real CDF subscription. Values are multiples of 0.5 so double sums
+    * compare bit-for-bit between the incremental fold and the direct
+    * aggregate.
+    */
+  private def build(): (String, IncrementalMart.Config, String) = {
+    val root = tmp("graft_mv")
+    def mk(rs: Seq[(Long, String, Double)]): DataFrame =
+      rs.toDF("event_id", "grp", "value")
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("t", mk((0L until 80L).map(i => (i, s"g${i % 4}", i * 0.5))),
+        Seq("event_id"), 4, changeFeed = true)))
+    val cfg = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("value"),
+      sourceTable = "t", martTable = "m", numBuckets = 2,
+      maxCols = Seq("value"))
+    val ckpt = tmp("graft_mv_ckpt")
+    IncrementalMart.sync(spark, cfg, ckpt)
+    (root, cfg, ckpt)
+  }
+
+  test("a subsumed aggregate plans onto the mart and answers exactly the direct result; filters on group columns ride along") {
+    val (root, _, _) = build()
+    def src: DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+    val q = src.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"), max("value").as("mx"))
+    assert(scannedTables(q) == Seq("m"),
+      s"expected the mart scan, got ${scannedTables(q)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try src.groupBy("grp").agg(
+        count(lit(1)).as("n"), sum("value").as("sv"), max("value").as("mx"))
+        .collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(q.collect().map(_.toString).toSet == direct)
+
+    // a group-column predicate re-applies on the mart rows
+    val filtered = src.filter(col("grp") =!= "g2").groupBy("grp")
+      .agg(sum("value").as("sv"))
+    assert(scannedTables(filtered) == Seq("m"))
+    assert(filtered.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      == Set("g0", "g1", "g3").map(g =>
+        g -> (0L until 80L).filter(i => s"g${i % 4}" == g).map(_ * 0.5).sum))
+
+    // global aggregate: the roll-up needs no grouping output
+    val global = src.agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(global) == Seq("m"))
+    assert(global.head == org.apache.spark.sql.Row(80L, (0L until 80L).map(_ * 0.5).sum))
+  }
+
+  test("staleness gates the rewrite: an unfolded source commit falls back to the source, the next drain re-enables") {
+    val (root, cfg, ckpt) = build()
+    def q: DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(q) == Seq("m"))
+
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("t",
+        Seq((100L, "g9", 3.5), (101L, "g0", 4.0))
+          .toDF("event_id", "grp", "value"),
+        Seq("event_id"), 4, changeFeed = true)))
+    assert(scannedTables(q) == Seq("t"),
+      "a stale mart must never answer")
+    val fresh = q.collect().map(_.toString).toSet
+    assert(fresh.exists(_.contains("g9")))
+
+    IncrementalMart.sync(spark, cfg, ckpt)
+    assert(scannedTables(q) == Seq("m"))
+    assert(q.collect().map(_.toString).toSet == fresh)
+  }
+
+  test("underivable shapes and unsubsumed filters stay on the source") {
+    val (root, _, _) = build()
+    def src: DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+    // avg: needs per-column non-null counts the mart doesn't carry
+    assert(scannedTables(
+      src.groupBy("grp").agg(avg("value").as("a"))) == Seq("t"))
+    // count(col) over a NULLABLE column: ditto (over the non-nullable
+    // `value`, Spark itself normalizes count(value) to count(*) and the
+    // rewrite correctly fires — so probe with the nullable string col)
+    assert(scannedTables(
+      src.groupBy("grp").agg(count(col("grp")).as("c"))) == Seq("t"))
+    // min: not declared in the mart (only maxCols)
+    assert(scannedTables(
+      src.groupBy("grp").agg(min("value").as("m"))) == Seq("t"))
+    // distinct aggregates never derive from partials
+    assert(scannedTables(
+      src.groupBy("grp").agg(countDistinct("value").as("d"))) == Seq("t"))
+    // a predicate over a non-group column cannot re-apply on mart rows
+    assert(scannedTables(src.filter(col("value") > 10)
+      .groupBy("grp").agg(sum("value").as("sv"))) == Seq("t"))
+    // grouping finer than the mart's
+    assert(scannedTables(src.groupBy("grp", "event_id")
+      .agg(sum("value").as("sv"))) == Seq("t"))
+    // time travel reads history; the mart only reflects NOW
+    val v = ManifestTable.read(new File(root)).get.version
+    assert(scannedTables(spark.read.format("graft")
+      .option("path", root).option("table", "t").option("version", v).load()
+      .groupBy("grp").agg(sum("value").as("sv"))) == Seq("t"))
+  }
+
+  test("sum over a NULLABLE column never rewrites (the all-NULL-group corner the fold cannot represent)") {
+    val root = tmp("graft_mv_null")
+    val rows = Seq[(java.lang.Long, String, java.lang.Double)](
+      (0L, "g0", 1.0), (1L, "g0", 2.0), (2L, "g1", null))
+      .toDF("event_id", "grp", "value")
+    assert(rows.schema("value").nullable)
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("t", rows, Seq("event_id"), 2, changeFeed = true)))
+    val cfg = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("value"),
+      sourceTable = "t", martTable = "m", numBuckets = 2)
+    IncrementalMart.sync(spark, cfg, tmp("graft_mv_null_ckpt"))
+    val q = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+      .groupBy("grp").agg(sum("value").as("sv"))
+    assert(scannedTables(q) == Seq("t"))
+    // the direct answer keeps SQL null-sum semantics (g1 → NULL); the
+    // mart stores 0 for that group — which is exactly why it must not
+    // answer
+    assert(q.collect().find(_.getString(0) == "g1").exists(_.isNullAt(1)))
+    // count(*) alone still derives: n_rows is null-blind
+    assert(scannedTables(spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+      .groupBy("grp").agg(count(lit(1)).as("n"))) == Seq("m"))
+  }
+
+  test("the SQL catalog surface rewrites too, and SET spark.graft.martRewrite=false disables it") {
+    val (root, _, _) = build()
+    // mount the root's PARENT as a warehouse: the namespace IS the root
+    val ns = new File(root).getName
+    spark.conf.set("spark.sql.catalog.mv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mv.warehouse",
+      new File(root).getParent)
+    val q = spark.sql(
+      s"SELECT grp, count(*) AS n, sum(value) AS sv FROM mv.$ns.t GROUP BY grp")
+    assert(scannedTables(q) == Seq("m"))
+    val viaMart = q.collect().map(_.toString).toSet
+    spark.sql("SET spark.graft.martRewrite=false")
+    try {
+      val direct = spark.sql(
+        s"SELECT grp, count(*) AS n, sum(value) AS sv FROM mv.$ns.t GROUP BY grp")
+      assert(scannedTables(direct).forall(_.endsWith("/t")))
+      assert(direct.collect().map(_.toString).toSet == viaMart)
+    } finally spark.sql("SET spark.graft.martRewrite=true")
+  }
+}
