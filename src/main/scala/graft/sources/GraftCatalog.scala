@@ -251,6 +251,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(GraftSqlTable.RowLevelModes.contains(p.value),
             s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, " +
               s"got '${p.value}'")
+        else if (key == "isolationLevel")
+          require(ManifestTable.IsolationLevels.contains(p.value),
+            s"isolationLevel must be one of " +
+              s"${ManifestTable.IsolationLevels}, got '${p.value}'")
         else if (key == "martSourceVersion")
           require(scala.util.Try(p.value.trim.toLong).isSuccess,
             s"martSourceVersion must be a commit version, got '${p.value}'")

@@ -916,9 +916,45 @@ object ManifestTable {
     * rollup table as a mart.
     */
   val KnownProps: Set[String] =
-    IntProps ++ Set("rowLevelMode", "martOf", "martSourceRoot",
-      "martGroupCols", "martValueCols", "martMaxCols", "martMinCols",
-      "martSourceVersion")
+    IntProps ++ Set("rowLevelMode", "isolationLevel", "martOf",
+      "martSourceRoot", "martGroupCols", "martValueCols", "martMaxCols",
+      "martMinCols", "martSourceVersion")
+  /** Row-level operation isolation levels (the Iceberg property shape):
+    * `serializable` (default) aborts a statement when ANY concurrent
+    * commit changed its table; `snapshot` narrows the conflict to the
+    * statement's own read/write buckets — bucket-disjoint concurrent
+    * row-level commits rebase and both publish.
+    */
+  val IsolationLevels: Set[String] = Set("serializable", "snapshot")
+
+  /** The buckets whose content differs between two snapshots of a table
+    * (base generations OR merge-on-read deltas) — the conflict footprint
+    * a concurrent commit left.
+    */
+  private def changedBuckets(a: TableState, b: TableState): Set[Long] = {
+    def diff(x: Map[Long, Seq[BucketGen]], y: Map[Long, Seq[BucketGen]]) =
+      (x.keySet ++ y.keySet).filter(k => x.get(k) != y.get(k))
+    diff(a.buckets, b.buckets) ++ diff(a.deltas, b.deltas)
+  }
+
+  /** Snapshot-isolation conflict check for a row-level commit computed
+    * against `baseTs` while the table has moved to `ts`: rebase is sound
+    * iff the table's LAYOUT is untouched (schema, keys, bucketing,
+    * props — any of those changing alters what the staged rows mean) and
+    * every bucket the concurrent commits changed is disjoint from the
+    * statement's read/write footprint. Throws otherwise.
+    */
+  private def checkSnapshotRebase(ts: TableState, baseTs: TableState,
+      footprint: Set[Long], version: Long): Unit = {
+    val layoutSame = ts.schemaJson == baseTs.schemaJson &&
+      ts.mergeKeys == baseTs.mergeKeys &&
+      ts.numBuckets == baseTs.numBuckets &&
+      ts.statsCols == baseTs.statsCols &&
+      ts.searchCols == baseTs.searchCols &&
+      ts.props == baseTs.props
+    if (!layoutSame || changedBuckets(ts, baseTs).exists(footprint))
+      throw new ConcurrentCommitException(version)
+  }
 
   private[sources] def retainVersionsOf(ts: TableState): Int =
     intProp(ts, "retainVersions", RetainVersions)
@@ -2634,7 +2670,16 @@ object ManifestTable {
     * is stale — rebasing would require re-running the whole rewrite
     * query, so the statement aborts with [[ConcurrentCommitException]]
     * (the Delta/Iceberg conflict contract); commits that touched only
-    * other tables of the namespace rebase transparently.
+    * other tables of the namespace rebase transparently. Tables
+    * declaring `TBLPROPERTIES ('isolationLevel'='snapshot')` narrow the
+    * same-table conflict to the statement's bucket footprint
+    * ([[checkSnapshotRebase]]): concurrent commits confined to OTHER
+    * buckets rebase and both publish — sound because a merge key can
+    * only ever live in its hash bucket, so bucket-disjoint statements
+    * share no row, and pruned-away generations were provably
+    * match-free at the pinned snapshot (exactly Iceberg's
+    * write.*.isolation-level=snapshot semantics: a concurrent insert
+    * matching the predicate in an untouched bucket is not a conflict).
     *
     * Change feed: with an active feed the commit publishes an EXACT
     * keyed diff of the replaced generations' rows vs their replacements
@@ -2659,8 +2704,13 @@ object ManifestTable {
       val manifest = read(root).getOrElse(empty)
       val baseTs = resolve(root, Some(baseVersion)).table(table)
       val ts = manifest.table(table)
-      if (ts != baseTs) // someone changed THIS table under the statement
+      val moved = ts != baseTs
+      if (moved && !ts.props.get("isolationLevel").contains("snapshot"))
+        // serializable (default): ANY same-table change under the
+        // statement stales its answer
         throw new ConcurrentCommitException(manifest.version)
+      if (moved) // snapshot: a LAYOUT change is never rebasable — gate
+        checkSnapshotRebase(ts, baseTs, Set.empty, manifest.version)
       require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
       // a group replacement drops scanned FILES wholesale; outstanding
       // merge-on-read deltas are not files the scan planned, so the
@@ -2687,6 +2737,18 @@ object ManifestTable {
         val touchedBuckets = ts.buckets.collect {
           case (b, gens) if gens.exists(touched) => b
         }.toSet
+        // snapshot isolation: the moved table is rebasable iff the
+        // layout is untouched and every concurrently-changed bucket is
+        // disjoint from this statement's footprint — the buckets its
+        // replaced generations lived in AT BASE (a concurrent rewrite
+        // may have moved them since) plus the buckets it writes
+        if (moved) {
+          val baseTouched = baseTs.buckets.collect {
+            case (b, gens) if gens.exists(touched) => b
+          }.toSet
+          checkSnapshotRebase(ts, baseTs, presentBuckets ++ baseTouched,
+            manifest.version)
+        }
         // ONE pass writes every present bucket's replacement generation
         // (repartition-by-bucket + dynamic partitioning — never a
         // filtered re-scan per bucket)
@@ -2815,8 +2877,13 @@ object ManifestTable {
       val manifest = read(root).getOrElse(empty)
       val baseTs = resolve(root, Some(baseVersion)).table(table)
       val ts = manifest.table(table)
-      if (ts != baseTs) // someone changed THIS table under the statement
+      val moved = ts != baseTs
+      if (moved && !ts.props.get("isolationLevel").contains("snapshot"))
+        // serializable (default): ANY same-table change under the
+        // statement stales its answer
         throw new ConcurrentCommitException(manifest.version)
+      if (moved) // snapshot: a LAYOUT change is never rebasable — gate
+        checkSnapshotRebase(ts, baseTs, Set.empty, manifest.version)
       require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
       require(ts.mergeKeys.nonEmpty && ts.numBuckets > 0,
         s"table '$table' has no recorded merge keys/bucketing")
@@ -2839,6 +2906,13 @@ object ManifestTable {
           relFor = b => s"data/$table/b$b-dd${manifest.version + 1}-$nonce")
           .toMap
         if (written.isEmpty) return // nothing changed: no commit
+        // snapshot isolation: a delta commit's footprint is exactly the
+        // buckets its touched keys hash to — rebase when the concurrent
+        // commits stayed out of them (write-write disjointness; the
+        // statement's matched-scan covered the same buckets, keys hash
+        // deterministically)
+        if (moved)
+          checkSnapshotRebase(ts, baseTs, written.keySet, manifest.version)
         val changePath =
           if (ts.feedFrom < 0) None
           else {
