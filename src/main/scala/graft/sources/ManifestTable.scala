@@ -906,7 +906,8 @@ object ManifestTable {
 
   /** Positive-integer table properties. */
   val IntProps: Set[String] =
-    Set("retainVersions", "changeRetainVersions", "checkpointInterval")
+    Set("retainVersions", "changeRetainVersions", "checkpointInterval",
+      "retainHours")
 
   /** The keys [[createTable]]/[[alterTable]] accept as table properties:
     * the operating integers, the row-level mode, and the mart
@@ -958,6 +959,45 @@ object ManifestTable {
 
   private[sources] def retainVersionsOf(ts: TableState): Int =
     intProp(ts, "retainVersions", RetainVersions)
+
+  /** TIME-based retention (`TBLPROPERTIES ('retainHours'='N')` — the
+    * warehouse `DATA_RETENTION_TIME_IN_DAYS` semantics, in hours): a
+    * version stays time-travelable and GC-protected while its commit
+    * timestamp is within the window, REGARDLESS of how many commits have
+    * landed since. Composes with the count window: a version is retained
+    * when EITHER window covers it; no `retainHours` = count-only (the
+    * previous behavior).
+    */
+  private[sources] def retainHoursOf(ts: TableState): Option[Long] =
+    ts.props.get("retainHours")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
+
+  /** The root's widest declared time window, in ms. */
+  private def retainMsOf(m: Manifest): Option[Long] =
+    m.tables.values.toSeq.flatMap(retainHoursOf(_))
+      .reduceOption(_ max _).map(_ * 3600000L)
+
+  /** Commit timestamp of version `v`'s log entry — both entry shapes
+    * carry a top-level `ts`; a light parse that never loads parquet
+    * checkpoints.
+    */
+  private def entryTs(root: File, v: Long): Option[Long] = {
+    val f = versionFile(root, v)
+    if (!f.exists) None
+    else scala.util.Try {
+      (JsonMethods.parse(
+        new String(Files.readAllBytes(f.toPath), UTF_8)) \ "ts") match {
+        case JInt(x) => x.toLong
+        case JLong(x) => x
+        case _ => -1L
+      }
+    }.toOption.filter(_ >= 0)
+  }
+
+  /** Is `v` within `root`'s time window (when one is declared)? */
+  private def withinTimeWindow(root: File, ms: Option[Long], v: Long): Boolean =
+    ms.exists(w => entryTs(root, v).exists(
+      _ >= System.currentTimeMillis() - w))
 
   /** The root's physical retention window: the widest table's. */
   private def retainOf(m: Manifest): Int =
@@ -1094,8 +1134,19 @@ object ManifestTable {
   def readVersionBuckets(root: File, v: Long): Seq[String] =
     reconstruct(root, v).map(_.allPaths).getOrElse(Nil)
 
-  private def retainedVersions(m: Manifest): Seq[Long] =
-    ((m.version - retainOf(m) + 1) max 0) to m.version
+  private def retainedVersions(root: File, m: Manifest): Seq[Long] = {
+    val countFloor = (m.version - retainOf(m) + 1) max 0
+    // a declared time window extends retention below the count floor:
+    // walk down while entries are still inside it (the log is
+    // contiguous above the sweep line, so the first miss ends it)
+    val ms = retainMsOf(m)
+    var floor = countFloor
+    if (ms.nonEmpty) {
+      var v = countFloor - 1
+      while (v >= 0 && withinTimeWindow(root, ms, v)) { floor = v; v -= 1 }
+    }
+    floor to m.version
+  }
 
   /** Vacuum: drop every generation directory no RETAINED snapshot references
     * (superseded generations past the retention window, and orphans from
@@ -1108,7 +1159,7 @@ object ManifestTable {
     // dirs no on-disk version knows about yet, and the final commit's
     // own GC sweeps once the envelope publishes
     if (activeTxn(root).nonEmpty) return
-    val retained = retainedVersions(m)
+    val retained = retainedVersions(root, m)
     val live: Set[String] =
       retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
     val tableDirs = new File(root, "data").listFiles
@@ -1208,7 +1259,9 @@ object ManifestTable {
           // whose files are gone
           val current = live.map(_.version).getOrElse(0L)
           val window = live.map(retainOf).getOrElse(RetainVersions)
-          if (v <= current - window)
+          val timeOk = // a declared retainHours window extends travel
+            withinTimeWindow(root, live.flatMap(retainMsOf), v)
+          if (v <= current - window && !timeOk)
             throw new java.io.FileNotFoundException(
               s"version $v of $root is not retained (window $window)")
           reconstruct(root, v).getOrElse(
@@ -1236,7 +1289,10 @@ object ManifestTable {
       val current = live.map(_.version).getOrElse(0L)
       val window = live.map(lm => retainVersionsOf(lm.table(table)))
         .getOrElse(RetainVersions)
-      if (v <= current - window)
+      val timeOk = withinTimeWindow(new File(root), // table's own hours
+        live.flatMap(lm => retainHoursOf(lm.table(table)).map(_ * 3600000L)),
+        v)
+      if (v <= current - window && !timeOk)
         throw new java.io.FileNotFoundException(
           s"version $v of table '$table' is not retained " +
             s"(table window $window)")
