@@ -245,6 +245,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty
           if p.property.equalsIgnoreCase("searchCols") =>
         searchCols = cols(p.value)
+      case p: TableChange.SetProperty
+          if p.property.equalsIgnoreCase("buckets") =>
+        throw new UnsupportedOperationException(
+          "changing the bucket count rewrites every row under the new " +
+            "hash — run CALL <catalog>.system.rebucket(namespace, table, " +
+            "buckets) instead of ALTER TABLE")
       case p: TableChange.SetProperty if knownProp(p.property).nonEmpty =>
         val key = knownProp(p.property).get
         if (key == "rowLevelMode")
@@ -313,7 +319,7 @@ object GraftProcedures {
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
-    "begin", "commit", "rollback", "clone")
+    "begin", "commit", "rollback", "clone", "rebucket")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -472,6 +478,16 @@ object GraftProcedures {
         val v = row.getLong(3)
         Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
           str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
+      }
+      // -- bucket-count evolution: one atomic physical-only rewrite
+      //    under the new merge-key hash (ManifestTable.rebucket)
+      case "rebucket" => bound("rebucket",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("buckets", IntegerType)),
+        StructType(Seq(StructField("num_buckets", IntegerType)))) { row =>
+        ManifestTable.rebucket(SparkSession.active, root(str(row, 0)),
+          str(row, 1), row.getInt(2))
+        Seq(InternalRow(row.getInt(2)))
       }
       case "vacuum" => bound("vacuum",
         Seq(in("namespace", StringType)), new StructType()) { row =>

@@ -3241,6 +3241,68 @@ object ManifestTable {
     result
   }
 
+  /** Bucket-count evolution (`CALL graft.system.rebucket`): rewrite the
+    * table under a NEW merge-key hash-bucket count as one atomic
+    * physical-only commit — the warehouse's reclustering answer to "the
+    * table outgrew its bucketing" (16 buckets chosen at sf0.1 starve a
+    * 1000-executor cluster at 100 TB). One pass repartitions every row
+    * by the new hash ([[writeKeyedGens]] — the same one-pass keyed
+    * writer merge and recluster use) and the commit swaps the WHOLE
+    * bucket map plus the recorded `numBuckets`, so readers before the
+    * swap prune on the old layout, readers after on the new; there is
+    * deliberately no dual-hash migration window to reason about. Feed
+    * intact (physical-only), outstanding merge-on-read deltas collapse
+    * first, stats/search sidecars carry forward. OCC: a concurrent data
+    * commit rebases the whole pass (same contract as compact).
+    */
+  def rebucket(spark: SparkSession, root: File, table: String,
+      newBuckets: Int, statsCols: Seq[String] = Nil): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    var attempt = 0
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      collapseDeltas(spark, root, table): Unit
+      val manifest = read(root).getOrElse(empty)
+      val ts = manifest.table(table)
+      require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
+      require(ts.mergeKeys.nonEmpty,
+        s"table '$table' has no recorded merge keys to bucket by")
+      if (ts.numBuckets == newBuckets) return
+      val nonce = newNonce()
+      try {
+        val df = spark.read.schema(ts.schema)
+          .parquet(ts.gens.map(g => new File(root, g.path).toString): _*)
+        val withB = df.withColumn(BucketCol,
+            pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
+              lit(newBuckets)))
+          .select(col(BucketCol) +:
+            ts.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val written = writeKeyedGens(spark, root, withB, BucketCol,
+          ts.schema, (statsCols ++ ts.statsCols).distinct, ts.searchCols,
+          tmpRel = s"data/$table/rb${manifest.version + 1}-tmp-$nonce",
+          relFor = b => s"data/$table/b$b-rb${manifest.version + 1}-$nonce")
+        val rewritten = written.map { case (b, g) => b -> Seq(g) }.toMap
+        val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
+          append = false, changePath = None, logicalChange = false,
+          mergeKeys = ts.mergeKeys, numBuckets = newBuckets,
+          replaceAll = true))
+        val next = manifest.advance(manifest.queryId, manifest.lastBatch,
+          updates, s"REBUCKET:${ts.numBuckets}->$newBuckets")
+        commit(root, next, deltaOf(next, manifest.queryId,
+          manifest.lastBatch, updates, "REBUCKET"))
+        committed = Some(next)
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1 // rebase on the interleaved commit and re-derive
+        case e: Throwable if attempt < MaxCommitAttempts - 1 &&
+            isFileRace(e) &&
+            read(root).map(_.version).getOrElse(0L) != manifest.version =>
+          attempt += 1 // same race-casualty rule as mergeBatch
+      }
+    }
+    committed.foreach(gc(root, _))
+  }
+
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
       statsCols: Seq[String] = Nil): Unit = {
     var attempt = 0
