@@ -740,7 +740,27 @@ class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
 }
 
 class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
-    required: StructType, val pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, val pushed: Array[Filter]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Manifest-derived statistics for the PRUNED selection — a
+    * bucket/window-pruned scan reports its kept rows/bytes, not the
+    * table's, so Catalyst auto-broadcasts the genuinely-small side of a
+    * join (without this a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` = never broadcast). Called both
+    * pre-pushdown (relation-level: full-table stats) and post-pushdown
+    * (scan-level: pruned stats); zero scan jobs either way.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (rows, bytes) = index.statsForFilters(effectiveFilters)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Files the pruned listing kept, observable by specs (the v2 scan has
     * no numFiles metric of its own).

@@ -625,6 +625,19 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     listGens(prunedGens(exprs), exprs.flatMap(needles))
   }
 
+  /** (rows, bytes) the pruned listing for `filters` scans — the DSv2
+    * statistics surface: rows from the manifest's per-generation counts
+    * (an upper bound when needle sidecars prune further — the safe
+    * direction for a broadcast decision), bytes from the kept files.
+    */
+  def statsForFilters(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Long) = {
+    val exprs = filters.flatMap(filterToExpr)
+    val gens = prunedGens(exprs)
+    val bytes = listGens(gens, exprs.flatMap(needles)).map(_.getLen).sum
+    (gens.map(g => math.max(g.rows, 0L)).sum, bytes)
+  }
+
   private def attr(name: String): Option[Attribute] =
     tableSchema.fields.find(_.name == name).map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
