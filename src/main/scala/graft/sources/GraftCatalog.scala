@@ -319,7 +319,7 @@ object GraftProcedures {
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
-    "begin", "commit", "rollback", "clone", "rebucket")
+    "begin", "commit", "rollback", "clone", "rebucket", "refresh_mart")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -478,6 +478,21 @@ object GraftProcedures {
         val v = row.getLong(3)
         Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
           str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
+      }
+      // -- CREATE/REFRESH MATERIALIZED VIEW, the one-shot verb: fold the
+      //    unseen feed range into the named mart; with the declaration
+      //    recorded, later calls need only (ns, source, mart, '', '')
+      case "refresh_mart" => bound("refresh_mart",
+        Seq(in("namespace", StringType), in("source", StringType),
+          in("mart", StringType), in("group_cols", StringType),
+          in("value_cols", StringType), in("max_cols", StringType),
+          in("min_cols", StringType)),
+        StructType(Seq(StructField("current_through", LongType)))) { row =>
+        def cols(i: Int): Seq[String] = str(row, i)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(InternalRow(graft.streaming.IncrementalMart.refreshMart(
+          SparkSession.active, root(str(row, 0)), str(row, 1), str(row, 2),
+          cols(3), cols(4), cols(5), cols(6))))
       }
       // -- bucket-count evolution: one atomic physical-only rewrite
       //    under the new merge-key hash (ManifestTable.rebucket)

@@ -258,4 +258,62 @@ object IncrementalMart {
             graft.plans.MartRewriteRule.SourceVersion -> srcV.toString))))
     } finally { deltas.unpersist(); () }
   }
+
+  /** One-shot batch refresh — the SQL surface's `CREATE/REFRESH
+    * MATERIALIZED VIEW` verb (`CALL graft.system.refresh_mart`): fold
+    * exactly the feed range the mart hasn't seen (its `martSourceVersion`
+    * stamp + 1 up to the current manifest version; the whole feed on
+    * first refresh) through the same [[applyBatch]] the streaming
+    * maintainer runs. Idempotent with no external checkpoint: the stamp
+    * rides the mart's own commit, so a repeated call folds an empty
+    * range and commits nothing. Column lists may be omitted after the
+    * first refresh — the mart's recorded declaration fills them in.
+    * Returns the manifest version the mart is now current THROUGH (the
+    * rewrite rule's freshness gate passes until the source commits
+    * again).
+    */
+  def refreshMart(spark: SparkSession, root: File, source: String,
+      mart: String, groupCols: Seq[String] = Nil,
+      valueCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil, numBuckets: Int = 8): Long = {
+    import graft.plans.MartRewriteRule
+    val m = ManifestTable.read(root).getOrElse(
+      throw new IllegalArgumentException(s"no manifest under $root"))
+    val src = m.table(source)
+    require(src.schemaJson.nonEmpty, s"table '$source' does not exist")
+    require(src.feedFrom >= 0,
+      s"table '$source' has no active change feed — mart maintenance " +
+        "folds the feed; write the source with changeFeed=true")
+    val martTs = m.table(mart)
+    def recorded(key: String): Seq[String] = martTs.props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val g =
+      if (groupCols.nonEmpty) groupCols
+      else recorded(MartRewriteRule.GroupCols)
+    require(g.nonEmpty,
+      s"groupCols required: mart '$mart' has no recorded declaration yet")
+    val cfg = Config(root.toString, root.toString,
+      groupCols = g,
+      valueCols =
+        if (valueCols.nonEmpty) valueCols
+        else recorded(MartRewriteRule.ValueCols),
+      sourceTable = source, martTable = mart,
+      numBuckets = if (martTs.numBuckets > 0) martTs.numBuckets
+        else numBuckets,
+      maxCols =
+        if (maxCols.nonEmpty) maxCols else recorded(MartRewriteRule.MaxCols),
+      minCols =
+        if (minCols.nonEmpty) minCols else recorded(MartRewriteRule.MinCols))
+    val from = martTs.props.get(MartRewriteRule.SourceVersion)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .map(_ + 1).getOrElse(src.feedFrom)
+    val to = m.version
+    if (from <= to)
+      applyBatch(cfg,
+        ManifestTable.readChangeFeed(spark, root.toString, from,
+          Some(to), source),
+        batchId = to)
+    to
+  }
 }
