@@ -80,7 +80,16 @@ object IncrementalMart {
         * semantics): it runs on change rows that still carry the
         * change-type column.
         */
-      prepare: DataFrame => DataFrame = identity)
+      prepare: DataFrame => DataFrame = identity,
+      /** Publish the mart's own change feed: each maintenance commit's
+        * replace-by-key diff (postimages + touched-key deletes) becomes
+        * a feed downstream consumers — including ANOTHER mart — fold,
+        * so rollups CASCADE (source → daily mart → monthly mart) with
+        * per-level cost tracking that level's churn. The rewrite rule
+        * chains the same way: a query over a feed-active mart rewrites
+        * onto ITS fresh mart.
+        */
+      changeFeed: Boolean = false)
 
   /** Subscribe and maintain continuously (caller owns the trigger). */
   def start(spark: SparkSession, cfg: Config, checkpoint: String,
@@ -245,6 +254,7 @@ object IncrementalMart {
         Seq(TableBatch(cfg.martTable, merged, cfg.groupCols, cfg.numBuckets,
           deleteKeys =
             Some(deltas.select(cfg.groupCols.map(col).toIndexedSeq: _*)),
+          changeFeed = cfg.changeFeed,
           props = Map(
             graft.plans.MartRewriteRule.Of -> cfg.sourceTable,
             graft.plans.MartRewriteRule.SourceRoot ->

@@ -175,6 +175,58 @@ class MartRewriteSpec extends SparkSpec {
       .groupBy("grp").agg(count(lit(1)).as("n"))) == Seq("m"))
   }
 
+  test("marts cascade: a feed-publishing mart feeds a second-level mart exactly, and the rewrite chains level by level") {
+    val root = tmp("graft_mv_chain")
+    def mkSrc(rs: Seq[(Long, String, String, Double)]): DataFrame =
+      rs.toDF("event_id", "grp", "sub", "value")
+    def feed(b: Long, rs: Seq[(Long, String, String, Double)]): Unit =
+      ManifestTable.mergeBatch(new File(root), "q", b, Seq(
+        TableBatch("t", mkSrc(rs), Seq("event_id"), 4, changeFeed = true)))
+    feed(0L, (0L until 48L).map(i => (i, s"g${i % 3}", s"s${i % 6}", i * 0.5)))
+
+    // level 1: per (grp, sub), PUBLISHING its own feed; level 2 folds
+    // level 1's feed per grp
+    val cfg1 = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp", "sub"), valueCols = Seq("value"),
+      sourceTable = "t", martTable = "m1", numBuckets = 2,
+      changeFeed = true)
+    val cfg2 = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("sum_value"),
+      sourceTable = "m1", martTable = "m2", numBuckets = 2)
+    val (ck1, ck2) = (tmp("graft_ck1"), tmp("graft_ck2"))
+    def drain1(): Unit = IncrementalMart.sync(spark, cfg1, ck1)
+    def drain2(): Unit = IncrementalMart.sync(spark, cfg2, ck2)
+    drain1(); drain2()
+
+    // level-2 invariant: m2 IS the rollup of m1
+    def m(t: String): DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", t).load()
+    def expect2: Set[String] = m("m1").groupBy("grp")
+      .agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("sum_value").as("sum_sum_value"))
+      .collect().map(_.toString).toSet
+    assert(m("m2").collect().map(_.toString).toSet == expect2)
+
+    // the rewrite CHAINS: an aggregate over m1 plans onto m2 (def:
+    // QueryExecution memoizes, each check needs a fresh plan)
+    def q = m("m1").groupBy("grp").agg(sum("sum_value").as("sv"))
+    assert(scannedTables(q) == Seq("m2"))
+    assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      == (0 until 3).map(g => (s"g$g",
+        (0L until 48L).filter(_ % 3 == g).map(_ * 0.5).sum)).toSet)
+
+    // churn: update + migrate groups at the SOURCE; drain level 1 only →
+    // level 2 is stale and the chain falls back to m1; drain level 2 →
+    // exact again
+    feed(1L, Seq((0L, "g9", "s0", 100.0), (1L, "g1", "s1", 200.0)))
+    drain1()
+    assert(scannedTables(q) == Seq("m1"))
+    drain2()
+    assert(scannedTables(q) == Seq("m2"))
+    assert(m("m2").collect().map(_.toString).toSet == expect2)
+    assert(m("m2").filter(col("grp") === "g9").count() == 1)
+  }
+
   test("CALL graft.system.refresh_mart: one-shot create + refresh from SQL, idempotent, re-arms the rewrite") {
     val root = tmp("graft_mv_call")
     val ns = new File(root).getName
