@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
@@ -1592,7 +1592,8 @@ object ManifestTable {
   private def writeKeyedGens(spark: SparkSession, root: File,
       keyed: DataFrame, keyCol: String, schema: StructType,
       statsCols: Seq[String], searchCols: Seq[String],
-      tmpRel: String, relFor: Long => String): Seq[(Long, BucketGen)] = {
+      tmpRel: String, relFor: Long => String,
+      spread: Option[(Int, Column)] = None): Seq[(Long, BucketGen)] = {
     val statFields = statsCols.distinct.flatMap(c =>
       if (schema.fieldNames.contains(c))
         statsKind(schema(c).dataType).map(k => c -> k)
@@ -1607,8 +1608,19 @@ object ManifestTable {
       schema.fieldNames.contains(c) && searchKind(schema(c).dataType).nonEmpty)
     val tmpDir = new File(root, tmpRel)
     val cols = schema.fieldNames.map(col).toIndexedSeq
-    val writer = keyed.select(col(keyCol) +: cols: _*)
-      .repartition(col(keyCol))
+    // repartition by key alone caps parallelism at the KEY COUNT — fine
+    // when keys are plentiful (merge buckets, recluster cells), but a
+    // caller writing FEW keys from much data (rebucket down to a small
+    // count) passes a row-level `spread` column so each key's rows fan
+    // across tasks; partitionBy still routes every row to its key dir,
+    // the dir just holds one file per (task, key)
+    val writer = spread.fold(
+      keyed.select(col(keyCol) +: cols: _*).repartition(col(keyCol))) {
+        // explicit partition count: AQE must not coalesce the salted
+        // shuffle back into fewer tasks than the fan-out asks for
+        case (n, salt) => keyed.select(col(keyCol) +: cols: _*)
+          .repartition(n, col(keyCol), salt)
+      }
       .write.partitionBy(keyCol).mode("overwrite")
     search.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
@@ -3277,10 +3289,21 @@ object ManifestTable {
               lit(newBuckets)))
           .select(col(BucketCol) +:
             ts.schema.fieldNames.map(col).toIndexedSeq: _*)
+        // a rebucket DOWN to few buckets must not serialize into
+        // #buckets writer tasks: spread each bucket's rows across
+        // shufflePartitions/buckets salted slots (row-content hash —
+        // deterministic, key-independent)
+        val spreadN = math.max(1,
+          spark.sessionState.conf.numShufflePartitions / newBuckets)
+        val spread =
+          if (spreadN <= 1) None
+          else Some((newBuckets * spreadN, pmod(xxhash64(
+            ts.schema.fieldNames.map(col).toIndexedSeq: _*), lit(spreadN))))
         val written = writeKeyedGens(spark, root, withB, BucketCol,
           ts.schema, (statsCols ++ ts.statsCols).distinct, ts.searchCols,
           tmpRel = s"data/$table/rb${manifest.version + 1}-tmp-$nonce",
-          relFor = b => s"data/$table/b$b-rb${manifest.version + 1}-$nonce")
+          relFor = b => s"data/$table/b$b-rb${manifest.version + 1}-$nonce",
+          spread = spread)
         val rewritten = written.map { case (b, g) => b -> Seq(g) }.toMap
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false, changePath = None, logicalChange = false,

@@ -60,6 +60,27 @@ class RebucketSpec extends SparkSpec {
     assert(got == Set(3L, 42L))
   }
 
+  test("rebucket DOWN spreads each bucket's rows across salted writer tasks instead of one task per bucket") {
+    val root = new File(
+      java.nio.file.Files.createTempDirectory("graft_rb3").toString)
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch("t", mk(0L until 64L), Seq("id"), 8)))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try ManifestTable.rebucket(spark, root, "t", 2)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val ts = ManifestTable.read(root).get.table("t")
+    assert(ts.numBuckets == 2)
+    val filesPerGen = ts.gens.map(g =>
+      new File(root, g.path).listFiles.count(_.getName.endsWith(".parquet")))
+    // 16 shuffle partitions / 2 buckets = 8 salted slots per bucket:
+    // the generations must hold multiple files, proving the fan-out
+    assert(filesPerGen.sum > ts.gens.size,
+      s"expected salted multi-file generations, got $filesPerGen")
+    assert(ManifestTable.readTable(spark, root.toString, table = "t")
+      .count() == 64L)
+  }
+
   test("a merge-on-read table collapses its deltas first; CALL graft.system.rebucket drives it from SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft_rb2").toString
     spark.conf.set("spark.sql.catalog.rb2", classOf[GraftCatalog].getName)
