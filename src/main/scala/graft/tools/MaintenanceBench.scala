@@ -52,7 +52,10 @@ object MaintenanceBench {
     val source = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 1.1)
       .unionByName(orders.filter(col("o_orderkey") % 50 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+        // clear of every ScaleUp replica key space (i * 1e9): at sf1
+        // a 1e9 shift would land inserts ON replica-1 keys and trip
+        // MERGE's cardinality check with duplicate source keys
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000000L))
       .persist()
     source.count(): Unit
     source.createOrReplaceTempView("mb_source")
@@ -135,6 +138,14 @@ object MaintenanceBench {
         createLoaded("rc", "copy-on-write")
         timed(ManifestTable.reclusterBy(spark, root,
           Seq("o_custkey", "o_totalprice"), "rc", slices = 16, zorder = z))
+      })
+
+    // -- bucket-count evolution: up (16→64) and down (16→4, the salted
+    //    fan-out path)
+    for ((mode, n) <- Seq("rebucket_up" -> 64, "rebucket_down" -> 4))
+      ops(mode) = median((0 until N).map { _ =>
+        createLoaded("rb", "copy-on-write")
+        timed(ManifestTable.rebucket(spark, root, "rb", n))
       })
 
     val json = "{\"metric\":\"maintenance\",\"sf\":\"" + dir +
