@@ -55,6 +55,14 @@ import graft.streaming.IncrementalMart
   * pushdown/pruning on the mart scan, and the result is re-aliased to
   * the original output ids so parent operators stay resolved.
   *
+  * With SEVERAL fresh candidates (a fine-grain and a coarse-grain mart
+  * of the same source — the cascading-mart shape), selection is
+  * cost-based: candidates rank by manifest rowCount (a mart's row count
+  * IS its group count) and the smallest one that subsumes the query and
+  * derives every aggregate wins, falling through candidate by candidate
+  * — a daily rollup over a (day, region) mart answers from the (day)
+  * mart when one exists, not the 100× wider fine-grain one.
+  *
   * Matches both relation surfaces (catalog [[GraftSqlTable]] and
   * `format("graft")` [[ManifestFileIndex]]); time-traveled reads, `raw`
   * reconciliation legs, and merge-on-read rewritten unions never match.
@@ -124,7 +132,12 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
     // freshness gate: active feed + every source data commit folded
     if (src.feedFrom < 0 || src.changes.isEmpty) return None
     val lastChange = src.changes.last.version
-    val mart = manifest.tables.find { case (_, ts) =>
+    // every fresh mart of this source is a candidate; subsumption and
+    // derivability are checked per candidate below, and cost picks the
+    // winner — the SMALLEST subsuming mart (manifest rowCount ≈ its
+    // group count) scans the fewest rows, so a query a fine-grain AND a
+    // coarse-grain mart both answer lands on the coarse one
+    val fresh = manifest.tables.filter { case (_, ts) =>
       ts.schemaJson.nonEmpty &&
         ts.props.get(MartRewriteRule.Of).contains(srcName) &&
         ts.props.get(MartRewriteRule.SourceRoot)
@@ -132,8 +145,31 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
         ts.props.get(MartRewriteRule.SourceVersion)
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .exists(_ >= lastChange)
-    }.getOrElse(return None)
-    val (martName, martTs) = mart
+    }.toSeq
+    if (fresh.isEmpty) return None
+    // groupings must be plain source columns regardless of the mart
+    val gNames = agg.groupingExpressions.map {
+      case ar: AttributeReference => ar.name
+      case _ => return None
+    }
+    val ranked = fresh.sortBy { case (name, ts) =>
+      (ts.rowCount.getOrElse(Long.MaxValue), name)
+    }
+    ranked.view.flatMap { case (n, ts) =>
+      rewriteOnto(agg, root, manifest, srcName, src, gNames, filters, n, ts)
+    }.headOption
+  }
+
+  /** Attempt the substitution onto ONE candidate mart; None when the
+    * mart doesn't subsume the groupings/filters or can't derive an
+    * aggregate — the caller falls through to the next candidate.
+    */
+  private def rewriteOnto(agg: Aggregate, root: File,
+      manifest: ManifestTable.Manifest, srcName: String,
+      src: ManifestTable.TableState,
+      gNames: Seq[String], filters: Seq[Expression],
+      martName: String, martTs: ManifestTable.TableState)
+      : Option[LogicalPlan] = {
     def colsOf(key: String): Set[String] = martTs.props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
@@ -144,11 +180,8 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
     val martFields = martTs.schema.fieldNames.toSet
     val srcSchema = src.schema
 
-    // subsumption: groupings are plain mart group columns
-    val gNames = agg.groupingExpressions.map {
-      case ar: AttributeReference if groupCols.contains(ar.name) => ar.name
-      case _ => return None
-    }
+    // subsumption: groupings are mart group columns
+    if (gNames.exists(n => !groupCols.contains(n))) return None
     // filters reference group columns only
     if (filters.exists(_.references.exists(a => !groupCols.contains(a.name))))
       return None
@@ -246,7 +279,7 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
         }: _*)
       }
     logInfo(s"mart rewrite: aggregate over $srcName → $martName " +
-      s"(source v$lastChange ≤ mart stamp)")
+      s"(cheapest fresh subsuming mart, ~${martTs.rowCount.getOrElse(-1L)} rows)")
     Some(aliasTo(agg.output, grouped.queryExecution.analyzed))
   }
 

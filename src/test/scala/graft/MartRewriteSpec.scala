@@ -290,4 +290,64 @@ class MartRewriteSpec extends SparkSpec {
       assert(direct.collect().map(_.toString).toSet == viaMart)
     } finally spark.sql("SET spark.graft.martRewrite=true")
   }
+
+  test("cost-based mart selection: the smallest fresh subsuming mart wins, non-subsuming smaller candidates fall through") {
+    val root = tmp("graft_mv_cost")
+    def feed(b: Long, rs: Seq[(Long, String, String, Double)]): Unit =
+      ManifestTable.mergeBatch(new File(root), "q", b, Seq(
+        TableBatch("t", rs.toDF("event_id", "grp", "sub", "value"),
+          Seq("event_id"), 4, changeFeed = true)))
+    feed(0L, (0L until 64L).map(i => (i, s"g${i % 4}", s"s${i % 2}", i * 0.5)))
+
+    // three marts of the SAME source at different grains:
+    //   mf (grp, sub) → 8 groups, mc (grp) → 4, ms (sub) → 2
+    def cfg(mart: String, gs: Seq[String]) = IncrementalMart.Config(
+      root, root, groupCols = gs, valueCols = Seq("value"),
+      sourceTable = "t", martTable = mart, numBuckets = 2)
+    val (cf, cc, cs) =
+      (cfg("mf", Seq("grp", "sub")), cfg("mc", Seq("grp")), cfg("ms", Seq("sub")))
+    val (kf, kc, ks) = (tmp("ck_mf"), tmp("ck_mc"), tmp("ck_ms"))
+    IncrementalMart.sync(spark, cf, kf)
+    IncrementalMart.sync(spark, cc, kc)
+    IncrementalMart.sync(spark, cs, ks)
+
+    def src: DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+    def direct(df: => DataFrame): Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try df.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+
+    // grp query: ms (2 rows) is cheapest but doesn't subsume → falls
+    // through to mc (4 rows), NOT the 2×-wider mf
+    def qGrp = src.groupBy("grp").agg(sum("value").as("sv"))
+    assert(scannedTables(qGrp) == Seq("mc"), s"got ${scannedTables(qGrp)}")
+    assert(qGrp.collect().map(_.toString).toSet == direct(qGrp))
+
+    // (grp, sub) query: only mf subsumes
+    def qFine = src.groupBy("grp", "sub")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(qFine) == Seq("mf"))
+    assert(qFine.collect().map(_.toString).toSet == direct(qFine))
+
+    // sub query and the global aggregate: ms subsumes and is smallest
+    def qSub = src.groupBy("sub").agg(sum("value").as("sv"))
+    assert(scannedTables(qSub) == Seq("ms"))
+    assert(qSub.collect().map(_.toString).toSet == direct(qSub))
+    def qAll = src.agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(qAll) == Seq("ms"))
+    assert(qAll.collect().map(_.toString).toSet == direct(qAll))
+
+    // freshness × cost: after new source churn, only the drained mart
+    // is a candidate — the grp query answers from mf while mc lags,
+    // then returns to mc once it drains
+    feed(1L, Seq((100L, "g0", "s1", 10.0), (101L, "g5", "s0", 20.0)))
+    IncrementalMart.sync(spark, cf, kf)
+    assert(scannedTables(qGrp) == Seq("mf"))
+    assert(qGrp.collect().map(_.toString).toSet == direct(qGrp))
+    IncrementalMart.sync(spark, cc, kc)
+    assert(scannedTables(qGrp) == Seq("mc"))
+    assert(qGrp.collect().map(_.toString).toSet == direct(qGrp))
+  }
 }
