@@ -3461,15 +3461,31 @@ object ManifestTable {
             }
             // per-dimension rank in [0, levels-1] at the bucket's own
             // quantiles (grid mode: levels = q strata; z-order mode:
-            // levels = ZLevels fine ranks feeding the bit interleave)
-            def rankExprs(levels: Int) = columns.zipWithIndex.map {
-              case (c, i) =>
+            // levels = ZLevels fine ranks feeding the bit interleave).
+            // ONE multi-column approxQuantile job covers every numeric
+            // dimension, and each rank is a single binary-search
+            // expression ([[graft.functions.BucketRank]]) — the plan
+            // tree stays constant-size no matter how fine the strata
+            // (the when-chain formulation put ~2·levels CaseWhen nodes
+            // in every job's plan; at ZLevels=64 each of the bucket's
+            // jobs paid seconds of driver planning/codegen before a row
+            // moved — measured 8× the grid's recluster wall clock)
+            def rankExprs(levels: Int): Seq[Column] = {
+              val numIdx = columns.indices.filter(i => kinds(i) != "str")
+              val numCuts: Map[Int, Seq[Double]] =
+                if (numIdx.isEmpty) Map.empty
+                else numIdx.zip(keyed.stat.approxQuantile(
+                  numIdx.map(ck).toArray,
+                  (1 until levels).map(_.toDouble / levels).toArray,
+                  math.min(0.01, 0.5 / levels))
+                  .map(_.filterNot(_.isNaN).distinct.sorted.toSeq)).toMap
+              columns.zipWithIndex.map { case (c, i) =>
                 if (kinds(i) == "str") {
                   // approxQuantile is numeric-only: a STRING dimension
                   // cuts at evenly-spaced ranks of a bounded uniform row
                   // sample (driver-side, ≤ ~20k values regardless of
                   // bucket size), sorted in UTF-8 byte order — exactly
-                  // how the plan's `>` ranks strings, so cell stats stay
+                  // how BucketRank ranks strings, so cell stats stay
                   // tight and correct
                   val n = math.max(1L, df.count())
                   val vals = (if (n <= 20000L) df.select(col(c)).na.drop
@@ -3482,18 +3498,9 @@ object ManifestTable {
                     else (1 until levels)
                       .map(j => vals(j * (vals.length - 1) / levels))
                       .distinct
-                  cuts.foldLeft(lit(0)) { (acc, cut) =>
-                    acc + when(col(c) > lit(cut), 1).otherwise(0)
-                  }
-                } else {
-                  val cuts = keyed.stat.approxQuantile(ck(i),
-                    (1 until levels).map(_.toDouble / levels).toArray,
-                    math.min(0.01, 0.5 / levels))
-                    .filterNot(_.isNaN).distinct.sorted
-                  cuts.foldLeft(lit(0)) { (acc, cutV) =>
-                    acc + when(col(ck(i)) > cutV, 1).otherwise(0)
-                  }
-                }
+                  graft.functions.BucketRank.str(col(c), cuts)
+                } else graft.functions.BucketRank.num(col(ck(i)), numCuts(i))
+              }
             }
             val (cellFrame, cellId) =
               if (!zorder)
@@ -3511,13 +3518,11 @@ object ManifestTable {
                 // per-dimension min/max rectangles — the pruning algebra
                 // is untouched, only the cell SHAPE changed.
                 //
-                // Each rank is a ZLevels-deep chain of comparisons, so
-                // MATERIALIZE ranks and the z-value as columns and build
-                // everything downstream from the column references —
-                // re-inlining the rank expressions into every interleave
-                // bit and every curve cut multiplies the tree into tens
-                // of thousands of nodes and stalls codegen (measured
-                // ~17× recluster slowdown before this shape)
+                // Ranks and the z-value MATERIALIZE as columns so the
+                // interleave references each rank once per bit instead
+                // of re-inlining its expression (with BucketRank a rank
+                // is one node, but the materialized shape also keeps
+                // every downstream job evaluating each rank once)
                 val k = columns.size
                 val rkCols = columns.indices.map(i => s"__graft_rk$i")
                 val ranked = rankExprs(ZLevels).zipWithIndex
@@ -3535,9 +3540,7 @@ object ManifestTable {
                 val zCuts = zKeyed.stat.approxQuantile(zc,
                   (1 until slices).map(_.toDouble / slices).toArray, 0.005)
                   .filterNot(_.isNaN).distinct.sorted
-                (zKeyed, zCuts.foldLeft(lit(0)) { (acc, cutV) =>
-                  acc + when(col(zc) > cutV, 1).otherwise(0)
-                })
+                (zKeyed, graft.functions.BucketRank.num(col(zc), zCuts.toSeq))
               }
             val cellCol = "__graft_cell"
             val withCell = cellFrame
