@@ -505,13 +505,23 @@ object GraftProcedures {
         Seq(InternalRow(row.getInt(2)))
       }
       case "vacuum" => bound("vacuum",
-        Seq(in("namespace", StringType)), new StructType()) { row =>
+        Seq(in("namespace", StringType),
+          // dry_run reports what the sweep WOULD collect without
+          // deleting (optional; plain CALL vacuum('ns') still sweeps)
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(StructField("files", LongType),
+          StructField("bytes", LongType),
+          StructField("dry_run", BooleanType)))) { row =>
         // GC runs after every commit; the explicit verb exists for roots
         // whose writers stopped (orphans from a crashed writer linger
         // until SOME commit GCs them)
         val r = root(str(row, 0))
-        ManifestTable.read(r).foreach(m => ManifestTable.gc(r, m))
-        Nil
+        val dry = !row.isNullAt(1) && row.getBoolean(1)
+        val s = ManifestTable.read(r)
+          .map(m => ManifestTable.gc(r, m, dryRun = dry))
+          .getOrElse(ManifestTable.GcStats(0L, 0L))
+        Seq(InternalRow(s.files, s.bytes, dry))
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' (have: ${Names.mkString(", ")})")

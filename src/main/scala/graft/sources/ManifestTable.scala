@@ -1148,17 +1148,39 @@ object ManifestTable {
     floor to m.version
   }
 
+  /** One vacuum sweep's report: file count and bytes it removed — or,
+    * under `dryRun`, WOULD remove (the operational affordance every
+    * warehouse vacuum exposes; Delta's `VACUUM … DRY RUN` shape).
+    */
+  case class GcStats(files: Long, bytes: Long) {
+    def +(o: GcStats): GcStats = GcStats(files + o.files, bytes + o.bytes)
+  }
+
+  private def measure(f: File): GcStats =
+    if (f.isDirectory) {
+      val kids = f.listFiles
+      if (kids == null) GcStats(0L, 0L)
+      else kids.foldLeft(GcStats(0L, 0L))((acc, k) => acc + measure(k))
+    } else GcStats(1L, f.length)
+
   /** Vacuum: drop every generation directory no RETAINED snapshot references
     * (superseded generations past the retention window, and orphans from
     * crashed writers), plus per-version manifests that aged out of the
     * window or were never published. Runs strictly AFTER a successful
     * commit, so nothing a retained snapshot resolves is ever deleted.
+    * Returns what it swept; `dryRun` reports without deleting (and
+    * without touching caches).
     */
-  def gc(root: File, m: Manifest): Unit = {
+  def gc(root: File, m: Manifest, dryRun: Boolean = false): GcStats = {
+    var swept = GcStats(0L, 0L)
+    def sweep(f: File): Unit = {
+      swept += measure(f)
+      if (!dryRun) deleteRecursively(f)
+    }
     // never vacuum under an open transaction: the overlay references
     // dirs no on-disk version knows about yet, and the final commit's
     // own GC sweeps once the envelope publishes
-    if (activeTxn(root).nonEmpty) return
+    if (activeTxn(root).nonEmpty) return swept
     val retained = retainedVersions(root, m)
     val live: Set[String] =
       retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
@@ -1174,7 +1196,7 @@ object ManifestTable {
         // race / crashed (their version's v-file exists or never will
         // under a colliding writer) — safe to collect.
         .filter(d => dirVersion(d.getName) <= m.version)
-        .foreach(deleteRecursively)
+        .foreach(sweep)
     }
     // version-file sweep anchor: every retained version must stay
     // RECONSTRUCTIBLE, so the sweep keeps the log back to the newest
@@ -1218,7 +1240,7 @@ object ManifestTable {
           // commit point) is implied: anchor <= m.version always
           v < anchor
         }
-      }.foreach(deleteRecursively)
+      }.foreach(sweep)
     // parquet checkpoint dirs sweep with their version files: a ckpt
     // below the anchor can no longer be referenced (the pointer's
     // version is >= anchor by construction). Orphans from crashed
@@ -1231,9 +1253,10 @@ object ManifestTable {
         tok.nonEmpty && tok.toLong < anchor
       }
     }.foreach { d =>
-      ckptCache.remove(d.getCanonicalPath)
-      deleteRecursively(d)
+      if (!dryRun) ckptCache.remove(d.getCanonicalPath)
+      sweep(d)
     }
+    swept
   }
 
   private[sources] def resolve(root: File, version: Option[Long]): Manifest =

@@ -234,11 +234,19 @@ class CatalogSpec extends SparkSpec {
     assert(det.getLong(7) == 80L)
     assert(det.getLong(6) == ManifestTable.read(root).get.table("t").gens.size.toLong)
 
-    // vacuum collects a crashed writer's orphan dir without a commit
+    // vacuum collects a crashed writer's orphan dir without a commit;
+    // dry_run=true reports the same (files, bytes) without deleting
     val orphan = new File(root, "data/t/b0-v1-deadbeef")
     orphan.mkdirs()
-    new File(orphan, "junk.parquet").createNewFile()
-    spark.sql("CALL graft3.system.vacuum('ops')")
+    val junk = new File(orphan, "junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array.fill[Byte](128)(1))
+    val dry = spark.sql("CALL graft3.system.vacuum('ops', true)").head
+    assert(dry.getBoolean(2) && dry.getLong(0) >= 1L && dry.getLong(1) >= 128L)
+    assert(orphan.exists, "dry_run vacuum must not delete")
+    val real = spark.sql("CALL graft3.system.vacuum('ops')").head
+    assert(!real.getBoolean(2))
+    assert(real.getLong(0) == dry.getLong(0) && real.getLong(1) == dry.getLong(1),
+      "real sweep must collect exactly what dry_run reported")
     assert(!orphan.exists, "vacuum left the orphan generation dir")
   }
 
