@@ -437,7 +437,8 @@ object GraftProcedures {
           StructField("search_cols", ArrayType(StringType)),
           StructField("num_generations", LongType),
           StructField("row_count", LongType),
-          StructField("feed_from", LongType)))) { row =>
+          StructField("feed_from", LongType),
+          StructField("ndv", MapType(StringType, LongType))))) { row =>
         val m = ManifestTable.read(root(str(row, 0))).getOrElse(
           throw new IllegalStateException(
             s"no committed tables in namespace ${str(row, 0)}"))
@@ -446,10 +447,24 @@ object GraftProcedures {
         require(ts.schemaJson.nonEmpty, s"table '$t' does not exist")
         def arr(ss: Seq[String]) =
           new GenericArrayData(ss.map(UTF8String.fromString))
+        // table-level NDV: merged sketches over every base generation
+        // (same every-generation/no-deltas contract as the scan's CBO
+        // column stats)
+        val gens = ts.gens
+        val ndv: Map[String, Long] =
+          if (ts.deltas.nonEmpty || gens.isEmpty) Map.empty
+          else gens.map(_.ndv.keySet).reduce(_ intersect _).flatMap { c =>
+            ManifestTable.ndvUnion(gens.map(_.ndv(c))).map(c -> _)
+          }.toMap
+        val ndvSorted = ndv.toSeq.sortBy(_._1)
         Seq(InternalRow(UTF8String.fromString(t), m.version,
           arr(ts.mergeKeys), ts.numBuckets, arr(ts.statsCols),
           arr(ts.searchCols), ts.gens.size.toLong,
-          ts.rowCount.map(Long.box).orNull, ts.feedFrom))
+          ts.rowCount.map(Long.box).orNull, ts.feedFrom,
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new GenericArrayData(ndvSorted.map(kv =>
+              UTF8String.fromString(kv._1))),
+            new GenericArrayData(ndvSorted.map(_._2)))))
       }
       // -- multi-statement transaction envelope: CALL begin(ns), run
       //    any number of SQL verbs against the namespace's tables, then
@@ -779,11 +794,31 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val (rows, bytes) = index.statsForFilters(effectiveFilters)
+    // per-column NDV from the manifest's merged HLL sketches —
+    // DataSourceV2Relation.transformV2Stats folds these into catalyst
+    // attribute stats, which is what CBO join sizing/reordering reads
+    // (spark.sql.cbo.enabled); zero scan jobs either way
+    val ndv = index.ndvForFilters(effectiveFilters)
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    ndv.foreach { case (c, n) =>
+      colStats.put(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        })
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

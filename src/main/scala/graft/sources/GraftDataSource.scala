@@ -638,6 +638,24 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     (gens.map(g => math.max(g.rows, 0L)).sum, bytes)
   }
 
+  /** Distinct-count estimates for the PRUNED selection: per column, the
+    * HLL union of the surviving generations' sketches. A column reports
+    * only when EVERY surviving generation carries its sketch (one gap
+    * would make the union a silent undercount) and no merge-on-read
+    * deltas are outstanding (tombstones/updates make base sketches
+    * non-authoritative) — metadata answers are never guesses, exactly
+    * the rowCount contract.
+    */
+  def ndvForFilters(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Map[String, Long] = {
+    if (ts.deltas.nonEmpty) return Map.empty
+    val gens = prunedGens(filters.flatMap(filterToExpr))
+    if (gens.isEmpty) return Map.empty
+    gens.map(_.ndv.keySet).reduce(_ intersect _).flatMap { c =>
+      ManifestTable.ndvUnion(gens.map(_.ndv(c))).map(c -> _)
+    }.toMap
+  }
+
   private def attr(name: String): Option[Attribute] =
     tableSchema.fields.find(_.name == name).map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(

@@ -86,7 +86,19 @@ object ManifestTable {
     * table format (Delta's OptimizeMetadataOnlyDeltaQuery).
     */
   case class BucketGen(path: String, stats: Map[String, ColStat],
-      rows: Long = -1L, search: Seq[String] = Nil)
+      rows: Long = -1L, search: Seq[String] = Nil,
+      /** Per-column HLL distinct-count sketches (base64 of the
+        * datasketches updatable byte array Spark's own `hll_sketch_agg`
+        * emits), observed on the same write pass as min/max. Sketches
+        * MERGE across generations (register-max union), so the manifest
+        * can answer "how many distinct values does the PRUNED selection
+        * hold" at plan time — the NDV input Catalyst's CBO needs for
+        * join sizing — without a scan. Collected for the stats/search
+        * columns whose type [[searchKind]] supports (integral → long
+        * domain, string → UTF-8), so an int→long evolution keeps old
+        * sketches mergeable with new ones.
+        */
+      ndv: Map[String, String] = Map.empty)
 
   /** One committed change-feed delta: the generation dir holding the rows a
     * commit inserted/updated/deleted in this table, tagged `_change_type`.
@@ -323,7 +335,10 @@ object ManifestTable {
           : JValue)
       }.toList)) ++
     (if (g.search.isEmpty) Nil
-     else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))))
+     else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))) ++
+    (if (g.ndv.isEmpty) Nil
+     else List("ndv" -> (JObject(g.ndv.toSeq.sortBy(_._1).map {
+       case (c, s) => c -> (JString(s): JValue) }.toList): JValue))))
 
   private def bucketsJson(bs: Map[Long, Seq[BucketGen]]): JObject =
     JObject(bs.toSeq.sortBy(_._1).map { case (b, gens) =>
@@ -401,7 +416,11 @@ object ManifestTable {
         case JArray(cs) => cs.map(str)
         case _ => Nil // pre-search-index manifests: no sidecars recorded
       }
-      BucketGen(str(gv \ "path"), stats, rows, search)
+      val ndv = (gv \ "ndv") match {
+        case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
+        case _ => Map.empty[String, String] // pre-NDV manifests
+      }
+      BucketGen(str(gv \ "path"), stats, rows, search, ndv)
     }
     def bucketsOf(v: JValue): Map[Long, Seq[BucketGen]] = v match {
       case JObject(bs) => bs.map { case (b, gvs) =>
@@ -514,7 +533,11 @@ object ManifestTable {
         case JArray(cs) => cs.map(str)
         case _ => Nil
       }
-      BucketGen(str(gv \ "path"), stats, long(gv \ "rows"), search)
+      val ndv = (gv \ "ndv") match {
+        case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
+        case _ => Map.empty[String, String]
+      }
+      BucketGen(str(gv \ "path"), stats, long(gv \ "rows"), search, ndv)
     }
     val updates = (j \ "delta") match {
       case JObject(fields) => fields.map { case (name, uv) =>
@@ -590,6 +613,10 @@ object ManifestTable {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("search",
       org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("ndv",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType))))
 
   /** Serialize every table's generation lists (base + delta) as one
@@ -609,7 +636,7 @@ object ManifestTable {
                   JString(s.hi))): JValue)
               }.toList)))
             rows.add(org.apache.spark.sql.Row(name, b, kind, i, g.path,
-              g.rows, statsJson, g.search)): Unit
+              g.rows, statsJson, g.search, g.ndv)): Unit
           }
         }
       add("base", ts.buckets)
@@ -643,7 +670,9 @@ object ManifestTable {
                   case _ => Map.empty[String, ColStat]
                 }
                 BucketGen(r.getString(4), stats, r.getLong(5),
-                  r.getSeq[String](7))
+                  r.getSeq[String](7),
+                  if (r.isNullAt(8)) Map.empty
+                  else r.getMap[String, String](8).toMap)
               }
             }
         table -> (side("base"), side("delta"))
@@ -1448,6 +1477,55 @@ object ManifestTable {
     case _ => None
   }
 
+  /** HLL precision for per-generation NDV sketches: 2^10 registers ≈
+    * ±3.2% relative error — CBO-grade, and a DENSE sketch caps at 1 KiB
+    * (sparse mode keeps low-cardinality generations' sketches far
+    * smaller, the common case once data clusters).
+    */
+  val NdvLgK = 10
+
+  /** Stats/search columns whose type supports an NDV sketch, with the
+    * domain their values hash in (same domains as [[searchKind]]).
+    */
+  private def ndvEligible(schema: StructType, statsCols: Seq[String],
+      searchCols: Seq[String]): Seq[(String, String)] =
+    (statsCols ++ searchCols).distinct.flatMap(c =>
+      if (!schema.fieldNames.contains(c)) None
+      else searchKind(schema(c).dataType).map(k => c -> k))
+
+  /** The sketch aggregate for one column — integral values update in
+    * the long domain so sketches stay mergeable across an int→long
+    * type evolution.
+    */
+  private def ndvAgg(schema: StructType, c: String, kind: String)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.hll_sketch_agg(
+      if (kind == "long" &&
+          schema(c).dataType != org.apache.spark.sql.types.LongType)
+        col(c).cast("long")
+      else col(c), NdvLgK).as(s"ndv_$c")
+
+  private def ndvB64(v: Any): Option[String] = v match {
+    case b: Array[Byte] if b.nonEmpty =>
+      Some(java.util.Base64.getEncoder.encodeToString(b))
+    case _ => None
+  }
+
+  /** Union per-generation sketches into one distinct-count estimate.
+    * None on empty input or an unparseable sketch (never a guess).
+    */
+  private[sources] def ndvUnion(sketchesB64: Seq[String]): Option[Long] =
+    if (sketchesB64.isEmpty) None
+    else scala.util.Try {
+      val u = new org.apache.datasketches.hll.Union(NdvLgK)
+      sketchesB64.foreach { s =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(
+            java.util.Base64.getDecoder.decode(s))))
+      }
+      math.round(u.getEstimate)
+    }.toOption
+
   /** Search-sidecar false-positive rate: a false positive only costs an
     * extra generation scan (the engine re-applies the exact predicate);
     * 2% keeps the sidecar near the information-theoretic ~8 bits/value.
@@ -1551,17 +1629,22 @@ object ManifestTable {
     * the generations that provably don't contain the needle.
     */
   def writeGen(df: DataFrame, dest: File, statsCols: Seq[String],
-      searchCols: Seq[String] = Nil): (Map[String, ColStat], Long, Seq[String]) = {
+      searchCols: Seq[String] = Nil)
+      : (Map[String, ColStat], Long, Seq[String], Map[String, String]) = {
     val present = statsCols.flatMap(c =>
       if (df.columns.contains(c))
         statsKind(df.schema(c).dataType).map(k => c -> k)
       else None)
     // the row count rides the same Observation as the min/max stats — the
     // write already materializes every row, so the count is free and the
-    // manifest can answer bare COUNT(*) queries without a scan
+    // manifest can answer bare COUNT(*) queries without a scan; NDV
+    // sketches for the eligible tracked columns ride it too
+    val ndvEl = ndvEligible(df.schema, statsCols, searchCols)
     val obs = Observation()
-    val metrics = count(lit(1)).as("rows_") +: present.flatMap { case (c, _) =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+    val metrics = count(lit(1)).as("rows_") +:
+      (present.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
+       ndvEl.map { case (c, k) => ndvAgg(df.schema, c, k) })
     val eligible = searchCols.distinct.flatMap { c =>
       if (!df.columns.contains(c)) None
       else searchKind(df.schema(c).dataType).map(k => c -> k)
@@ -1593,11 +1676,14 @@ object ManifestTable {
             case _ => None
           }
       }.toMap
+    val ndv = ndvEl.flatMap { case (c, _) =>
+      ndvB64(row(s"ndv_$c")).map(c -> _)
+    }.toMap
     val searched = eligible.map { case (c, kind) =>
       writeSearchSidecar(df.sparkSession, dest, c, kind, math.max(nRows, 1L))
       c
     }
-    (stats, nRows, searched)
+    (stats, nRows, searched, ndv)
   }
 
   /** Write MANY generation dirs from one keyed frame in ONE pass — the
@@ -1621,9 +1707,11 @@ object ManifestTable {
       if (schema.fieldNames.contains(c))
         statsKind(schema(c).dataType).map(k => c -> k)
       else None)
+    val ndvEl = ndvEligible(schema, statsCols, searchCols)
     val aggExprs = count(lit(1)).as("rows_") +:
-      statFields.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+      (statFields.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
+       ndvEl.map { case (c, k) => ndvAgg(schema, c, k) })
     val keyRows = keyed.groupBy(col(keyCol))
       .agg(aggExprs.head, aggExprs.tail: _*)
       .collect().sortBy(_.getLong(0)) // bounded: one small row per key
@@ -1673,7 +1761,10 @@ object ManifestTable {
             case _ => None
           }
       }.toMap
-      k -> BucketGen(rel, genStats, nRows, search)
+      val ndv = ndvEl.flatMap { case (c, _) =>
+        ndvB64(r.getAs[Any](s"ndv_$c")).map(c -> _)
+      }.toMap
+      k -> BucketGen(rel, genStats, nRows, search, ndv)
     }
     // sidecars for EVERY new generation build in ONE distributed pass
     // (per-partition partial filters keyed by (dir, column), merged by
@@ -2077,14 +2168,14 @@ object ManifestTable {
           // the loser's become orphans GC collects once the version is
           // decided (the in-flight guard in [[gc]])
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
-          val (stats, nRows, searched) =
+          val (stats, nRows, searched, ndv) =
             // explicit batch options win; otherwise the table's RECORDED
             // layout applies, so every writer — bespoke API, SQL INSERT,
             // streaming sink — keeps tracking what the table declared
             writeGen(out, new File(root, rel),
               if (tb.statsCols.nonEmpty) tb.statsCols else prev.statsCols,
               if (tb.searchCols.nonEmpty) tb.searchCols else prev.searchCols)
-          (b -> Seq(BucketGen(rel, stats, nRows, searched)), chg)
+          (b -> Seq(BucketGen(rel, stats, nRows, searched, ndv)), chg)
         }
         val written = results.map(_._1).toMap
         // the commit's change-feed delta: one immutable dir per (table,
@@ -2595,12 +2686,14 @@ object ManifestTable {
             if (!touched(g)) Some(g)
             else {
               val rel = s"data/$table/b$b-d${manifest.version + 1}-g$i-$nonce"
-              val (stats, nRows, searched) = writeGen(
+              val (stats, nRows, searched, ndv) = writeGen(
                 spark.read.schema(ts.schema)
                   .parquet(new File(root, g.path).toString).filter(keep),
-                new File(root, rel), g.stats.keys.toSeq, g.search)
+                new File(root, rel),
+                (g.stats.keys.toSeq ++ g.ndv.keys).distinct, g.search)
               // an emptied generation drops; its dir orphans into GC
-              if (nRows == 0L) None else Some(BucketGen(rel, stats, nRows, searched))
+              if (nRows == 0L) None
+              else Some(BucketGen(rel, stats, nRows, searched, ndv))
             }
           })
         }
@@ -2706,11 +2799,12 @@ object ManifestTable {
             if (!touched(g)) g
             else {
               val rel = s"data/$table/b$b-u${manifest.version + 1}-g$i-$nonce"
-              val (stats, nRows, searched) = writeGen(
+              val (stats, nRows, searched, ndv) = writeGen(
                 applySets(spark.read.schema(schema)
                   .parquet(new File(root, g.path).toString)),
-                new File(root, rel), g.stats.keys.toSeq, g.search)
-              BucketGen(rel, stats, nRows, searched)
+                new File(root, rel),
+                (g.stats.keys.toSeq ++ g.ndv.keys).distinct, g.search)
+              BucketGen(rel, stats, nRows, searched, ndv)
             }
           })
         }
@@ -3149,14 +3243,20 @@ object ManifestTable {
         schema.fieldNames.contains(c) && searchKind(schema(c).dataType).nonEmpty)
       val stats = statsCols.distinct.filter(c =>
         schema.fieldNames.contains(c) && statsKind(schema(c).dataType).nonEmpty)
+      // NDV sketches backfill alongside bounds, for the requested
+      // columns whose type supports them
+      val ndvCols = ndvEligible(schema, stats, search)
       def dirKey(g: BucketGen): String =
         new File(root, g.path).getCanonicalPath
       def missingSearch(g: BucketGen): Seq[String] =
         search.filterNot(g.search.contains)
       def missingStats(g: BucketGen): Seq[String] =
         stats.filterNot(g.stats.contains)
+      def missingNdv(g: BucketGen): Seq[String] =
+        ndvCols.map(_._1).filterNot(g.ndv.contains)
       val todo = ts.gens.filter(g =>
-        missingSearch(g).nonEmpty || missingStats(g).nonEmpty)
+        missingSearch(g).nonEmpty || missingStats(g).nonEmpty ||
+          missingNdv(g).nonEmpty)
       if (todo.isEmpty) return 0L
       try {
         val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -3199,49 +3299,60 @@ object ManifestTable {
               }
           }
         }
-        // -- stats backfill: one grouped pass over generations missing
-        //    any requested column's bounds --
+        // -- stats + NDV backfill: ONE grouped pass over generations
+        //    missing any requested column's bounds or sketch --
         val statFields = stats.map(c =>
           c -> statsKind(schema(c).dataType).get)
-        val statsByDir: Map[String, Map[String, ColStat]] =
-          if (statFields.isEmpty) Map.empty
+        val (statsByDir, ndvByDir): (Map[String, Map[String, ColStat]],
+            Map[String, Map[String, String]]) = {
+          val needs = ts.gens.filter(g =>
+            missingStats(g).nonEmpty || missingNdv(g).nonEmpty)
+          if ((statFields.isEmpty && ndvCols.isEmpty) || needs.isEmpty)
+            (Map.empty, Map.empty)
           else {
-            val needs = ts.gens.filter(g => missingStats(g).nonEmpty)
-            if (needs.isEmpty) Map.empty
-            else {
-              val aggs = statFields.flatMap { case (c, _) =>
-                Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
-              spark.read.schema(schema)
-                .parquet(needs.map(g => new File(root, g.path).toString): _*)
-                .groupBy(regexp_replace(input_file_name(),
-                  "/[^/]*$", "").as("__dir"))
-                .agg(aggs.head, aggs.tail: _*)
-                .collect().map { r =>
-                  val f = r.getString(0)
-                  val dir = new File(
-                    if (f.startsWith("file:")) new java.net.URI(f).getPath
-                    else f).getCanonicalPath
-                  dir -> statFields.flatMap {
-                    case (c, "str") =>
-                      (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
-                        case (lo: String, hi: String)
-                            if lo.length <= MaxStringStatLen &&
-                              hi.length <= MaxStringStatLen =>
-                          Some(c -> ColStat("str", lo, hi))
-                        case _ => None
-                      }
-                    case (c, _) =>
-                      (statValue(r.getAs[Any](s"min_$c")),
-                        statValue(r.getAs[Any](s"max_$c"))) match {
-                        case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
-                          lo.bigDecimal.toPlainString,
-                          hi.bigDecimal.toPlainString))
-                        case _ => None
-                      }
-                  }.toMap
-                }.toMap
-            }
+            val aggs = statFields.flatMap { case (c, _) =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
+              ndvCols.map { case (c, k) => ndvAgg(schema, c, k) }
+            val grouped = spark.read.schema(schema)
+              .parquet(needs.map(g => new File(root, g.path).toString): _*)
+              .groupBy(regexp_replace(input_file_name(),
+                "/[^/]*$", "").as("__dir"))
+              .agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                val f = r.getString(0)
+                val dir = new File(
+                  if (f.startsWith("file:")) new java.net.URI(f).getPath
+                  else f).getCanonicalPath
+                dir -> r
+              }
+            val sb = grouped.map { case (dir, r) =>
+              dir -> statFields.flatMap {
+                case (c, "str") =>
+                  (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")) match {
+                    case (lo: String, hi: String)
+                        if lo.length <= MaxStringStatLen &&
+                          hi.length <= MaxStringStatLen =>
+                      Some(c -> ColStat("str", lo, hi))
+                    case _ => None
+                  }
+                case (c, _) =>
+                  (statValue(r.getAs[Any](s"min_$c")),
+                    statValue(r.getAs[Any](s"max_$c"))) match {
+                    case (Some(lo), Some(hi)) => Some(c -> ColStat("num",
+                      lo.bigDecimal.toPlainString,
+                      hi.bigDecimal.toPlainString))
+                    case _ => None
+                  }
+              }.toMap
+            }.toMap
+            val nb = grouped.map { case (dir, r) =>
+              dir -> ndvCols.flatMap { case (c, _) =>
+                ndvB64(r.getAs[Any](s"ndv_$c")).map(c -> _)
+              }.toMap
+            }.toMap
+            (sb, nb)
           }
+        }
         // -- publish: same dirs, richer metadata; recorded layout adopts
         //    the requested columns so future writers keep indexing --
         val rewritten = ts.buckets.map { case (b, gens) =>
@@ -3251,7 +3362,10 @@ object ManifestTable {
               stats = g.stats ++
                 statsByDir.getOrElse(k, Map.empty)
                   .view.filterKeys(c => !g.stats.contains(c)).toMap,
-              search = (g.search ++ missingSearch(g)).distinct)
+              search = (g.search ++ missingSearch(g)).distinct,
+              ndv = g.ndv ++
+                ndvByDir.getOrElse(k, Map.empty)
+                  .view.filterKeys(c => !g.ndv.contains(c)).toMap)
           }
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
@@ -3370,9 +3484,10 @@ object ManifestTable {
           val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
           // physical rewrites carry the rewritten generations' indexing
           // forward: a compacted bucket must not silently stop pruning
-          val (stats, nRows, searched) = writeGen(df, new File(root, rel),
-            statsCols, gens.flatMap(_.search).distinct)
-          b -> Seq(BucketGen(rel, stats, nRows, searched))
+          val (stats, nRows, searched, ndv) = writeGen(df, new File(root, rel),
+            (statsCols ++ gens.flatMap(_.ndv.keys)).distinct,
+            gens.flatMap(_.search).distinct)
+          b -> Seq(BucketGen(rel, stats, nRows, searched, ndv))
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false,

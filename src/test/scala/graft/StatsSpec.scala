@@ -51,4 +51,63 @@ class StatsSpec extends SparkSpec {
       s"expected an auto-broadcast join, got:\n$plan")
     assert(joined.count() == 50000L)
   }
+
+  test("manifest NDV sketches: distinct counts merge across overlapping generations, prune with the scan, and feed CBO column stats") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ndv").toString
+    spark.conf.set("spark.sql.catalog.nv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nv.ops")
+    spark.sql("""CREATE TABLE nv.ops.t (
+      id BIGINT NOT NULL, grp BIGINT, name STRING) USING graft
+      TBLPROPERTIES ('mergeKeys'='id', 'buckets'='4',
+        'statsCols'='grp', 'searchCols'='name')""")
+    // two commits whose grp domains fully OVERLAP: per-generation
+    // sketch sums would read ~2× the truth; the union must not
+    spark.sql("""INSERT INTO nv.ops.t
+      SELECT id, id % 10, concat('n', id) FROM range(0, 200)""")
+    spark.sql("""INSERT INTO nv.ops.t
+      SELECT id, id % 10, concat('n', id) FROM range(200, 400)""")
+
+    // table-level NDV through the detail verb (exercises the manifest
+    // JSON round-trip too)
+    val det = spark.sql("CALL nv.system.detail('ops', 't')").head
+    val ndv = det.getAs[Map[String, Long]]("ndv")
+    assert(math.abs(ndv("grp") - 10L) <= 1,
+      s"grp distinct must union-dedup across generations, got ${ndv("grp")}")
+    assert(math.abs(ndv("name") - 400L) <= 40,
+      s"name distinct ~400 expected, got ${ndv("name")}")
+
+    // scan-level: a bucket-pruned selection reports the pruned NDV
+    def colStats(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      df.queryExecution.optimizedPlan.collect {
+        case s: DataSourceV2ScanRelation =>
+          s.scan.asInstanceOf[graft.sources.GraftBatchScan]
+            .estimateStatistics().columnStats().asScala.flatMap {
+              case (k, v) =>
+                if (v.distinctCount().isPresent)
+                  Some(k.describe() -> v.distinctCount().getAsLong)
+                else None
+            }.toMap
+      }.head
+    }
+    val full = colStats(spark.sql("SELECT * FROM nv.ops.t"))
+    val pruned = colStats(spark.sql("SELECT * FROM nv.ops.t WHERE id = 7"))
+    assert(pruned("name") < full("name"),
+      s"bucket pruning must shrink name NDV: $pruned vs $full")
+
+    // with CBO on, the scan's column stats land in catalyst attribute
+    // stats — what join reordering/sizing consumes
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.sql("SELECT grp, name FROM nv.ops.t")
+        .queryExecution.optimizedPlan.collect {
+          case s: DataSourceV2ScanRelation => s.stats
+        }.head
+      val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      assert(byName.get("name").exists(_.distinctCount.exists(dc =>
+        dc.toLong > 300 && dc.toLong < 500)),
+        s"expected name NDV in catalyst stats, got $byName")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
 }
