@@ -355,29 +355,44 @@ object GraftProcedures {
     def root(ns: String) = rootOf(Array(ns))
     def spark = SparkSession.active
     name match {
+      // optional small_rows >= 0 makes compaction MINOR: only
+      // generations at or under that many rows fold; large ones keep
+      // their dirs (the OPTIMIZE-binpack shape)
       case "compact" => bound("compact",
-        Seq(in("namespace", StringType), in("table", StringType)),
+        Seq(in("namespace", StringType), in("table", StringType),
+          ProcedureParameter.in("small_rows", LongType)
+            .defaultValue("-1").build()),
         new StructType()) { row =>
-        ManifestTable.compact(spark, root(str(row, 0)), str(row, 1))
+        ManifestTable.compact(spark, root(str(row, 0)), str(row, 1),
+          smallRows = if (row.isNullAt(2)) -1L else row.getLong(2))
         Nil
       }
+      // optional overlap_budget >= 0 makes the recluster INCREMENTAL:
+      // only generations overlapping more than that many siblings on
+      // the primary clustering column rewrite (rewrite_data_files WHERE)
       case "recluster" => bound("recluster",
         Seq(in("namespace", StringType), in("table", StringType),
-          in("columns", StringType), in("slices", IntegerType)),
-        new StructType()) { row =>
-        ManifestTable.reclusterBy(spark, root(str(row, 0)),
+          in("columns", StringType), in("slices", IntegerType),
+          ProcedureParameter.in("overlap_budget", IntegerType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("rewritten", LongType)))) { row =>
+        val n = ManifestTable.reclusterBy(spark, root(str(row, 0)),
           str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          str(row, 1), row.getInt(3))
-        Nil
+          str(row, 1), row.getInt(3),
+          overlapBudget = if (row.isNullAt(4)) -1 else row.getInt(4))
+        Seq(InternalRow(n))
       }
       case "zorder" => bound("zorder",
         Seq(in("namespace", StringType), in("table", StringType),
-          in("columns", StringType), in("slices", IntegerType)),
-        new StructType()) { row =>
-        ManifestTable.reclusterBy(spark, root(str(row, 0)),
+          in("columns", StringType), in("slices", IntegerType),
+          ProcedureParameter.in("overlap_budget", IntegerType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("rewritten", LongType)))) { row =>
+        val n = ManifestTable.reclusterBy(spark, root(str(row, 0)),
           str(row, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          str(row, 1), row.getInt(3), zorder = true)
-        Nil
+          str(row, 1), row.getInt(3), zorder = true,
+          overlapBudget = if (row.isNullAt(4)) -1 else row.getInt(4))
+        Seq(InternalRow(n))
       }
       case "index" => bound("index",
         Seq(in("namespace", StringType), in("table", StringType),

@@ -872,6 +872,7 @@ object ManifestTable {
     catch { case e: Throwable => rollback(root); throw e }
   }
 
+
   /** A failure plausibly caused by a concurrent winner's GC collecting this
     * attempt's in-flight files mid-write: a missing-file error anywhere in
     * the cause chain (Spark wraps executor-side failures in SparkException
@@ -3464,7 +3465,18 @@ object ManifestTable {
   }
 
   def compact(spark: SparkSession, root: File, table: String = DefaultTable,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      /** ≥ 0 enables MINOR compaction (the LSM / OPTIMIZE-binpack
+        * shape): only generations at or under this many rows fold
+        * together, and a bucket's LARGE generations keep their dirs
+        * untouched (path identity) — appends accumulate as small
+        * generations, and folding them must not pay a rewrite of the
+        * bucket's multi-GB base. Unknown row counts (-1, pre-count
+        * commits) count as small: folding them is the safe direction.
+        * The default (-1) collapses every multi-generation bucket to
+        * one generation — major compaction, the previous behavior.
+        */
+      smallRows: Long = -1L): Unit = {
     var attempt = 0
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
@@ -3474,20 +3486,25 @@ object ManifestTable {
       collapseDeltas(spark, root, table): Unit
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
-      val multi = ts.buckets.filter(_._2.length > 1)
+      def smalls(gens: Seq[BucketGen]): Seq[BucketGen] =
+        if (smallRows < 0L) gens
+        else gens.filter(g => g.rows < 0L || g.rows <= smallRows)
+      val multi = ts.buckets.filter(kv => smalls(kv._2).length > 1)
       if (multi.isEmpty) return
       val nonce = newNonce()
       try {
         val rewritten = multi.map { case (b, gens) =>
+          val fold = smalls(gens)
+          val keep = gens.filterNot(g => fold.exists(_.path == g.path))
           val df = spark.read.schema(ts.schema)
-            .parquet(gens.map(g => new File(root, g.path).toString): _*)
+            .parquet(fold.map(g => new File(root, g.path).toString): _*)
           val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
           // physical rewrites carry the rewritten generations' indexing
           // forward: a compacted bucket must not silently stop pruning
           val (stats, nRows, searched, ndv) = writeGen(df, new File(root, rel),
-            (statsCols ++ gens.flatMap(_.ndv.keys)).distinct,
-            gens.flatMap(_.search).distinct)
-          b -> Seq(BucketGen(rel, stats, nRows, searched, ndv))
+            (statsCols ++ fold.flatMap(_.ndv.keys)).distinct,
+            fold.flatMap(_.search).distinct)
+          b -> (keep :+ BucketGen(rel, stats, nRows, searched, ndv))
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false,
@@ -3552,7 +3569,18 @@ object ManifestTable {
     */
   def reclusterBy(spark: SparkSession, root: File, columns: Seq[String],
       table: String = DefaultTable, slices: Int = 4,
-      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      /** ≥ 0 enables INCREMENTAL reclustering (the Iceberg
+        * `rewrite_data_files WHERE` shape): only generations whose
+        * recorded range on the PRIMARY clustering column overlaps more
+        * than this many sibling generations rewrite; range-disjoint
+        * generations keep their dirs untouched (path identity). A table
+        * maintained by periodic incremental reclusters pays per run for
+        * the churn since the last run, never for its size — the full
+        * rewrite (-1, the default) stays for first-time clustering and
+        * layout changes.
+        */
+      overlapBudget: Int = -1): Long = {
     require(columns.nonEmpty, "reclusterBy needs at least one column")
     require(slices >= 2, s"recluster needs >= 2 slices, got $slices")
     require(!zorder || columns.size <= 8,
@@ -3562,13 +3590,38 @@ object ManifestTable {
     // the interleaved curve into `slices` equal-count cells instead
     val q = math.max(2,
       math.ceil(math.pow(slices.toDouble, 1.0 / columns.size)).toInt)
+    val primary = columns.head
+    /** The bucket's window-violating generations: overlap counted on the
+      * primary clustering column's recorded bounds (num via decimal,
+      * str via UTF-8 — the stats' own domains); a generation with no
+      * comparable stat can't prove itself disjoint and always rewrites.
+      * O(gens²) per bucket over manifest METADATA only — generations
+      * per bucket are bounded by the append cadence between reclusters.
+      */
+    def violating(gens: Seq[BucketGen]): Seq[BucketGen] =
+      if (overlapBudget < 0) gens
+      else {
+        val (statted, statless) = gens.partition(_.stats.contains(primary))
+        val rs = statted.map(g => (g, g.stats(primary)))
+        def over(a: ColStat, b: ColStat): Boolean =
+          a.kind != b.kind || (a.kind match {
+            case "num" => BigDecimal(a.lo) <= BigDecimal(b.hi) &&
+              BigDecimal(b.lo) <= BigDecimal(a.hi)
+            case _ => utf8Compare(a.lo, b.hi) <= 0 &&
+              utf8Compare(b.lo, a.hi) <= 0
+          })
+        statless ++ rs.filter { case (g, s) =>
+          rs.count { case (o, os) => (o ne g) && over(s, os) } > overlapBudget
+        }.map(_._1)
+      }
     var attempt = 0
+    var rewroteGens = 0L
     var committed: Option[Manifest] = None
     while (committed.isEmpty) {
       collapseDeltas(spark, root, table): Unit // recluster reads base bytes
       val manifest = read(root).getOrElse(empty)
       val ts = manifest.table(table)
-      if (ts.buckets.isEmpty) return
+      if (ts.buckets.isEmpty) return 0L
       val stats = (statsCols ++ columns).distinct
       val nonce = newNonce()
       try {
@@ -3581,9 +3634,15 @@ object ManifestTable {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
-        val futures = ts.buckets.toSeq.map { case (b, gens) => Future {
+        val futures = ts.buckets.toSeq.map { case (b, gens) =>
+          val rw = violating(gens)
+          // a bucket with nothing to rewrite keeps its generation list
+          // verbatim — no read, no write, no job
+          if (rw.isEmpty) Future.successful(b -> (gens, 0))
+          else Future {
+          val keepGens = gens.filterNot(g => rw.exists(_.path == g.path))
           val df = spark.read.schema(ts.schema)
-            .parquet(gens.map(g => new File(root, g.path).toString): _*)
+            .parquet(rw.map(g => new File(root, g.path).toString): _*)
             .persist()
           try {
             // per-column cut points at the bucket's own quantiles (nulls
@@ -3690,18 +3749,24 @@ object ManifestTable {
             // cell dynamic-partitioning write lands every cell dir (the
             // old shape paid a count job plus one observe-write PER
             // CELL — ~slices sequential scans of the bucket)
-            b -> writeKeyedGens(spark, root, withCell, cellCol, ts.schema,
-              stats, gens.flatMap(_.search).distinct,
+            val cells = writeKeyedGens(spark, root, withCell, cellCol,
+              ts.schema, stats, gens.flatMap(_.search).distinct,
               tmpRel = s"data/$table/b$b-c${manifest.version + 1}-tmp-$nonce",
               relFor = i =>
                 s"data/$table/b$b-c${manifest.version + 1}-s$i-$nonce")
               .map(_._2)
+            b -> ((keepGens ++ cells, rw.size))
           } finally { df.unpersist(); () }
         } }
-        val rewritten =
+        val results =
           try Await.result(Future.sequence(futures),
-            scala.concurrent.duration.Duration.Inf).toMap
+            scala.concurrent.duration.Duration.Inf)
           finally pool.shutdown()
+        rewroteGens = results.map(_._2._2.toLong).sum
+        // incremental run with every generation already inside its
+        // window: commit nothing (the sweep was metadata-only)
+        if (overlapBudget >= 0 && rewroteGens == 0L) return 0L
+        val rewritten = results.map { case (b, (gs, _)) => b -> gs }.toMap
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false, changePath = None, logicalChange = false))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
@@ -3719,6 +3784,7 @@ object ManifestTable {
       }
     }
     committed.foreach(gc(root, _))
+    rewroteGens
   }
 
   /** Unified table schema: existing columns keep their position and type,

@@ -163,4 +163,104 @@ class MaintenanceSpec extends SparkSpec {
     assert(openedRows(zordTs) * 2 < openedRows(gridTs),
       s"z cells scan ${openedRows(zordTs)} rows vs grid ${openedRows(gridTs)}")
   }
+
+  test("incremental recluster: only window-violating generations rewrite, disjoint ones keep their dirs, repeat run is a metadata-only no-op") {
+    val target = tmp("graft_increcl")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    val base = spark.range(0, 400).select(col("id"), col("id").as("v"))
+    ManifestTable.mergeBatch(root, "q", 0L,
+      Seq(TableBatch(t, base, Seq("id"), 2, statsCols = Seq("v"))))
+    // first-time clustering: FULL recluster into 4 v-disjoint slices
+    ManifestTable.reclusterBy(spark, root, Seq("v"), t, slices = 4): Unit
+    val sliced = ManifestTable.read(root).get.table(t)
+    val slicePaths = sliced.gens.map(_.path).toSet
+
+    // one append per bucket spanning the WHOLE v range — each overlaps
+    // every slice of its bucket; slices still overlap only it
+    val churn = spark.range(1000, 1040)
+      .select(col("id"), ((col("id") - 1000) * 10).as("v"))
+    ManifestTable.mergeBatch(root, "q", 1L,
+      Seq(TableBatch(t, churn, Seq("id"), 2, statsCols = Seq("v"),
+        append = true)))
+    val before = ManifestTable.read(root).get.table(t)
+    val appended = before.gens.map(_.path).toSet -- slicePaths
+    assert(appended.nonEmpty)
+
+    // budget 3: the wide appended generations (overlap 4 slices) rewrite;
+    // the slices (overlap 1) keep their dirs — PATH IDENTITY
+    val n = ManifestTable.reclusterBy(spark, root, Seq("v"), t, slices = 4,
+      overlapBudget = 3)
+    assert(n == appended.size.toLong,
+      s"expected ${appended.size} rewritten generations, got $n")
+    val after = ManifestTable.read(root).get.table(t)
+    assert(slicePaths.subsetOf(after.gens.map(_.path).toSet),
+      "disjoint slices must survive an incremental recluster untouched")
+    assert((appended -- after.gens.map(_.path).toSet) == appended,
+      "violating generations must have been replaced")
+
+    // data intact
+    def all: DataFrame = spark.read.format("graft")
+      .option("path", target).option("table", t).load()
+    assert(all.count() == 440L)
+    assert(all.agg(sum("v")).head.getLong(0)
+      == (0L until 400L).sum + (0L until 40L).map(_ * 10).sum)
+
+    // everything now inside the window: repeat run rewrites nothing and
+    // commits nothing
+    val v = ManifestTable.read(root).get.version
+    assert(ManifestTable.reclusterBy(spark, root, Seq("v"), t, slices = 4,
+      overlapBudget = 3) == 0L)
+    assert(ManifestTable.read(root).get.version == v,
+      "a no-op incremental recluster must not commit")
+
+    // the SQL verb: same semantics by name, reports the rewrite count
+    val wh = new File(target).getParent
+    spark.conf.set("spark.sql.catalog.ir", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ir.warehouse", wh)
+    val ns = new File(target).getName
+    assert(spark.sql(
+      s"CALL ir.system.recluster('$ns', '$t', 'v', 4, 3)").head.getLong(0) == 0L)
+  }
+
+  test("minor compaction: only small generations fold, the large base keeps its dir, repeat run is a no-op") {
+    val target = tmp("graft_minorc")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    // one big base write, then 5 small appends per bucket
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(TableBatch(t,
+      spark.range(0, 2000).select(col("id"), col("id").as("v")),
+      Seq("id"), 2, statsCols = Seq("v"))))
+    (1 to 5).foreach { i =>
+      ManifestTable.mergeBatch(root, "q", i.toLong, Seq(TableBatch(t,
+        spark.range(10000L + i * 10, 10000L + i * 10 + 10)
+          .select(col("id"), col("id").as("v")),
+        Seq("id"), 2, statsCols = Seq("v"), append = true)))
+    }
+    val before = ManifestTable.read(root).get.table(t)
+    val bigPaths = before.gens.filter(_.rows > 100L).map(_.path).toSet
+    assert(bigPaths.size == 2 && before.gens.size == 12) // 2 big + 10 small
+
+    ManifestTable.compact(spark, root, t, smallRows = 100L)
+    val after = ManifestTable.read(root).get.table(t)
+    // the big bases survive BY PATH; each bucket's smalls folded to one
+    assert(bigPaths.subsetOf(after.gens.map(_.path).toSet),
+      "minor compaction rewrote a large generation")
+    assert(after.gens.size == 4, s"expected 2 big + 2 folded, got ${after.gens.map(_.path)}")
+    assert(after.buckets.values.forall(_.count(_.rows <= 100L) == 1))
+    def all = spark.read.format("graft").option("path", target)
+      .option("table", t).load()
+    assert(all.count() == 2050L)
+
+    // idempotent: one small generation per bucket left → nothing to fold
+    val v = ManifestTable.read(root).get.version
+    ManifestTable.compact(spark, root, t, smallRows = 100L)
+    assert(ManifestTable.read(root).get.version == v)
+
+    // major compaction still collapses each bucket to ONE generation
+    ManifestTable.compact(spark, root, t)
+    assert(ManifestTable.read(root).get.table(t).buckets.values
+      .forall(_.size == 1))
+    assert(all.count() == 2050L)
+  }
 }
