@@ -486,20 +486,35 @@ object GraftProcedures {
       //    CALL commit(ns) — ONE manifest swap, nothing visible before
       //    it, rollback/crash publishes nothing (the reference runbook's
       //    one-session semantics, main.sql)
+      // a comma-separated namespace list opens/publishes ONE envelope
+      // ACROSS roots (two-phase: per-root prepares, one decide record,
+      // reader-recoverable promotes) — the cross-domain runbook shape
       case "begin" => bound("begin",
         Seq(in("namespace", StringType)),
         StructType(Seq(StructField("base_version", LongType)))) { row =>
-        Seq(InternalRow(ManifestTable.begin(root(str(row, 0)))))
+        val nss = str(row, 0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (nss.size == 1) Seq(InternalRow(ManifestTable.begin(root(nss.head))))
+        else {
+          ManifestTable.beginAll(nss.map(root))
+          nss.map(ns => InternalRow(
+            ManifestTable.read(root(ns)).map(_.version).getOrElse(0L)))
+        }
       }
       case "commit" => bound("commit",
         Seq(in("namespace", StringType)),
         StructType(Seq(StructField("version", LongType)))) { row =>
-        Seq(InternalRow(ManifestTable.commitTxn(root(str(row, 0)))))
+        val nss = str(row, 0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (nss.size == 1) Seq(InternalRow(ManifestTable.commitTxn(root(nss.head))))
+        else {
+          val vs = ManifestTable.commitTxnAll(nss.map(root))
+          nss.map(ns => InternalRow(vs(root(ns).getName)))
+        }
       }
       case "rollback" => bound("rollback",
         Seq(in("namespace", StringType)),
         StructType(Seq(StructField("rolled_back", BooleanType)))) { row =>
-        Seq(InternalRow(ManifestTable.rollback(root(str(row, 0)))))
+        val nss = str(row, 0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(InternalRow(ManifestTable.rollbackAll(nss.map(root))))
       }
       case "clone" => bound("clone",
         Seq(in("namespace", StringType), in("source", StringType),

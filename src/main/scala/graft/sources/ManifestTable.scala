@@ -747,11 +747,19 @@ object ManifestTable {
         .map(_.getName).filter(_.startsWith(ManifestName + ".v"))
         .map(_.stripPrefix(ManifestName + ".v"))
         .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
-      if (present.isEmpty) return None
-      present.min
+      if (present.nonEmpty) present.min
+      // a fresh root whose FIRST commit is a decided-but-unpromoted
+      // cross-root prepare still recovers (the fold loop's promote arm)
+      else if (preparedFile(root, 1L).exists) 1L
+      else return None
     }
     var vf = versionFile(root, v)
-    while (vf.exists) {
+    // the promotePrepared arm is the cross-root envelope's recovery
+    // path: a prepared version whose coordinator DECIDED materializes
+    // under any reader, so a crash mid-promote can't strand one root a
+    // version behind its siblings (one cheap exists-probe when nothing
+    // is prepared)
+    while (vf.exists || promotePrepared(root, v)) {
       val entry = parseEntry(new String(Files.readAllBytes(vf.toPath), UTF_8), root)
       latest = entry match {
         case Right(full) => Some(full)
@@ -824,11 +832,13 @@ object ManifestTable {
     * the same version aborts the WHOLE envelope — nothing publishes —
     * and the caller re-runs the script against the new state.
     */
-  def commitTxn(root: File): Long = {
-    val t = txns.remove(txnKey(root)).getOrElse(
-      throw new IllegalStateException(s"no open transaction on $root"))
+  /** The envelope's publishable snapshot — base.version + 1 with
+    * change-feed entries remapped onto the single published version —
+    * or None when no statement changed anything.
+    */
+  private def publishable(t: Txn): Option[Manifest] = {
     val (overlay, ops) = t.synchronized((t.overlay, t.ops))
-    if (overlay eq t.base) return t.base.version // empty envelope: no-op
+    if (overlay eq t.base) return None
     val publishV = t.base.version + 1
     val remapped = overlay.tables.map { case (name, ts) =>
       val changes = ts.changes.map(c =>
@@ -839,22 +849,32 @@ object ManifestTable {
     }
     val touched = overlay.tables.keys.toSeq.sorted.filter(n =>
       !t.base.tables.get(n).contains(overlay.tables(n)))
-    val merged = Manifest(publishV, overlay.queryId, overlay.lastBatch,
+    Some(Manifest(publishV, overlay.queryId, overlay.lastBatch,
       remapped,
       CommitInfo("TXN:" + ops.distinct.mkString("+"),
-        System.currentTimeMillis(), touched))
-    try commit(root, merged) // full snapshot: one version file
-    catch {
-      case e: ConcurrentCommitException =>
-        throw new ConcurrentCommitException(publishV) {
-          override def getMessage: String =
-            s"transaction on $root lost the race for version $publishV " +
-              "to a concurrent writer — NOTHING was published; re-run " +
-              s"the script against the new state (${e.getMessage})"
+        System.currentTimeMillis(), touched)))
+  }
+
+  def commitTxn(root: File): Long = {
+    val t = txns.remove(txnKey(root)).getOrElse(
+      throw new IllegalStateException(s"no open transaction on $root"))
+    publishable(t) match {
+      case None => t.base.version // empty envelope: no-op
+      case Some(merged) =>
+        try commit(root, merged) // full snapshot: one version file
+        catch {
+          case e: ConcurrentCommitException =>
+            throw new ConcurrentCommitException(merged.version) {
+              override def getMessage: String =
+                s"transaction on $root lost the race for version " +
+                  s"${merged.version} to a concurrent writer — NOTHING " +
+                  "was published; re-run the script against the new " +
+                  s"state (${e.getMessage})"
+            }
         }
+        gc(root, merged)
+        merged.version
     }
-    gc(root, merged)
-    publishV
   }
 
   /** Abandon the open transaction: disk state is untouched; the
@@ -872,6 +892,145 @@ object ManifestTable {
     catch { case e: Throwable => rollback(root); throw e }
   }
 
+  // ---- cross-namespace envelope (two-phase commit) ----
+  //
+  // A warehouse script sometimes spans ROOTS (one namespace per domain).
+  // begin over several roots opens the per-root envelope on each; the
+  // multi-root commit publishes them as ONE logically atomic decision:
+  //
+  //  1. PREPARE — each changed root stages its would-be version file as
+  //     `MANIFEST.v{n}.prepared` (exclusive create; body = the full
+  //     snapshot plus the coordinator's path and the txn id). Invisible
+  //     to readers.
+  //  2. DECIDE — one exclusive record `_txn/<txid>.committed` in the
+  //     coordinator root (path-order first changed root). This single
+  //     file creation is the WHOLE envelope's commit point.
+  //  3. PROMOTE — each prepared file becomes its root's real version
+  //     file (same link(2) CAS as every commit). Crash-safe: ANY reader
+  //     that finds a prepared version whose decide record exists
+  //     promotes it during [[read]]'s fold-forward, so once the decide
+  //     record lands every root serves its new version no matter where
+  //     the committing process died; before it, nothing is visible and
+  //     the staged files age into GC.
+  //
+  // Scope matches the per-root envelope: the coordinating process IS the
+  // runbook. An external writer taking one of the staged version slots
+  // before the decide record aborts the WHOLE envelope with nothing
+  // published; the unavoidable two-phase in-doubt window (a slot raced
+  // EXACTLY between the last pre-decide check and the decide record)
+  // surfaces as that root's promote losing its CAS — loudly, with the
+  // decide record left in place so the other roots still converge.
+
+  private def preparedFile(root: File, v: Long): File =
+    new File(root, s"$ManifestName.v$v.prepared")
+
+  /** If `root` holds a prepared version `v` whose coordinator decided,
+    * promote it to the real version file. Returns whether the real file
+    * exists afterwards (true also when someone else promoted first).
+    * Reader-callable: promotion is idempotent (exclusive create).
+    */
+  private def promotePrepared(root: File, v: Long): Boolean = {
+    val pf = preparedFile(root, v)
+    if (!pf.exists) return versionFile(root, v).exists
+    if (versionFile(root, v).exists) return true // promoted or outraced
+    val parsed = scala.util.Try(JsonMethods.parse(
+      new String(Files.readAllBytes(pf.toPath), UTF_8))).getOrElse(return false)
+    def s(v: JValue): Option[String] = v match {
+      case JString(x) => Some(x); case _ => None
+    }
+    val decided = (for {
+      coord <- s(parsed \ "coordinator")
+      txid <- s(parsed \ "txid")
+    } yield new File(new File(coord, "_txn"), s"$txid.committed").exists)
+      .getOrElse(false)
+    if (!decided) return false
+    val body = s(parsed \ "manifest").getOrElse(return false)
+    val nonce = newNonce()
+    val vtmp = new File(root, s".${ManifestName}.v.$nonce.tmp")
+    Files.write(vtmp.toPath, body.getBytes(UTF_8))
+    try Files.createLink(versionFile(root, v).toPath, vtmp.toPath): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(vtmp.toPath)
+    Files.deleteIfExists(pf.toPath)
+    true
+  }
+
+  /** Open one envelope per root, all-or-nothing. */
+  def beginAll(roots: Seq[File]): Unit = {
+    val distinct = roots.map(_.getCanonicalFile).distinct
+    var opened = List.empty[File]
+    try distinct.foreach { r => begin(r); opened ::= r }
+    catch { case e: Throwable => opened.foreach(rollback); throw e }
+  }
+
+  def rollbackAll(roots: Seq[File]): Boolean =
+    roots.map(_.getCanonicalFile).distinct.map(rollback).exists(identity)
+
+  /** Publish every root's open envelope as one atomic decision; returns
+    * each root's published (or unchanged) version keyed by root name.
+    * Roots whose envelope changed nothing just close. One changed root
+    * degenerates to the plain single-root publish (no coordination).
+    */
+  def commitTxnAll(roots: Seq[File]): Map[String, Long] = {
+    val distinct = roots.map(_.getCanonicalFile).distinct
+      .sortBy(_.getPath)
+    val open = distinct.map(r => r -> activeTxn(r).getOrElse(
+      throw new IllegalStateException(s"no open transaction on $r")))
+    val staged = open.flatMap { case (r, t) => publishable(t).map(r -> _) }
+    if (staged.size <= 1)
+      return distinct.map(r => r.getName -> commitTxn(r)).toMap
+    val txid = newNonce()
+    val coordinator = staged.head._1
+    val decideFile =
+      new File(new File(coordinator, "_txn"), s"$txid.committed")
+    val written = scala.collection.mutable.ListBuffer.empty[File]
+    try {
+      // PREPARE
+      staged.foreach { case (r, m) =>
+        if (versionFile(r, m.version).exists)
+          throw new ConcurrentCommitException(m.version)
+        val pf = preparedFile(r, m.version)
+        // a leftover prepared file for this slot can only be an ABORTED
+        // envelope's (a decided one would have been promoted by the
+        // version-slot probe above reading the root): clear it
+        Files.deleteIfExists(pf.toPath)
+        val body = JsonMethods.compact(JsonMethods.render(JObject(List(
+          "coordinator" -> (JString(coordinator.getPath): JValue),
+          "txid" -> (JString(txid): JValue),
+          "manifest" -> (JString(render(m)): JValue)))))
+        Files.write(pf.toPath, body.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        written += pf
+      }
+      // last pre-decide check: every staged slot still free
+      staged.foreach { case (r, m) =>
+        if (versionFile(r, m.version).exists)
+          throw new ConcurrentCommitException(m.version)
+      }
+      // DECIDE — the envelope's single commit point
+      Files.createDirectories(decideFile.getParentFile.toPath)
+      Files.write(decideFile.toPath,
+        staged.map { case (r, m) => s"${r.getPath}\tv${m.version}" }
+          .mkString("\n").getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case e: Throwable =>
+        written.foreach(f => Files.deleteIfExists(f.toPath))
+        distinct.foreach(r => txns.remove(txnKey(r)))
+        throw e
+    }
+    // decided: close the envelopes, then PROMOTE each root (readers can
+    // beat us here through read()'s recovery — harmless)
+    distinct.foreach(r => txns.remove(txnKey(r)))
+    staged.foreach { case (r, m) =>
+      promotePrepared(r, m.version): Unit
+      read(r).foreach(gc(r, _))
+    }
+    Files.deleteIfExists(decideFile.toPath)
+    val published = staged.map { case (r, m) => r.getName -> m.version }.toMap
+    distinct.map(r => r.getName -> published.getOrElse(r.getName,
+      read(r).map(_.version).getOrElse(0L))).toMap
+  }
 
   /** A failure plausibly caused by a concurrent winner's GC collecting this
     * attempt's in-flight files mid-write: a missing-file error anywhere in
@@ -1265,10 +1424,20 @@ object ManifestTable {
       stale.filter { f =>
         val n = f.getName
         n.startsWith(s"$ManifestName.v") && {
-          val v = n.stripPrefix(s"$ManifestName.v").toLong
-          // the v > m.version in-flight guard (a concurrent writer's
-          // commit point) is implied: anchor <= m.version always
-          v < anchor
+          val tok = n.stripPrefix(s"$ManifestName.v")
+          if (tok.nonEmpty && tok.forall(_.isDigit))
+            // the v > m.version in-flight guard (a concurrent writer's
+            // commit point) is implied: anchor <= m.version always
+            tok.toLong < anchor
+          else n.endsWith(".prepared") && {
+            // a cross-root staging file whose version slot is already
+            // decided (versions are contiguous up to m.version) is a
+            // leftover from an aborted/outraced envelope: sweep it.
+            // Slots ABOVE the current version stay — they may be a
+            // live envelope's prepare phase
+            val d = tok.stripSuffix(".prepared")
+            d.nonEmpty && d.forall(_.isDigit) && d.toLong <= m.version
+          }
         }
       }.foreach(sweep)
     // parquet checkpoint dirs sweep with their version files: a ckpt

@@ -186,4 +186,102 @@ class TransactionSpec extends SparkSpec {
       .head.getLong(0) == 103L,
       "GC collected shared dirs after the source dropped")
   }
+
+  test("cross-namespace envelope: one atomic publish across roots, rollback leaves both untouched") {
+    val wh = catalog("txn5")
+    for (ns <- Seq("sales", "risk")) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS txn5.$ns")
+      spark.sql(s"""CREATE TABLE txn5.$ns.t (id BIGINT, v DOUBLE)
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    }
+    val (ra, rb) = (new File(wh, "sales"), new File(wh, "risk"))
+    val (va, vb) = (ManifestTable.read(ra).get.version,
+      ManifestTable.read(rb).get.version)
+
+    // abort path first: statements against BOTH roots, rollback → disk
+    // byte-identical on both
+    spark.sql("CALL txn5.system.begin('sales,risk')")
+    spark.sql("INSERT INTO txn5.sales.t SELECT id, 1.0 FROM range(5)")
+    spark.sql("INSERT INTO txn5.risk.t SELECT id, 2.0 FROM range(5)")
+    spark.sql("CALL txn5.system.rollback('sales,risk')")
+    assert(!new File(ra, s"MANIFEST.v${va + 1}").exists &&
+      !new File(rb, s"MANIFEST.v${vb + 1}").exists,
+      "rollback published something")
+    assert(spark.sql("SELECT count(*) FROM txn5.sales.t").head.getLong(0) == 0L)
+
+    // happy path: one envelope, statements on both roots, ONE commit
+    // version per root, cross-root reads inside the envelope
+    spark.sql("CALL txn5.system.begin('sales,risk')")
+    spark.sql("INSERT INTO txn5.sales.t SELECT id, 1.0 FROM range(10)")
+    spark.sql("""INSERT INTO txn5.risk.t
+      SELECT id, v * 10 FROM txn5.sales.t""") // reads the sibling's writes
+    assert(!new File(ra, s"MANIFEST.v${va + 1}").exists,
+      "open cross-root envelope must publish nothing")
+    val out = spark.sql("CALL txn5.system.commit('sales,risk')")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(va + 1, vb + 1))
+    assert(spark.sql("SELECT count(*) FROM txn5.risk.t").head.getLong(0) == 10L)
+    assert(spark.sql("SELECT sum(v) FROM txn5.risk.t").head.getDouble(0)
+      == 100.0) // 10 sibling-envelope rows x (1.0 * 10)
+    // both roots advanced exactly one version; the envelope's op recorded
+    for ((r, v0) <- Seq(ra -> va, rb -> vb)) {
+      val m = ManifestTable.read(r).get
+      assert(m.version == v0 + 1)
+      assert(m.info.operation.startsWith("TXN:"), m.info.operation)
+    }
+    // no staging leftovers
+    assert(!ManifestTable.read(ra).get.tables.isEmpty)
+    assert(Option(ra.listFiles).get.forall(!_.getName.endsWith(".prepared")))
+    assert(Option(rb.listFiles).get.forall(!_.getName.endsWith(".prepared")))
+  }
+
+  test("cross-namespace recovery: a decided-but-unpromoted root promotes on read; an undecided prepare stays invisible") {
+    val wh = catalog("txn6")
+    for (ns <- Seq("a", "b")) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS txn6.$ns")
+      spark.sql(s"""CREATE TABLE txn6.$ns.t (id BIGINT, v DOUBLE)
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    }
+    val (ra, rb) = (new File(wh, "a"), new File(wh, "b"))
+    spark.sql("CALL txn6.system.begin('a,b')")
+    spark.sql("INSERT INTO txn6.a.t SELECT id, 1.0 FROM range(8)")
+    spark.sql("INSERT INTO txn6.b.t SELECT id, 2.0 FROM range(8)")
+    spark.sql("CALL txn6.system.commit('a,b')")
+    val vb = ManifestTable.read(rb).get.version
+
+    // simulate the crash-between-decide-and-promote: demote root b's
+    // newest version file back into a prepared+decided staging pair
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets.UTF_8
+    val vf = new File(rb, s"MANIFEST.v$vb")
+    val snapshot = new String(Files.readAllBytes(vf.toPath), UTF_8)
+    assert(vf.delete())
+    // drop the stale pointer too, so the fold must pass through v(b)
+    Files.deleteIfExists(new File(rb, "MANIFEST").toPath): Unit
+    def stage(decided: Boolean): Unit = {
+      val body = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(List(
+          "coordinator" -> (org.json4s.JString(ra.getPath): org.json4s.JValue),
+          "txid" -> (org.json4s.JString("simcrash"): org.json4s.JValue),
+          "manifest" -> (org.json4s.JString(snapshot): org.json4s.JValue)))))
+      Files.write(new File(rb, s"MANIFEST.v$vb.prepared").toPath,
+        body.getBytes(UTF_8)): Unit
+      val d = new File(new File(ra, "_txn"), "simcrash.committed")
+      if (decided) {
+        Files.createDirectories(d.getParentFile.toPath)
+        Files.write(d.toPath, "sim".getBytes(UTF_8)): Unit
+      } else Files.deleteIfExists(d.toPath): Unit
+    }
+    // UNDECIDED: the prepared version must stay invisible
+    stage(decided = false)
+    assert(ManifestTable.read(rb).get.version == vb - 1,
+      "an undecided prepare leaked")
+    // DECIDED: any read promotes — the root catches up to its siblings
+    stage(decided = true)
+    val recovered = ManifestTable.read(rb).get
+    assert(recovered.version == vb, "decided prepare did not promote")
+    assert(spark.sql("SELECT count(*) FROM txn6.b.t").head.getLong(0) == 8L)
+    assert(!new File(rb, s"MANIFEST.v$vb.prepared").exists,
+      "promotion must consume the staging file")
+  }
 }
