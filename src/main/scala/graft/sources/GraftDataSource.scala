@@ -656,6 +656,19 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     }.toMap
   }
 
+  /** The whole table's distinct-count estimate for `column` from the
+    * manifest's merged sketches — what a metadata-only
+    * `approx_count_distinct` answers with. Same coverage contract as
+    * [[ndvForFilters]]; an EMPTY table answers 0 exactly.
+    */
+  def metadataNdv(column: String): Option[Long] = {
+    if (ts.deltas.nonEmpty) return None
+    val gens = ts.gens
+    if (gens.isEmpty) return Some(0L)
+    if (!gens.forall(_.ndv.contains(column))) return None
+    ManifestTable.ndvUnion(gens.map(_.ndv(column)))
+  }
+
   private def attr(name: String): Option[Attribute] =
     tableSchema.fields.find(_.name == name).map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(

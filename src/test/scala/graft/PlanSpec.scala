@@ -678,4 +678,54 @@ class PlanSpec extends SparkSpec {
     assert(TableState("{}", Map(0L -> Seq(BucketGen("p", Map.empty, 5L),
       BucketGen("q", Map.empty, 7L)))).rowCount.contains(12L))
   }
+
+  test("approx_count_distinct over an unfiltered graft relation answers from merged manifest sketches — zero scan; kill switch and gaps re-plan the scan") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_andv")
+      .resolve("t").toString
+    def graftDf = spark.read.format("graft").option("path", target).load()
+    def countScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countScans(a.executedPlan)
+      case q: QueryStageExec => countScans(q.plan)
+      case f: FileSourceScanExec => 1 + f.children.map(countScans).sum
+      case other => other.children.map(countScans).sum
+    }
+    def scans(df: DataFrame): Int = {
+      df.collect()
+      countScans(df.queryExecution.executedPlan)
+    }
+    // two commits with fully OVERLAPPING grp domains: the metadata
+    // answer must union, not sum
+    (1 to 400).map(i => (i.toLong, i.toLong % 25, s"n$i"))
+      .toDF("id", "grp", "name")
+      .write.format("graft").option("path", target)
+      .option("mergeKeys", "id").option("buckets", "4")
+      .option("statsCols", "id,grp").mode(SaveMode.Append).save()
+    (1001 to 1400).map(i => (i.toLong, i.toLong % 25, s"n$i"))
+      .toDF("id", "grp", "name")
+      .write.format("graft").option("path", target)
+      .option("appendOnly", "true").mode(SaveMode.Append).save()
+
+    def adc = graftDf.agg(approx_count_distinct(col("grp")).as("d"))
+    val est = adc.head.getLong(0)
+    assert(math.abs(est - 25L) <= 2, s"sketch estimate $est, truth 25")
+    assert(scans(adc) == 0, "metadata approx NDV still scanned")
+    // mixed with other metadata aggregates in one list
+    val mixed = graftDf.agg(count(lit(1)).as("c"),
+      approx_count_distinct(col("grp")).as("d"), max(col("id")).as("hi"))
+    assert(mixed.head.getLong(0) == 800L && scans(mixed) == 0)
+
+    // gates: a filter, an un-sketched column, or the kill switch scans
+    assert(scans(graftDf.filter(col("id") > 100)
+      .agg(approx_count_distinct(col("grp")))) > 0)
+    assert(scans(graftDf.agg(approx_count_distinct(col("name")))) > 0)
+    spark.conf.set("spark.graft.metadataApproxNdv", "false")
+    try assert(scans(adc) > 0, "kill switch ignored")
+    finally spark.conf.unset("spark.graft.metadataApproxNdv")
+    assert(scans(adc) == 0)
+  }
 }
