@@ -3,9 +3,10 @@ package graft.plans
 import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -87,14 +88,15 @@ object MartRewriteRule {
     Set(Of, SourceRoot, GroupCols, ValueCols, MaxCols, MinCols, SourceVersion)
 }
 
-case class MartRewriteRule() extends Rule[LogicalPlan] {
+case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
 
   private def spark: SparkSession = SparkSession.active
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.martRewrite", "true").toBoolean) plan
     else plan.transformDown {
-      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        rewrite(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
     }
 
   /** The aggregate's input chain down to a live graft relation:
@@ -129,15 +131,30 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
     val manifest = ManifestTable.read(root).getOrElse(return None)
     val src = manifest.table(srcName)
     if (src.schemaJson.isEmpty) return None
-    // freshness gate: active feed + every source data commit folded
-    if (src.feedFrom < 0 || src.changes.isEmpty) return None
+    // groupings must be plain source columns regardless of the mart
+    val gNames = agg.groupingExpressions.map {
+      case ar: AttributeReference => ar.name
+      case _ => return None
+    }
+    freshMarts(root, manifest, srcName).view.flatMap { case (n, ts) =>
+      rewriteOnto(agg, root, manifest, srcName, src, gNames, filters, n, ts)
+    }.headOption
+  }
+
+  /** Fresh candidate marts of `srcName`, CHEAPEST first — subsumption
+    * and derivability are checked per candidate by the caller, and cost
+    * picks the winner: the smallest subsuming mart (manifest rowCount ≈
+    * its group count) scans the fewest rows, so a query a fine-grain
+    * AND a coarse-grain mart both answer lands on the coarse one. Empty
+    * when the source feed is inactive or any source commit is unfolded.
+    */
+  private def freshMarts(root: File, manifest: ManifestTable.Manifest,
+      srcName: String): Seq[(String, ManifestTable.TableState)] = {
+    val src = manifest.table(srcName)
+    if (src.schemaJson.isEmpty || src.feedFrom < 0 || src.changes.isEmpty)
+      return Nil
     val lastChange = src.changes.last.version
-    // every fresh mart of this source is a candidate; subsumption and
-    // derivability are checked per candidate below, and cost picks the
-    // winner — the SMALLEST subsuming mart (manifest rowCount ≈ its
-    // group count) scans the fewest rows, so a query a fine-grain AND a
-    // coarse-grain mart both answer lands on the coarse one
-    val fresh = manifest.tables.filter { case (_, ts) =>
+    manifest.tables.filter { case (_, ts) =>
       ts.schemaJson.nonEmpty &&
         ts.props.get(MartRewriteRule.Of).contains(srcName) &&
         ts.props.get(MartRewriteRule.SourceRoot)
@@ -145,19 +162,9 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
         ts.props.get(MartRewriteRule.SourceVersion)
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .exists(_ >= lastChange)
-    }.toSeq
-    if (fresh.isEmpty) return None
-    // groupings must be plain source columns regardless of the mart
-    val gNames = agg.groupingExpressions.map {
-      case ar: AttributeReference => ar.name
-      case _ => return None
-    }
-    val ranked = fresh.sortBy { case (name, ts) =>
+    }.toSeq.sortBy { case (name, ts) =>
       (ts.rowCount.getOrElse(Long.MaxValue), name)
     }
-    ranked.view.flatMap { case (n, ts) =>
-      rewriteOnto(agg, root, manifest, srcName, src, gNames, filters, n, ts)
-    }.headOption
   }
 
   /** Attempt the substitution onto ONE candidate mart; None when the
@@ -281,6 +288,226 @@ case class MartRewriteRule() extends Rule[LogicalPlan] {
     logInfo(s"mart rewrite: aggregate over $srcName → $martName " +
       s"(cheapest fresh subsuming mart, ~${martTs.rowCount.getOrElse(-1L)} rows)")
     Some(aliasTo(agg.output, grouped.queryExecution.analyzed))
+  }
+
+  // ---- the JOIN shape: Aggregate over (graft source ⋈ anything) ----
+  //
+  // The reference's ops views JOIN before aggregating (canonical header
+  // ⋈ lines → rollup, sql/07_operational_views.sql); the scan-shape
+  // rewrite alone never fires on them. An aggregate over an equi-join
+  // whose SOURCE-side keys are mart group columns rewrites onto
+  // (mart ⋈ dim): every mart row joins exactly as its source rows would
+  // (same key values), and join multiplicity distributes over the
+  // partials — count(*) → sum(n_rows) counts each mart row's n_rows
+  // once per matched dim row, which is precisely the joined source
+  // cardinality; sum(x) → sum(sum_x) likewise; min/max are
+  // multiplicity-blind. Soundness gates:
+  //  - source is the PRESERVED side: Inner (either side) or LeftOuter
+  //    with the source on the left — a join form that can emit
+  //    source-NULL rows (dim-preserved outer) would make count(*)
+  //    count rows sum(n_rows) can't see;
+  //  - join condition: conjunction of source-attr = dim-attr equalities
+  //    only, and every source key is a mart group column;
+  //  - filters above the join split cleanly into source-only conjuncts
+  //    (re-applied on mart group columns below the join — they commute
+  //    past the preserved side) and dim-only conjuncts (re-applied
+  //    ABOVE the rebuilt join, where they are exactly equivalent);
+  //  - groupings are source group columns or dim attributes; aggregate
+  //    functions range over SOURCE columns only (attribute identity,
+  //    not name, so a dim column shadowing a mart value column can
+  //    never map);
+  //  - all mart-side references resolve by ATTRIBUTE, never by name —
+  //    a dim column named like the join key (the common `t.k = d.k`)
+  //    introduces no ambiguity.
+
+  private sealed trait GroupRef
+  private case class SrcGroup(name: String) extends GroupRef
+  private case class DimGroup(attr: Attribute) extends GroupRef
+
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    // peel deterministic filters / attribute projects down to a join
+    def toJoin(p: LogicalPlan, fs: Seq[Expression])
+        : Option[(Join, Seq[Expression])] = p match {
+      case f: Filter if f.condition.deterministic =>
+        toJoin(f.child, fs ++ splitConjunctivePredicates(f.condition))
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        toJoin(pr.child, fs)
+      case jn: Join => Some((jn, fs))
+      case _ => None
+    }
+    val (j, aboveFilters) = toJoin(agg.child, Nil).getOrElse(return None)
+    val srcPlan = unwrap(j.left, Nil) match {
+      case Some(_) if j.joinType == Inner || j.joinType == LeftOuter => j.left
+      case _ => unwrap(j.right, Nil) match {
+        case Some(_) if j.joinType == Inner => j.right
+        case _ => return None
+      }
+    }
+    val dimPlan = if (srcPlan eq j.left) j.right else j.left
+    val (root, srcName, srcBelow) = unwrap(srcPlan, Nil).get
+    val srcOut = srcPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    val cond = j.condition.getOrElse(return None)
+    val srcKeys = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if srcOut.contains(a) && dimOut.contains(b) => a.name
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if srcOut.contains(a) && dimOut.contains(b) => a.name
+      case _ => return None
+    }
+    if (srcKeys.isEmpty) return None
+    val (srcAbove, rest) = aboveFilters.partition(_.references.subsetOf(srcOut))
+    val (dimAbove, mixed) = rest.partition(_.references.subsetOf(dimOut))
+    if (mixed.nonEmpty) return None
+    val srcFilters = srcBelow ++ srcAbove
+    val manifest = ManifestTable.read(root).getOrElse(return None)
+    val src = manifest.table(srcName)
+    if (src.schemaJson.isEmpty) return None
+    val groups: Seq[GroupRef] = agg.groupingExpressions.map {
+      case ar: AttributeReference if srcOut.contains(ar) => SrcGroup(ar.name)
+      case ar: AttributeReference if dimOut.contains(ar) => DimGroup(ar)
+      case _ => return None
+    }
+    freshMarts(root, manifest, srcName).view.flatMap { case (n, ts) =>
+      rewriteJoinOnto(agg, root, manifest, srcName, src, groups, srcKeys,
+        srcFilters, dimAbove, dimPlan, srcOut, cond, j.joinType, n, ts)
+    }.headOption
+  }
+
+  private def rewriteJoinOnto(agg: Aggregate, root: File,
+      manifest: ManifestTable.Manifest, srcName: String,
+      src: ManifestTable.TableState, groups: Seq[GroupRef],
+      srcKeys: Seq[String], srcFilters: Seq[Expression],
+      dimFilters: Seq[Expression], dimPlan: LogicalPlan,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      cond: Expression,
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      martName: String, martTs: ManifestTable.TableState)
+      : Option[LogicalPlan] = {
+    def colsOf(key: String): Set[String] = martTs.props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val groupCols = colsOf(MartRewriteRule.GroupCols)
+    val valueCols = colsOf(MartRewriteRule.ValueCols)
+    val maxCols = colsOf(MartRewriteRule.MaxCols)
+    val minCols = colsOf(MartRewriteRule.MinCols)
+    val martFields = martTs.schema.fieldNames.toSet
+    val srcSchema = src.schema
+
+    // subsumption: join keys, source groupings, and source filters all
+    // live at the mart's grain
+    if (srcKeys.exists(n => !groupCols.contains(n))) return None
+    if (groups.exists {
+      case SrcGroup(n) => !groupCols.contains(n)
+      case _ => false
+    }) return None
+    if (srcFilters.exists(_.references.exists(a => !groupCols.contains(a.name))))
+      return None
+
+    val martDf = spark.read.format("graft")
+      .option("path", root.toString).option("table", martName)
+      .option("version", manifest.version).load()
+    val mAttrs = martDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def mCol(name: String): Option[Column] =
+      mAttrs.get(name).map(bridge.column(_))
+    // group/key column types must line up with the source's
+    val typedNames = (srcKeys ++ groups.collect { case SrcGroup(n) => n }).distinct
+    if (typedNames.exists(n => mAttrs.get(n)
+        .forall(_.dataType != srcSchema(n).dataType))) return None
+
+    // derivability: aggregate functions over SOURCE attributes only
+    def mapAgg(ae: AggregateExpression): Option[Column] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) &&
+            martFields.contains(IncrementalMart.RowsCol) =>
+          mCol(IncrementalMart.RowsCol).map(n =>
+            coalesce(fsum(n), lit(0L)))
+        case s: Sum => s.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) && valueCols.contains(ar.name) &&
+                !srcSchema(ar.name).nullable =>
+            mCol(s"sum_${ar.name}").map(c => fsum(c).cast(ae.dataType))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) && maxCols.contains(ar.name) =>
+            mCol(s"max_${ar.name}").map(c => fmax(c).cast(ae.dataType))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) && minCols.contains(ar.name) =>
+            mCol(s"min_${ar.name}").map(c => fmin(c).cast(ae.dataType))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    // output mapping: grouping passthroughs index into the grouping
+    // list, aggregates into the agg list — the final projection is
+    // POSITIONAL over the rebuilt aggregate's output, so shared names
+    // between mart and dim can never mis-resolve
+    val gIndex: Map[GroupRef, Int] = groups.distinct.zipWithIndex.toMap
+    sealed trait Out
+    case class FromGroup(i: Int) extends Out
+    case class FromAgg(i: Int) extends Out
+    val aggCols = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val outs: Seq[(String, Out)] = agg.aggregateExpressions.map { ne =>
+      def groupOut(ar: AttributeReference): Option[Out] =
+        (if (srcOut.contains(ar)) gIndex.get(SrcGroup(ar.name))
+         else gIndex.get(DimGroup(ar))).map(FromGroup(_))
+      ne match {
+        case ar: AttributeReference =>
+          ar.name -> groupOut(ar).getOrElse(return None)
+        case al @ Alias(child, _) => child match {
+          case ar: AttributeReference =>
+            al.name -> groupOut(ar).getOrElse(return None)
+          case ae: AggregateExpression =>
+            val c = mapAgg(ae).getOrElse(return None)
+            aggCols += c.as(s"__mart_a${aggCols.size}")
+            al.name -> FromAgg(aggCols.size - 1)
+          case _ => return None
+        }
+        case _ => return None
+      }
+    }
+    if (aggCols.isEmpty) return None // bare grouped SELECT: not this shape
+
+    // rebuild: filtered mart ⋈ dim (same preserved side), dim-side
+    // filters above, grouped aggregate over the partials
+    def onMart(e: Expression): Column = bridge.column(e.transform {
+      case ar: AttributeReference if srcOut.contains(ar) => mAttrs(ar.name)
+    })
+    val filteredMart = srcFilters.foldLeft(martDf)((df, f) => df.filter(onMart(f)))
+    val dimDf = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, dimPlan)
+    val joined = filteredMart.join(dimDf, onMart(cond),
+      joinType.sql.toLowerCase.replace(" ", "_"))
+    val withDimFilters = dimFilters.foldLeft(joined)((df, f) =>
+      df.filter(bridge.column(f)))
+    val gExprs: Seq[Column] = groups.distinct.map {
+      case SrcGroup(n) => mCol(n).getOrElse(return None)
+      case DimGroup(a) => bridge.column(a)
+    }
+    val grouped =
+      if (gExprs.isEmpty) withDimFilters.agg(aggCols.head, aggCols.tail.toSeq: _*)
+      else withDimFilters.groupBy(gExprs: _*).agg(aggCols.head, aggCols.tail.toSeq: _*)
+    val analyzed = grouped.queryExecution.analyzed
+    val outAttrs = analyzed.output
+    val nG = gExprs.length
+    val proj = outs.zip(agg.output).map {
+      case ((name, FromGroup(i)), o) =>
+        Alias(outAttrs(i), name)(exprId = o.exprId,
+          qualifier = o.qualifier): NamedExpression
+      case ((name, FromAgg(i)), o) =>
+        Alias(outAttrs(nG + i), name)(exprId = o.exprId,
+          qualifier = o.qualifier): NamedExpression
+    }
+    logInfo(s"mart rewrite (join): aggregate over $srcName ⋈ dim → $martName")
+    Some(Project(proj, analyzed))
   }
 
   /** Re-bind the substituted plan's output to the original aggregate's

@@ -350,4 +350,62 @@ class MartRewriteSpec extends SparkSpec {
     assert(scannedTables(qGrp) == Seq("mc"))
     assert(qGrp.collect().map(_.toString).toSet == direct(qGrp))
   }
+
+  test("the rewrite fires THROUGH a join: aggregate over source ⋈ dim lands on mart ⋈ dim, exact under multiplicity, outer joins, and filters") {
+    val (root, _, _) = build() // source t (grp, value) + fresh mart m
+    val src = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+    // dim with a 1:2 key (g1 → two regions): join multiplicity must
+    // distribute over the partials, not double-count
+    val dim = Seq(("g0", "r0"), ("g1", "r1"), ("g1", "r1b"),
+      ("g2", "r2"), ("g3", "r3")).toDF("grp", "region")
+    def direct(df: => DataFrame): Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try df.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+
+    def qRegion = src.join(dim, src("grp") === dim("grp"))
+      .groupBy(dim("region"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+        max("value").as("mx"))
+    assert(scannedTables(qRegion) == Seq("m"),
+      s"join-shape rewrite did not fire: ${scannedTables(qRegion)}")
+    assert(qRegion.collect().map(_.toString).toSet == direct(qRegion))
+
+    // mixed source + dim groupings, filters on BOTH sides
+    def qMixed = src.filter(src("grp") =!= "g0")
+      .join(dim, src("grp") === dim("grp"))
+      .filter(dim("region") =!= "r2")
+      .groupBy(src("grp"), dim("region"))
+      .agg(sum("value").as("sv"))
+    assert(scannedTables(qMixed) == Seq("m"))
+    assert(qMixed.collect().map(_.toString).toSet == direct(qMixed))
+
+    // global aggregate over the join
+    def qAll = src.join(dim, src("grp") === dim("grp"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(qAll) == Seq("m"))
+    assert(qAll.collect().map(_.toString).toSet == direct(qAll))
+
+    // LEFT OUTER with the source preserved: a source group with no dim
+    // row still aggregates (null region group)
+    val dimPart = dim.filter(col("grp") =!= "g2")
+    def qOuter = src.join(dimPart, src("grp") === dimPart("grp"),
+        "left_outer")
+      .groupBy(dimPart("region"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    assert(scannedTables(qOuter) == Seq("m"))
+    assert(qOuter.collect().map(_.toString).toSet == direct(qOuter))
+
+    // bail shapes stay on the source: an aggregate over a DIM column, a
+    // non-equi condition, and a join key below the mart's grain
+    assert(scannedTables(src.join(dim, src("grp") === dim("grp"))
+      .groupBy(dim("region")).agg(max(dim("grp")).as("m"))) == Seq("t"))
+    assert(scannedTables(src.join(dim, src("grp") > dim("grp"))
+      .groupBy(dim("region")).agg(sum("value").as("sv"))) == Seq("t"))
+    val dimId = Seq((0L, "x")).toDF("event_id", "tag")
+    assert(scannedTables(src.join(dimId, src("event_id") === dimId("event_id"))
+      .groupBy(dimId("tag")).agg(sum("value").as("sv"))) == Seq("t"))
+  }
 }
