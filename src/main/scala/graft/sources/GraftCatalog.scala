@@ -319,7 +319,8 @@ object GraftProcedures {
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
-    "begin", "commit", "rollback", "clone", "rebucket", "refresh_mart")
+    "begin", "commit", "rollback", "clone", "rebucket", "refresh_mart",
+    "maintain")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -567,6 +568,19 @@ object GraftProcedures {
           .map(m => ManifestTable.gc(r, m, dryRun = dry))
           .getOrElse(ManifestTable.GcStats(0L, 0L))
         Seq(InternalRow(s.files, s.bytes, dry))
+      }
+      // -- the policy sweep: each table's declared maintenance
+      //    thresholds (maintCompactSmallRows / maintReclusterCols / …)
+      //    applied in one scheduled call
+      case "maintain" => bound("maintain",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("verb", StringType),
+          StructField("result", LongType)))) { row =>
+        ManifestTable.maintain(spark, root(str(row, 0))).map {
+          case (t, verb, n) => InternalRow(UTF8String.fromString(t),
+            UTF8String.fromString(verb), n)
+        }
       }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' (have: ${Names.mkString(", ")})")

@@ -1096,7 +1096,8 @@ object ManifestTable {
   /** Positive-integer table properties. */
   val IntProps: Set[String] =
     Set("retainVersions", "changeRetainVersions", "checkpointInterval",
-      "retainHours")
+      "retainHours", "maintCompactSmallRows", "maintReclusterSlices",
+      "maintOverlapBudget")
 
   /** The keys [[createTable]]/[[alterTable]] accept as table properties:
     * the operating integers, the row-level mode, and the mart
@@ -1108,7 +1109,8 @@ object ManifestTable {
   val KnownProps: Set[String] =
     IntProps ++ Set("rowLevelMode", "isolationLevel", "martOf",
       "martSourceRoot", "martGroupCols", "martValueCols", "martMaxCols",
-      "martMinCols", "martSourceVersion")
+      "martMinCols", "martSourceVersion",
+      "maintReclusterCols", "maintZorder")
   /** Row-level operation isolation levels (the Iceberg property shape):
     * `serializable` (default) aborts a statement when ANY concurrent
     * commit changed its table; `snapshot` narrows the conflict to the
@@ -3558,6 +3560,57 @@ object ManifestTable {
       }
     }
     result
+  }
+
+  /** One policy-driven maintenance sweep over every table of the root
+    * (`CALL graft.system.maintain(ns)`) — the operational loop that
+    * turns the individual verbs into Snowflake's automatic-clustering
+    * shape: a table DECLARES its thresholds as properties and one
+    * scheduled call applies them, each verb already incremental so a
+    * quiet table costs metadata probes only.
+    *
+    *  - `maintCompactSmallRows` — minor compaction folding generations
+    *    at or under this many rows ([[compact]]'s `smallRows`);
+    *  - `maintReclusterCols` (+ optional `maintReclusterSlices`,
+    *    default 4; `maintOverlapBudget`, default 1; `maintZorder`) —
+    *    incremental recluster rewriting only window-violating
+    *    generations ([[reclusterBy]]'s `overlapBudget`);
+    *  - a final [[gc]] sweep reports what it collected.
+    *
+    * Returns one (table, verb, result) row per action taken: folded
+    * generation count for compact, rewritten count for recluster,
+    * swept file count for vacuum.
+    */
+  def maintain(spark: SparkSession,
+      root: File): Seq[(String, String, Long)] = {
+    val m = read(root).getOrElse(return Nil)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    m.tables.toSeq.sortBy(_._1).foreach { case (name, ts) =>
+      if (ts.schemaJson.nonEmpty) {
+        def intProp(k: String): Option[Long] =
+          ts.props.get(k).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        intProp("maintCompactSmallRows").foreach { small =>
+          val before = read(root).map(_.table(name).gens.size).getOrElse(0)
+          compact(spark, root, name, smallRows = small)
+          val after = read(root).map(_.table(name).gens.size).getOrElse(0)
+          out += ((name, "compact", (before - after).toLong max 0L))
+        }
+        ts.props.get("maintReclusterCols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty).foreach { cols =>
+            val n = reclusterBy(spark, root, cols, name,
+              slices = intProp("maintReclusterSlices")
+                .map(_.toInt).getOrElse(4),
+              zorder = ts.props.get("maintZorder").exists(_.toBoolean),
+              overlapBudget = intProp("maintOverlapBudget")
+                .map(_.toInt).getOrElse(1))
+            out += ((name, "recluster", n))
+          }
+      }
+    }
+    val swept = read(root).map(gc(root, _)).getOrElse(GcStats(0L, 0L))
+    out += (("", "vacuum", swept.files))
+    out.toList
   }
 
   /** Bucket-count evolution (`CALL graft.system.rebucket`): rewrite the

@@ -263,4 +263,47 @@ class MaintenanceSpec extends SparkSpec {
       .forall(_.size == 1))
     assert(all.count() == 2050L)
   }
+
+  test("CALL graft.system.maintain: declared per-table thresholds drive one policy sweep; quiet tables cost nothing") {
+    val wh = tmp("graft_maint_pol")
+    spark.conf.set("spark.sql.catalog.mp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mp.ops")
+    // a managed table with maintenance policy + an unmanaged bystander
+    spark.sql("""CREATE TABLE mp.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'statsCols'='v', 'maintCompactSmallRows'='100',
+        'maintReclusterCols'='v', 'maintReclusterSlices'='4',
+        'maintOverlapBudget'='3')""")
+    spark.sql("""CREATE TABLE mp.ops.quiet (id BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO mp.ops.quiet SELECT id FROM range(10)")
+    val root = new java.io.File(wh, "ops")
+
+    // big base + small appends + recluster + one wide churn append:
+    // the sweep should fold the smalls AND rewrite the violator
+    spark.sql("INSERT INTO mp.ops.t SELECT id, id FROM range(400)")
+    ManifestTable.reclusterBy(spark, root, Seq("v"), "t", slices = 4): Unit
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO mp.ops.t SELECT id + ${10000 * i}, (id + ${10000 * i}) % 5 FROM range(10)"))
+    val quietGens = ManifestTable.read(root).get.table("quiet")
+      .gens.map(_.path).toSet
+
+    val sweep = spark.sql("CALL mp.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sweep.exists { case (t, v, n) => t == "t" && v == "compact" && n > 0 },
+      s"sweep did not fold the small generations: ${sweep.toSeq}")
+    assert(sweep.exists { case (t, v, _) => t == "t" && v == "recluster" },
+      s"sweep skipped the declared recluster: ${sweep.toSeq}")
+    // the bystander was untouched
+    assert(ManifestTable.read(root).get.table("quiet")
+      .gens.map(_.path).toSet == quietGens)
+    assert(spark.sql("SELECT count(*) FROM mp.ops.t").head.getLong(0) == 430L)
+
+    // a second sweep finds a settled table: zero folds, zero rewrites
+    val again = spark.sql("CALL mp.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.filter(_._1 == "t").forall(_._3 == 0L),
+      s"repeat sweep still rewrote: ${again.toSeq}")
+  }
 }
