@@ -842,7 +842,11 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
     // DataSourceV2Relation.transformV2Stats folds these into catalyst
     // attribute stats, which is what CBO join sizing/reordering reads
     // (spark.sql.cbo.enabled); zero scan jobs either way
+    // distinct ≤ rows always; capping at the pruned row count tightens
+    // the estimate for selective scans whose surviving generations are
+    // shared with much wider selections
     val ndv = index.ndvForFilters(effectiveFilters)
+      .view.mapValues(n => math.min(n, rows)).toMap
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
