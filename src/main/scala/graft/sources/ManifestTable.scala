@@ -3606,6 +3606,14 @@ object ManifestTable {
                 .map(_.toInt).getOrElse(1))
             out += ((name, "recluster", n))
           }
+        // the recorded search/stats layout IS an index declaration:
+        // backfill any generation it doesn't cover yet (adopted layouts
+        // via ALTER TABLE, or legacy generations) — zero row rewrites,
+        // a covered table costs one metadata probe
+        if (ts.searchCols.nonEmpty || ts.statsCols.nonEmpty) {
+          val n = buildIndexes(spark, root, name, ts.searchCols, ts.statsCols)
+          if (n > 0) out += ((name, "index", n))
+        }
       }
     }
     val swept = read(root).map(gc(root, _)).getOrElse(GcStats(0L, 0L))

@@ -305,5 +305,19 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(again.filter(_._1 == "t").forall(_._3 == 0L),
       s"repeat sweep still rewrote: ${again.toSeq}")
+
+    // adopting a search layout via ALTER makes the NEXT sweep backfill
+    // the uncovered generations (the recorded layout IS the policy)
+    spark.sql("ALTER TABLE mp.ops.t SET TBLPROPERTIES ('searchCols'='id')")
+    val withIdx = spark.sql("CALL mp.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(withIdx.exists { case (t, v, n) => t == "t" && v == "index" && n > 0 },
+      s"sweep did not backfill the adopted search layout: ${withIdx.toSeq}")
+    assert(ManifestTable.read(root).get.table("t")
+      .gens.forall(_.search.contains("id")))
+    val settled = spark.sql("CALL mp.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(!settled.exists(_._2 == "index"),
+      s"covered table still reported index work: ${settled.toSeq}")
   }
 }
