@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HyperLogLogPlusPlus, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Complete, Count, HyperLogLogPlusPlus, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -80,6 +80,43 @@ case class MetadataAggRule() extends Rule[LogicalPlan] {
               "spark.graft.metadataApproxNdv", "true").toBoolean =>
             hll.child match {
               case a: Attribute => idx.metadataNdv(a.name)
+              case _ => None
+            }
+          // approx_percentile / percentile_approx: same estimate-by-
+          // contract reasoning, answered from the manifest's merged KLL
+          // sketches (k=200 ⇒ ~1.65% rank error). Integral columns get
+          // the retained value rounded back to the column's type — KLL
+          // retains actual stream values, so the round is exact.
+          case ap: ApproximatePercentile if conf.getConfString(
+              "spark.graft.metadataApproxNdv", "true").toBoolean =>
+            ap.child match {
+              case a: Attribute
+                  if a.dataType.isInstanceOf[
+                    org.apache.spark.sql.types.NumericType] &&
+                    ap.percentageExpression.foldable =>
+                def toChild(v: Double): Any = a.dataType match {
+                  case org.apache.spark.sql.types.DoubleType => v
+                  case org.apache.spark.sql.types.FloatType => v.toFloat
+                  case org.apache.spark.sql.types.LongType => math.round(v)
+                  case org.apache.spark.sql.types.IntegerType =>
+                    math.round(v).toInt
+                  case org.apache.spark.sql.types.ShortType =>
+                    math.round(v).toShort
+                  case org.apache.spark.sql.types.ByteType =>
+                    math.round(v).toByte
+                  case _ => return None
+                }
+                ap.percentageExpression.eval() match {
+                  case d: java.lang.Double =>
+                    idx.metadataQuantiles(a.name, Seq(d)).map(q =>
+                      toChild(q.head))
+                  case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                    val ps = arr.toDoubleArray().toSeq
+                    idx.metadataQuantiles(a.name, ps).map(qs =>
+                      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                        qs.map(toChild)))
+                  case _ => None
+                }
               case _ => None
             }
           case _ => None

@@ -669,6 +669,25 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     ManifestTable.ndvUnion(gens.map(_.ndv(column)))
   }
 
+  /** The whole table's quantiles for `column` at the given ranks, from
+    * the manifest's merged KLL sketches — what a metadata-only
+    * `approx_percentile` answers with. Same coverage contract as
+    * [[metadataNdv]]; None on an empty table or sketch (the direct
+    * aggregate's null, which the rewrite handles by scanning).
+    */
+  def metadataQuantiles(column: String,
+      ranks: Seq[Double]): Option[Seq[Double]] = {
+    if (ts.deltas.nonEmpty) return None
+    val gens = ts.gens
+    if (gens.isEmpty || !gens.forall(_.kll.contains(column))) return None
+    graft.functions.KllAgg.union(gens.map(_.kll(column)))
+      .filter(!_.isEmpty)
+      .map { sk =>
+        ranks.map(r => sk.getQuantile(r,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      }
+  }
+
   private def attr(name: String): Option[Attribute] =
     tableSchema.fields.find(_.name == name).map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(

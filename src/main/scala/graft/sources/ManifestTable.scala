@@ -98,7 +98,14 @@ object ManifestTable {
         * domain, string → UTF-8), so an int→long evolution keeps old
         * sketches mergeable with new ones.
         */
-      ndv: Map[String, String] = Map.empty)
+      ndv: Map[String, String] = Map.empty,
+      /** Per-column KLL quantile sketches (base64, datasketches
+        * KllDoublesSketch via [[graft.functions.KllAgg]]), observed on
+        * the same write pass for NUMERIC stats columns; mergeable
+        * across generations like [[ndv]], they answer rank/quantile
+        * questions — metadata-only `approx_percentile` — at plan time.
+        */
+      kll: Map[String, String] = Map.empty)
 
   /** One committed change-feed delta: the generation dir holding the rows a
     * commit inserted/updated/deleted in this table, tagged `_change_type`.
@@ -338,6 +345,9 @@ object ManifestTable {
      else List("search" -> (JArray(g.search.map(JString(_)).toList): JValue))) ++
     (if (g.ndv.isEmpty) Nil
      else List("ndv" -> (JObject(g.ndv.toSeq.sortBy(_._1).map {
+       case (c, s) => c -> (JString(s): JValue) }.toList): JValue))) ++
+    (if (g.kll.isEmpty) Nil
+     else List("kll" -> (JObject(g.kll.toSeq.sortBy(_._1).map {
        case (c, s) => c -> (JString(s): JValue) }.toList): JValue))))
 
   private def bucketsJson(bs: Map[Long, Seq[BucketGen]]): JObject =
@@ -420,7 +430,11 @@ object ManifestTable {
         case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
         case _ => Map.empty[String, String] // pre-NDV manifests
       }
-      BucketGen(str(gv \ "path"), stats, rows, search, ndv)
+      val kll = (gv \ "kll") match {
+        case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
+        case _ => Map.empty[String, String]
+      }
+      BucketGen(str(gv \ "path"), stats, rows, search, ndv, kll)
     }
     def bucketsOf(v: JValue): Map[Long, Seq[BucketGen]] = v match {
       case JObject(bs) => bs.map { case (b, gvs) =>
@@ -537,7 +551,11 @@ object ManifestTable {
         case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
         case _ => Map.empty[String, String]
       }
-      BucketGen(str(gv \ "path"), stats, long(gv \ "rows"), search, ndv)
+      val kll = (gv \ "kll") match {
+        case JObject(ns) => ns.collect { case (c, JString(s)) => c -> s }.toMap
+        case _ => Map.empty[String, String]
+      }
+      BucketGen(str(gv \ "path"), stats, long(gv \ "rows"), search, ndv, kll)
     }
     val updates = (j \ "delta") match {
       case JObject(fields) => fields.map { case (name, uv) =>
@@ -617,6 +635,10 @@ object ManifestTable {
     org.apache.spark.sql.types.StructField("ndv",
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("kll",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType))))
 
   /** Serialize every table's generation lists (base + delta) as one
@@ -636,7 +658,7 @@ object ManifestTable {
                   JString(s.hi))): JValue)
               }.toList)))
             rows.add(org.apache.spark.sql.Row(name, b, kind, i, g.path,
-              g.rows, statsJson, g.search, g.ndv)): Unit
+              g.rows, statsJson, g.search, g.ndv, g.kll)): Unit
           }
         }
       add("base", ts.buckets)
@@ -672,7 +694,9 @@ object ManifestTable {
                 BucketGen(r.getString(4), stats, r.getLong(5),
                   r.getSeq[String](7),
                   if (r.isNullAt(8)) Map.empty
-                  else r.getMap[String, String](8).toMap)
+                  else r.getMap[String, String](8).toMap,
+                  if (r.isNullAt(9)) Map.empty
+                  else r.getMap[String, String](9).toMap)
               }
             }
         table -> (side("base"), side("delta"))
@@ -1683,6 +1707,18 @@ object ManifestTable {
     case _ => None
   }
 
+  /** Stats columns eligible for a KLL quantile sketch: plain numeric
+    * types (temporal columns are range-pruned by bounds already, and
+    * the double-cast semantics differ per type — scope stays honest).
+    */
+  private def kllEligible(schema: StructType,
+      statsCols: Seq[String]): Seq[String] =
+    statsCols.distinct.filter(c => schema.fieldNames.contains(c) &&
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  private def kllAggCol(c: String): org.apache.spark.sql.Column =
+    graft.functions.KllAgg(col(c).cast("double")).as(s"kll_$c")
+
   /** Union per-generation sketches into one distinct-count estimate.
     * None on empty input or an unparseable sketch (never a guess).
     */
@@ -1802,7 +1838,8 @@ object ManifestTable {
     */
   def writeGen(df: DataFrame, dest: File, statsCols: Seq[String],
       searchCols: Seq[String] = Nil)
-      : (Map[String, ColStat], Long, Seq[String], Map[String, String]) = {
+      : (Map[String, ColStat], Long, Seq[String], Map[String, String],
+         Map[String, String]) = {
     val present = statsCols.flatMap(c =>
       if (df.columns.contains(c))
         statsKind(df.schema(c).dataType).map(k => c -> k)
@@ -1812,11 +1849,13 @@ object ManifestTable {
     // manifest can answer bare COUNT(*) queries without a scan; NDV
     // sketches for the eligible tracked columns ride it too
     val ndvEl = ndvEligible(df.schema, statsCols, searchCols)
+    val kllEl = kllEligible(df.schema, statsCols)
     val obs = Observation()
     val metrics = count(lit(1)).as("rows_") +:
       (present.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
-       ndvEl.map { case (c, k) => ndvAgg(df.schema, c, k) })
+       ndvEl.map { case (c, k) => ndvAgg(df.schema, c, k) } ++
+       kllEl.map(kllAggCol))
     val eligible = searchCols.distinct.flatMap { c =>
       if (!df.columns.contains(c)) None
       else searchKind(df.schema(c).dataType).map(k => c -> k)
@@ -1851,11 +1890,12 @@ object ManifestTable {
     val ndv = ndvEl.flatMap { case (c, _) =>
       ndvB64(row(s"ndv_$c")).map(c -> _)
     }.toMap
+    val kllM = kllEl.flatMap(c => ndvB64(row(s"kll_$c")).map(c -> _)).toMap
     val searched = eligible.map { case (c, kind) =>
       writeSearchSidecar(df.sparkSession, dest, c, kind, math.max(nRows, 1L))
       c
     }
-    (stats, nRows, searched, ndv)
+    (stats, nRows, searched, ndv, kllM)
   }
 
   /** Write MANY generation dirs from one keyed frame in ONE pass — the
@@ -1880,10 +1920,12 @@ object ManifestTable {
         statsKind(schema(c).dataType).map(k => c -> k)
       else None)
     val ndvEl = ndvEligible(schema, statsCols, searchCols)
+    val kllEl = kllEligible(schema, statsCols)
     val aggExprs = count(lit(1)).as("rows_") +:
       (statFields.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
-       ndvEl.map { case (c, k) => ndvAgg(schema, c, k) })
+       ndvEl.map { case (c, k) => ndvAgg(schema, c, k) } ++
+       kllEl.map(kllAggCol))
     val keyRows = keyed.groupBy(col(keyCol))
       .agg(aggExprs.head, aggExprs.tail: _*)
       .collect().sortBy(_.getLong(0)) // bounded: one small row per key
@@ -1936,7 +1978,9 @@ object ManifestTable {
       val ndv = ndvEl.flatMap { case (c, _) =>
         ndvB64(r.getAs[Any](s"ndv_$c")).map(c -> _)
       }.toMap
-      k -> BucketGen(rel, genStats, nRows, search, ndv)
+      val kllM = kllEl.flatMap(c =>
+        ndvB64(r.getAs[Any](s"kll_$c")).map(c -> _)).toMap
+      k -> BucketGen(rel, genStats, nRows, search, ndv, kllM)
     }
     // sidecars for EVERY new generation build in ONE distributed pass
     // (per-partition partial filters keyed by (dir, column), merged by
@@ -2340,14 +2384,14 @@ object ManifestTable {
           // the loser's become orphans GC collects once the version is
           // decided (the in-flight guard in [[gc]])
           val rel = s"data/${tb.name}/b$b-v${manifest.version + 1}-$nonce"
-          val (stats, nRows, searched, ndv) =
+          val (stats, nRows, searched, ndv, kll) =
             // explicit batch options win; otherwise the table's RECORDED
             // layout applies, so every writer — bespoke API, SQL INSERT,
             // streaming sink — keeps tracking what the table declared
             writeGen(out, new File(root, rel),
               if (tb.statsCols.nonEmpty) tb.statsCols else prev.statsCols,
               if (tb.searchCols.nonEmpty) tb.searchCols else prev.searchCols)
-          (b -> Seq(BucketGen(rel, stats, nRows, searched, ndv)), chg)
+          (b -> Seq(BucketGen(rel, stats, nRows, searched, ndv, kll)), chg)
         }
         val written = results.map(_._1).toMap
         // the commit's change-feed delta: one immutable dir per (table,
@@ -2858,14 +2902,15 @@ object ManifestTable {
             if (!touched(g)) Some(g)
             else {
               val rel = s"data/$table/b$b-d${manifest.version + 1}-g$i-$nonce"
-              val (stats, nRows, searched, ndv) = writeGen(
+              val (stats, nRows, searched, ndv, kll) = writeGen(
                 spark.read.schema(ts.schema)
                   .parquet(new File(root, g.path).toString).filter(keep),
                 new File(root, rel),
-                (g.stats.keys.toSeq ++ g.ndv.keys).distinct, g.search)
+                (g.stats.keys.toSeq ++ g.ndv.keys ++ g.kll.keys).distinct,
+                g.search)
               // an emptied generation drops; its dir orphans into GC
               if (nRows == 0L) None
-              else Some(BucketGen(rel, stats, nRows, searched, ndv))
+              else Some(BucketGen(rel, stats, nRows, searched, ndv, kll))
             }
           })
         }
@@ -2971,12 +3016,13 @@ object ManifestTable {
             if (!touched(g)) g
             else {
               val rel = s"data/$table/b$b-u${manifest.version + 1}-g$i-$nonce"
-              val (stats, nRows, searched, ndv) = writeGen(
+              val (stats, nRows, searched, ndv, kll) = writeGen(
                 applySets(spark.read.schema(schema)
                   .parquet(new File(root, g.path).toString)),
                 new File(root, rel),
-                (g.stats.keys.toSeq ++ g.ndv.keys).distinct, g.search)
-              BucketGen(rel, stats, nRows, searched, ndv)
+                (g.stats.keys.toSeq ++ g.ndv.keys ++ g.kll.keys).distinct,
+                g.search)
+              BucketGen(rel, stats, nRows, searched, ndv, kll)
             }
           })
         }
@@ -3415,9 +3461,10 @@ object ManifestTable {
         schema.fieldNames.contains(c) && searchKind(schema(c).dataType).nonEmpty)
       val stats = statsCols.distinct.filter(c =>
         schema.fieldNames.contains(c) && statsKind(schema(c).dataType).nonEmpty)
-      // NDV sketches backfill alongside bounds, for the requested
-      // columns whose type supports them
+      // NDV + KLL sketches backfill alongside bounds, for the
+      // requested columns whose types support them
       val ndvCols = ndvEligible(schema, stats, search)
+      val kllCols = kllEligible(schema, stats)
       def dirKey(g: BucketGen): String =
         new File(root, g.path).getCanonicalPath
       def missingSearch(g: BucketGen): Seq[String] =
@@ -3426,9 +3473,11 @@ object ManifestTable {
         stats.filterNot(g.stats.contains)
       def missingNdv(g: BucketGen): Seq[String] =
         ndvCols.map(_._1).filterNot(g.ndv.contains)
+      def missingKll(g: BucketGen): Seq[String] =
+        kllCols.filterNot(g.kll.contains)
       val todo = ts.gens.filter(g =>
         missingSearch(g).nonEmpty || missingStats(g).nonEmpty ||
-          missingNdv(g).nonEmpty)
+          missingNdv(g).nonEmpty || missingKll(g).nonEmpty)
       if (todo.isEmpty) return 0L
       try {
         val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -3475,16 +3524,21 @@ object ManifestTable {
         //    missing any requested column's bounds or sketch --
         val statFields = stats.map(c =>
           c -> statsKind(schema(c).dataType).get)
-        val (statsByDir, ndvByDir): (Map[String, Map[String, ColStat]],
-            Map[String, Map[String, String]]) = {
+        val (statsByDir, ndvByDir, kllByDir)
+            : (Map[String, Map[String, ColStat]],
+               Map[String, Map[String, String]],
+               Map[String, Map[String, String]]) = {
           val needs = ts.gens.filter(g =>
-            missingStats(g).nonEmpty || missingNdv(g).nonEmpty)
-          if ((statFields.isEmpty && ndvCols.isEmpty) || needs.isEmpty)
-            (Map.empty, Map.empty)
+            missingStats(g).nonEmpty || missingNdv(g).nonEmpty ||
+              missingKll(g).nonEmpty)
+          if ((statFields.isEmpty && ndvCols.isEmpty && kllCols.isEmpty) ||
+              needs.isEmpty)
+            (Map.empty, Map.empty, Map.empty)
           else {
             val aggs = statFields.flatMap { case (c, _) =>
               Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } ++
-              ndvCols.map { case (c, k) => ndvAgg(schema, c, k) }
+              ndvCols.map { case (c, k) => ndvAgg(schema, c, k) } ++
+              kllCols.map(kllAggCol)
             val grouped = spark.read.schema(schema)
               .parquet(needs.map(g => new File(root, g.path).toString): _*)
               .groupBy(regexp_replace(input_file_name(),
@@ -3522,7 +3576,11 @@ object ManifestTable {
                 ndvB64(r.getAs[Any](s"ndv_$c")).map(c -> _)
               }.toMap
             }.toMap
-            (sb, nb)
+            val kb = grouped.map { case (dir, r) =>
+              dir -> kllCols.flatMap(c =>
+                ndvB64(r.getAs[Any](s"kll_$c")).map(c -> _)).toMap
+            }.toMap
+            (sb, nb, kb)
           }
         }
         // -- publish: same dirs, richer metadata; recorded layout adopts
@@ -3537,7 +3595,10 @@ object ManifestTable {
               search = (g.search ++ missingSearch(g)).distinct,
               ndv = g.ndv ++
                 ndvByDir.getOrElse(k, Map.empty)
-                  .view.filterKeys(c => !g.ndv.contains(c)).toMap)
+                  .view.filterKeys(c => !g.ndv.contains(c)).toMap,
+              kll = g.kll ++
+                kllByDir.getOrElse(k, Map.empty)
+                  .view.filterKeys(c => !g.kll.contains(c)).toMap)
           }
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
@@ -3731,10 +3792,12 @@ object ManifestTable {
           val rel = s"data/$table/b$b-c${manifest.version + 1}-$nonce"
           // physical rewrites carry the rewritten generations' indexing
           // forward: a compacted bucket must not silently stop pruning
-          val (stats, nRows, searched, ndv) = writeGen(df, new File(root, rel),
-            (statsCols ++ fold.flatMap(_.ndv.keys)).distinct,
+          val (stats, nRows, searched, ndv, kll) = writeGen(df,
+            new File(root, rel),
+            (statsCols ++ fold.flatMap(_.ndv.keys) ++
+              fold.flatMap(_.kll.keys)).distinct,
             fold.flatMap(_.search).distinct)
-          b -> (keep :+ BucketGen(rel, stats, nRows, searched, ndv))
+          b -> (keep :+ BucketGen(rel, stats, nRows, searched, ndv, kll))
         }
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
           append = false,

@@ -719,13 +719,38 @@ class PlanSpec extends SparkSpec {
       approx_count_distinct(col("grp")).as("d"), max(col("id")).as("hi"))
     assert(mixed.head.getLong(0) == 800L && scans(mixed) == 0)
 
+    // approx_percentile answers from the merged KLL sketches — scalar
+    // and array percentages, integral type preserved, zero scans; and
+    // it composes with the other metadata aggregates in one list
+    def apq = graftDf.agg(
+      expr("approx_percentile(id, 0.5)").as("med"),
+      expr("approx_percentile(id, array(0.25, 0.75))").as("iq"),
+      count(lit(1)).as("c"))
+    val row = apq.head
+    // ids are 1..400 and 1001..1400 — the true median sits at the gap
+    // edge; KLL's ~1.65% rank error keeps the answer inside [380, 1020]
+    val med = row.getLong(0)
+    assert(med >= 380L && med <= 1020L, s"median estimate off: $med")
+    val iq = row.getSeq[Long](1)
+    assert(iq.length == 2 && iq(0) < iq(1))
+    assert(row.getLong(2) == 800L)
+    assert(scans(apq) == 0, "metadata approx_percentile still scanned")
+    // non-numeric / filtered shapes scan
+    assert(scans(graftDf.agg(expr("approx_percentile(id, 0.5)").as("m"),
+      min(col("name")).as("lo"))) > 0) // name min has no stat: whole list scans
+    assert(scans(graftDf.filter(col("id") > 100)
+      .agg(expr("approx_percentile(id, 0.5)"))) > 0)
+
     // gates: a filter, an un-sketched column, or the kill switch scans
     assert(scans(graftDf.filter(col("id") > 100)
       .agg(approx_count_distinct(col("grp")))) > 0)
     assert(scans(graftDf.agg(approx_count_distinct(col("name")))) > 0)
     spark.conf.set("spark.graft.metadataApproxNdv", "false")
-    try assert(scans(adc) > 0, "kill switch ignored")
-    finally spark.conf.unset("spark.graft.metadataApproxNdv")
+    try {
+      assert(scans(adc) > 0, "kill switch ignored")
+      assert(scans(graftDf.agg(
+        expr("approx_percentile(id, 0.5)").as("m"))) > 0)
+    } finally spark.conf.unset("spark.graft.metadataApproxNdv")
     assert(scans(adc) == 0)
   }
 }
