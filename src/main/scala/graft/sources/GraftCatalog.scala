@@ -847,15 +847,46 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
     // shared with much wider selections
     val ndv = index.ndvForFilters(effectiveFilters)
       .view.mapValues(n => math.min(n, rows)).toMap
+    // equi-height histograms from the merged KLL sketches (64 bins ≈
+    // the k=200 sketch's rank resolution); per-bin NDV approximates as
+    // an equal split of the column's distinct count — the standard
+    // assumption when bins don't track it exactly
+    val klls = index.kllForFilters(effectiveFilters)
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    ndv.foreach { case (c, n) =>
+    (ndv.keySet ++ klls.keySet).foreach { c =>
+      val dc = ndv.get(c)
+      val hist = klls.get(c).map { sk =>
+        val nBins = 64
+        val qs = sk.getQuantiles((0 to nBins).map(_.toDouble / nBins).toArray,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+        val binNdv = math.max(1L,
+          dc.getOrElse(math.max(1L, rows)) / nBins)
+        val binArr = (0 until nBins).map { i =>
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = qs(i)
+            override def hi(): Double = qs(i + 1)
+            override def ndv(): Long = binNdv
+          }
+        }.toArray
+        new org.apache.spark.sql.connector.read.colstats.Histogram {
+          override def height(): Double = rows.toDouble / nBins
+          override def bins(): Array[
+            org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+        }
+      }
       colStats.put(
         org.apache.spark.sql.connector.expressions.Expressions.column(c),
         new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
           override def distinctCount(): java.util.OptionalLong =
-            java.util.OptionalLong.of(n)
+            dc.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty)
+          override def histogram(): java.util.Optional[
+            org.apache.spark.sql.connector.read.colstats.Histogram] =
+            hist.map(java.util.Optional.of(_)).getOrElse(
+              java.util.Optional.empty[
+                org.apache.spark.sql.connector.read.colstats.Histogram]())
         })
     }
     new org.apache.spark.sql.connector.read.Statistics {

@@ -669,6 +669,22 @@ class ManifestFileIndex(spark: SparkSession, root: String, table: String,
     ManifestTable.ndvUnion(gens.map(_.ndv(column)))
   }
 
+  /** Merged KLL quantile sketches for the PRUNED selection — the input
+    * for CBO equi-height histograms. Same coverage contract as
+    * [[ndvForFilters]]: a column reports only when every surviving
+    * generation carries its sketch and no MoR deltas are outstanding.
+    */
+  def kllForFilters(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Map[String, org.apache.datasketches.kll.KllDoublesSketch] = {
+    if (ts.deltas.nonEmpty) return Map.empty
+    val gens = prunedGens(filters.flatMap(filterToExpr))
+    if (gens.isEmpty) return Map.empty
+    gens.map(_.kll.keySet).reduce(_ intersect _).flatMap { c =>
+      graft.functions.KllAgg.union(gens.map(_.kll(c)))
+        .filterNot(_.isEmpty).map(c -> _)
+    }.toMap
+  }
+
   /** The whole table's quantiles for `column` at the given ranks, from
     * the manifest's merged KLL sketches — what a metadata-only
     * `approx_percentile` answers with. Same coverage contract as

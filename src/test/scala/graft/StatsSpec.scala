@@ -108,6 +108,14 @@ class StatsSpec extends SparkSpec {
       assert(byName.get("name").exists(_.distinctCount.exists(dc =>
         dc.toLong > 300 && dc.toLong < 500)),
         s"expected name NDV in catalyst stats, got $byName")
+      // numeric stats columns additionally carry an equi-height
+      // histogram from the merged KLL sketches — bins span the real
+      // value range and land in catalyst stats for CBO selectivity
+      val grpHist = byName.get("grp").flatMap(_.histogram)
+      assert(grpHist.exists(h => h.bins.length == 64 &&
+        h.bins.head.lo <= 0.0 && h.bins.last.hi >= 9.0 &&
+        h.height > 0.0),
+        s"expected a KLL-backed histogram on grp, got $grpHist")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 }
