@@ -2339,14 +2339,17 @@ object ManifestTable {
                 delKeys match {
                   case Some(dk) =>
                     // replace-by-key: drop every existing row whose key
-                    // tuple is in this bucket's delete slice, then insert
-                    // the batch rows — within-bucket work only (keys hash
-                    // to one bucket)
+                    // tuple is in this bucket's delete slice, then UPSERT
+                    // the batch rows (a batch key not in the slice must
+                    // still replace its existing row, exactly as in the
+                    // delete-free branch) — within-bucket work only (keys
+                    // hash to one bucket)
                     val slice = dk.filter(col(BucketCol) === b).drop(BucketCol)
                     val cond = tb.mergeKeys
                       .map(k => existing(k) <=> slice(k)).reduce(_ && _)
-                    val merged = existing.join(slice, cond, "left_anti")
-                      .unionByName(inc)
+                    val merged = graft.ingest.MergeUpsert
+                      .upsert(existing.join(slice, cond, "left_anti"),
+                        inc, tb.mergeKeys)
                       .select(unified.fieldNames.map(col).toIndexedSeq: _*)
                     val changes = if (!tb.changeFeed) None else {
                       // delete preimages: rows removed by the slice whose

@@ -547,6 +547,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(root).get.version == v)
   }
 
+  test("a batch carrying BOTH upsert rows and a delete set replaces updated keys outside the delete slice (regression: they used to duplicate)") {
+    val target = tmp("graft_updel")
+    val root = new File(target)
+    val t = ManifestTable.DefaultTable
+    ManifestTable.mergeBatch(root, "q", 0L, Seq(
+      TableBatch(t, rows(0 until 20, 1), Seq("event_id"), 4,
+        changeFeed = true)))
+    // key 3 is UPDATED but NOT in the delete set; keys 5,6 deleted
+    ManifestTable.mergeBatch(root, "q", 1L, Seq(
+      TableBatch(t, rows(3 until 4, 2), Seq("event_id"), 4,
+        changeFeed = true,
+        deleteKeys = Some(Seq(5L, 6L).toDF("event_id")))))
+    val now = ManifestTable.readTable(spark, target).collect()
+    assert(now.count(_.getLong(0) == 3L) == 1,
+      "an updated key outside the delete slice must REPLACE, not duplicate")
+    assert(now.map(_.getLong(0)).toSet == ((0L until 20L).toSet -- Set(5L, 6L)))
+    // the replaced key carries day-2 values (the incoming row won)
+    assert(now.filter(_.getLong(0) == 3L)
+      .forall(_.getAs[java.sql.Timestamp]("ts").toString.startsWith("2024-03-02")))
+  }
+
   test("change feed: commits tag inserts/updates/deletes and a snapshot rolls forward to any later snapshot exactly") {
     val target = tmp("graft_cdf")
     val root = new File(target)
