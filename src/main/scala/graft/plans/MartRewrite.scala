@@ -96,7 +96,10 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString("spark.graft.martRewrite", "true").toBoolean) plan
     else plan.transformDown {
       case agg: Aggregate =>
-        rewrite(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
+        // a JOINED mart (join pre-materialized, no join at query time)
+        // beats re-joining a partial mart to the dim, so it tries first
+        rewrite(agg).orElse(rewriteJoinedMart(agg))
+          .orElse(rewriteJoin(agg)).getOrElse(agg)
     }
 
   /** The aggregate's input chain down to a live graft relation:
@@ -324,18 +327,208 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
   private case class SrcGroup(name: String) extends GroupRef
   private case class DimGroup(attr: Attribute) extends GroupRef
 
-  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
-    // peel deterministic filters / attribute projects down to a join
-    def toJoin(p: LogicalPlan, fs: Seq[Expression])
-        : Option[(Join, Seq[Expression])] = p match {
-      case f: Filter if f.condition.deterministic =>
-        toJoin(f.child, fs ++ splitConjunctivePredicates(f.condition))
-      case pr: Project
-          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        toJoin(pr.child, fs)
-      case jn: Join => Some((jn, fs))
-      case _ => None
+  /** Peel deterministic filters / attribute projects down to a join. */
+  private def toJoin(p: LogicalPlan, fs: Seq[Expression])
+      : Option[(Join, Seq[Expression])] = p match {
+    case f: Filter if f.condition.deterministic =>
+      toJoin(f.child, fs ++ splitConjunctivePredicates(f.condition))
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      toJoin(pr.child, fs)
+    case jn: Join => Some((jn, fs))
+    case _ => None
+  }
+
+  // ---- the JOINED-MART shape: Aggregate over (source ⋈ dim) where a
+  // [[graft.streaming.JoinedMart]] has PRE-MATERIALIZED exactly that
+  // join's rollup — the substitution drops the join entirely: a plain
+  // aggregate over the joined mart. Soundness gates mirror the join
+  // shape's, plus:
+  //  - Inner join only (the mart holds matched groups only);
+  //  - the query's equi-key pairs equal the mart's DECLARED key pairs
+  //    as a set — joining on different keys is a different join;
+  //  - two-stamp freshness: no source change newer than
+  //    `jmartSourceVersion` AND no dim change newer than
+  //    `jmartFoldVersion` (a dim attribute update that hasn't been
+  //    folded would serve rows under their OLD attribute values).
+  private def rewriteJoinedMart(agg: Aggregate): Option[LogicalPlan] = {
+    import graft.streaming.JoinedMart
+    val (j, aboveFilters) = toJoin(agg.child, Nil).getOrElse(return None)
+    if (j.joinType != Inner) return None
+    val (lRoot, lName, lBelow) = unwrap(j.left, Nil).getOrElse(return None)
+    val (rRoot, rName, rBelow) = unwrap(j.right, Nil).getOrElse(return None)
+    if (lRoot.getCanonicalPath != rRoot.getCanonicalPath) return None
+    val root = lRoot
+    val manifest = ManifestTable.read(root).getOrElse(return None)
+    val lOut = j.left.outputSet
+    val rOut = j.right.outputSet
+    val cond = j.condition.getOrElse(return None)
+    // (left attr, right attr) name pairs of the query's equi-join
+    val pairs: Set[(String, String)] =
+      splitConjunctivePredicates(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if lOut.contains(a) && rOut.contains(b) => (a.name, b.name)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if lOut.contains(a) && rOut.contains(b) => (a.name, b.name)
+        case _ => return None
+      }.toSet
+    val (lAbove, rest) = aboveFilters.partition(_.references.subsetOf(lOut))
+    val (rAbove, mixed) = rest.partition(_.references.subsetOf(rOut))
+    if (mixed.nonEmpty) return None
+
+    def freshFor(tName: String, stamp: Long): Boolean = {
+      val ts = manifest.table(tName)
+      ts.schemaJson.nonEmpty && ts.feedFrom >= 0 &&
+        ts.changes.nonEmpty && ts.changes.last.version <= stamp
     }
+    // fresh candidates declaring exactly this (source, dim, keys) join,
+    // cheapest first — same cost rule as the scan shape
+    val candidates = manifest.tables.toSeq.filter { case (_, ts) =>
+      ts.schemaJson.nonEmpty && ts.props.contains(JoinedMart.Source)
+    }.sortBy { case (name, ts) =>
+      (ts.rowCount.getOrElse(Long.MaxValue), name)
+    }
+    candidates.view.flatMap { case (martName, martTs) =>
+      def cols(key: String): Seq[String] = martTs.props.get(key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val src = martTs.props.getOrElse(JoinedMart.Source, "")
+      val dim = martTs.props.getOrElse(JoinedMart.Dim, "")
+      val declared = cols(JoinedMart.SrcKeys).zip(cols(JoinedMart.DimKeys))
+      // orient the query's sides onto the declaration (src may be the
+      // join's left or right; inner is symmetric)
+      val oriented: Option[(LogicalPlan, LogicalPlan, Seq[Expression],
+          Seq[Expression])] =
+        if (src == lName && dim == rName &&
+            pairs == declared.toSet)
+          Some((j.left, j.right, lBelow ++ lAbove, rBelow ++ rAbove))
+        else if (src == rName && dim == lName &&
+            pairs.map(_.swap) == declared.toSet)
+          Some((j.right, j.left, rBelow ++ rAbove, lBelow ++ lAbove))
+        else None
+      oriented.flatMap { case (srcPlan, dimPlan, srcFilters, dimFilters) =>
+        val sV = martTs.props.get(JoinedMart.SourceVersion)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(-1L)
+        val fV = martTs.props.get(JoinedMart.FoldVersion)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(-1L)
+        if (!freshFor(src, sV) || !freshFor(dim, fV)) None
+        else rewriteJoinedOnto(agg, root, manifest, src, dim,
+          cols(JoinedMart.SrcGroupCols).toSet,
+          cols(JoinedMart.DimGroupCols).toSet,
+          cols(JoinedMart.ValueCols).toSet,
+          srcPlan, dimPlan, srcFilters, dimFilters, martName, martTs)
+      }
+    }.headOption
+  }
+
+  private def rewriteJoinedOnto(agg: Aggregate, root: File,
+      manifest: ManifestTable.Manifest, srcName: String, dimName: String,
+      srcGroups: Set[String], dimGroups: Set[String], valueCols: Set[String],
+      srcPlan: LogicalPlan, dimPlan: LogicalPlan,
+      srcFilters: Seq[Expression], dimFilters: Seq[Expression],
+      martName: String, martTs: ManifestTable.TableState)
+      : Option[LogicalPlan] = {
+    val srcOut = srcPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    val martFields = martTs.schema.fieldNames.toSet
+    val srcSchema = manifest.table(srcName).schema
+    val dimSchema = manifest.table(dimName).schema
+
+    // subsumption: groupings and filters live at the mart's grain on
+    // their own side
+    val gNames: Seq[String] = agg.groupingExpressions.map {
+      case ar: AttributeReference
+          if srcOut.contains(ar) && srcGroups.contains(ar.name) => ar.name
+      case ar: AttributeReference
+          if dimOut.contains(ar) && dimGroups.contains(ar.name) => ar.name
+      case _ => return None
+    }
+    if (srcFilters.exists(
+      _.references.exists(a => !srcGroups.contains(a.name)))) return None
+    if (dimFilters.exists(
+      _.references.exists(a => !dimGroups.contains(a.name)))) return None
+
+    val martDf = spark.read.format("graft")
+      .option("path", root.toString).option("table", martName)
+      .option("version", manifest.version).load()
+    val mAttrs = martDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    // group-column types must line up with their side's schema
+    def sideType(n: String) =
+      if (srcGroups.contains(n)) srcSchema(n).dataType else dimSchema(n).dataType
+    if (gNames.exists(n =>
+      mAttrs.get(n).forall(_.dataType != sideType(n)))) return None
+
+    // derivability: the additive set only (the joined mart maintains
+    // count + sums; extrema fall through to the join-shape rewrite)
+    def mapAgg(ae: AggregateExpression): Option[Column] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) &&
+            martFields.contains(IncrementalMart.RowsCol) =>
+          Some(coalesce(fsum(col(IncrementalMart.RowsCol)), lit(0L)))
+        case s: Sum => s.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) && valueCols.contains(ar.name) &&
+                martFields.contains(s"sum_${ar.name}") &&
+                !srcSchema(ar.name).nullable =>
+            Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val outNames = agg.aggregateExpressions.map(_.name)
+    if (outNames.distinct.length != outNames.length) return None
+    val mapped: Seq[(String, Either[String, Column])] =
+      agg.aggregateExpressions.map {
+        case ar: AttributeReference if gNames.contains(ar.name) =>
+          ar.name -> Left(ar.name)
+        case al @ Alias(child, _) => child match {
+          case ar: AttributeReference if gNames.contains(ar.name) =>
+            al.name -> Left(ar.name)
+          case ae: AggregateExpression =>
+            al.name -> Right(mapAgg(ae).getOrElse(return None))
+          case _ => return None
+        }
+        case _ => return None
+      }
+
+    // rebuild: filters re-apply on the mart BY NAME (source and dim
+    // group names are disjoint by the mart's construction)
+    val filtered = (srcFilters ++ dimFilters).foldLeft(martDf) { (df, f) =>
+      df.filter(bridge.column(f.transform {
+        case ar: AttributeReference => mAttrs(ar.name)
+      }))
+    }
+    val aggCols: Seq[Column] = mapped.zipWithIndex.collect {
+      case ((_, Right(c)), i) => c.as(s"__mart_a$i")
+    }
+    val grouped =
+      if (gNames.isEmpty)
+        filtered.agg(
+          mapped.head match { case (n, Right(c)) => c.as(n); case _ => return None },
+          mapped.tail.map {
+            case (n, Right(c)) => c.as(n); case _ => return None }: _*)
+      else {
+        val ag =
+          if (aggCols.isEmpty)
+            filtered.select(gNames.distinct.map(col): _*).distinct()
+          else filtered.groupBy(gNames.distinct.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        ag.select(mapped.zipWithIndex.map {
+          case ((name, Left(g)), _) => col(g).as(name)
+          case ((name, Right(_)), i) => col(s"__mart_a$i").as(name)
+        }: _*)
+      }
+    logInfo(s"mart rewrite (joined mart): aggregate over " +
+      s"$srcName ⋈ $dimName → $martName, join eliminated")
+    Some(aliasTo(agg.output, grouped.queryExecution.analyzed))
+  }
+
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
     val (j, aboveFilters) = toJoin(agg.child, Nil).getOrElse(return None)
     val srcPlan = unwrap(j.left, Nil) match {
       case Some(_) if j.joinType == Inner || j.joinType == LeftOuter => j.left

@@ -320,7 +320,7 @@ object GraftProcedures {
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
     "begin", "commit", "rollback", "clone", "rebucket", "refresh_mart",
-    "maintain")
+    "refresh_joined_mart", "maintain")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -539,6 +539,23 @@ object GraftProcedures {
         Seq(InternalRow(graft.streaming.IncrementalMart.refreshMart(
           SparkSession.active, root(str(row, 0)), str(row, 1), str(row, 2),
           cols(3), cols(4), cols(5), cols(6))))
+      }
+      // -- JOIN-AWARE materialized view: a (source ⋈ dim) rollup kept
+      //    current from both change feeds (graft.streaming.JoinedMart);
+      //    with the declaration recorded, later calls need only
+      //    (ns, source, dim, mart, '', '', '', '', '')
+      case "refresh_joined_mart" => bound("refresh_joined_mart",
+        Seq(in("namespace", StringType), in("source", StringType),
+          in("dim", StringType), in("mart", StringType),
+          in("src_keys", StringType), in("dim_keys", StringType),
+          in("src_group_cols", StringType), in("dim_group_cols", StringType),
+          in("value_cols", StringType)),
+        StructType(Seq(StructField("current_through", LongType)))) { row =>
+        def cols(i: Int): Seq[String] = str(row, i)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(InternalRow(graft.streaming.JoinedMart.refresh(
+          SparkSession.active, root(str(row, 0)), str(row, 1), str(row, 2),
+          str(row, 3), cols(4), cols(5), cols(6), cols(7), cols(8))))
       }
       // -- bucket-count evolution: one atomic physical-only rewrite
       //    under the new merge-key hash (ManifestTable.rebucket)

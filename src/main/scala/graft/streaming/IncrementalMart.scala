@@ -121,38 +121,12 @@ object IncrementalMart {
         cfg.maxCols, cfg.minCols)
       .persist()
     try {
-      // covering mart buckets of the touched groups — the writer's own
-      // hash, evaluated over the already-aggregated (churn-sized) frame;
-      // at most numBuckets distinct values come back
-      val bucketExpr =
-        pmod(xxhash64(cfg.groupCols.map(col).toIndexedSeq: _*),
-          lit(cfg.numBuckets))
-      val touched = deltas.select(bucketExpr.as("__b")).distinct()
-        .collect().map(_.getLong(0)).toSet
       val extremaCols =
         cfg.maxCols.map(c => s"max_$c") ++ cfg.minCols.map(c => s"min_$c")
-      val martSchema = StructType(
-        cfg.groupCols.map(k => deltas.schema(k))
-          ++ Seq(StructField(RowsCol, LongType))
-          ++ cfg.valueCols.map(c =>
-            StructField(s"sum_$c", deltas.schema(s"delta_$c").dataType))
-          ++ extremaCols.map(c => StructField(c, deltas.schema(c).dataType)))
-      val bucketRows = ManifestTable
-        .readTableBuckets(spark, cfg.martRoot, touched, cfg.martTable)
-        .getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], martSchema))
-      // only the touched groups participate; co-bucketed strangers stay
-      // out of the rewrite (replace-by-key deletes just the touched keys)
-      val keyCond = cfg.groupCols
-        .map(k => col(s"m.$k") <=> col(s"d.$k")).reduce(_ && _)
-      val joined = bucketRows.alias("m")
-        .join(deltas.alias("d"), keyCond, "left_semi")
-        .alias("m")
-        .join(deltas.alias("d"), keyCond, "full_outer")
       // extremum recompute fallback: only for groups a retraction touched,
       // only when the batch HAS retractions (the driver-side count keeps
       // the insert-only fast path from ever planning a source scan)
-      val withExtrema: (DataFrame, Seq[Column]) =
+      def withExtrema(joined: DataFrame): (DataFrame, Seq[Column]) =
         if (extremaCols.isEmpty) (joined, Nil)
         else {
           val retracts = deltas
@@ -230,18 +204,6 @@ object IncrementalMart {
             (j2, sel)
           }
         }
-      val merged = withExtrema._1
-        .select(
-          cfg.groupCols.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k))
-            ++ Seq((coalesce(col(s"m.$RowsCol"), lit(0L))
-              + col(s"d.delta_rows")).as(RowsCol))
-            ++ cfg.valueCols.map(c =>
-              (coalesce(col(s"m.sum_$c"), lit(0).cast(
-                deltas.schema(s"delta_$c").dataType))
-                + coalesce(col(s"d.delta_$c"), lit(0)))
-                .as(s"sum_$c"))
-            ++ withExtrema._2: _*)
-        .filter(col(RowsCol) > 0)
       // self-declare as a materialized view and stamp the source commit
       // version this fold reaches — the freshness gate
       // graft.plans.MartRewriteRule substitutes aggregates on (stale
@@ -249,24 +211,87 @@ object IncrementalMart {
       // of the declaration keys are free
       val srcV = batch
         .agg(max(col(ManifestTable.CommitVersionCol))).head.getLong(0)
-      ManifestTable.mergeBatch(new File(cfg.martRoot),
+      foldDeltas(spark, cfg.martRoot, cfg.martTable, cfg.groupCols,
+        cfg.valueCols, cfg.numBuckets, cfg.changeFeed, deltas,
         EventPipeline.currentQueryId(spark), batchId,
-        Seq(TableBatch(cfg.martTable, merged, cfg.groupCols, cfg.numBuckets,
-          deleteKeys =
-            Some(deltas.select(cfg.groupCols.map(col).toIndexedSeq: _*)),
-          changeFeed = cfg.changeFeed,
-          props = Map(
-            graft.plans.MartRewriteRule.Of -> cfg.sourceTable,
-            graft.plans.MartRewriteRule.SourceRoot ->
-              new File(cfg.sourceRoot).getCanonicalPath,
-            graft.plans.MartRewriteRule.GroupCols ->
-              cfg.groupCols.mkString(","),
-            graft.plans.MartRewriteRule.ValueCols ->
-              cfg.valueCols.mkString(","),
-            graft.plans.MartRewriteRule.MaxCols -> cfg.maxCols.mkString(","),
-            graft.plans.MartRewriteRule.MinCols -> cfg.minCols.mkString(","),
-            graft.plans.MartRewriteRule.SourceVersion -> srcV.toString))))
+        props = Map(
+          graft.plans.MartRewriteRule.Of -> cfg.sourceTable,
+          graft.plans.MartRewriteRule.SourceRoot ->
+            new File(cfg.sourceRoot).getCanonicalPath,
+          graft.plans.MartRewriteRule.GroupCols ->
+            cfg.groupCols.mkString(","),
+          graft.plans.MartRewriteRule.ValueCols ->
+            cfg.valueCols.mkString(","),
+          graft.plans.MartRewriteRule.MaxCols -> cfg.maxCols.mkString(","),
+          graft.plans.MartRewriteRule.MinCols -> cfg.minCols.mkString(","),
+          graft.plans.MartRewriteRule.SourceVersion -> srcV.toString),
+        extraFields =
+          extremaCols.map(c => StructField(c, deltas.schema(c).dataType)),
+        extraSelect = withExtrema)
     } finally { deltas.unpersist(); () }
+  }
+
+  /** Fold a frame of per-group NET deltas (`groupCols ++ delta_rows ++
+    * delta_<c>`) into the mart as ONE atomic replace-by-key commit — the
+    * shared lower half of every mart maintainer ([[applyBatch]] computes
+    * its deltas from raw feed rows; [[JoinedMart]] from the partial-mart
+    * and dimension feeds). Only the touched groups' buckets are read
+    * (the writer's own key hash over the churn-sized delta frame), a
+    * group netted to zero rows is deleted, and `extraSelect` lets the
+    * caller append non-additive columns (the extremum hook) computed
+    * over the (mart ⟗ delta) join.
+    */
+  private[graft] def foldDeltas(spark: SparkSession, martRoot: String,
+      martTable: String, groupCols: Seq[String], valueCols: Seq[String],
+      numBuckets: Int, changeFeed: Boolean, deltas: DataFrame,
+      qid: String, batchId: Long, props: Map[String, String],
+      extraFields: Seq[StructField] = Nil,
+      extraSelect: DataFrame => (DataFrame, Seq[Column]) = j => (j, Nil))
+      : Unit = {
+    // covering mart buckets of the touched groups — the writer's own
+    // hash, evaluated over the already-aggregated (churn-sized) frame;
+    // at most numBuckets distinct values come back
+    val bucketExpr =
+      pmod(xxhash64(groupCols.map(col).toIndexedSeq: _*), lit(numBuckets))
+    val touched = deltas.select(bucketExpr.as("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return // no touched groups: nothing to commit
+    val martSchema = StructType(
+      groupCols.map(k => deltas.schema(k))
+        ++ Seq(StructField(RowsCol, LongType))
+        ++ valueCols.map(c =>
+          StructField(s"sum_$c", deltas.schema(s"delta_$c").dataType))
+        ++ extraFields)
+    val bucketRows = ManifestTable
+      .readTableBuckets(spark, martRoot, touched, martTable)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], martSchema))
+    // only the touched groups participate; co-bucketed strangers stay
+    // out of the rewrite (replace-by-key deletes just the touched keys)
+    val keyCond = groupCols
+      .map(k => col(s"m.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = bucketRows.alias("m")
+      .join(deltas.alias("d"), keyCond, "left_semi")
+      .alias("m")
+      .join(deltas.alias("d"), keyCond, "full_outer")
+    val (withExtra, extraCols) = extraSelect(joined)
+    val merged = withExtra
+      .select(
+        groupCols.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k))
+          ++ Seq((coalesce(col(s"m.$RowsCol"), lit(0L))
+            + col(s"d.delta_rows")).as(RowsCol))
+          ++ valueCols.map(c =>
+            (coalesce(col(s"m.sum_$c"), lit(0).cast(
+              deltas.schema(s"delta_$c").dataType))
+              + coalesce(col(s"d.delta_$c"), lit(0)))
+              .as(s"sum_$c"))
+          ++ extraCols: _*)
+      .filter(col(RowsCol) > 0)
+    ManifestTable.mergeBatch(new File(martRoot), qid, batchId,
+      Seq(TableBatch(martTable, merged, groupCols, numBuckets,
+        deleteKeys =
+          Some(deltas.select(groupCols.map(col).toIndexedSeq: _*)),
+        changeFeed = changeFeed, props = props)))
   }
 
   /** One-shot batch refresh — the SQL surface's `CREATE/REFRESH
@@ -285,7 +310,8 @@ object IncrementalMart {
   def refreshMart(spark: SparkSession, root: File, source: String,
       mart: String, groupCols: Seq[String] = Nil,
       valueCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      minCols: Seq[String] = Nil, numBuckets: Int = 8): Long = {
+      minCols: Seq[String] = Nil, numBuckets: Int = 8,
+      changeFeed: Boolean = false): Long = {
     import graft.plans.MartRewriteRule
     val m = ManifestTable.read(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest under $root"))
@@ -314,7 +340,10 @@ object IncrementalMart {
       maxCols =
         if (maxCols.nonEmpty) maxCols else recorded(MartRewriteRule.MaxCols),
       minCols =
-        if (minCols.nonEmpty) minCols else recorded(MartRewriteRule.MinCols))
+        if (minCols.nonEmpty) minCols else recorded(MartRewriteRule.MinCols),
+      // keep an already-feed-active mart cascading: a maintenance commit
+      // without the flag would RESET the mart's own change feed
+      changeFeed = changeFeed || martTs.feedFrom >= 0)
     val from = martTs.props.get(MartRewriteRule.SourceVersion)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .map(_ + 1).getOrElse(src.feedFrom)

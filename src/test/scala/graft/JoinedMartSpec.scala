@@ -1,0 +1,231 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, ManifestFileIndex, ManifestTable}
+import graft.sources.ManifestTable.TableBatch
+import graft.streaming.JoinedMart
+
+/** Join-aware marts ([[graft.streaming.JoinedMart]]): a (fact ⋈ dim)
+  * rollup maintained incrementally from BOTH change feeds — fact churn,
+  * dim attribute migration, dim key multiplicity — always equal to the
+  * direct join-aggregate, and substituted into matching queries with
+  * the join ELIMINATED ([[graft.plans.MartRewriteRule]]'s joined-mart
+  * shape), falling back the moment either side is stale.
+  */
+class JoinedMartSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  /** The graft tables the optimized plan actually scans. */
+  private def scannedTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: ManifestFileIndex => idx.tableName
+          case _ => "?"
+        }
+        case _ => "?"
+      }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name()
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.scan match {
+          case b: graft.sources.GraftBatchScan => b.index.tableName
+          case _ => "?"
+        }
+    }
+
+  // fact: orders(o_id PK, o_custkey FK, o_status, o_price cents)
+  private def orders(rs: Seq[(Long, Long, String, Long)]): DataFrame =
+    rs.toDF("o_id", "o_custkey", "o_status", "o_price")
+  // dim: customer(c_id PK, c_custkey join key — NOT unique, so key
+  // multiplicity is a first-class case — c_mktsegment attribute)
+  private def customers(rs: Seq[(Long, Long, String)]): DataFrame =
+    rs.toDF("c_id", "c_custkey", "c_mktsegment")
+
+  /** Root with feed-active orders + customer and the joined mart built. */
+  private def build(): String = {
+    val root = tmp("graft_jm")
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 60L).map(i =>
+          (i, i % 10, if (i % 3 == 0) "OPEN" else "FILLED", i * 100L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 8L).map(c =>
+          (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm",
+      srcKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      srcGroupCols = Seq("o_status"), dimGroupCols = Seq("c_mktsegment"),
+      valueCols = Seq("o_price"), numBuckets = 2)
+    root
+  }
+
+  private def raw(root: String, t: String): DataFrame =
+    spark.read.format("graft").option("path", root).option("table", t).load()
+
+  /** Direct join-aggregate over the live tables, rewrite disabled. */
+  private def oracle(root: String): Set[(String, String, Long, Long)] = {
+    spark.conf.set("spark.graft.martRewrite", "false")
+    try raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_status", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    finally spark.conf.unset("spark.graft.martRewrite")
+  }
+
+  private def martState(root: String): Set[(String, String, Long, Long)] =
+    raw(root, "jm").collect()
+      .map(r => (r.getAs[String]("o_status"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("sum_o_price")))
+      .toSet
+
+  test("base build equals the direct join-aggregate; fact churn (insert + group-migrating update + delete) folds exactly from the feeds") {
+    val root = build()
+    assert(martState(root) == oracle(root), "base build")
+
+    // fact churn: new orders, status flips (group migration on the
+    // source side), deletes — one merge commit, feed kept alive
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("orders",
+        orders(Seq(
+          (100L, 3L, "OPEN", 5000L), (101L, 4L, "FILLED", 7000L),
+          (0L, 0L, "FILLED", 999L), // update: status + price moved
+          (9L, 9L, "CANCELLED", 0L))), // update into a brand-new group
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(6L, 12L).toDF("o_id")))))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(martState(root) == oracle(root), "after fact churn")
+  }
+
+  test("dim churn folds without rescanning the fact table's grain: attribute migration moves every affected key's rollup, deletes drop it, late dim inserts surface previously unmatched facts, duplicate dim keys multiply") {
+    val root = build()
+
+    // one dim commit carrying all four cases:
+    //  - customer 1 flips CORP → RETAIL (attribute migration)
+    //  - customer 2 deleted (its orders leave the inner join)
+    //  - customer 8 appears (no orders yet — harmless)
+    //  - a SECOND row for custkey 3 (multiplicity: its orders count twice)
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("customer",
+        customers(Seq((1L, 1L, "RETAIL"), (8L, 8L, "GOV"),
+          (100L, 3L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true,
+        deleteKeys = Some(Seq(2L).toDF("c_id")))))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(martState(root) == oracle(root), "after dim churn")
+
+    // both sides churn in ONE unfolded range: the two IVM terms
+    // (ΔP ⋈ D_old, P_new ⋈ ΔD) must not double-count the key both touch
+    ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
+      TableBatch("orders",
+        orders(Seq((200L, 5L, "OPEN", 1111L), (3L, 5L, "OPEN", 333L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    ManifestTable.mergeBatch(new File(root), "q", 3L, Seq(
+      TableBatch("customer", customers(Seq((5L, 5L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(martState(root) == oracle(root), "after mixed churn")
+
+    // idempotent: nothing new → no commit
+    val v = ManifestTable.read(new File(root)).get.version
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(ManifestTable.read(new File(root)).get.version == v)
+  }
+
+  test("matching aggregate-over-join queries plan onto the joined mart with the join ELIMINATED; either side's unfolded commit disables it until the next refresh") {
+    val root = build()
+    def q: DataFrame = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_status")
+      .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+    assert(scannedTables(q) == Seq("jm"),
+      s"expected the joined-mart scan, got ${scannedTables(q)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(q.collect().map(_.toString).toSet == direct)
+
+    // group-column filters on EITHER side ride along on the mart
+    val f = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "CORP" && col("o_status") =!= "OPEN")
+      .groupBy("o_status").agg(sum("o_price").as("sv"))
+    assert(scannedTables(f) == Seq("jm"))
+    val fDirect = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try f.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(f.collect().map(_.toString).toSet == fDirect)
+
+    // non-derivable shapes fall through to the (partial ⋈ dim) join
+    // rewrite or the source join — never a wrong answer: grouping by a
+    // NON-declared dim attribute (c_id is not a mart dim group col)
+    val ng = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_id").agg(count(lit(1)).as("n"))
+    assert(!scannedTables(ng).contains("jm"))
+
+    // a dim commit stales the joined mart (old attribute values would
+    // leak); the fact side still has a fresh PARTIAL, so the join-shape
+    // rewrite keeps answering from (jm_partial ⋈ customer)
+    ManifestTable.mergeBatch(new File(root), "q", 7L, Seq(
+      TableBatch("customer", customers(Seq((1L, 1L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    assert(scannedTables(q).toSet == Set("jm_partial", "customer"),
+      s"expected partial ⋈ dim fallback, got ${scannedTables(q)}")
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(scannedTables(q) == Seq("jm"))
+
+    // a fact commit stales BOTH the joined mart and the partial
+    ManifestTable.mergeBatch(new File(root), "q", 8L, Seq(
+      TableBatch("orders", orders(Seq((300L, 1L, "OPEN", 42L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    assert(scannedTables(q).toSet == Set("orders", "customer"))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(scannedTables(q) == Seq("jm"))
+    assert(q.collect().map(_.toString).toSet
+      == martState(root).map(t => s"[${t._2},${t._1},${t._3},${t._4}]"))
+  }
+
+  test("CALL graft.system.refresh_joined_mart: SQL surface declares, builds, and re-refreshes with the recorded declaration") {
+    val root = tmp("graft_jm_call")
+    val ns = new File(root).getName
+    spark.conf.set("spark.sql.catalog.jmc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.jmc.warehouse", new File(root).getParent)
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 30L).map(i => (i, i % 5, "OPEN", i * 10L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 5L).map(c => (c, c, s"S$c"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    spark.sql(s"CALL jmc.system.refresh_joined_mart('$ns', 'orders', " +
+      "'customer', 'jm', 'o_custkey', 'c_custkey', 'o_status', " +
+      "'c_mktsegment', 'o_price')").collect()
+    assert(martState(root) == oracle(root))
+
+    // recorded declaration: later calls pass empty column lists
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("customer", customers(Seq((0L, 0L, "MOVED"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    spark.sql(s"CALL jmc.system.refresh_joined_mart('$ns', 'orders', " +
+      "'customer', 'jm', '', '', '', '', '')").collect()
+    assert(martState(root) == oracle(root))
+  }
+}
