@@ -1172,6 +1172,54 @@ object ManifestTable {
       throw new ConcurrentCommitException(version)
   }
 
+  /** Can a race-losing [[mergeBatch]] attempt's staged update — derived
+    * against `base` — be rebased onto the table's new state `now`
+    * without re-deriving? Yes when the winner left the table alone, or
+    * changed only what the staged work never read: same layout (schema,
+    * keys, bucketing, stats/search declarations, props), same
+    * outstanding deltas (a new delta would re-apply OVER our rewritten
+    * base in reconcile order), same feed origin (a reset feed changes
+    * what our change entries mean), and a changed-bucket set disjoint
+    * from the buckets we rewrote.
+    */
+  private def rebasableUpdate(base: TableState, now: TableState,
+      upd: TableUpdate): Boolean =
+    now == base || {
+      val layoutSame = now.schemaJson == base.schemaJson &&
+        now.mergeKeys == base.mergeKeys &&
+        now.numBuckets == base.numBuckets &&
+        now.statsCols == base.statsCols &&
+        now.searchCols == base.searchCols &&
+        now.props == base.props
+      layoutSame && now.deltas == base.deltas &&
+        now.feedFrom == base.feedFrom &&
+        !changedBuckets(now, base).exists(upd.buckets.keySet)
+    }
+
+  /** Rename a staged update's generation (and change) dirs onto a new
+    * target version and return the update with rewritten paths — None
+    * if any rename fails (a concurrent GC swept a dir: the caller
+    * restages from scratch; already-renamed dirs become orphans under
+    * the NEW version name, which the in-flight guard holds until a
+    * commit at that version decides them).
+    */
+  private def rebaseStaged(root: File, upd: TableUpdate, newV: Long)
+      : Option[TableUpdate] = {
+    def renamed(path: String): Option[String] = {
+      val dir = new File(root, path)
+      val newName = dir.getName.replaceFirst("-v\\d+-", s"-v$newV-")
+      if (newName == dir.getName) Some(path)
+      else if (dir.renameTo(new File(dir.getParentFile, newName)))
+        Some(path.take(path.lastIndexOf('/') + 1) + newName)
+      else None
+    }
+    val buckets = upd.buckets.map { case (b, gens) =>
+      b -> gens.map(g => g.copy(path = renamed(g.path).getOrElse(return None)))
+    }
+    val chg = upd.changePath.map(p => renamed(p).getOrElse(return None))
+    Some(upd.copy(buckets = buckets, changePath = chg))
+  }
+
   private[sources] def retainVersionsOf(ts: TableState): Int =
     intProp(ts, "retainVersions", RetainVersions)
 
@@ -1403,14 +1451,17 @@ object ManifestTable {
     if (tableDirs != null) tableDirs.filter(_.isDirectory).foreach { td =>
       td.listFiles
         .filterNot(d => live.contains(s"data/${td.getName}/${d.getName}"))
-        // in-flight guard: a dir named for a version NEWER than the one
-        // this GC runs under belongs to a concurrent writer that may
-        // still legitimately commit it — deleting it would corrupt that
-        // commit. Dirs at or below the current version are decided: they
-        // are committed (then referenced, kept above) or they lost the
-        // race / crashed (their version's v-file exists or never will
-        // under a colliding writer) — safe to collect.
-        .filter(d => dirVersion(d.getName) <= m.version)
+        // in-flight guard: a dir named for a version AT OR ABOVE the one
+        // this GC runs under may belong to a concurrent writer that can
+        // still use it — a version strictly newer is an in-flight commit
+        // target, and a dir AT this version is a same-version race
+        // loser's staged rewrite, which the loser's retry REBASES onto
+        // its next attempt (renaming it) when the conflict was
+        // bucket-disjoint. Dirs strictly below the current version are
+        // decided: committed (then referenced, kept above) or abandoned
+        // (the retry either renamed them away or restaged) — safe to
+        // collect.
+        .filter(d => dirVersion(d.getName) < m.version)
         .foreach(sweep)
     }
     // version-file sweep anchor: every retained version must stay
@@ -2245,6 +2296,20 @@ object ManifestTable {
       batches: Seq[TableBatch]): Unit = {
     var attempt = 0
     var committed: Option[Manifest] = None
+    // staged bucket rewrites carried ACROSS OCC retries: per table, the
+    // TableState the work was derived against and the written update. A
+    // retry REUSES them (renaming the generation dirs onto the new
+    // target version) when the interleaved winner provably shares
+    // nothing with them — layout identical, no new deltas, changed
+    // buckets disjoint from ours. This is the snapshot-isolation
+    // narrowing the row-level verbs gate behind a table property,
+    // sound here UNCONDITIONALLY: a bucket rewrite reads only its own
+    // bucket's generations, so re-deriving against the new manifest
+    // would reproduce identical work for buckets the winner never
+    // touched. Contending writers on disjoint keys stop paying
+    // rebase-restage; the same-bucket case restages exactly as before.
+    val staged = scala.collection.mutable.Map.empty[
+      String, (TableState, TableUpdate)]
     while (committed.isEmpty) {
       // a copy-on-write bucket rewrite reads base generation bytes
       // directly: fold any outstanding merge-on-read deltas first so
@@ -2259,7 +2324,16 @@ object ManifestTable {
       val nonce = newNonce()
       try {
         val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
-          mergeTable(root, manifest, nonce, tb).map(tb.name -> _)
+          val prev = manifest.table(tb.name)
+          val reused = staged.get(tb.name).flatMap { case (base, upd) =>
+            if (rebasableUpdate(base, prev, upd))
+              rebaseStaged(root, upd, manifest.version + 1)
+            else None
+          }
+          staged.remove(tb.name)
+          val update = reused.orElse(mergeTable(root, manifest, nonce, tb))
+          update.foreach(u => staged += tb.name -> ((prev, u)))
+          update.map(tb.name -> _)
         }.toMap
         commitFaultInjector(root, manifest.version)
         // an all-empty micro-batch (Spark does deliver them) must NOT

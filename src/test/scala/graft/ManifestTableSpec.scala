@@ -749,6 +749,76 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(root).get.version == 2L * perWriter)
   }
 
+  test("OCC narrowing: a bucket-disjoint race loser rebases its STAGED generations by rename (path identity) instead of re-deriving; a same-bucket loser restages") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val t = ManifestTable.DefaultTable
+    // keys by their writer-hash bucket (4 buckets), so the injected
+    // winner's footprint is chosen deliberately
+    val byBucket: Map[Long, Seq[Long]] = (0L until 40L)
+      .map(i => (spark.range(i, i + 1)
+        .select(pmod(xxhash64(col("id")), lit(4))).head.getLong(0), i))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def keyed(ids: Seq[Long], day: Int): DataFrame =
+      rows(0 until 1, day).sparkSession.createDataFrame(
+        ids.map(i => (i, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"),
+          i % 7, s"type${i % 3}", i * 1.5))
+          .toDF("event_id", "ts", "user_id", "event_type", "value").rdd,
+        rows(0 until 1, day).schema)
+
+    def race(winnerIds: Seq[Long], loserIds: Seq[Long])
+        : (Set[String], Seq[String]) = {
+      val target = tmp("graft_occ_narrow")
+      val root = new File(target)
+      ManifestTable.mergeBatch(root, "seed", 0L, Seq(
+        TableBatch(t, keyed((0L until 40L).toSeq, 1), Seq("event_id"), 4)))
+      @volatile var injected = false
+      @volatile var stagedNames: Set[String] = Set.empty
+      ManifestTable.commitFaultInjector = (r, v) =>
+        if (!injected && r.getCanonicalPath == root.getCanonicalPath) {
+          injected = true
+          // the loser's freshly staged dirs target version v+1
+          stagedNames = new File(root, s"data/$t").listFiles
+            .map(_.getName).filter(_.contains(s"-v${v + 1}-")).toSet
+          ManifestTable.mergeBatch(root, "winner", 0L, Seq(
+            TableBatch(t, keyed(winnerIds, 2), Seq("event_id"), 4)))
+        }
+      try ManifestTable.mergeBatch(root, "loser", 0L, Seq(
+        TableBatch(t, keyed(loserIds, 3), Seq("event_id"), 4)))
+      finally ManifestTable.commitFaultInjector = (_, _) => ()
+      assert(injected)
+      // both batches landed exactly once regardless of the race
+      val now = ManifestTable.readTable(spark, target).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[java.sql.Timestamp]("ts").toString.take(10)).toMap
+      winnerIds.foreach(i => assert(now(i) == "2024-03-02", s"winner key $i"))
+      loserIds.foreach(i => assert(now(i) == "2024-03-03", s"loser key $i"))
+      val m = ManifestTable.read(root).get
+      val loserBuckets = loserIds.map(i =>
+        byBucket.find(_._2.contains(i)).get._1).distinct
+      val committed = loserBuckets.flatMap(b =>
+        m.table(t).buckets(b).map(g => new File(g.path).getName))
+      (stagedNames, committed)
+    }
+
+    // disjoint buckets: the loser's committed generations ARE its staged
+    // dirs, renamed one version up — same nonce, nothing re-derived
+    val bA = byBucket.keys.head
+    val bB = byBucket.keys.find(_ != bA).get
+    val (staged1, committed1) = race(
+      winnerIds = byBucket(bB).take(2), loserIds = byBucket(bA).take(2))
+    val expectRenamed = staged1.map(_.replaceFirst("-v\\d+-", "-v3-"))
+    assert(committed1.toSet subsetOf expectRenamed,
+      s"expected renamed staged dirs $expectRenamed, committed $committed1")
+
+    // same bucket: the loser must re-derive against the winner's rows —
+    // a fresh nonce, not a rename of the staged dirs
+    val (staged2, committed2) = race(
+      winnerIds = byBucket(bA).take(2), loserIds = byBucket(bA).drop(2).take(2))
+    val renamed2 = staged2.map(_.replaceFirst("-v\\d+-", "-v3-"))
+    assert(committed2.toSet.intersect(renamed2).isEmpty,
+      s"same-bucket loser must restage, got rename reuse: $committed2")
+  }
+
   test("race-casualty classifier: every GC-inflicted write-failure shape with the manifest moved rebases and retries (deterministic injection)") {
     // the round-5 flake reproduced without thread-timing roulette: after a
     // loser's generation dirs are written, a competing commit moves the
