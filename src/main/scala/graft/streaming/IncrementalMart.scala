@@ -183,7 +183,11 @@ object IncrementalMart {
                   val removed = groupRows(chg.filter(
                     col(ManifestTable.ChangeTypeCol)
                       .isin("delete", "update_preimage")))
-                  snapR.exceptAll(added).union(removed)
+                  // union BEFORE subtracting (and multiset unionAll):
+                  // subtract-first floors at zero when a row was both
+                  // inserted and re-updated inside (pinV, r], resurrecting
+                  // its intermediate image
+                  snapR.unionAll(removed).exceptAll(added)
               }
             val rcAggs = cfg.maxCols.map(c => max(col(c)).as(s"rc_max_$c")) ++
               cfg.minCols.map(c => min(col(c)).as(s"rc_min_$c"))

@@ -153,8 +153,14 @@ object JoinedMart {
     // unrefreshed longer than the feed window): overwrite replaces the
     // stale state wholesale in one atomic commit.
     def rebuild(overwrite: Boolean): Unit = {
-      val p = ManifestTable.readTable(spark, root.toString, table = partial)
-      val d = ManifestTable.readTable(spark, root.toString, table = dim)
+      // pin BOTH reads to the stamped watermark v1: a commit landing
+      // between the manifest read and these table reads would otherwise
+      // be included in the rebuild yet stamped unfolded — and the next
+      // refresh would fold its feed range a second time
+      val p = ManifestTable.readTable(spark, root.toString,
+        version = Some(v1), table = partial)
+      val d = ManifestTable.readTable(spark, root.toString,
+        version = Some(v1), table = dim)
       val rows = p.join(d, keyCond(p, d))
         .groupBy((sg.map(p(_)) ++ dg.map(d(_))): _*)
         .agg(sum(p(IncrementalMart.RowsCol)).as(IncrementalMart.RowsCol),
@@ -202,7 +208,11 @@ object JoinedMart {
                 val removed = dD.filter(col(ManifestTable.ChangeTypeCol)
                   .isin("delete", "update_preimage"))
                   .select(dCols.map(col): _*)
-                dNow.exceptAll(added).unionAll(removed)
+                // union BEFORE subtracting: a key inserted at v_i and
+                // updated at v_j (both in the unfolded range) must
+                // reconstruct to {} — subtract-first floors the multiset
+                // at zero and resurrects the pre-update row
+                dNow.unionAll(removed).exceptAll(added)
             }
           val pNow = ManifestTable.readTable(spark, root.toString,
             version = Some(v1), table = partial)

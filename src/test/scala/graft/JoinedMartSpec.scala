@@ -145,6 +145,42 @@ class JoinedMartSpec extends SparkSpec {
     assert(ManifestTable.read(new File(root)).get.version == v)
   }
 
+  test("aged-feed D_old reconstruction: a dim key inserted THEN updated inside the unfolded range reconstructs to ABSENT at the old watermark (multiset inversion order)") {
+    val root = build()
+    val from = ManifestTable.read(new File(root)).get.version
+
+    // dim key 20 is born at from+1 and updated at from+2 — BOTH inside
+    // the range the next refresh must unfold. D_old (the dim AS OF
+    // `from`) must reconstruct to {} for key 20; a subtract-first
+    // inversion (dNow − added + removed) floors at zero and resurrects
+    // the insert-image ("GOV"), crediting ΔP deltas to a dim group that
+    // did not exist at the watermark.
+    ManifestTable.mergeBatch(new File(root), "q", 10L, Seq(
+      TableBatch("customer", customers(Seq((20L, 20L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    ManifestTable.mergeBatch(new File(root), "q", 11L, Seq(
+      TableBatch("customer", customers(Seq((20L, 20L, "GOV2"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    // fact churn for the churned key, so the ΔP ⋈ D_old term has rows
+    // that WOULD land on the resurrected group
+    ManifestTable.mergeBatch(new File(root), "q", 12L, Seq(
+      TableBatch("orders",
+        orders(Seq((500L, 20L, "OPEN", 4000L), (501L, 20L, "FILLED", 6000L))),
+        Seq("o_id"), 4, changeFeed = true)))
+
+    // the three commits above + the refresh's own partial commit age
+    // `from` out of SNAPSHOT retention while the change feed (wider
+    // window) still serves the range — forcing the reconstruction path
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    intercept[java.io.FileNotFoundException] {
+      ManifestTable.readTable(spark, root, Some(from), table = "customer")
+    }
+    val state = martState(root)
+    assert(!state.exists(_._2 == "GOV"),
+      s"resurrected dim group credited with partial deltas: $state")
+    assert(state == oracle(root), "after insert-then-update dim churn")
+  }
+
   test("matching aggregate-over-join queries plan onto the joined mart with the join ELIMINATED; either side's unfolded commit disables it until the next refresh") {
     val root = build()
     def q: DataFrame = raw(root, "orders")

@@ -902,7 +902,7 @@ class ManifestTableSpec extends SparkSpec {
     } finally ManifestTable.commitFaultInjector = (_, _) => ()
   }
 
-  test("GC's in-flight guard: dirs named for a version newer than the GC's own are left for the writer that may still commit them") {
+  test("GC's in-flight guard: dirs named for a version at-or-above the GC's own are left for the writer that may still commit or rebase them") {
     val target = tmp("graft_occ3")
     val root = new File(target)
     ManifestTable.mergeBatch(root, "q", 0L, Seq(
@@ -911,23 +911,39 @@ class ManifestTableSpec extends SparkSpec {
     val v = ManifestTable.read(root).get.version
 
     // an in-flight concurrent writer's dir (version v+1, not yet
-    // committed) and a decided orphan (version v, lost or crashed)
+    // committed) and a same-version dir (version v): the latter may be a
+    // race loser's staged rewrite that its retry will REBASE (rename)
+    // onto the next attempt when the conflict was bucket-disjoint, so GC
+    // must not sweep it until some commit has decided a version ABOVE it
     val inflight = new File(root, s"data/t/b0-v${v + 1}-deadbeef")
-    val decided = new File(root, s"data/t/b0-v$v-cafebabe")
+    val sameVer = new File(root, s"data/t/b0-v$v-cafebabe")
     rows(90 until 92, 1).write.parquet(inflight.toString)
-    rows(90 until 92, 1).write.parquet(decided.toString)
+    rows(90 until 92, 1).write.parquet(sameVer.toString)
 
     ManifestTable.gc(root, ManifestTable.read(root).get)
     assert(inflight.exists,
       "GC deleted a dir a concurrent writer may still commit")
-    assert(!decided.exists, "GC kept a decided orphan")
+    assert(sameVer.exists,
+      "GC deleted a same-version dir a race loser's retry may still rebase")
 
-    // once ANY commit decides version v+1, the in-flight dir (its writer
-    // lost or crashed) becomes collectible at the next GC
+    // once ANY commit decides version v+1, the v-named dir is decided
+    // (committed-and-referenced dirs are kept by liveness, not by the
+    // version guard) and becomes collectible at that commit's own GC;
+    // the v+1-named dir is still a potential same-version race loser
     ManifestTable.mergeBatch(root, "q", 1L, Seq(
       TableBatch(ManifestTable.DefaultTable, rows(10 until 20, 1),
         Seq("event_id"), 2)))
-    assert(!inflight.exists, "decided orphan survived the next commit's GC")
+    assert(!sameVer.exists, "decided orphan survived the next commit's GC")
+    assert(inflight.exists,
+      "GC deleted a dir named for the just-committed version that a race loser may still rebase")
+
+    // one more commit (v+2) decides v+1 — now the crashed writer's dir
+    // at v+1 is collectible
+    ManifestTable.mergeBatch(root, "q", 2L, Seq(
+      TableBatch(ManifestTable.DefaultTable, rows(20 until 30, 1),
+        Seq("event_id"), 2)))
+    assert(!inflight.exists,
+      "crashed in-flight dir survived a commit past its version")
   }
 
   test("change-feed stream: AvailableNow drains exactly the committed deltas and a checkpointed restart never replays") {
@@ -1289,6 +1305,64 @@ class ManifestTableSpec extends SparkSpec {
       .filter(col("grp") === "g2").select("max_value").head.getDouble(0)
     assert(midMax == 84.0, // next-best after 59's 88.5 was retracted
       s"aged-out pin recompute produced a wrong extremum: $midMax")
+    IncrementalMart.applyBatch(cfg,
+      ManifestTable.readChangeFeed(spark, src, pinV + 1, Some(live)), 1L)
+
+    val expected = ManifestTable.readTable(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("value").as("sum_value"), max("value").as("max_value"),
+        min("value").as("min_value"))
+      .collect().map(_.toString).toSet
+    val martRows = ManifestTable.readTable(spark, mart)
+      .collect().map(_.toString).toSet
+    assert(martRows == expected)
+  }
+
+  test("incremental mart: aged-pin recompute stays exact when rows were inserted-then-updated and inserted-then-deleted INSIDE the unfolded feed range (multiset inversion order)") {
+    import graft.streaming.IncrementalMart
+    val src = tmp("graft_marty2_src")
+    val mart = tmp("graft_marty2_tgt")
+    val srcRoot = new File(src)
+    val t = ManifestTable.DefaultTable
+    def feed(b: Long, df: DataFrame, deletes: Option[DataFrame] = None): Unit =
+      ManifestTable.mergeBatch(srcRoot, "q", b, Seq(
+        TableBatch(t, df, Seq("event_id"), 4, deleteKeys = deletes,
+          changeFeed = true)))
+    def mk(rs: Seq[(Long, String, Double)]): DataFrame =
+      rs.toDF("event_id", "grp", "value")
+
+    // v1 inserts; v2 (the pin) DELETES g2's reigning max (59 → 88.5);
+    // then, inside the range the feed inversion must reconstruct AWAY:
+    //  v3 inserts an extreme g2 row, v4 updates it down (insert→update),
+    //  v5 inserts another extreme g2 row, v6 deletes it (insert→delete).
+    // A subtract-first reconstruction (snapR − added + removed) floors
+    // the multiset at zero and RESURRECTS the v3 preimage (1000.0) and
+    // the v5 image (2000.0) into the reconstructed pin snapshot.
+    feed(0L, mk((0L until 60L).map(i => (i, s"g${i % 3}", i * 1.5))))
+    feed(1L, mk(Nil), deletes = Some(Seq(59L).toDF("event_id")))
+    feed(2L, mk(Seq((400L, "g2", 1000.0))))
+    feed(3L, mk(Seq((400L, "g2", 5.0))))
+    feed(4L, mk(Seq((401L, "g2", 2000.0))))
+    feed(5L, mk(Nil), deletes = Some(Seq(401L).toDF("event_id")))
+    (0 until 2).foreach(i => feed(6L + i, mk(Seq((500L + i, "g0", 10.0 + i)))))
+    val live = ManifestTable.read(srcRoot).get.version
+    val pinV = 2L
+    val r = live - ManifestTable.RetainVersions + 1
+    assert(r > pinV, "setup failed to age the pin out of snapshot retention")
+    assert(r >= 6L, "setup: the churn commits must sit inside (pinV, r]")
+    intercept[java.io.FileNotFoundException] {
+      ManifestTable.readTable(spark, src, Some(pinV))
+    }
+
+    val cfg = IncrementalMart.Config(src, mart,
+      groupCols = Seq("grp"), valueCols = Seq("value"), numBuckets = 4,
+      maxCols = Seq("value"), minCols = Seq("value"))
+    IncrementalMart.applyBatch(cfg,
+      ManifestTable.readChangeFeed(spark, src, 1L, Some(pinV)), 0L)
+    val midMax = ManifestTable.readTable(spark, mart)
+      .filter(col("grp") === "g2").select("max_value").head.getDouble(0)
+    assert(midMax == 84.0, // 56 * 1.5; NOT the resurrected 1000.0/2000.0
+      s"aged-pin recompute resurrected churned rows: $midMax")
     IncrementalMart.applyBatch(cfg,
       ManifestTable.readChangeFeed(spark, src, pinV + 1, Some(live)), 1L)
 
