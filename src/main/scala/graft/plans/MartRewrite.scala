@@ -4,13 +4,13 @@ import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when, max => fmax, min => fmin, sum => fsum}
 
 import graft.sources.{GraftSqlTable, ManifestFileIndex, ManifestTable}
 import graft.streaming.IncrementalMart
@@ -39,14 +39,18 @@ import graft.streaming.IncrementalMart
   *    with the group-level rollup).
   *  - **derivable**: every aggregate is `count(*)` → `sum(n_rows)` (the
   *    partial-count roll-up, coalesced to 0 for the global-empty case),
-  *    `sum(x)` over a NON-NULLABLE `martValueCols` column →
-  *    `sum(sum_x)`, or `min`/`max` over a declared extremum column →
-  *    `min(min_x)`/`max(max_x)`. No DISTINCT, no FILTER clauses.
-  *    `sum` requires non-nullability because the mart's incremental fold
-  *    (like every count-free incremental view maintenance scheme) cannot
-  *    distinguish an all-NULL group (SQL sum = NULL) from a zero-sum
-  *    group; `avg`/`count(col)` are underivable for the same reason —
-  *    they'd need per-column non-null counts the mart doesn't carry.
+  *    `sum(x)` over a `martValueCols` column → `sum(sum_x)`,
+  *    `count(x)` → `sum(cnt_x)` (the per-column non-null partial the
+  *    fold carries; a GROUPING column's count is `n_rows` over its
+  *    non-null groups — its value is constant within a group),
+  *    `avg(x)` → `sum(sum_x) / sum(cnt_x)`, or `min`/`max` over a
+  *    declared extremum column → `min(min_x)`/`max(max_x)`. No
+  *    DISTINCT, no FILTER clauses. A NULLABLE `sum`/`avg` guards on
+  *    `sum(cnt_x) > 0` so the all-NULL group keeps SQL semantics
+  *    (sum = NULL, not the fold's stored 0); `avg` over DECIMAL falls
+  *    through — Spark's `Average` divides at a fixed intermediate
+  *    precision a re-derived sum/cnt division is not bit-guaranteed to
+  *    reproduce.
   *
   * The rewrite scales the query's cost from the SOURCE's size to the
   * mart's (≈ distinct groups): at 100 TB the ops rollup the reference
@@ -199,18 +203,56 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     // derivability: map each output expression to a mart-side Column
     def mapAgg(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def cnt(name: String): Option[Column] =
+        if (valueCols.contains(name) && martFields.contains(s"cnt_$name"))
+          Some(col(s"cnt_$name"))
+        else None
       ae.aggregateFunction match {
         case c: Count if c.children.forall(_.foldable) &&
             martFields.contains(IncrementalMart.RowsCol) =>
           Some(coalesce(fsum(col(IncrementalMart.RowsCol)), lit(0L)))
+        case c: Count => c.children match {
+          case Seq(ar: AttributeReference) =>
+            // count(x): the summed non-null partials; a GROUPING column
+            // counts n_rows over its non-null groups (its value is
+            // constant within a group)
+            cnt(ar.name).map(cc => coalesce(fsum(cc), lit(0L)))
+              .orElse {
+                if (groupCols.contains(ar.name) &&
+                    martFields.contains(IncrementalMart.RowsCol))
+                  Some(coalesce(fsum(when(col(ar.name).isNotNull,
+                    col(IncrementalMart.RowsCol)).otherwise(lit(0L))),
+                    lit(0L)))
+                else None
+              }
+          case _ => None
+        }
         case s: Sum => s.child match {
           case ar: AttributeReference
               if valueCols.contains(ar.name) &&
-                martFields.contains(s"sum_${ar.name}") &&
-                !srcSchema(ar.name).nullable =>
+                martFields.contains(s"sum_${ar.name}") =>
             // re-summing the partials may widen the type again (decimal
-            // p+10 → p+20); cast back to the direct aggregate's type
-            Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+            // p+10 → p+20); cast back to the direct aggregate's type.
+            // A nullable column guards on the non-null partial count so
+            // an all-NULL group answers NULL (the fold stores 0)
+            if (!srcSchema(ar.name).nullable)
+              Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+            else cnt(ar.name).map(cc => when(fsum(cc) > 0,
+              fsum(col(s"sum_${ar.name}")).cast(ae.dataType)))
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference
+              if valueCols.contains(ar.name) &&
+                martFields.contains(s"sum_${ar.name}") &&
+                !ar.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+            // avg = re-summed sum / re-summed non-null count; guarded so
+            // an empty/all-NULL group answers NULL. DECIMAL is gated in
+            // the match: Average divides at a fixed intermediate
+            // precision this re-derivation is not bit-guaranteed to hit
+            cnt(ar.name).map(cc => when(fsum(cc) > 0,
+              (fsum(col(s"sum_${ar.name}")) / fsum(cc)).cast(ae.dataType)))
           case _ => None
         }
         case m: Max => m.child match {
@@ -461,20 +503,53 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     if (gNames.exists(n =>
       mAttrs.get(n).forall(_.dataType != sideType(n)))) return None
 
-    // derivability: the additive set only (the joined mart maintains
-    // count + sums; extrema fall through to the join-shape rewrite)
+    // derivability: the additive set only (count + sums + non-null
+    // counts, so count(x)/avg derive too; extrema fall through to the
+    // join-shape rewrite)
     def mapAgg(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def cnt(ar: AttributeReference): Option[Column] =
+        if (srcOut.contains(ar) && valueCols.contains(ar.name) &&
+            martFields.contains(s"cnt_${ar.name}"))
+          Some(col(s"cnt_${ar.name}"))
+        else None
       ae.aggregateFunction match {
         case c: Count if c.children.forall(_.foldable) &&
             martFields.contains(IncrementalMart.RowsCol) =>
           Some(coalesce(fsum(col(IncrementalMart.RowsCol)), lit(0L)))
+        case c: Count => c.children match {
+          case Seq(ar: AttributeReference) =>
+            cnt(ar).map(cc => coalesce(fsum(cc), lit(0L)))
+              .orElse {
+                // a grouping column (either side) counts n_rows over its
+                // non-null groups
+                if (gNames.contains(ar.name) &&
+                    martFields.contains(IncrementalMart.RowsCol))
+                  Some(coalesce(fsum(when(col(ar.name).isNotNull,
+                    col(IncrementalMart.RowsCol)).otherwise(lit(0L))),
+                    lit(0L)))
+                else None
+              }
+          case _ => None
+        }
         case s: Sum => s.child match {
           case ar: AttributeReference
               if srcOut.contains(ar) && valueCols.contains(ar.name) &&
+                martFields.contains(s"sum_${ar.name}") =>
+            if (!srcSchema(ar.name).nullable)
+              Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+            else cnt(ar).map(cc => when(fsum(cc) > 0,
+              fsum(col(s"sum_${ar.name}")).cast(ae.dataType)))
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) && valueCols.contains(ar.name) &&
                 martFields.contains(s"sum_${ar.name}") &&
-                !srcSchema(ar.name).nullable =>
-            Some(fsum(col(s"sum_${ar.name}")).cast(ae.dataType))
+                !ar.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+            cnt(ar).map(cc => when(fsum(cc) > 0,
+              (fsum(col(s"sum_${ar.name}")) / fsum(cc)).cast(ae.dataType)))
           case _ => None
         }
         case _ => None
@@ -610,19 +685,57 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     if (typedNames.exists(n => mAttrs.get(n)
         .forall(_.dataType != srcSchema(n).dataType))) return None
 
-    // derivability: aggregate functions over SOURCE attributes only
+    // derivability: aggregate functions over SOURCE attributes only.
+    // Join multiplicity distributes over count/sum/cnt partials alike
+    // (each mart row's partials count once per matched dim row), so
+    // count(x) and avg(x) derive exactly like sum
     def mapAgg(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def cnt(ar: AttributeReference): Option[Column] =
+        if (srcOut.contains(ar) && valueCols.contains(ar.name))
+          mCol(s"cnt_${ar.name}")
+        else None
       ae.aggregateFunction match {
         case c: Count if c.children.forall(_.foldable) &&
             martFields.contains(IncrementalMart.RowsCol) =>
           mCol(IncrementalMart.RowsCol).map(n =>
             coalesce(fsum(n), lit(0L)))
+        case c: Count => c.children match {
+          case Seq(ar: AttributeReference) if srcOut.contains(ar) =>
+            cnt(ar).map(cc => coalesce(fsum(cc), lit(0L)))
+              .orElse {
+                // a source GROUPING column counts n_rows over its
+                // non-null groups, multiplied by the join like count(*)
+                if (groupCols.contains(ar.name))
+                  for {
+                    g <- mCol(ar.name)
+                    n <- mCol(IncrementalMart.RowsCol)
+                  } yield coalesce(
+                    fsum(when(g.isNotNull, n).otherwise(lit(0L))), lit(0L))
+                else None
+              }
+          case _ => None
+        }
         case s: Sum => s.child match {
           case ar: AttributeReference
+              if srcOut.contains(ar) && valueCols.contains(ar.name) =>
+            if (!srcSchema(ar.name).nullable)
+              mCol(s"sum_${ar.name}").map(c => fsum(c).cast(ae.dataType))
+            else for {
+              sc <- mCol(s"sum_${ar.name}")
+              cc <- cnt(ar)
+            } yield when(fsum(cc) > 0, fsum(sc).cast(ae.dataType))
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference
               if srcOut.contains(ar) && valueCols.contains(ar.name) &&
-                !srcSchema(ar.name).nullable =>
-            mCol(s"sum_${ar.name}").map(c => fsum(c).cast(ae.dataType))
+                !ar.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.DecimalType] =>
+            for {
+              sc <- mCol(s"sum_${ar.name}")
+              cc <- cnt(ar)
+            } yield when(fsum(cc) > 0, (fsum(sc) / fsum(cc)).cast(ae.dataType))
           case _ => None
         }
         case m: Max => m.child match {

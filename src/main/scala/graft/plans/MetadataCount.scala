@@ -43,6 +43,14 @@ import graft.sources.ManifestFileIndex
   * path as the as-of join strategy.
   */
 object MetadataAggRule {
+  /** The manifest NDV sketches' relative standard deviation — HLL at
+    * lgK = [[graft.sources.ManifestTable.NdvLgK]]: rsd ≈ 1.04/√(2^lgK).
+    * The metadata substitution may only serve queries whose requested
+    * rsd is AT LEAST this loose.
+    */
+  val SketchNdvRsd: Double =
+    1.04 / math.sqrt((1L << graft.sources.ManifestTable.NdvLgK).toDouble)
+
   /** Idempotent per-session registration. The rule itself is stateless
     * (it captures NO session — multi-session applications each register
     * into their own `experimental.extraOptimizations`), so callers on
@@ -72,12 +80,16 @@ case class MetadataAggRule() extends Rule[LogicalPlan] {
           case Max(a: Attribute) =>
             idx.metadataBound(a.name, lower = false).map(_.orNull)
           // approx_count_distinct is an ESTIMATE by contract, so the
-          // manifest's merged HLL sketches (±3.2% at lgK=10, vs HLL++'s
+          // manifest's merged HLL sketches (±3.25% at lgK=10, vs HLL++'s
           // default 5% rsd) may answer it metadata-only — the
-          // warehouse's metadata approx shape. Kill switch:
-          // spark.graft.metadataApproxNdv=false re-plans the scan.
+          // warehouse's metadata approx shape — but ONLY when the
+          // sketch's error bound covers what the query asked for: an
+          // explicit relativeSD tighter than the sketch re-plans the
+          // scan rather than silently serving looser numbers. Kill
+          // switch: spark.graft.metadataApproxNdv=false.
           case hll: HyperLogLogPlusPlus if conf.getConfString(
-              "spark.graft.metadataApproxNdv", "true").toBoolean =>
+              "spark.graft.metadataApproxNdv", "true").toBoolean &&
+              hll.relativeSD >= MetadataAggRule.SketchNdvRsd =>
             hll.child match {
               case a: Attribute => idx.metadataNdv(a.name)
               case _ => None
@@ -86,9 +98,19 @@ case class MetadataAggRule() extends Rule[LogicalPlan] {
           // contract reasoning, answered from the manifest's merged KLL
           // sketches (k=200 ⇒ ~1.65% rank error). Integral columns get
           // the retained value rounded back to the column's type — KLL
-          // retains actual stream values, so the round is exact.
+          // retains actual stream values, so the round is exact. Its own
+          // kill switch (spark.graft.metadataApproxPercentile), and an
+          // accuracy argument ABOVE the function's default — the only
+          // way a user expresses "tighter than the estimate contract" —
+          // re-plans the scan.
           case ap: ApproximatePercentile if conf.getConfString(
-              "spark.graft.metadataApproxNdv", "true").toBoolean =>
+              "spark.graft.metadataApproxPercentile", "true").toBoolean &&
+              ap.accuracyExpression.foldable &&
+              (ap.accuracyExpression.eval() match {
+                case n: Number => n.longValue <= ApproximatePercentile
+                  .DEFAULT_PERCENTILE_ACCURACY
+                case _ => false
+              }) =>
             ap.child match {
               case a: Attribute
                   if a.dataType.isInstanceOf[

@@ -859,17 +859,31 @@ object ManifestTable {
   /** The envelope's publishable snapshot — base.version + 1 with
     * change-feed entries remapped onto the single published version —
     * or None when no statement changed anything.
+    *
+    * Several statements touching the SAME keyed table NET their feed
+    * entries into one change dir first: a key updated twice would
+    * otherwise leave two postimage rows at the one published version,
+    * and [[applyChanges]]' per-version last-wins rule would keep both
+    * (duplicate rows on feed-based snapshot reconstruction). The net is
+    * the collapse an external observer sees anyway — the FIRST touching
+    * statement's preimage (the key's state at base) against the LAST
+    * one's postimage, an insert-then-delete vanishing entirely.
+    * Key-less (append-mode) feeds are insert-only and concatenate
+    * correctly as-is, so they skip the net.
     */
-  private def publishable(t: Txn): Option[Manifest] = {
+  private def publishable(root: File, t: Txn): Option[Manifest] = {
     val (overlay, ops) = t.synchronized((t.overlay, t.ops))
     if (overlay eq t.base) return None
     val publishV = t.base.version + 1
     val remapped = overlay.tables.map { case (name, ts) =>
-      val changes = ts.changes.map(c =>
-        if (c.version > t.base.version) c.copy(version = publishV) else c)
+      val (above, below) = ts.changes.partition(_.version > t.base.version)
+      val collapsed =
+        if (above.size < 2 || ts.mergeKeys.isEmpty)
+          above.map(_.copy(version = publishV))
+        else netChanges(root, name, ts, above, publishV)
       val feedFrom =
         if (ts.feedFrom > publishV) publishV else ts.feedFrom
-      name -> ts.copy(changes = changes, feedFrom = feedFrom)
+      name -> ts.copy(changes = below ++ collapsed, feedFrom = feedFrom)
     }
     val touched = overlay.tables.keys.toSeq.sorted.filter(n =>
       !t.base.tables.get(n).contains(overlay.tables(n)))
@@ -879,10 +893,69 @@ object ManifestTable {
         System.currentTimeMillis(), touched)))
   }
 
+  /** Collapse a txn envelope's per-statement change entries for one
+    * keyed table into a single NETTED change dir at `publishV` (see
+    * [[publishable]]): per key, the first touching statement's
+    * preimage nets against the last one's postimage —
+    * insert+update → insert(final), update+update → one pre/post pair,
+    * insert+delete → nothing. Insert-only envelopes (append-mode
+    * feeds, where duplicate keys across statements are legitimate)
+    * return the entries merely remapped — a plain union is already
+    * correct there. Cost: one shuffle over the ENVELOPE's change rows
+    * (statement churn, never table size), on the driver's session at
+    * commit time.
+    */
+  private def netChanges(root: File, name: String, ts: TableState,
+      entries: Seq[ChangeGen], publishV: Long): Seq[ChangeGen] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = ts.schema.add(ChangeTypeCol, "string")
+    val all = entries.map(e =>
+      spark.read.schema(schema).parquet(new File(root, e.path).toString)
+        .withColumn("__v", lit(e.version)))
+      .reduce(_ unionByName _).persist()
+    try {
+      if (all.filter(col(ChangeTypeCol) =!= "insert").isEmpty)
+        return entries.map(_.copy(version = publishV))
+      val keys = ts.mergeKeys
+      val retract = col(ChangeTypeCol).isin("update_preimage", "delete")
+      val forward = col(ChangeTypeCol).isin("insert", "update_postimage")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col).toIndexedSeq: _*)
+      val keyed = all
+        .withColumn("__vf", min(col("__v")).over(w))
+        .withColumn("__vl", max(col("__v")).over(w))
+        // prior state existed iff the FIRST touching statement retracted
+        // something; final state exists iff the LAST one wrote rows
+        .withColumn("__prior", max(when(col("__v") === col("__vf")
+          && retract, 1).otherwise(0)).over(w))
+        .withColumn("__final", max(when(col("__v") === col("__vl")
+          && forward, 1).otherwise(0)).over(w))
+      val dataCols = ts.schema.fieldNames.toIndexedSeq.map(col)
+      val pre = keyed
+        .filter(col("__v") === col("__vf") && retract)
+        .select(dataCols :+ when(col("__final") === 1,
+          lit("update_preimage")).otherwise(lit("delete"))
+          .as(ChangeTypeCol): _*)
+      val post = keyed
+        .filter(col("__v") === col("__vl") && forward)
+        .select(dataCols :+ when(col("__prior") === 1,
+          lit("update_postimage")).otherwise(lit("insert"))
+          .as(ChangeTypeCol): _*)
+      val netted = pre.unionByName(post)
+      if (netted.isEmpty) Nil // every key's changes netted to zero
+      else {
+        val rel = s"data/$name/chg-v$publishV-txn" +
+          java.util.UUID.randomUUID.toString.take(8)
+        netted.write.mode("overwrite").parquet(new File(root, rel).toString)
+        Seq(ChangeGen(publishV, rel))
+      }
+    } finally { all.unpersist(); () }
+  }
+
   def commitTxn(root: File): Long = {
     val t = txns.remove(txnKey(root)).getOrElse(
       throw new IllegalStateException(s"no open transaction on $root"))
-    publishable(t) match {
+    publishable(root, t) match {
       case None => t.base.version // empty envelope: no-op
       case Some(merged) =>
         try commit(root, merged) // full snapshot: one version file
@@ -1000,7 +1073,7 @@ object ManifestTable {
       .sortBy(_.getPath)
     val open = distinct.map(r => r -> activeTxn(r).getOrElse(
       throw new IllegalStateException(s"no open transaction on $r")))
-    val staged = open.flatMap { case (r, t) => publishable(t).map(r -> _) }
+    val staged = open.flatMap { case (r, t) => publishable(r, t).map(r -> _) }
     if (staged.size <= 1)
       return distinct.map(r => r.getName -> commitTxn(r)).toMap
     val txid = newNonce()
@@ -2633,6 +2706,12 @@ object ManifestTable {
     val sign = when(insert, lit(1L)).otherwise(lit(-1L))
     val aggs =
       valueCols.map(c => sum(col(c) * sign).as(s"delta_$c")) ++
+        // signed NON-NULL count per value column: what makes `count(col)`
+        // and `avg` (= sum/cnt) derivable from the mart, and lets the
+        // rewrite restore SQL null-sum semantics (all-NULL group → NULL)
+        valueCols.map(c => coalesce(
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))), lit(0L))
+          .as(s"delta_cnt_$c")) ++
         maxCols.map(c => max(when(insert, col(c))).as(s"max_$c")) ++
         minCols.map(c => min(when(insert, col(c))).as(s"min_$c")) ++
         (if (maxCols.isEmpty && minCols.isEmpty) Nil

@@ -58,7 +58,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object IncrementalMart {
 
   /** `count(*)` column name in the mart; value sums land as `sum_<col>`,
-    * extrema as `max_<col>` / `min_<col>`.
+    * per-column non-null counts as `cnt_<col>` (what derives `count(col)`
+    * and `avg` = sum/cnt at rewrite time), extrema as `max_<col>` /
+    * `min_<col>`.
     */
   val RowsCol = "n_rows"
 
@@ -265,6 +267,7 @@ object IncrementalMart {
         ++ Seq(StructField(RowsCol, LongType))
         ++ valueCols.map(c =>
           StructField(s"sum_$c", deltas.schema(s"delta_$c").dataType))
+        ++ valueCols.map(c => StructField(s"cnt_$c", LongType))
         ++ extraFields)
     val bucketRows = ManifestTable
       .readTableBuckets(spark, martRoot, touched, martTable)
@@ -289,6 +292,11 @@ object IncrementalMart {
               deltas.schema(s"delta_$c").dataType))
               + coalesce(col(s"d.delta_$c"), lit(0)))
               .as(s"sum_$c"))
+          // per-column non-null counts: `count(col)`/`avg` derivability
+          ++ valueCols.map(c =>
+            (coalesce(col(s"m.cnt_$c"), lit(0L))
+              + coalesce(col(s"d.delta_cnt_$c"), lit(0L)))
+              .as(s"cnt_$c"))
           ++ extraCols: _*)
       .filter(col(RowsCol) > 0)
     ManifestTable.mergeBatch(new File(martRoot), qid, batchId,

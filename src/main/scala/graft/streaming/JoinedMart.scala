@@ -143,8 +143,12 @@ object JoinedMart {
       rows.groupBy((sg.map(part(_)) ++ dg.map(d(_))): _*)
         .agg(
           sum(sign * part(IncrementalMart.RowsCol)).as("delta_rows"),
-          vc.map(c => sum(sign * part(s"sum_$c")).cast(sumType(c))
-            .as(s"delta_$c")): _*)
+          (vc.map(c => sum(sign * part(s"sum_$c")).cast(sumType(c))
+            .as(s"delta_$c"))
+            // non-null counts ride the same signed fold: count(col)/avg
+            // stay derivable from the JOINED mart too
+            ++ vc.map(c => sum(sign * part(s"cnt_$c")).cast("long")
+              .as(s"delta_cnt_$c"))): _*)
     }
 
     // base (re)build: one join at PARTIAL grain — P is group-sized, the
@@ -164,8 +168,10 @@ object JoinedMart {
       val rows = p.join(d, keyCond(p, d))
         .groupBy((sg.map(p(_)) ++ dg.map(d(_))): _*)
         .agg(sum(p(IncrementalMart.RowsCol)).as(IncrementalMart.RowsCol),
-          vc.map(c => sum(p(s"sum_$c"))
-            .cast(p.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
+          (vc.map(c => sum(p(s"sum_$c"))
+            .cast(p.schema(s"sum_$c").dataType).as(s"sum_$c"))
+            ++ vc.map(c =>
+              sum(p(s"cnt_$c")).cast("long").as(s"cnt_$c"))): _*)
       ManifestTable.mergeBatch(root, qid, v1,
         Seq(TableBatch(mart, rows, groupCols, buckets,
           overwrite = overwrite, props = props)))
@@ -226,9 +232,11 @@ object JoinedMart {
           val deltas = fromP.unionByName(fromD)
             .groupBy(groupCols.map(col): _*)
             .agg(sum("delta_rows").as("delta_rows"),
-              vc.map(c => sum(s"delta_$c")
+              (vc.map(c => sum(s"delta_$c")
                 .cast(fromP.schema(s"delta_$c").dataType)
-                .as(s"delta_$c")): _*)
+                .as(s"delta_$c"))
+                ++ vc.map(c => sum(s"delta_cnt_$c").cast("long")
+                  .as(s"delta_cnt_$c"))): _*)
             .persist()
           try IncrementalMart.foldDeltas(spark, root.toString, mart,
             groupCols, vc, buckets, changeFeed = false, deltas,

@@ -196,6 +196,21 @@ class JoinedMartSpec extends SparkSpec {
     }
     assert(q.collect().map(_.toString).toSet == direct)
 
+    // avg / count(col) derive from the joined mart's cnt partials —
+    // still join-free
+    val qa = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_status")
+      .agg(avg("o_price").as("ap"), count(col("o_price")).as("cp"))
+    assert(scannedTables(qa) == Seq("jm"),
+      s"avg/count(col) did not land on the joined mart: ${scannedTables(qa)}")
+    val qaDirect = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try qa.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(qa.collect().map(_.toString).toSet == qaDirect)
+
     // group-column filters on EITHER side ride along on the mart
     val f = raw(root, "orders")
       .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))

@@ -1149,7 +1149,7 @@ class ManifestTableSpec extends SparkSpec {
     // batch aggregate over the live table
     val expected = ManifestTable.readTable(spark, target)
       .groupBy("event_type").agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("value").as("sum_value"))
+        sum("value").as("sum_value"), count(col("value")).as("cnt_value"))
       .collect().map(_.toString).toSet
     assert(ManifestTable.readTable(spark, mart)
       .collect().map(_.toString).toSet == expected)
@@ -1179,7 +1179,7 @@ class ManifestTableSpec extends SparkSpec {
     // and compare bit-for-bit
     def expected: Set[String] = ManifestTable.readTable(spark, src)
       .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("value").as("sum_value"))
+        sum("value").as("sum_value"), count(col("value")).as("cnt_value"))
       .collect().map(_.toString).toSet
     def martRows: Set[String] = ManifestTable.readTable(spark, mart)
       .collect().map(_.toString).toSet
@@ -1232,8 +1232,8 @@ class ManifestTableSpec extends SparkSpec {
     // the full aggregate incl. max/min after every drained commit
     def expected: Set[String] = ManifestTable.readTable(spark, src)
       .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("value").as("sum_value"), max("value").as("max_value"),
-        min("value").as("min_value"))
+        sum("value").as("sum_value"), count(col("value")).as("cnt_value"),
+        max("value").as("max_value"), min("value").as("min_value"))
       .collect().map(_.toString).toSet
     def martRows: Set[String] = ManifestTable.readTable(spark, mart)
       .collect().map(_.toString).toSet
@@ -1310,8 +1310,8 @@ class ManifestTableSpec extends SparkSpec {
 
     val expected = ManifestTable.readTable(spark, src)
       .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("value").as("sum_value"), max("value").as("max_value"),
-        min("value").as("min_value"))
+        sum("value").as("sum_value"), count(col("value")).as("cnt_value"),
+        max("value").as("max_value"), min("value").as("min_value"))
       .collect().map(_.toString).toSet
     val martRows = ManifestTable.readTable(spark, mart)
       .collect().map(_.toString).toSet
@@ -1368,8 +1368,8 @@ class ManifestTableSpec extends SparkSpec {
 
     val expected = ManifestTable.readTable(spark, src)
       .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("value").as("sum_value"), max("value").as("max_value"),
-        min("value").as("min_value"))
+        sum("value").as("sum_value"), count(col("value")).as("cnt_value"),
+        max("value").as("max_value"), min("value").as("min_value"))
       .collect().map(_.toString).toSet
     val martRows = ManifestTable.readTable(spark, mart)
       .collect().map(_.toString).toSet

@@ -122,14 +122,6 @@ class MartRewriteSpec extends SparkSpec {
     val (root, _, _) = build()
     def src: DataFrame = spark.read.format("graft")
       .option("path", root).option("table", "t").load()
-    // avg: needs per-column non-null counts the mart doesn't carry
-    assert(scannedTables(
-      src.groupBy("grp").agg(avg("value").as("a"))) == Seq("t"))
-    // count(col) over a NULLABLE column: ditto (over the non-nullable
-    // `value`, Spark itself normalizes count(value) to count(*) and the
-    // rewrite correctly fires — so probe with the nullable string col)
-    assert(scannedTables(
-      src.groupBy("grp").agg(count(col("grp")).as("c"))) == Seq("t"))
     // min: not declared in the mart (only maxCols)
     assert(scannedTables(
       src.groupBy("grp").agg(min("value").as("m"))) == Seq("t"))
@@ -149,10 +141,11 @@ class MartRewriteSpec extends SparkSpec {
       .groupBy("grp").agg(sum("value").as("sv"))) == Seq("t"))
   }
 
-  test("sum over a NULLABLE column never rewrites (the all-NULL-group corner the fold cannot represent)") {
+  test("avg / count(col) / NULLABLE sum derive from the cnt_<col> partials — exactly, including the all-NULL group (SQL sum/avg = NULL, count = 0)") {
     val root = tmp("graft_mv_null")
     val rows = Seq[(java.lang.Long, String, java.lang.Double)](
-      (0L, "g0", 1.0), (1L, "g0", 2.0), (2L, "g1", null))
+      (0L, "g0", 1.0), (1L, "g0", 2.0), (2L, "g0", null), // mixed group
+      (3L, "g1", null), (4L, "g1", null)) // ALL-NULL group
       .toDF("event_id", "grp", "value")
     assert(rows.schema("value").nullable)
     ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
@@ -160,19 +153,72 @@ class MartRewriteSpec extends SparkSpec {
     val cfg = IncrementalMart.Config(root, root,
       groupCols = Seq("grp"), valueCols = Seq("value"),
       sourceTable = "t", martTable = "m", numBuckets = 2)
-    IncrementalMart.sync(spark, cfg, tmp("graft_mv_null_ckpt"))
-    val q = spark.read.format("graft")
+    val ckpt = tmp("graft_mv_null_ckpt")
+    IncrementalMart.sync(spark, cfg, ckpt)
+    def src: DataFrame = spark.read.format("graft")
       .option("path", root).option("table", "t").load()
-      .groupBy("grp").agg(sum("value").as("sv"))
-    assert(scannedTables(q) == Seq("t"))
-    // the direct answer keeps SQL null-sum semantics (g1 → NULL); the
-    // mart stores 0 for that group — which is exactly why it must not
-    // answer
-    assert(q.collect().find(_.getString(0) == "g1").exists(_.isNullAt(1)))
-    // count(*) alone still derives: n_rows is null-blind
-    assert(scannedTables(spark.read.format("graft")
-      .option("path", root).option("table", "t").load()
-      .groupBy("grp").agg(count(lit(1)).as("n"))) == Seq("m"))
+    def direct(df: => DataFrame): Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try df.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    def q = src.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      count(col("value")).as("cv"), avg("value").as("av"))
+    assert(scannedTables(q) == Seq("m"),
+      s"expected the mart scan, got ${scannedTables(q)}")
+    assert(q.collect().map(_.toString).toSet == direct(q))
+    // the all-NULL group answers SQL semantics from the mart: the fold
+    // stores sum 0, the rewrite guards on cnt
+    val g1 = q.filter(col("grp") === "g1").head
+    assert(g1.isNullAt(2) && g1.getLong(3) == 0L && g1.isNullAt(4),
+      s"all-NULL group lost SQL semantics through the mart: $g1")
+    // count of a GROUPING column derives via n_rows over non-null groups
+    def qg = src.groupBy("grp").agg(count(col("grp")).as("c"))
+    assert(scannedTables(qg) == Seq("m"))
+    assert(qg.collect().map(_.toString).toSet == direct(qg))
+
+    // churn that flips a group between all-NULL and not: a null value
+    // turns real, a real one turns null — cnt partials net signed
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("t", Seq[(java.lang.Long, String, java.lang.Double)](
+        (3L, "g1", 5.0), (0L, "g0", null), (1L, "g0", null), (2L, "g0", null))
+        .toDF("event_id", "grp", "value"),
+        Seq("event_id"), 2, changeFeed = true)))
+    IncrementalMart.sync(spark, cfg, ckpt)
+    assert(scannedTables(q) == Seq("m"))
+    assert(q.collect().map(_.toString).toSet == direct(q))
+    val g0 = q.filter(col("grp") === "g0").head
+    assert(g0.isNullAt(2) && g0.getLong(3) == 0L && g0.isNullAt(4),
+      s"group churned to all-NULL lost SQL semantics: $g0")
+
+    // the GLOBAL aggregate derives the same way
+    def qAll = src.agg(sum("value").as("sv"), count(col("value")).as("cv"),
+      avg("value").as("av"))
+    assert(scannedTables(qAll) == Seq("m"))
+    assert(qAll.collect().map(_.toString).toSet == direct(qAll))
+
+    // avg over DECIMAL stays on the source: Average's fixed intermediate
+    // division precision is not re-derivable bit-exactly
+    val dec = Seq((0L, "g0", BigDecimal("1.25")), (1L, "g1", BigDecimal("2.75")))
+      .toDF("event_id", "grp", "dv")
+      .select(col("event_id"), col("grp"),
+        col("dv").cast("decimal(10,2)").as("dv"))
+    ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
+      TableBatch("td", dec, Seq("event_id"), 2, changeFeed = true)))
+    val cfgD = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("dv"),
+      sourceTable = "td", martTable = "md", numBuckets = 2)
+    IncrementalMart.sync(spark, cfgD, tmp("graft_mv_dec_ckpt"))
+    def srcD: DataFrame = spark.read.format("graft")
+      .option("path", root).option("table", "td").load()
+    assert(scannedTables(
+      srcD.groupBy("grp").agg(avg("dv").as("a"))) == Seq("td"))
+    // …while decimal sum and count(col) still derive
+    def qd = srcD.groupBy("grp").agg(
+      sum("dv").as("s"), count(col("dv")).as("c"))
+    assert(scannedTables(qd) == Seq("md"))
+    assert(qd.collect().map(_.toString).toSet == direct(qd))
   }
 
   test("marts cascade: a feed-publishing mart feeds a second-level mart exactly, and the rewrite chains level by level") {
@@ -203,7 +249,8 @@ class MartRewriteSpec extends SparkSpec {
       .option("path", root).option("table", t).load()
     def expect2: Set[String] = m("m1").groupBy("grp")
       .agg(count(lit(1)).as(IncrementalMart.RowsCol),
-        sum("sum_value").as("sum_sum_value"))
+        sum("sum_value").as("sum_sum_value"),
+        count(col("sum_value")).as("cnt_sum_value"))
       .collect().map(_.toString).toSet
     assert(m("m2").collect().map(_.toString).toSet == expect2)
 
@@ -368,7 +415,8 @@ class MartRewriteSpec extends SparkSpec {
     def qRegion = src.join(dim, src("grp") === dim("grp"))
       .groupBy(dim("region"))
       .agg(count(lit(1)).as("n"), sum("value").as("sv"),
-        max("value").as("mx"))
+        max("value").as("mx"), avg("value").as("av"),
+        count(src("value")).as("cv"))
     assert(scannedTables(qRegion) == Seq("m"),
       s"join-shape rewrite did not fire: ${scannedTables(qRegion)}")
     assert(qRegion.collect().map(_.toString).toSet == direct(qRegion))

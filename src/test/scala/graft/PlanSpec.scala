@@ -748,9 +748,32 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.graft.metadataApproxNdv", "false")
     try {
       assert(scans(adc) > 0, "kill switch ignored")
+      // percentile has its OWN switch — the NDV switch leaves it
+      // metadata-only
       assert(scans(graftDf.agg(
-        expr("approx_percentile(id, 0.5)").as("m"))) > 0)
+        expr("approx_percentile(id, 0.5)").as("m"))) == 0)
     } finally spark.conf.unset("spark.graft.metadataApproxNdv")
+    spark.conf.set("spark.graft.metadataApproxPercentile", "false")
+    try {
+      assert(scans(graftDf.agg(
+        expr("approx_percentile(id, 0.5)").as("m"))) > 0,
+        "percentile kill switch ignored")
+      assert(scans(adc) == 0, "percentile switch must not gate NDV")
+    } finally spark.conf.unset("spark.graft.metadataApproxPercentile")
     assert(scans(adc) == 0)
+
+    // accuracy gating: a request TIGHTER than the manifest sketch's
+    // error bound re-plans the scan; a request the sketch covers (and
+    // the function default) stays metadata-only
+    assert(scans(graftDf.agg(
+      expr("approx_count_distinct(grp, 0.01)").as("d"))) > 0,
+      "tighter-than-sketch rsd silently got the looser sketch")
+    assert(scans(graftDf.agg(
+      expr("approx_count_distinct(grp, 0.04)").as("d"))) == 0)
+    assert(scans(graftDf.agg(
+      expr("approx_percentile(id, 0.5, 50000)").as("m"))) > 0,
+      "tighter-than-default percentile accuracy silently got the sketch")
+    assert(scans(graftDf.agg(
+      expr("approx_percentile(id, 0.5, 10000)").as("m"))) == 0)
   }
 }

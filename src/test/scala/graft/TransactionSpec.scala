@@ -143,6 +143,61 @@ class TransactionSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(vBase + 1))
   }
 
+  test("envelope CDF netting: a key touched by several statements publishes ONE net pre/post pair — applyChanges reconstructs without duplicates") {
+    val wh = catalog("txn3n")
+    val root = new File(wh, "ops")
+    root.mkdirs()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def write(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v")
+        .write.format("graft").option("path", root.toString)
+        .option("table", "t").option("mergeKeys", "id")
+        .option("changeFeed", "true").mode("append").save()
+    write((0L until 6L).map(i => (i, i.toDouble)))
+    val vBase = ManifestTable.read(root).get.version
+
+    ManifestTable.transaction(root) {
+      write(Seq((0L, 100.0), (10L, 10.0), (11L, 11.0))) // update 0, insert 10+11
+      write(Seq((0L, 200.0), (10L, 20.0))) // re-update 0, update fresh 10
+      ManifestTable.deleteWhere(spark, root,
+        col("id") === 11L, "t") // insert+delete inside the envelope: nets away
+    }
+    val vPub = ManifestTable.read(root).get.version
+    assert(vPub == vBase + 1)
+    val feed = ManifestTable
+      .readChangeFeed(spark, root.toString, vPub, None, "t").persist()
+    try {
+      // key 0: exactly ONE pre (base image 0.0) and ONE post (200.0)
+      val k0 = feed.filter(col("id") === 0L)
+        .collect().map(r => (r.getAs[String](ManifestTable.ChangeTypeCol),
+          r.getAs[Double]("v"))).toSet
+      assert(k0 == Set(("update_preimage", 0.0), ("update_postimage", 200.0)),
+        s"netted key-0 changes wrong: $k0")
+      // key 10 (born inside the envelope): one INSERT with the final value
+      val k10 = feed.filter(col("id") === 10L)
+        .collect().map(r => (r.getAs[String](ManifestTable.ChangeTypeCol),
+          r.getAs[Double]("v"))).toSet
+      assert(k10 == Set(("insert", 20.0)), s"netted key-10 changes wrong: $k10")
+      // key 11 (insert + delete): nothing published
+      assert(feed.filter(col("id") === 11L).isEmpty,
+        "insert-then-delete must net to nothing")
+
+      // the reconstruction contract: base snapshot + the envelope's feed
+      // == the published snapshot, with exactly one row per key
+      val rebuilt = ManifestTable.applyChanges(
+        ManifestTable.readTable(spark, root.toString,
+          version = Some(vBase), table = "t"),
+        feed, Seq("id"))
+      val now = ManifestTable.readTable(spark, root.toString, table = "t")
+      assert(rebuilt.collect().map(_.toString).toSet
+        == now.collect().map(_.toString).toSet,
+        "feed-based reconstruction diverged from the published snapshot")
+      assert(rebuilt.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "reconstruction produced duplicate rows")
+    } finally { feed.unpersist(); () }
+  }
+
   test("zero-copy CLONE: metadata-only, pinned-version reads, independent evolution, reference-aware GC") {
     val wh = catalog("txn4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS txn4.ops")
