@@ -396,6 +396,137 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
   override def toString: String = s"CdfMicroBatchStream[$root/$table]"
 }
 
+/** Plain streaming TABLE read — `spark.readStream.table("graft.ns.t")`
+  * with no `readChangeFeed` option: the Delta-shaped "initial snapshot +
+  * appends" stream. Offsets are manifest versions; the FIRST micro-batch
+  * serves the full snapshot at its end offset, and every later batch
+  * serves exactly the generation files commits ADDED since the previous
+  * offset — no change feed required, because on an append-only table the
+  * new generation dirs ARE the appended rows. Valid only while the table
+  * evolves append-only: a commit that rewrote or dropped a served
+  * generation (merge, delete/update, compact, recluster, overwrite) or
+  * left merge-on-read deltas fails the NEXT batch loudly instead of
+  * silently re-serving or missing rows — churny tables subscribe with
+  * `option("readChangeFeed", true)` instead. Admission control
+  * (`maxVersionsPerTrigger`) and AvailableNow pinning mirror
+  * [[CdfMicroBatchStream]]; version-resolution past retention fails with
+  * the usual time-travel error (a subscriber can't restart from a swept
+  * snapshot).
+  */
+class TableMicroBatchStream(spark: SparkSession, rootPath: String,
+    table: String, readSchema: StructType, tableSchema: StructType,
+    options: Map[String, String])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+  import ChangeFeedStream.ReadMaxVersions
+
+  private val params = CaseInsensitiveMap(options)
+  private val maxVersions = params.get("maxVersionsPerTrigger").map(_.toLong)
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ManifestTable.read(new File(rootPath))
+      .map(_.version).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(v => ReadMaxVersions(v): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val floor = Option(start).map(ver).getOrElse(-1L)
+    ManifestTable.read(new File(rootPath)).map { m =>
+      val avail = availableNowCap.fold(m.version)(math.min(m.version, _))
+      val target = limit match {
+        case rv: ReadMaxVersions => math.min(avail, floor + rv.maxVersions)
+        case _ => avail
+      }
+      if (target <= floor) start else LongOffset(target): OffsetV2
+    }.getOrElse(start)
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead " +
+        "(SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): OffsetV2 =
+    ManifestTable.read(new File(rootPath))
+      .map(m => LongOffset(m.version): OffsetV2).orNull
+
+  /** -1 = "snapshot not yet served": the first planned batch (-1, v]
+    * reads the whole table AT v, later ones only the delta of
+    * generation paths.
+    */
+  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: OffsetV2,
+      end: OffsetV2): Array[InputPartition] = {
+    val sv = ver(start)
+    val ev = ver(end)
+    if (ev <= sv) return Array.empty
+    val tsEnd = ManifestTable.resolve(new File(rootPath), Some(ev))
+      .table(table)
+    if (tsEnd.schemaJson.isEmpty) throw new IllegalStateException(
+      s"table $table does not exist at version $ev")
+    if (tsEnd.deltas.nonEmpty) throw new UnsupportedOperationException(
+      s"table $table carries merge-on-read deltas at version $ev — their " +
+        "rows mutate served generations in place; plain streaming table " +
+        "reads require append-only evolution. Subscribe with " +
+        s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true), or " +
+        "collapse the deltas (CALL graft.system.maintain) first")
+    val endPaths = tsEnd.gens.map(_.path)
+    val newPaths =
+      if (sv < 0L) endPaths // initial snapshot
+      else {
+        val startSet = ManifestTable.resolve(new File(rootPath), Some(sv))
+          .table(table).gens.map(_.path).toSet
+        val gone = startSet -- endPaths.toSet
+        if (gone.nonEmpty) throw new UnsupportedOperationException(
+          s"table $table changed non-append-only between versions $sv " +
+            s"and $ev (${gone.size} served generation(s) rewritten or " +
+            "dropped, e.g. by a merge, update/delete, compact, or " +
+            "recluster); a plain streaming table read cannot represent " +
+            "that — subscribe with " +
+            s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true)")
+        endPaths.filterNot(startSet)
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val files = newPaths.flatMap { rel =>
+      val p = new Path(new File(rootPath, rel).toString)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p)
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(f => PartitionedFile(InternalRow.empty,
+          SparkPath.fromPath(f.getPath), 0L, f.getLen))
+    }
+    FilePartition.getFilePartitions(spark, files,
+      FilePartition.maxSplitBytes(spark, files.map(_.length).sum))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetRead.readerFactory(spark, tableSchema, readSchema,
+      new StructType(), Array.empty)
+
+  private def ver(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json().trim.toLong
+  }
+
+  override def toString: String = s"TableMicroBatchStream[$rootPath/$table]"
+}
+
 /** The conf plumbing `ParquetScan.createReaderFactory` performs before
   * handing the engine's v2 parquet reader its broadcast configuration:
   * the reader resolves its ReadSupport and requested schema from here.

@@ -701,7 +701,11 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
               s"GraftNamedCdfScan($root/$table)"
           }
       }
-    } else new GraftScanBuilder(index, schema())
+    } else {
+      import scala.jdk.CollectionConverters._
+      new GraftScanBuilder(index, schema(),
+        options.asCaseSensitiveMap.asScala.toMap)
+    }
   }
 
   // ---- writes: INSERT INTO appends, INSERT OVERWRITE replaces ----
@@ -819,7 +823,8 @@ object GraftSqlTable {
   * pruning (and forward to parquet for row-group skipping), columns
   * prune, files bin-pack with the engine's split rule.
   */
-class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
+class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType,
+    scanOptions: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -837,11 +842,12 @@ class GraftScanBuilder(index: ManifestFileIndex, tableSchema: StructType)
     requiredSchema = rs
 
   override def build(): Scan = new GraftBatchScan(index, tableSchema,
-    requiredSchema, pushed)
+    requiredSchema, pushed, scanOptions)
 }
 
 class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
-    required: StructType, val pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, val pushed: Array[Filter],
+    scanOptions: Map[String, String] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Manifest-derived statistics for the PRUNED selection — a
@@ -963,18 +969,22 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
     GraftParquetRead.readerFactory(SparkSession.active, dataSchema,
       required, new StructType(), pushed)
 
-  /** The table declares MICRO_BATCH_READ for its change-feed surface,
-    * so a plain `spark.readStream.table("graft.ns.t")` passes the
-    * capability check and lands here — fail with the actionable message
-    * instead of the default UnsupportedOperationException deep in
-    * execution.
+  /** A plain `spark.readStream.table("graft.ns.t")` (no readChangeFeed
+    * option) streams "initial snapshot + appended generations" through
+    * [[TableMicroBatchStream]] — the Delta plain-table-stream shape,
+    * valid while the table evolves append-only (the stream itself
+    * enforces that per batch and fails loudly on churn). Time-traveled
+    * relations can't stream: a pinned snapshot has no future.
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new UnsupportedOperationException(
-      "graft tables stream through their change feed: set " +
-        s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true) on the " +
-        "readStream (plain streaming table scans are not supported)")
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (index.pinnedVersion.nonEmpty || index.raw)
+      throw new UnsupportedOperationException(
+        "a time-traveled or raw graft relation cannot stream — it is " +
+          "pinned to one snapshot")
+    new TableMicroBatchStream(SparkSession.active, index.rootPath,
+      index.tableName, required, dataSchema, scanOptions)
+  }
 
   override def description(): String =
     s"GraftBatchScan($index, pushed=${pushed.mkString(",")})"

@@ -301,22 +301,85 @@ class CatalogSpec extends SparkSpec {
     assert(seen.size == 25, s"SQL INSERT deltas missing: ${seen.size}")
     assert(seen.count(_.contains("insert")) == 25)
 
-    // a PLAIN streaming table read (no readChangeFeed) passes the
-    // capability check — it must fail with the actionable message at
-    // stream start, not an opaque UnsupportedOperationException deep in
-    // execution
+    // a PLAIN streaming table read (no readChangeFeed) serves the
+    // current snapshot as its first batch — TABLE rows, no CDF columns
     val ck2 = java.nio.file.Files.createTempDirectory("graft_cat4_ck2")
-    val err = intercept[Exception] {
-      val q = spark.readStream.table("graft4.ops.t")
-        .writeStream.option("checkpointLocation", ck2.toString)
-        .trigger(Trigger.AvailableNow()).format("noop").start()
+    val plain = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.table("graft4.ops.t")
+      .writeStream.option("checkpointLocation", ck2.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.collect()
+        plain.synchronized { plain ++= got }: Unit
+      }.start()
+    q.awaitTermination()
+    assert(plain.size == 25, s"plain table stream snapshot: ${plain.size}")
+    assert(plain.headOption.forall(_.schema.fieldNames.toSeq
+      == Seq("id", "v")), "plain table stream leaked CDF columns")
+  }
+
+  test("plain readStream.table: initial snapshot + appended generations only, restart no-replay, admission control, non-append churn fails loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = java.nio.file.Files.createTempDirectory("graft_catp").toString
+    spark.conf.set("spark.sql.catalog.graftp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftp.warehouse", wh)
+    val root = new File(wh, "ops")
+    root.mkdirs()
+    import spark.implicits._
+    def append(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v")
+        .write.format("graft").option("path", root.toString)
+        .option("table", "t").option("mergeKeys", "id")
+        .option("appendOnly", "true").mode("append").save()
+    append((0L until 20L).map(i => (i, i.toDouble)))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_catp_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var batches = 0
+    def drain(maxVersions: Option[Int] = None): Unit = {
+      var rs = spark.readStream
+      maxVersions.foreach(n =>
+        rs = rs.option("maxVersionsPerTrigger", n.toString))
+      val q = rs.table("graftp.ops.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.collect().map(_.getLong(0))
+          seen.synchronized { seen ++= got; if (got.nonEmpty) batches += 1 }: Unit
+        }.start()
       q.awaitTermination()
     }
+
+    // first drain: the full snapshot
+    drain()
+    assert(seen.sorted == (0L until 20L), s"snapshot wrong: ${seen.sorted}")
+    // restart with nothing new: zero replay
+    drain()
+    assert(seen.size == 20, "plain table stream replayed the snapshot")
+
+    // two append commits, drained with maxVersionsPerTrigger=1: each
+    // batch carries exactly one commit's generations — admission control
+    append(Seq((100L, 1.0), (101L, 1.0)))
+    append(Seq((102L, 1.0)))
+    batches = 0
+    drain(maxVersions = Some(1))
+    assert(seen.size == 23, s"appends missing: ${seen.size}")
+    assert(batches == 2, s"maxVersionsPerTrigger ignored: $batches batches")
+    assert(seen.count(_ >= 100L) == 3)
+
+    // non-append churn (replace-by-key merge rewrites a generation):
+    // the next drain fails LOUDLY with the actionable message instead of
+    // silently re-serving or missing rows
+    Seq((0L, -1.0)).toDF("id", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id")
+      .mode("append").save()
+    val err = intercept[Exception] { drain() }
     val chain = Iterator.iterate(err: Throwable)(_.getCause)
       .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
       .mkString("\n")
-    assert(chain.contains("readChangeFeed"),
-      s"plain streaming read should point at readChangeFeed, got: $chain")
+    assert(chain.contains("append-only") && chain.contains("readChangeFeed"),
+      s"non-append churn must fail actionably, got: $chain")
   }
 
   test("writeStream.toTable: micro-batches land as manifest commits — upsert semantics, restart no-replay, Complete overwrites") {
