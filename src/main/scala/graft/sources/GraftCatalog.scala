@@ -319,7 +319,8 @@ object GraftProcedures {
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
-    "begin", "commit", "rollback", "clone", "rebucket", "refresh_mart",
+    "begin", "commit", "rollback", "clone", "clone_across", "rebucket",
+    "refresh_mart",
     "refresh_joined_mart", "maintain")
 
   private def in(n: String, dt: DataType) =
@@ -524,6 +525,19 @@ object GraftProcedures {
         val v = row.getLong(3)
         Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
           str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
+      }
+      // -- cross-NAMESPACE clone: hard-linked zero-copy registration of
+      //    source_ns.source@version as target_ns.target (version -1 =
+      //    current)
+      case "clone_across" => bound("clone_across",
+        Seq(in("source_namespace", StringType), in("source", StringType),
+          in("target_namespace", StringType), in("target", StringType),
+          in("version", LongType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        val v = row.getLong(4)
+        Seq(InternalRow(ManifestTable.cloneTableAcross(root(str(row, 0)),
+          str(row, 1), root(str(row, 2)), str(row, 3),
+          if (v < 0) None else Some(v))))
       }
       // -- CREATE/REFRESH MATERIALIZED VIEW, the one-shot verb: fold the
       //    unseen feed range into the named mart; with the declaration

@@ -2878,6 +2878,90 @@ object ManifestTable {
     -1L
   }
 
+  /** CROSS-ROOT zero-copy CLONE: register `target` in `targetRoot` as a
+    * new table whose state IS `source`'s at `version` in `sourceRoot` —
+    * a different namespace (Snowflake's routine cross-database
+    * `CREATE TABLE db2.s.t CLONE db1.s.t`). Data bytes never copy: every
+    * file of every referenced generation (parquet parts, stats/search
+    * sidecars, merge-on-read delta files) HARD-LINKS into the target
+    * root's own `data/<target>/` namespace, renamed to the target's
+    * version naming so its OCC/GC algebra applies unchanged. The
+    * filesystem's link count IS the cross-root refcount — each root's
+    * vacuum unlinks only its own entries and the shared inodes survive
+    * until the LAST root drops its reference, so no GC coordination,
+    * ref ledgers, or reachability scans across roots exist to get
+    * stale. (The same POSIX dependence as the link(2) commit CAS; an
+    * object-store deployment would swap this verb for a server-side
+    * copy the way it swaps the commit primitive.) Cost: one link
+    * syscall per FILE — metadata-rate, proportional to file count,
+    * independent of data volume. Like same-root CLONE the feed does not
+    * clone, and both tables evolve independently from this commit on.
+    */
+  def cloneTableAcross(sourceRoot: File, source: String, targetRoot: File,
+      target: String, version: Option[Long] = None): Long = {
+    require(sourceRoot.getCanonicalPath != targetRoot.getCanonicalPath,
+      "same-root clone: use cloneTable")
+    val src = resolve(sourceRoot, version).table(source)
+    require(src.schemaJson.nonEmpty,
+      s"table '$source' does not exist at $sourceRoot" +
+        version.fold("")(v => s" (version $v)"))
+    Files.createDirectories(targetRoot.toPath)
+    var attempt = 0
+    while (true) {
+      val manifest = read(targetRoot).getOrElse(empty)
+      require(!manifest.tables.get(target).exists(_.schemaJson.nonEmpty),
+        s"table '$target' already exists at $targetRoot")
+      val newV = manifest.version + 1
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      var n = 0
+      def link(gen: BucketGen, bucket: Long, kind: String): BucketGen = {
+        n += 1
+        val rel = s"data/$target/$kind$bucket-v$newV-$nonce-g$n"
+        val dst = new File(targetRoot, rel)
+        linkTree(new File(sourceRoot, gen.path), dst)
+        gen.copy(path = rel)
+      }
+      val buckets = src.buckets.map { case (b, gens) =>
+        b -> gens.map(link(_, b, "b"))
+      }
+      val deltas = src.deltas.map { case (b, gens) =>
+        b -> gens.map(link(_, b, "d"))
+      }
+      val cloned = src.copy(buckets = buckets, deltas = deltas,
+        changes = Nil, feedFrom = -1L)
+      try {
+        val next = Manifest(newV, manifest.queryId, manifest.lastBatch,
+          manifest.tables + (target -> cloned),
+          CommitInfo(
+            s"CLONE:$sourceRoot/$source@v${
+              version.getOrElse(resolve(sourceRoot, None).version)}",
+            System.currentTimeMillis(), Seq(target)))
+        commit(targetRoot, next)
+        gc(targetRoot, next)
+        return next.version
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          // the linked dirs are named for the lost version: orphans the
+          // target root's GC collects once that version slot is decided
+          attempt += 1
+      }
+    }
+    -1L
+  }
+
+  /** Recursively hard-link `src`'s files under `dst` (directories are
+    * recreated, files linked — zero data bytes copied).
+    */
+  private def linkTree(src: File, dst: File): Unit = {
+    Files.createDirectories(dst.toPath)
+    val kids = src.listFiles
+    if (kids != null) kids.foreach { k =>
+      val d = new File(dst, k.getName)
+      if (k.isDirectory) linkTree(k, d)
+      else Files.createLink(d.toPath, k.toPath): Unit
+    }
+  }
+
   /** DDL: drop a table from the root's catalog — a versioned commit; the
     * dropped generations stay readable through retained older snapshots
     * and GC collects them as those age out. Returns false when the table

@@ -242,6 +242,84 @@ class TransactionSpec extends SparkSpec {
       "GC collected shared dirs after the source dropped")
   }
 
+  test("cross-root CLONE: hard-linked zero-copy registration — reads ≡ source@version, neither side's vacuum sweeps data the other references") {
+    val wh = catalog("txnx")
+    val rootA = new File(wh, "dba")
+    val rootB = new File(wh, "dbb")
+    rootA.mkdirs(); rootB.mkdirs()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def writeA(rows: Seq[(Long, Double)], overwrite: Boolean = false): Unit =
+      rows.toDF("id", "v")
+        .write.format("graft").option("path", rootA.toString)
+        .option("table", "t").option("mergeKeys", "id")
+        .mode(if (overwrite) "overwrite" else "append").save()
+    writeA((0L until 30L).map(i => (i, i.toDouble)))
+    val vSrc = ManifestTable.read(rootA).get.version
+    val expect = ManifestTable.readTable(spark, rootA.toString, table = "t")
+      .collect().map(_.toString).toSet
+
+    // the SQL verb: CALL …clone_across(source_ns, source, target_ns,
+    // target, version); -1 = current
+    spark.sql(
+      "CALL txnx.system.clone_across('dba', 't', 'dbb', 'tc', -1)").collect()
+    def readClone(): Set[String] = ManifestTable
+      .readTable(spark, rootB.toString, table = "tc")
+      .collect().map(_.toString).toSet
+    assert(readClone() == expect, "clone must read the source's snapshot")
+
+    // zero-copy: the clone's files are HARD LINKS of the source's (same
+    // inode), not copies
+    val srcGen = ManifestTable.read(rootA).get.table("t").gens.head
+    val cloneGen = ManifestTable.read(rootB).get.table("tc").gens.head
+    def fileKeys(root: File, rel: String): Set[Any] =
+      new File(root, rel).listFiles.filter(_.isFile)
+        .map(f => java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+        .toSet
+    assert(fileKeys(rootA, srcGen.path).intersect(
+      fileKeys(rootB, cloneGen.path)).nonEmpty,
+      "cross-root clone copied bytes instead of linking")
+
+    // a PINNED cross-root clone, registered while the source still
+    // retains the version — it must keep serving that snapshot even
+    // after the source ages it out below
+    ManifestTable.cloneTableAcross(rootA, "t", rootB, "tc2", Some(vSrc))
+
+    // the SOURCE rewrites everything and its vacuum ages the original
+    // generations out of ITS retention — the filesystem link count keeps
+    // the clone's data alive: no cross-root GC coordination to go stale
+    writeA(Seq((1000L, -1.0)), overwrite = true)
+    (0 until ManifestTable.RetainVersions + 1).foreach(i =>
+      writeA(Seq((2000L + i, 0.0))))
+    assert(!new File(rootA, srcGen.path).exists,
+      "setup: the source's original generation should have aged out")
+    assert(readClone() == expect,
+      "source-side vacuum broke the cross-root clone")
+
+    // …and dropping the clone (plus aging its version out) releases the
+    // last reference without touching the source's live state
+    assert(ManifestTable.dropTable(rootB, "tc"))
+    (0 until ManifestTable.RetainVersions + 1).foreach { i =>
+      Seq((i.toLong, 0.0)).toDF("id", "v")
+        .write.format("graft").option("path", rootB.toString)
+        .option("table", "other").option("mergeKeys", "id")
+        .mode("append").save()
+    }
+    assert(!new File(rootB, cloneGen.path).exists,
+      "dropped clone's links survived retention")
+    assert(ManifestTable.readTable(spark, rootA.toString, table = "t")
+      .filter(col("id") === 1000L).count() == 1L)
+
+    // the pinned clone still serves the historical snapshot the source
+    // itself can no longer time-travel to
+    intercept[Exception] {
+      ManifestTable.readTable(spark, rootA.toString, Some(vSrc), "t")
+    }
+    assert(ManifestTable.readTable(spark, rootB.toString, table = "tc2")
+      .collect().map(_.toString).toSet == expect)
+  }
+
   test("cross-namespace envelope: one atomic publish across roots, rollback leaves both untouched") {
     val wh = catalog("txn5")
     for (ns <- Seq("sales", "risk")) {
