@@ -1520,6 +1520,7 @@ object ManifestTable {
     val retained = retainedVersions(root, m)
     val live: Set[String] =
       retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
+    val inflight = inflightNonces(root)
     val tableDirs = new File(root, "data").listFiles
     if (tableDirs != null) tableDirs.filter(_.isDirectory).foreach { td =>
       td.listFiles
@@ -1535,6 +1536,12 @@ object ManifestTable {
         // (the retry either renamed them away or restaged) — safe to
         // collect.
         .filter(d => dirVersion(d.getName) < m.version)
+        // intent-ledger guard: a dir carrying a LIVE intent's writer
+        // nonce belongs to a declared in-flight mergeBatch whatever
+        // version its name targets (a rebase renames across versions
+        // mid-flight) — sparing it closes the rename-vs-sweep restage
+        // window entirely; crashed writers age out via IntentTtlMs
+        .filterNot(d => inflight.exists(d.getName.contains))
         .foreach(sweep)
     }
     // version-file sweep anchor: every retained version must stay
@@ -2365,6 +2372,140 @@ object ManifestTable {
     */
   private[graft] var commitFaultInjector: (File, Long) => Unit = (_, _) => ()
 
+  // ---- bucket-level intent ledger (ADVISORY: correctness never depends
+  // on it — the link(2) OCC commit still decides every version; intents
+  // only shape who derives when, and what GC leaves alone) ----
+  //
+  // A mergeBatch writer declares `(timestamp, table → (bucketCount,
+  // touched bucket set))` in `_intents/<nonce>.intent` the moment its
+  // touched-bucket set is known (one distinct over the already-persisted
+  // incoming keys — no second pass over the batch), and removes it after
+  // its commit decides. Three effects:
+  //  1. SAME-BUCKET rivals stop paying derive→lose→re-derive: a writer
+  //     that sees an EARLIER overlapping live intent waits for it to
+  //     clear (bounded), then restarts its attempt against the winner's
+  //     committed state — one derivation each, serialized by declared
+  //     intent instead of by wasted work.
+  //  2. DISJOINT-bucket rivals already rebase (rename, zero re-derive);
+  //     the ledger closes their one remaining restage window: GC spares
+  //     dirs carrying a LIVE intent's nonce, so a loser's staged dirs
+  //     can no longer vanish between its rebase rename and its commit.
+  //  3. A crashed writer's intent expires after [[IntentTtlMs]] — it
+  //     stops gating rivals and stops sparing dirs; the normal orphan
+  //     collection applies from there.
+  //
+  // At 100 TB this is what lets N contending streams on one table cost
+  // N derivations total instead of O(N²): ledger files are bytes, the
+  // avoided work is shuffles.
+
+  /** How long a declared intent is believed (crash cover). */
+  private[graft] var IntentTtlMs: Long = 10 * 60 * 1000L
+
+  /** Max total wait for earlier overlapping intents before deriving
+    * anyway (OCC still protects; this only bounds politeness).
+    */
+  private[graft] var IntentPatienceMs: Long = 60 * 1000L
+
+  /** Diagnostics for contention specs: how many table derivations ran,
+    * and how many previously-staged updates had to be thrown away and
+    * re-derived (a "restage").
+    */
+  private[graft] val mergeDeriveCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val mergeRestageCount = new java.util.concurrent.atomic.AtomicLong
+
+  private case class Intent(nonce: String, ts: Long,
+      tables: Map[String, (Int, Set[Long])]) {
+    def overlaps(other: Intent): Boolean =
+      tables.exists { case (t, (n, bs)) =>
+        other.tables.get(t).exists { case (n2, bs2) =>
+          n != n2 || bs.contains(-1L) || bs2.contains(-1L) ||
+            bs.intersect(bs2).nonEmpty
+        }
+      }
+    /** Ledger priority: earlier call wins; nonce breaks ties, so two
+      * overlapping writers can never each wait for the other.
+      */
+    def before(other: Intent): Boolean =
+      ts < other.ts || (ts == other.ts && nonce < other.nonce)
+  }
+
+  private def intentsDir(root: File) = new File(root, "_intents")
+
+  private def writeIntent(root: File, i: Intent): Unit = {
+    val d = intentsDir(root)
+    Files.createDirectories(d.toPath)
+    val body = i.ts.toString + "\n" + i.tables.map { case (t, (n, bs)) =>
+      s"$t:$n:${bs.toSeq.sorted.mkString(",")}"
+    }.mkString("\n")
+    val tmp = new File(d, s".${i.nonce}.tmp")
+    Files.write(tmp.toPath, body.getBytes(UTF_8))
+    tmp.renameTo(new File(d, s"${i.nonce}.intent")): Unit
+  }
+
+  private def removeIntent(root: File, nonce: String): Unit = {
+    new File(intentsDir(root), s"$nonce.intent").delete(): Unit
+  }
+
+  private def liveIntents(root: File): Seq[Intent] = {
+    val fs = intentsDir(root).listFiles
+    if (fs == null) return Nil
+    val now = System.currentTimeMillis()
+    fs.filter(_.getName.endsWith(".intent")).flatMap { f =>
+      scala.util.Try {
+        val lines = new String(Files.readAllBytes(f.toPath), UTF_8)
+          .split("\n")
+        val tables = lines.tail.filter(_.nonEmpty).map { l =>
+          val parts = l.split(":", 3)
+          val bs = parts(2).split(",").filter(_.nonEmpty)
+            .map(_.toLong).toSet
+          parts(0) -> ((parts(1).toInt, bs))
+        }.toMap
+        Intent(f.getName.stripSuffix(".intent"), lines.head.trim.toLong,
+          tables)
+      }.toOption
+    }.filter(i => now - i.ts < IntentTtlMs).toSeq
+  }
+
+  /** Dir-name nonces GC must spare: every live intent's writer may still
+    * commit (or rebase-rename) dirs carrying its nonce.
+    */
+  private def inflightNonces(root: File): Set[String] =
+    liveIntents(root).map(_.nonce).toSet
+
+  /** Block while an EARLIER overlapping live intent exists, up to the
+    * ABSOLUTE `deadline` (one patience budget per mergeBatch call, so a
+    * crashed rival's lingering intent can stall a writer at most once,
+    * not once per attempt). Returns true when it actually waited — the
+    * caller's view of the table may be stale and the attempt should
+    * restart.
+    */
+  private def awaitIntentTurn(root: File, mine: Intent,
+      deadline: Long): Boolean = {
+    var waited = false
+    while (System.currentTimeMillis() < deadline &&
+        liveIntents(root).exists(o =>
+          o.nonce != mine.nonce && o.overlaps(mine) && o.before(mine))) {
+      waited = true
+      Thread.sleep(25L)
+    }
+    waited
+  }
+
+  /** Same-thread re-entrancy marker: a mergeBatch nested inside another
+    * (the deterministic fault-injection harness runs a competing writer
+    * INSIDE the outer writer's commit path) must never ledger-wait on
+    * its host — that would deadlock the very thread that has to clear
+    * the intent.
+    */
+  private val inMergeBatch = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Restart the current mergeBatch attempt (after an intent wait — the
+    * manifest may have moved) without burning an OCC retry.
+    */
+  private case class RestartAttempt() extends Exception
+
   def mergeBatch(root: File, qid: String, batchId: Long,
       batches: Seq[TableBatch]): Unit = {
     var attempt = 0
@@ -2383,7 +2524,35 @@ object ManifestTable {
     // rebase-restage; the same-bucket case restages exactly as before.
     val staged = scala.collection.mutable.Map.empty[
       String, (TableState, TableUpdate)]
+    // one writer identity for the whole call: dirs are named with it, the
+    // intent ledger declares it, GC spares it while the intent is live
+    val nonce = newNonce()
+    val writerTs = System.currentTimeMillis()
+    // nested (same-thread) writers never ledger-wait — see inMergeBatch
+    val nested = inMergeBatch.get.booleanValue
+    inMergeBatch.set(true)
+    val patienceDeadline =
+      if (nested) 0L else writerTs + IntentPatienceMs
+    val declared = scala.collection.mutable.Map.empty[String, (Int, Set[Long])]
+    def myIntent = Intent(nonce, writerTs, declared.toMap)
+    // called by mergeTable the moment a table's touched-bucket set is
+    // known (BEFORE any expensive per-bucket work): declare, then yield
+    // to earlier overlapping writers — if we actually waited, the
+    // manifest may have moved, so restart the attempt pre-derivation
+    val onTouched = (name: String, numBuckets: Int, buckets: Set[Long]) => {
+      declared(name) = (numBuckets, buckets)
+      writeIntent(root, myIntent)
+      if (awaitIntentTurn(root, myIntent, patienceDeadline))
+        throw RestartAttempt()
+    }
+    var restarts = 0
+    try {
     while (committed.isEmpty) {
+      // from the second attempt on the intent is fully declared: take
+      // our ledger turn BEFORE re-deriving (no restart needed here — the
+      // manifest is read fresh right after)
+      if (declared.nonEmpty)
+        awaitIntentTurn(root, myIntent, patienceDeadline): Unit
       // a copy-on-write bucket rewrite reads base generation bytes
       // directly: fold any outstanding merge-on-read deltas first so
       // the rewrite can't resurrect tombstoned or stale-versioned rows
@@ -2394,7 +2563,6 @@ object ManifestTable {
       val manifest = read(root).getOrElse(empty)
       if (manifest.queryId == qid && batchId <= manifest.lastBatch)
         return // replayed batch of the SAME query: already committed
-      val nonce = newNonce()
       try {
         val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
           val prev = manifest.table(tb.name)
@@ -2403,8 +2571,11 @@ object ManifestTable {
               rebaseStaged(root, upd, manifest.version + 1)
             else None
           }
+          if (staged.contains(tb.name) && reused.isEmpty)
+            mergeRestageCount.incrementAndGet(): Unit
           staged.remove(tb.name)
-          val update = reused.orElse(mergeTable(root, manifest, nonce, tb))
+          val update = reused.orElse(
+            mergeTable(root, manifest, nonce, tb, onTouched))
           update.foreach(u => staged += tb.name -> ((prev, u)))
           update.map(tb.name -> _)
         }.toMap
@@ -2422,6 +2593,11 @@ object ManifestTable {
         commit(root, next, deltaOf(next, qid, batchId, updates, op))
         committed = Some(next)
       } catch {
+        case _: RestartAttempt if restarts < 10000 =>
+          // an intent wait mid-attempt: nothing was derived for the
+          // waiting table; re-read the manifest and go again without
+          // burning an OCC retry (the wait itself is patience-bounded)
+          restarts += 1
         case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
           // lost the race: this attempt's generation dirs are orphans the
           // winner's (or our eventual) GC collects; rebase and retry
@@ -2437,6 +2613,10 @@ object ManifestTable {
           attempt += 1
       }
     }
+    } finally {
+      removeIntent(root, nonce)
+      if (!nested) inMergeBatch.set(false)
+    }
     committed.foreach(gc(root, _))
   }
 
@@ -2444,7 +2624,9 @@ object ManifestTable {
     * when the batch brings this table no rows.
     */
   private def mergeTable(root: File, manifest: Manifest, nonce: String,
-      tb: TableBatch): Option[TableUpdate] = {
+      tb: TableBatch,
+      onTouched: (String, Int, Set[Long]) => Unit = (_, _, _) => ())
+      : Option[TableUpdate] = {
     val spark = tb.rows.sparkSession
     val prev = manifest.table(tb.name)
     // an overwrite replaces the table wholesale, schema included — nothing
@@ -2474,8 +2656,16 @@ object ManifestTable {
         _.select(BucketCol).distinct().collect().map(_.getLong(0)).toSet
           .filter(prev.buckets.contains))
       val touched = (touchedRows ++ touchedDels).toSeq.sorted
+      // declare the bucket intent (and possibly yield to an earlier
+      // overlapping writer) BEFORE the expensive per-bucket derivation —
+      // an overwrite claims the whole table
+      onTouched(tb.name, tb.numBuckets,
+        if (tb.overwrite) Set(-1L) else touched.toSet)
       if (touched.isEmpty) None
       else {
+        // the EXPENSIVE work starts here (past any intent wait/restart):
+        // this is the derivation the contention specs count
+        mergeDeriveCount.incrementAndGet(): Unit
         val results = touched.map { b =>
           val inc = incoming.filter(col(BucketCol) === b).drop(BucketCol)
           val (out, chg): (DataFrame, Option[DataFrame]) =

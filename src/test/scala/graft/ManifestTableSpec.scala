@@ -801,22 +801,110 @@ class ManifestTableSpec extends SparkSpec {
     }
 
     // disjoint buckets: the loser's committed generations ARE its staged
-    // dirs, renamed one version up — same nonce, nothing re-derived
+    // dirs, renamed one version up — path identity, nothing re-derived
     val bA = byBucket.keys.head
     val bB = byBucket.keys.find(_ != bA).get
+    val restages0 = ManifestTable.mergeRestageCount.get
     val (staged1, committed1) = race(
       winnerIds = byBucket(bB).take(2), loserIds = byBucket(bA).take(2))
     val expectRenamed = staged1.map(_.replaceFirst("-v\\d+-", "-v3-"))
     assert(committed1.toSet subsetOf expectRenamed,
       s"expected renamed staged dirs $expectRenamed, committed $committed1")
+    assert(ManifestTable.mergeRestageCount.get == restages0,
+      "bucket-disjoint loser re-derived instead of renaming")
 
-    // same bucket: the loser must re-derive against the winner's rows —
-    // a fresh nonce, not a rename of the staged dirs
-    val (staged2, committed2) = race(
+    // same bucket: the loser must re-derive against the winner's rows
+    // (dir names no longer discriminate — the writer nonce is stable
+    // across attempts by design — so the restage counter does)
+    val restages1 = ManifestTable.mergeRestageCount.get
+    race(
       winnerIds = byBucket(bA).take(2), loserIds = byBucket(bA).drop(2).take(2))
-    val renamed2 = staged2.map(_.replaceFirst("-v\\d+-", "-v3-"))
-    assert(committed2.toSet.intersect(renamed2).isEmpty,
-      s"same-bucket loser must restage, got rename reuse: $committed2")
+    assert(ManifestTable.mergeRestageCount.get > restages1,
+      "same-bucket loser must restage")
+  }
+
+  test("bucket-intent ledger: N contending disjoint-bucket writers commit N versions with ZERO restages; same-bucket rivals serialize by intent and derive once each") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val t = ManifestTable.DefaultTable
+    val target = tmp("graft_intent")
+    val root = new File(target)
+    // keys grouped by their writer-hash bucket (8 buckets): each writer
+    // gets two buckets of its own (the wide id range feeds the slow
+    // same-bucket writer below)
+    val byBucket: Map[Long, Seq[Long]] = {
+      import spark.implicits._
+      spark.range(0, 20000)
+        .select(col("id"), pmod(xxhash64(col("id")), lit(8)).as("b"))
+        .as[(Long, Long)].collect().groupBy(_._2)
+        .view.mapValues(_.map(_._1).toSeq).toMap
+    }
+    def keyed(ids: Seq[Long], day: Int): DataFrame = {
+      import spark.implicits._
+      ids.map(i => (i, java.sql.Timestamp.valueOf(
+        f"2024-03-$day%02d 12:00:00"), i % 7, s"type${i % 3}", i * 1.5))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    // seed so every writer derives against a committed layout
+    ManifestTable.mergeBatch(root, "seed", 0L, Seq(
+      TableBatch(t, keyed((400L until 410L).toSeq, 1), Seq("event_id"), 8)))
+    val v0 = ManifestTable.read(root).get.version
+
+    val restages0 = ManifestTable.mergeRestageCount.get
+    val writers = (0 until 4).map { w =>
+      val ids = (byBucket(2L * w) ++ byBucket(2L * w + 1)).filter(_ < 400L)
+      Future(ManifestTable.mergeBatch(root, s"w$w", 0L, Seq(
+        TableBatch(t, keyed(ids, 2 + w), Seq("event_id"), 8))))
+    }
+    Await.result(Future.sequence(writers), 5.minutes)
+    assert(ManifestTable.read(root).get.version == v0 + 4,
+      "every contending writer must land its own version")
+    assert(ManifestTable.mergeRestageCount.get == restages0,
+      "disjoint-bucket contention must cost ZERO restages " +
+        "(rebase-by-rename only)")
+    val all = ManifestTable.readTable(spark, target)
+    assert(all.count() == 410L)
+    assert(all.select("event_id").distinct().count() == 410L)
+
+    // same-bucket rivals: the later writer's declared intent makes it
+    // WAIT for the earlier one and derive ONCE against its committed
+    // state — two derivations total, not derive→lose→re-derive. Writer
+    // A's batch is deliberately WIDE (thousands of keys) so its
+    // derivation is still in flight when B's intent check runs
+    val bShared = 0L
+    val idsA = byBucket(bShared).filter(_ >= 400L)
+    val idsB = byBucket(bShared).filter(_ < 400L).take(10)
+    val derive0 = ManifestTable.mergeDeriveCount.get
+    val restages2 = ManifestTable.mergeRestageCount.get
+    val fA = Future(ManifestTable.mergeBatch(root, "sameA", 1L, Seq(
+      TableBatch(t, keyed(idsA, 7), Seq("event_id"), 8))))
+    // start B only once A's intent is on the ledger, so the contention
+    // is real and deterministic
+    val intents = new File(root, "_intents")
+    val deadline = System.currentTimeMillis() + 30000
+    while ((!intents.exists || intents.listFiles.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+    val fB = Future(ManifestTable.mergeBatch(root, "sameB", 1L, Seq(
+      TableBatch(t, keyed(idsB, 8), Seq("event_id"), 8))))
+    Await.result(Future.sequence(Seq(fA, fB)), 5.minutes)
+    assert(ManifestTable.mergeDeriveCount.get == derive0 + 2,
+      s"same-bucket rivals must derive once each, " +
+        s"got ${ManifestTable.mergeDeriveCount.get - derive0}")
+    assert(ManifestTable.mergeRestageCount.get == restages2,
+      "intent-serialized same-bucket rivals must not restage")
+    val after = ManifestTable.readTable(spark, target)
+    val probe = idsA.take(10) ++ idsB
+    val days = after.filter(col("event_id").isin(
+      probe.map(java.lang.Long.valueOf): _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[java.sql.Timestamp]("ts").toString.take(10)).toMap
+    idsA.take(10).foreach(i => assert(days(i) == "2024-03-07"))
+    idsB.foreach(i => assert(days(i) == "2024-03-08"))
+    // ledger hygiene: intents removed once the writers are done
+    assert(!intents.exists || intents.listFiles.forall(
+      !_.getName.endsWith(".intent")))
   }
 
   test("race-casualty classifier: every GC-inflicted write-failure shape with the manifest moved rebases and retries (deterministic injection)") {
