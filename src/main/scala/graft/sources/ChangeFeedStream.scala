@@ -438,7 +438,12 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
     ManifestTable.read(new File(rootPath)).map { m =>
       val avail = availableNowCap.fold(m.version)(math.min(m.version, _))
       val target = limit match {
-        case rv: ReadMaxVersions => math.min(avail, floor + rv.maxVersions)
+        // the INITIAL SNAPSHOT batch (floor < 0) is never version-capped:
+        // it must land on a real committed version, and a snapshot is one
+        // read whatever version it pins (capping it to floor+max could
+        // target a version before the table's first commit)
+        case rv: ReadMaxVersions if floor >= 0 =>
+          math.min(avail, floor + rv.maxVersions)
         case _ => avail
       }
       if (target <= floor) start else LongOffset(target): OffsetV2

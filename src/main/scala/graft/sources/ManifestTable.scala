@@ -2467,10 +2467,20 @@ object ManifestTable {
   }
 
   /** Dir-name nonces GC must spare: every live intent's writer may still
-    * commit (or rebase-rename) dirs carrying its nonce.
+    * commit (or rebase-rename) dirs carrying its nonce. As a side
+    * effect, EXPIRED intent files (crashed writers past [[IntentTtlMs]])
+    * are deleted here — GC is the natural hygiene point, and a deleted
+    * expired intent spares nothing, which is exactly the contract.
     */
-  private def inflightNonces(root: File): Set[String] =
-    liveIntents(root).map(_.nonce).toSet
+  private def inflightNonces(root: File): Set[String] = {
+    val live = liveIntents(root).map(_.nonce).toSet
+    val fs = intentsDir(root).listFiles
+    if (fs != null) fs
+      .filter(f => f.getName.endsWith(".intent") &&
+        !live.contains(f.getName.stripSuffix(".intent")))
+      .foreach(f => f.delete(): Unit)
+    live
+  }
 
   /** Block while an EARLIER overlapping live intent exists, up to the
     * ABSOLUTE `deadline` (one patience budget per mergeBatch call, so a

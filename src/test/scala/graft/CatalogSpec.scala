@@ -350,8 +350,10 @@ class CatalogSpec extends SparkSpec {
       q.awaitTermination()
     }
 
-    // first drain: the full snapshot
-    drain()
+    // first drain: the full snapshot — NOT version-capped even under
+    // admission control (a capped initial offset could target a version
+    // before the table's first commit)
+    drain(maxVersions = Some(1))
     assert(seen.sorted == (0L until 20L), s"snapshot wrong: ${seen.sorted}")
     // restart with nothing new: zero replay
     drain()
