@@ -197,7 +197,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // windows, checkpoint interval, and the row-level write mode
     // (copy-on-write default, merge-on-read for heavy-update tables)
     val recorded = ManifestTable.KnownProps.flatMap(k =>
-      props.get(k.toLowerCase).orElse(props.get(k)).map(k -> _)).toMap
+      props.get(k.toLowerCase).orElse(props.get(k)).map(k -> _)).toMap ++
+      // CHECK constraints declare at creation (empty table: trivially
+      // valid) and enforce on every write from the first row on
+      props.collect { case (k, v) if k.startsWith("constraint.") => k -> v }
     recorded.get("rowLevelMode").foreach(m =>
       require(GraftSqlTable.RowLevelModes.contains(m),
         s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, got '$m'"))
@@ -251,6 +254,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "changing the bucket count rewrites every row under the new " +
             "hash — run CALL <catalog>.system.rebucket(namespace, table, " +
             "buckets) instead of ALTER TABLE")
+      case p: TableChange.SetProperty
+          if p.property.startsWith("constraint.") =>
+        props += p.property -> p.value
       case p: TableChange.SetProperty if knownProp(p.property).nonEmpty =>
         val key = knownProp(p.property).get
         if (key == "rowLevelMode")
@@ -275,6 +281,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "COLUMNS and SET TBLPROPERTIES statsCols/searchCols/" +
           ManifestTable.KnownProps.toSeq.sorted.mkString("/") + ")")
     }
+    // ADDING a CHECK constraint validates EXISTING data first (the
+    // Delta ADD CONSTRAINT contract): a declared constraint is an
+    // invariant over the whole table, not just future writes
+    val newConstraints = props.toMap.filter(_._1.startsWith("constraint."))
+    if (newConstraints.nonEmpty)
+      ManifestTable.enforceConstraints(ident.name, newConstraints,
+        ManifestTable.readTable(SparkSession.active, root.toString,
+          table = ident.name))
     ManifestTable.alterTable(root, ident.name, adds.toSeq,
       statsCols, searchCols, props.toMap)
     new GraftSqlTable(root, ident.name, None)

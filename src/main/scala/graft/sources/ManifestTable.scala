@@ -2630,6 +2630,58 @@ object ManifestTable {
     committed.foreach(gc(root, _))
   }
 
+  // ---- CHECK constraints (`TBLPROPERTIES ('constraint.<name>' =
+  // '<boolean SQL>')`) — the Snowflake/Delta table-constraint shape:
+  // declared once, enforced on EVERY write path (mergeBatch family,
+  // CoW group replacement, merge-on-read deltas, update_where), with
+  // adding a constraint validating existing data first (the ALTER
+  // surface does that) so a declared constraint is an invariant, not a
+  // hope. Standard SQL CHECK semantics: a row violates only when the
+  // condition evaluates to exactly FALSE — NULL passes. ----
+
+  /** The table's declared CHECK constraints: name → boolean SQL text. */
+  private[sources] def constraintsOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") -> v
+    }.sortBy(_._1)
+
+  /** Enforce every declared CHECK constraint on a batch of would-be
+    * rows. ONE aggregate pass over the (caller-persisted) batch counts
+    * all constraints together — map-side, no shuffle, and only tables
+    * that declare any pay it; the first violated constraint fetches one
+    * sample row for the error. Nothing commits on violation.
+    */
+  private[sources] def enforceConstraints(table: String,
+      props: Map[String, String], rows: DataFrame): Unit = {
+    val cs = constraintsOf(props)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.expr
+    val exprs = cs.map { case (n, sql) =>
+      (n, sql,
+        try expr(sql) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"CHECK constraint '$n' on table '$table' does not parse: " +
+              s"$sql", e)
+        })
+    }
+    def violations(e: org.apache.spark.sql.Column) =
+      sum(when(e <=> lit(false), 1L).otherwise(0L))
+    val counts = rows.agg(
+      violations(exprs.head._3).as(exprs.head._1),
+      exprs.tail.map { case (n, _, e) => violations(e).as(n) }: _*).head
+    exprs.zipWithIndex.foreach { case ((n, sql, e), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0L) {
+        val sample = rows.filter(e <=> lit(false)).head
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($sql) on table '$table' violated by " +
+            s"$bad row(s), e.g. $sample — nothing was committed")
+      }
+    }
+  }
+
   /** Merge or append one table's batch rows into its touched buckets; None
     * when the batch brings this table no rows.
     */
@@ -2659,6 +2711,9 @@ object ManifestTable {
     val delKeys = tb.deleteKeys.map(_.select(tb.mergeKeys.map(col).toIndexedSeq: _*)
       .distinct().withColumn(BucketCol, bucketExpr).persist())
     try {
+      // CHECK constraints gate the batch BEFORE any bucket work — the
+      // table's recorded constraints plus any this very batch declares
+      enforceConstraints(tb.name, prev.props ++ tb.props, incoming)
       val touchedRows = incoming.select(BucketCol).distinct()
         .collect().map(_.getLong(0)).toSet
       // delete-only buckets matter only where committed generations exist
@@ -3450,6 +3505,9 @@ object ManifestTable {
               case None => col(f.name)
             }
           }.toIndexedSeq: _*)
+        // CHECK constraints gate the post-update images of the matched
+        // rows before any generation rewrites
+        enforceConstraints(table, ts.props, applySets(pruned))
         val rewritten = ts.buckets.flatMap { case (b, gens) =>
           if (!gens.exists(touched)) None
           else Some(b -> gens.zipWithIndex.map { case (g, i) =>
@@ -3575,6 +3633,7 @@ object ManifestTable {
           lit(ts.numBuckets))
       val withBucket = aligned.withColumn(BucketCol, bucketExpr).persist()
       try {
+        enforceConstraints(table, ts.props, withBucket)
         val presentBuckets = withBucket.select(BucketCol).distinct()
           .collect().map(_.getLong(0)).toSet // bounded: ≤ numBuckets rows
         val touchedBuckets = ts.buckets.collect {
@@ -3743,6 +3802,10 @@ object ManifestTable {
           lit(ts.numBuckets))
       val withBucket = aligned.withColumn(BucketCol, bucketExpr).persist()
       try {
+        // tombstones carry the deleted key only — constraints gate the
+        // rows that will LIVE (upserts and inserts)
+        enforceConstraints(table, ts.props,
+          withBucket.filter(col(RowOpCol) =!= "d"))
         val written: Map[Long, BucketGen] = writeKeyedGens(spark, root,
           withBucket, BucketCol, deltaSchema, ts.statsCols, Nil,
           tmpRel = s"data/$table/stage-dd${manifest.version + 1}-w$nonce",

@@ -448,6 +448,83 @@ class CatalogSpec extends SparkSpec {
     assert(agg == Seq((1L, 3L), (2L, 1L), (3L, 1L)), s"complete-mode: $agg")
   }
 
+  test("CHECK constraints: declared once, enforced on every write path (INSERT, MERGE, UPDATE, merge-on-read); ADD CONSTRAINT validates existing data; NULL passes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    spark.conf.set("spark.sql.catalog.chk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chk.ops")
+    spark.sql("""CREATE TABLE chk.ops.t (id BIGINT, amt DOUBLE, cur STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'constraint.amt_nonneg' = 'amt >= 0')""")
+    val root = new File(wh, "ops")
+
+    // valid rows land; a NULL condition PASSES (standard CHECK)
+    spark.sql("INSERT INTO chk.ops.t VALUES (1, 5.0, 'USD'), (2, NULL, 'EUR')")
+    assert(spark.sql("SELECT count(*) FROM chk.ops.t").head.getLong(0) == 2L)
+
+    // a violating INSERT fails loudly, names the constraint, commits
+    // NOTHING
+    val v1 = ManifestTable.read(root).get.version
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO chk.ops.t VALUES (3, -1.0, 'USD')")
+    }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain(e1).contains("amt_nonneg"), s"got: ${chain(e1)}")
+    assert(ManifestTable.read(root).get.version == v1,
+      "violating INSERT committed a version")
+    assert(spark.sql("SELECT count(*) FROM chk.ops.t").head.getLong(0) == 2L)
+
+    // native MERGE INTO (group CoW row-level path) enforces too
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO chk.ops.t t
+        USING (SELECT 1L AS id, -9.0 AS amt, 'USD' AS cur) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.amt = s.amt""")
+    }
+    assert(chain(e2).contains("amt_nonneg"))
+    assert(spark.sql("SELECT amt FROM chk.ops.t WHERE id = 1")
+      .head.getDouble(0) == 5.0, "violating MERGE leaked")
+
+    // update_where (the metadata verb) enforces the post-update image
+    val e3 = intercept[Exception] {
+      spark.sql("CALL chk.system.update_where('ops', 't', 'id = 1', " +
+        "'amt', '-2.0')").collect()
+    }
+    assert(chain(e3).contains("amt_nonneg"))
+
+    // ADD CONSTRAINT validates EXISTING data: one that current rows
+    // violate refuses; a satisfiable one records and then gates writes
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE chk.ops.t SET TBLPROPERTIES " +
+        "('constraint.usd_only' = \"cur = 'USD'\")")
+    }
+    assert(chain(e4).contains("usd_only"),
+      s"ADD CONSTRAINT over violating data must refuse: ${chain(e4)}")
+    spark.sql("ALTER TABLE chk.ops.t SET TBLPROPERTIES " +
+      "('constraint.cur_known' = \"cur IN ('USD', 'EUR')\")")
+    val e5 = intercept[Exception] {
+      spark.sql("INSERT INTO chk.ops.t VALUES (4, 1.0, 'XXX')")
+    }
+    assert(chain(e5).contains("cur_known"))
+    spark.sql("INSERT INTO chk.ops.t VALUES (4, 1.0, 'EUR')")
+    assert(spark.sql("SELECT count(*) FROM chk.ops.t").head.getLong(0) == 3L)
+
+    // the merge-on-read delta path enforces as well
+    spark.sql("""CREATE TABLE chk.ops.m (id BIGINT, amt DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowLevelMode'='merge-on-read', 'constraint.amt_nonneg' = 'amt >= 0')""")
+    spark.sql("INSERT INTO chk.ops.m VALUES (1, 1.0)")
+    val e6 = intercept[Exception] {
+      spark.sql("""MERGE INTO chk.ops.m t
+        USING (SELECT 1L AS id, -3.0 AS amt) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.amt = s.amt""")
+    }
+    assert(chain(e6).contains("amt_nonneg"))
+    assert(spark.sql("SELECT amt FROM chk.ops.m WHERE id = 1")
+      .head.getDouble(0) == 1.0)
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
