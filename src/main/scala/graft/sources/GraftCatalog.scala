@@ -333,8 +333,8 @@ object GraftProcedures {
 
   val Names = Seq("compact", "recluster", "zorder", "index", "history",
     "delete_where", "update_where", "detail", "vacuum",
-    "begin", "commit", "rollback", "clone", "clone_across", "rebucket",
-    "refresh_mart",
+    "begin", "commit", "rollback", "clone", "clone_across", "restore",
+    "rebucket", "refresh_mart",
     "refresh_joined_mart", "maintain")
 
   private def in(n: String, dt: DataType) =
@@ -539,6 +539,15 @@ object GraftProcedures {
         val v = row.getLong(3)
         Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
           str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
+      }
+      // -- RESTORE a table to a retained version (incl. UNDROP from a
+      //    pre-drop snapshot); an active feed gets the exact keyed diff
+      case "restore" => bound("restore",
+        Seq(in("namespace", StringType), in("table", StringType),
+          in("version", LongType)),
+        StructType(Seq(StructField("version", LongType)))) { row =>
+        Seq(InternalRow(ManifestTable.restoreTable(SparkSession.active,
+          root(str(row, 0)), str(row, 1), row.getLong(2))))
       }
       // -- cross-NAMESPACE clone: hard-linked zero-copy registration of
       //    source_ns.source@version as target_ns.target (version -1 =

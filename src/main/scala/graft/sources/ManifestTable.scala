@@ -3217,6 +3217,91 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE a table to its state at a retained `version` (Delta
+    * `RESTORE TABLE … TO VERSION AS OF` / Snowflake clone-from-time
+    * recovery — including UNDROP: a dropped table restores from any
+    * retained pre-drop snapshot). Pure-metadata commit: the restored
+    * state REFERENCES the old generation dirs (path-union liveness
+    * already keeps every retained snapshot's dirs alive, which is
+    * exactly why only retained versions restore — aged-out history is
+    * gone). An ACTIVE change feed gets the restore as an EXACT keyed
+    * diff (current vs target snapshot: preimage/postimage pairs,
+    * deletes, re-inserts — one join of the two snapshots, a maintenance
+    * verb's cost), so CDF subscribers roll through a restore without
+    * resubscribing; a schema-crossing restore (or a key-less append
+    * table) resets the feed instead — a diff under two schemas is
+    * ill-posed. Returns the new version (no-op when already identical).
+    */
+  def restoreTable(spark: SparkSession, root: File, table: String,
+      version: Long): Long = {
+    var attempt = 0
+    while (true) {
+      val manifest = read(root).getOrElse(empty)
+      val target = resolve(root, Some(version)).table(table)
+      require(target.schemaJson.nonEmpty,
+        s"table '$table' does not exist at version $version")
+      val cur = manifest.table(table)
+      if (cur == target) return manifest.version // already that state
+      val newV = manifest.version + 1
+      val nonce = newNonce()
+      val (changes, feedFrom) =
+        if (cur.feedFrom < 0 || cur.schemaJson.isEmpty) (Nil, -1L)
+        else if (cur.schemaJson != target.schemaJson ||
+            cur.mergeKeys.isEmpty || cur.mergeKeys != target.mergeKeys)
+          (Nil, -1L) // diff ill-posed: reset (subscribers fail loudly)
+        else {
+          val keys = cur.mergeKeys
+          def snap(ts: TableState): DataFrame = reconcileDeltas(spark,
+            root.toString, ts,
+            readDirs(spark, root.toString, ts, ts.gens.map(_.path)))
+          val o = snap(cur).persist()
+          val n = snap(target).persist()
+          try {
+            val changed = o.exceptAll(n).unionAll(n.exceptAll(o))
+              .select(keys.map(col).toIndexedSeq: _*).distinct().persist()
+            try {
+              if (changed.isEmpty) (cur.changes, cur.feedFrom)
+              else {
+                val oKeys = o.select(keys.map(col).toIndexedSeq: _*).distinct()
+                val nKeys = n.select(keys.map(col).toIndexedSeq: _*).distinct()
+                def keyCond(l: DataFrame, r: DataFrame) =
+                  keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+                val oCh = o.join(changed, keyCond(o, changed), "left_semi")
+                val nCh = n.join(changed, keyCond(n, changed), "left_semi")
+                val pre = oCh.join(nKeys, keyCond(oCh, nKeys), "left_semi")
+                  .withColumn(ChangeTypeCol, lit("update_preimage"))
+                val del = oCh.join(nKeys, keyCond(oCh, nKeys), "left_anti")
+                  .withColumn(ChangeTypeCol, lit("delete"))
+                val post = nCh.join(oKeys, keyCond(nCh, oKeys), "left_semi")
+                  .withColumn(ChangeTypeCol, lit("update_postimage"))
+                val ins = nCh.join(oKeys, keyCond(nCh, oKeys), "left_anti")
+                  .withColumn(ChangeTypeCol, lit("insert"))
+                val rel = s"data/$table/chg-v$newV-rst$nonce"
+                pre.unionByName(del).unionByName(post).unionByName(ins)
+                  .write.mode("overwrite")
+                  .parquet(new File(root, rel).toString)
+                (cur.changes :+ ChangeGen(newV, rel), cur.feedFrom)
+              }
+            } finally { changed.unpersist(); () }
+          } finally { o.unpersist(); n.unpersist(); () }
+        }
+      try {
+        val restored = target.copy(changes = changes, feedFrom = feedFrom)
+        val next = Manifest(newV, manifest.queryId, manifest.lastBatch,
+          manifest.tables + (table -> restored),
+          CommitInfo(s"RESTORE:$table@v$version",
+            System.currentTimeMillis(), Seq(table)))
+        commit(root, next)
+        gc(root, next)
+        return next.version
+      } catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+    -1L
+  }
+
   /** DDL: drop a table from the root's catalog — a versioned commit; the
     * dropped generations stay readable through retained older snapshots
     * and GC collects them as those age out. Returns false when the table

@@ -448,6 +448,75 @@ class CatalogSpec extends SparkSpec {
     assert(agg == Seq((1L, 3L), (2L, 1L), (3L, 1L)), s"complete-mode: $agg")
   }
 
+  test("RESTORE TABLE: pure-metadata rewind to a retained version; an active feed gets the exact keyed diff (a mart folds straight through); UNDROP restores a dropped table") {
+    import graft.streaming.IncrementalMart
+    val wh = java.nio.file.Files.createTempDirectory("graft_rst").toString
+    spark.conf.set("spark.sql.catalog.rst", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rst.warehouse", wh)
+    val root = new File(wh, "ops")
+    root.mkdirs()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    def feed(b: Long, rows: Seq[(Long, String, Double)],
+        deletes: Option[Seq[Long]] = None): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        ManifestTable.TableBatch("t", rows.toDF("id", "grp", "v"),
+          Seq("id"), 2, deleteKeys = deletes.map(_.toDF("id")),
+          changeFeed = true)))
+    feed(0L, (0L until 20L).map(i => (i, s"g${i % 2}", i * 0.5)))
+    val vKeep = ManifestTable.read(root).get.version
+    val keepRows = ManifestTable.readTable(spark, root.toString, table = "t")
+      .collect().map(_.toString).toSet
+    // churn past the kept version in ONE commit (updates incl. a group
+    // migration, an insert, deletes), so vKeep stays inside the
+    // retention window once the mart's own commit lands too
+    feed(1L, Seq((0L, "g1", 100.0), (50L, "g0", 7.5), (1L, "g0", -2.0)),
+      deletes = Some(Seq(3L, 5L)))
+
+    // a CDF-fed mart drains the churn BEFORE the restore…
+    val cfg = IncrementalMart.Config(root.toString, root.toString,
+      groupCols = Seq("grp"), valueCols = Seq("v"),
+      sourceTable = "t", martTable = "m", numBuckets = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ck").toString
+    IncrementalMart.sync(spark, cfg, ckpt)
+
+    // RESTORE to the kept version: reads ≡ that snapshot, one new commit
+    val restoredV = spark.sql(
+      s"CALL rst.system.restore('ops', 't', $vKeep)").head.getLong(0)
+    assert(restoredV == ManifestTable.read(root).get.version)
+    assert(ManifestTable.readTable(spark, root.toString, table = "t")
+      .collect().map(_.toString).toSet == keepRows,
+      "restore must serve the target snapshot exactly")
+    // pre-restore history stays readable through retention
+    assert(ManifestTable.readTable(spark, root.toString,
+      Some(restoredV - 1), "t").filter(col("id") === 50L).count() == 1L)
+
+    // …and folds the restore's keyed diff AFTER it: the mart lands
+    // exactly on the restored table's aggregate — proof the diff is
+    // exact (a wrong pre/post pair would corrupt the netting)
+    IncrementalMart.sync(spark, cfg, ckpt)
+    val expected = ManifestTable.readTable(spark, root.toString, table = "t")
+      .groupBy("grp").agg(count(lit(1)).as(IncrementalMart.RowsCol),
+        sum("v").as("sum_v"), count(col("v")).as("cnt_v"))
+      .collect().map(_.toString).toSet
+    assert(ManifestTable.readTable(spark, root.toString, table = "m")
+      .collect().map(_.toString).toSet == expected,
+      "CDF subscriber diverged across the restore")
+
+    // no-op restore: already that state → version unchanged
+    val v2 = ManifestTable.read(root).get.version
+    spark.sql(s"CALL rst.system.restore('ops', 't', $v2)").collect()
+    assert(ManifestTable.read(root).get.version == v2)
+
+    // UNDROP: drop, then restore from the pre-drop snapshot
+    assert(ManifestTable.dropTable(root, "t"))
+    val vDrop = ManifestTable.read(root).get.version
+    spark.sql(s"CALL rst.system.restore('ops', 't', ${vDrop - 1})").collect()
+    assert(ManifestTable.readTable(spark, root.toString, table = "t")
+      .collect().map(_.toString).toSet == keepRows,
+      "UNDROP must serve the pre-drop rows")
+  }
+
   test("CHECK constraints: declared once, enforced on every write path (INSERT, MERGE, UPDATE, merge-on-read); ADD CONSTRAINT validates existing data; NULL passes") {
     val wh = java.nio.file.Files.createTempDirectory("graft_chk").toString
     spark.conf.set("spark.sql.catalog.chk", classOf[GraftCatalog].getName)
