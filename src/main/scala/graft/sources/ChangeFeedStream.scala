@@ -423,6 +423,16 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
   private val params = CaseInsensitiveMap(options)
   private val maxVersions = params.get("maxVersionsPerTrigger").map(_.toLong)
 
+  /** Delta's `skipChangeCommits`: a commit that rewrote or dropped
+    * served generations (merge, update/delete, compact, recluster,
+    * overwrite) is SKIPPED WHOLESALE instead of failing the stream —
+    * the subscriber keeps receiving pure appends and accepts that
+    * updates/deletes never reach it. Off by default: silently missing
+    * churn is an explicit opt-in.
+    */
+  private val skipChangeCommits =
+    params.get("skipChangeCommits").exists(_.toBoolean)
+
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -481,16 +491,22 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
       .table(table)
     if (tsEnd.schemaJson.isEmpty) throw new IllegalStateException(
       s"table $table does not exist at version $ev")
-    if (tsEnd.deltas.nonEmpty) throw new UnsupportedOperationException(
-      s"table $table carries merge-on-read deltas at version $ev — their " +
-        "rows mutate served generations in place; plain streaming table " +
-        "reads require append-only evolution. Subscribe with " +
-        s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true), or " +
-        "collapse the deltas (CALL graft.system.maintain) first")
+    // merge-on-read deltas mutate served rows in place; the INITIAL
+    // SNAPSHOT must refuse them always (it would serve stale base rows),
+    // incremental batches tolerate them under skipChangeCommits (they
+    // are precisely the churn the subscriber opted out of)
+    if (tsEnd.deltas.nonEmpty && (sv < 0L || !skipChangeCommits))
+      throw new UnsupportedOperationException(
+        s"table $table carries merge-on-read deltas at version $ev — " +
+          "their rows mutate served generations in place; plain " +
+          "streaming table reads require append-only evolution. " +
+          "Subscribe with " +
+          s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true), or " +
+          "collapse the deltas (CALL graft.system.maintain) first")
     val endPaths = tsEnd.gens.map(_.path)
     val newPaths =
       if (sv < 0L) endPaths // initial snapshot
-      else {
+      else if (!skipChangeCommits) {
         val startSet = ManifestTable.resolve(new File(rootPath), Some(sv))
           .table(table).gens.map(_.path).toSet
         val gone = startSet -- endPaths.toSet
@@ -500,8 +516,27 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
             "dropped, e.g. by a merge, update/delete, compact, or " +
             "recluster); a plain streaming table read cannot represent " +
             "that — subscribe with " +
-            s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true)")
+            s"option(\"${GraftSqlTable.ReadChangeFeedOption}\", true), " +
+            "or opt into silently dropping churn with " +
+            "option(\"skipChangeCommits\", true)")
         endPaths.filterNot(startSet)
+      } else {
+        // skipChangeCommits: walk the range COMMIT BY COMMIT (manifest
+        // reads — metadata-rate) and serve only append commits' new
+        // generations; a churn commit's rewritten generations carry OLD
+        // rows merged in, so serving its "new" dirs would re-deliver
+        // them — the whole commit skips, exactly Delta's contract
+        var prev = ManifestTable.resolve(new File(rootPath), Some(sv))
+          .table(table).gens.map(_.path).toSet
+        (sv + 1 to ev).flatMap { v =>
+          val cur = ManifestTable.resolve(new File(rootPath), Some(v))
+            .table(table).gens.map(_.path)
+          val curSet = cur.toSet
+          val appendOnly = prev.subsetOf(curSet)
+          val added = cur.filterNot(prev)
+          prev = curSet
+          if (appendOnly) added else Nil
+        }
       }
     val conf = spark.sessionState.newHadoopConf()
     val files = newPaths.flatMap { rel =>

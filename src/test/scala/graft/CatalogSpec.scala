@@ -382,6 +382,27 @@ class CatalogSpec extends SparkSpec {
       .mkString("\n")
     assert(chain.contains("append-only") && chain.contains("readChangeFeed"),
       s"non-append churn must fail actionably, got: $chain")
+
+    // skipChangeCommits (the Delta knob): the churn commit SKIPS
+    // WHOLESALE — its rewritten generations carry old rows merged in,
+    // so serving them would re-deliver — and later appends keep flowing
+    append(Seq((200L, 2.0)))
+    def drainSkip(): Unit = {
+      val q = spark.readStream.option("skipChangeCommits", "true")
+        .table("graftp.ops.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.collect().map(_.getLong(0))
+          seen.synchronized { seen ++= got }: Unit
+        }.start()
+      q.awaitTermination()
+    }
+    drainSkip()
+    assert(seen.size == 24, s"skipChangeCommits drain: ${seen.size}")
+    assert(seen.count(_ == 200L) == 1, "post-churn append missing")
+    assert(!seen.contains(0L) || seen.count(_ == 0L) == 1,
+      "skipped churn commit re-delivered rows")
   }
 
   test("writeStream.toTable: micro-batches land as manifest commits — upsert semantics, restart no-replay, Complete overwrites") {
