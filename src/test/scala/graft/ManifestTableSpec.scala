@@ -905,6 +905,33 @@ class ManifestTableSpec extends SparkSpec {
     // ledger hygiene: intents removed once the writers are done
     assert(!intents.exists || intents.listFiles.forall(
       !_.getName.endsWith(".intent")))
+
+    // CRASHED writer: a lingering intent gates rivals only until the
+    // TTL — past it, writes proceed (correctness was never the ledger's
+    // job) and GC both ignores and deletes the stale file
+    val ttl0 = ManifestTable.IntentTtlMs
+    val pat0 = ManifestTable.IntentPatienceMs
+    try {
+      ManifestTable.IntentTtlMs = 200L
+      ManifestTable.IntentPatienceMs = 400L
+      val stale = new File(intents, "deadwriter.intent")
+      intents.mkdirs()
+      java.nio.file.Files.write(stale.toPath,
+        s"${System.currentTimeMillis()}\n$t:8:0,1,2,3,4,5,6,7"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val t0 = System.currentTimeMillis()
+      ManifestTable.mergeBatch(root, "afterCrash", 0L, Seq(
+        TableBatch(t, keyed(Seq(900L), 9), Seq("event_id"), 8)))
+      val took = System.currentTimeMillis() - t0
+      assert(took < 30000, s"crashed intent stalled a writer ${took}ms")
+      assert(ManifestTable.readTable(spark, target)
+        .filter(col("event_id") === 900L).count() == 1L)
+      assert(!stale.exists,
+        "GC left an expired intent file on the ledger")
+    } finally {
+      ManifestTable.IntentTtlMs = ttl0
+      ManifestTable.IntentPatienceMs = pat0
+    }
   }
 
   test("race-casualty classifier: every GC-inflicted write-failure shape with the manifest moved rebases and retries (deterministic injection)") {
