@@ -199,8 +199,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val recorded = ManifestTable.KnownProps.flatMap(k =>
       props.get(k.toLowerCase).orElse(props.get(k)).map(k -> _)).toMap ++
       // CHECK constraints declare at creation (empty table: trivially
-      // valid) and enforce on every write from the first row on
-      props.collect { case (k, v) if k.startsWith("constraint.") => k -> v }
+      // valid) and enforce on every write from the first row on;
+      // generated columns derive on every write from the first row on
+      props.collect { case (k, v)
+        if k.startsWith("constraint.") || k.startsWith("generated.") =>
+          k -> v }
     recorded.get("rowLevelMode").foreach(m =>
       require(GraftSqlTable.RowLevelModes.contains(m),
         s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, got '$m'"))
@@ -256,6 +259,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "buckets) instead of ALTER TABLE")
       case p: TableChange.SetProperty
           if p.property.startsWith("constraint.") =>
+        props += p.property -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("generated.") =>
+        // applies to FUTURE writes; existing rows keep their values (run
+        // a rewrite verb, e.g. update_where over TRUE, to re-derive)
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+          s"generated column expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty if knownProp(p.property).nonEmpty =>
         val key = knownProp(p.property).get

@@ -2647,6 +2647,44 @@ object ManifestTable {
         k.stripPrefix("constraint.") -> v
     }.sortBy(_._1)
 
+  /** The table's declared GENERATED columns (`TBLPROPERTIES
+    * ('generated.<col>' = '<sql expr>')`): column → expression text.
+    * A generated column is ALWAYS derived — every write path overwrites
+    * it with the expression over the batch's natural columns (the
+    * Snowflake computed-column / Delta generated-column shape, with the
+    * simpler always-derive contract instead of provide-and-validate:
+    * writers cannot set it, so it cannot drift). Expressions see the
+    * row's other columns; chaining one generated column off another is
+    * undefined (single select, original bindings).
+    */
+  private[sources] def generatedOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("generated.") =>
+        k.stripPrefix("generated.") -> v
+    }.sortBy(_._1)
+
+  /** Overwrite every declared generated column with its expression —
+    * a pure per-row projection (map-side, codegen'd, no pass added).
+    */
+  private[sources] def applyGenerated(table: String,
+      props: Map[String, String], schema: StructType,
+      df: DataFrame): DataFrame = {
+    val gs = generatedOf(props).filter(g => schema.fieldNames.contains(g._1))
+    if (gs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.expr
+      gs.foldLeft(df) { case (d, (c, sql)) =>
+        val e = try expr(sql) catch {
+          case ex: Exception => throw new IllegalArgumentException(
+            s"generated column '$c' on table '$table' does not parse: " +
+              s"$sql", ex)
+        }
+        d.withColumn(c, e.cast(schema(c).dataType))
+      }
+    }
+  }
+
   /** Enforce every declared CHECK constraint on a batch of would-be
     * rows. ONE aggregate pass over the (caller-persisted) batch counts
     * all constraints together — map-side, no shuffle, and only tables
@@ -2697,14 +2735,15 @@ object ManifestTable {
       if (tb.overwrite) tb.rows.schema
       else unify(
         if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
-    val aligned = tb.rows.select(unified.fields.map { f =>
-      // cast even present columns: a batch arriving with a drifted numeric
-      // type (int where the manifest says double) must land under the
-      // manifest's type, or the written parquet becomes unreadable through
-      // the manifest schema
-      if (tb.rows.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    val aligned = applyGenerated(tb.name, prev.props ++ tb.props, unified,
+      tb.rows.select(unified.fields.map { f =>
+        // cast even present columns: a batch arriving with a drifted numeric
+        // type (int where the manifest says double) must land under the
+        // manifest's type, or the written parquet becomes unreadable through
+        // the manifest schema
+        if (tb.rows.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*))
     val bucketExpr =
       pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets))
     val incoming = aligned.withColumn(BucketCol, bucketExpr).persist()
@@ -3582,14 +3621,17 @@ object ManifestTable {
         def touched(g: BucketGen): Boolean =
           touchedDirs.contains(new File(root, g.path).getCanonicalPath)
         val hit = coalesce(cond, lit(false))
-        def applySets(df: DataFrame): DataFrame = df.select(
-          schema.fields.map { f =>
-            sets.get(f.name) match {
-              case Some(e) =>
-                when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-              case None => col(f.name)
-            }
-          }.toIndexedSeq: _*)
+        def applySets(df: DataFrame): DataFrame =
+          // generated columns RE-DERIVE from the post-SET row, so an
+          // update to a referenced column cannot leave them stale
+          applyGenerated(table, ts.props, schema, df.select(
+            schema.fields.map { f =>
+              sets.get(f.name) match {
+                case Some(e) =>
+                  when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                case None => col(f.name)
+              }
+            }.toIndexedSeq: _*))
         // CHECK constraints gate the post-update images of the matched
         // rows before any generation rewrites
         enforceConstraints(table, ts.props, applySets(pruned))
@@ -3711,8 +3753,9 @@ object ManifestTable {
       def touched(g: BucketGen): Boolean =
         replacedDirs.contains(new File(root, g.path).getCanonicalPath)
       val nonce = newNonce()
-      val aligned = rows.select(schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val aligned = applyGenerated(table, ts.props, schema,
+        rows.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
       val bucketExpr =
         pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
           lit(ts.numBuckets))
@@ -3879,9 +3922,13 @@ object ManifestTable {
         org.apache.spark.sql.types.StructField(RowOpCol,
           org.apache.spark.sql.types.StringType))
       val nonce = newNonce()
-      val aligned = staged.select((schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)) :+ col(RowOpCol))
-        .toIndexedSeq: _*)
+      // generated columns derive on the UPSERT rows; tombstones carry a
+      // key and the op marker only, so deriving over their nulls is
+      // harmless (nothing reads a tombstone's data columns)
+      val aligned = applyGenerated(table, ts.props, schema,
+        staged.select((schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) :+ col(RowOpCol))
+          .toIndexedSeq: _*))
       val bucketExpr =
         pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
           lit(ts.numBuckets))

@@ -615,6 +615,61 @@ class CatalogSpec extends SparkSpec {
       .head.getDouble(0) == 1.0)
   }
 
+  test("generated columns: always derived on every write path — provided values are overwritten, updates re-derive, constraints compose") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    spark.conf.set("spark.sql.catalog.gen", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gen.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gen.ops")
+    spark.sql("""CREATE TABLE gen.ops.t
+      (id BIGINT, qty DOUBLE, price DOUBLE, total DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'generated.total' = 'qty * price',
+        'constraint.total_nonneg' = 'total >= 0')""")
+
+    // a writer-provided total is OVERWRITTEN by the derivation
+    spark.sql("INSERT INTO gen.ops.t VALUES (1, 2.0, 3.0, 999.0)")
+    assert(spark.sql("SELECT total FROM gen.ops.t WHERE id = 1")
+      .head.getDouble(0) == 6.0, "generated column kept a provided value")
+
+    // updating a REFERENCED column re-derives the generated one
+    spark.sql("CALL gen.system.update_where('ops', 't', 'id = 1', " +
+      "'qty', '5.0')").collect()
+    assert(spark.sql("SELECT total FROM gen.ops.t WHERE id = 1")
+      .head.getDouble(0) == 15.0, "update left the generated column stale")
+
+    // the native MERGE (CoW row-level) path re-derives too
+    spark.sql("""MERGE INTO gen.ops.t t
+      USING (SELECT 1L AS id, 4.0 AS qty, 2.5 AS price, 0.0 AS total) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.qty = s.qty, t.price = s.price
+      WHEN NOT MATCHED THEN INSERT * """)
+    assert(spark.sql("SELECT total FROM gen.ops.t WHERE id = 1")
+      .head.getDouble(0) == 10.0, "MERGE left the generated column stale")
+
+    // a CHECK constraint over the DERIVED value gates the write: the
+    // violating derivation (negative qty) refuses even though the
+    // provided total was innocent
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gen.ops.t VALUES (2, -1.0, 3.0, 0.0)")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString
+      .contains("total_nonneg"))
+
+    // the merge-on-read delta path derives as well
+    spark.sql("""CREATE TABLE gen.ops.m
+      (id BIGINT, qty DOUBLE, price DOUBLE, total DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowLevelMode'='merge-on-read', 'generated.total' = 'qty * price')""")
+    spark.sql("INSERT INTO gen.ops.m VALUES (1, 1.0, 1.0, 0.0)")
+    spark.sql("""MERGE INTO gen.ops.m t
+      USING (SELECT 1L AS id, 7.0 AS qty, 2.0 AS price, 0.0 AS total) s
+      ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.qty = s.qty,
+        t.price = s.price""")
+    assert(spark.sql("SELECT total FROM gen.ops.m WHERE id = 1")
+      .head.getDouble(0) == 14.0, "MoR delta left the generated column stale")
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
