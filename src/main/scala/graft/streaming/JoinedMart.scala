@@ -81,7 +81,14 @@ object JoinedMart {
   def refresh(spark: SparkSession, root: File, source: String, dim: String,
       mart: String, srcKeys: Seq[String] = Nil, dimKeys: Seq[String] = Nil,
       srcGroupCols: Seq[String] = Nil, dimGroupCols: Seq[String] = Nil,
-      valueCols: Seq[String] = Nil, numBuckets: Int = 8): Long = {
+      valueCols: Seq[String] = Nil, numBuckets: Int = 8,
+      /** Publish the joined mart's OWN change feed, so even coarser
+        * rollups cascade ABOVE the join (daily joined rollup → monthly)
+        * with per-level cost tracking that level's churn — and the
+        * rewrite rule chains onto the coarser mart the usual way. Like
+        * [[IncrementalMart]], a mart already feed-active stays so.
+        */
+      changeFeed: Boolean = false): Long = {
     val m0 = ManifestTable.read(root).getOrElse(
       throw new IllegalArgumentException(s"no manifest under $root"))
     require(m0.table(source).schemaJson.nonEmpty,
@@ -113,6 +120,8 @@ object JoinedMart {
     // an existing mart's physical layout wins over the argument — a
     // refresh must hash into the bucket space the table was built with
     val buckets = if (martTs.numBuckets > 0) martTs.numBuckets else numBuckets
+    // keep an already-feed-active joined mart cascading
+    val feed = changeFeed || martTs.feedFrom >= 0
 
     // 1. the partial mart: source rolled up to (join keys × src groups),
     //    feed-active so its diffs cascade into J. refreshMart stamps the
@@ -174,7 +183,7 @@ object JoinedMart {
               sum(p(s"cnt_$c")).cast("long").as(s"cnt_$c"))): _*)
       ManifestTable.mergeBatch(root, qid, v1,
         Seq(TableBatch(mart, rows, groupCols, buckets,
-          overwrite = overwrite, props = props)))
+          overwrite = overwrite, changeFeed = feed, props = props)))
     }
 
     val v0 = martTs.props.get(FoldVersion)
@@ -239,7 +248,7 @@ object JoinedMart {
                   .as(s"delta_cnt_$c"))): _*)
             .persist()
           try IncrementalMart.foldDeltas(spark, root.toString, mart,
-            groupCols, vc, buckets, changeFeed = false, deltas,
+            groupCols, vc, buckets, changeFeed = feed, deltas,
             qid, v1, props)
           finally { deltas.unpersist(); () }
         } finally { dD.unpersist(); () }

@@ -254,6 +254,73 @@ class JoinedMartSpec extends SparkSpec {
       == martState(root).map(t => s"[${t._2},${t._1},${t._3},${t._4}]"))
   }
 
+  test("a feed-publishing JOINED mart cascades: a coarser mart folds its diffs exactly across fact and dim churn, and the rewrite chains onto it") {
+    import graft.streaming.IncrementalMart
+    val root = tmp("graft_jm_casc")
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 60L).map(i =>
+          (i, i % 10, if (i % 3 == 0) "OPEN" else "FILLED", i * 100L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 8L).map(c =>
+          (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm",
+      srcKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      srcGroupCols = Seq("o_status"), dimGroupCols = Seq("c_mktsegment"),
+      valueCols = Seq("o_price"), numBuckets = 2, changeFeed = true)
+
+    // level 2: per-segment rollup folded from the JOINED mart's feed
+    val cfg2 = IncrementalMart.Config(root, root,
+      groupCols = Seq("c_mktsegment"), valueCols = Seq("sum_o_price"),
+      sourceTable = "jm", martTable = "jm2", numBuckets = 2)
+    val ck2 = tmp("graft_jm_casc_ck")
+    def drain2(): Unit = IncrementalMart.sync(spark, cfg2, ck2)
+    def m(t: String): DataFrame = raw(root, t)
+    def expect2: Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try m("jm").groupBy("c_mktsegment")
+        .agg(count(lit(1)).as(IncrementalMart.RowsCol),
+          sum("sum_o_price").as("sum_sum_o_price"),
+          count(col("sum_o_price")).as("cnt_sum_o_price"))
+        .collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    drain2()
+    assert(m("jm2").collect().map(_.toString).toSet == expect2,
+      "cascaded rollup diverged at build")
+
+    // churn BOTH sides of the join, refresh the joined mart, drain the
+    // cascade: level 2 must land exactly on the rolled-up level 1 —
+    // proof the joined mart's published diffs are a correct feed
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("orders",
+        orders(Seq((100L, 3L, "OPEN", 5000L), (0L, 0L, "FILLED", 999L))),
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(6L).toDF("o_id")))))
+    ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
+      TableBatch("customer", customers(Seq((1L, 1L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    drain2()
+    assert(m("jm2").collect().map(_.toString).toSet == expect2,
+      "cascaded rollup diverged after churn")
+    assert(martState(root) == oracle(root), "level 1 itself stayed exact")
+
+    // the rewrite CHAINS: a per-segment aggregate over jm answers from
+    // jm2 (smaller), still with no join anywhere
+    def q = m("jm").groupBy("c_mktsegment")
+      .agg(sum("sum_o_price").as("sv"))
+    assert(scannedTables(q) == Seq("jm2"), s"got ${scannedTables(q)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(q.collect().map(_.toString).toSet == direct)
+  }
+
   test("CALL graft.system.refresh_joined_mart: SQL surface declares, builds, and re-refreshes with the recorded declaration") {
     val root = tmp("graft_jm_call")
     val ns = new File(root).getName
