@@ -381,50 +381,88 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  // ---- the JOINED-MART shape: Aggregate over (source ⋈ dim) where a
+  // ---- the JOINED-MART shape: Aggregate over (source ⋈ dim₁ ⋈ … ⋈
+  // dimₙ) — a STAR, every dim equi-joined to the source — where a
   // [[graft.streaming.JoinedMart]] has PRE-MATERIALIZED exactly that
-  // join's rollup — the substitution drops the join entirely: a plain
+  // join's rollup: the substitution drops the whole join tree — a plain
   // aggregate over the joined mart. Soundness gates mirror the join
   // shape's, plus:
-  //  - Inner join only (the mart holds matched groups only);
-  //  - the query's equi-key pairs equal the mart's DECLARED key pairs
-  //    as a set — joining on different keys is a different join;
+  //  - Inner joins only (the mart holds matched groups only);
+  //  - the leaf TABLES equal the declaration exactly (the source plus
+  //    every declared dim, each once);
+  //  - every equi-pair connects the SOURCE to one dim, and per dim the
+  //    query's key-pair set equals the declared one — joining on
+  //    different keys (or dim-to-dim) is a different join;
   //  - two-stamp freshness: no source change newer than
   //    `jmartSourceVersion` AND no dim change newer than
   //    `jmartFoldVersion` (a dim attribute update that hasn't been
   //    folded would serve rows under their OLD attribute values).
+  /** Peel filters/projects and flatten an INNER-join tree into its
+    * leaves, equi-conditions, and collected filters.
+    */
+  private def flattenJoin(p: LogicalPlan, fs: Seq[Expression])
+      : Option[(Seq[LogicalPlan], Seq[Expression], Seq[Expression])] =
+    p match {
+      case f: Filter if f.condition.deterministic =>
+        flattenJoin(f.child, fs ++ splitConjunctivePredicates(f.condition))
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenJoin(pr.child, fs)
+      case jn: Join if jn.joinType == Inner =>
+        for {
+          (ll, lc, lf) <- flattenJoin(jn.left, Nil)
+          (rl, rc, rf) <- flattenJoin(jn.right, Nil)
+        } yield (ll ++ rl,
+          lc ++ rc ++ jn.condition.toSeq.flatMap(splitConjunctivePredicates),
+          fs ++ lf ++ rf)
+      case leaf => Some((Seq(leaf), Nil, fs))
+    }
+
   private def rewriteJoinedMart(agg: Aggregate): Option[LogicalPlan] = {
     import graft.streaming.JoinedMart
-    val (j, aboveFilters) = toJoin(agg.child, Nil).getOrElse(return None)
-    if (j.joinType != Inner) return None
-    val (lRoot, lName, lBelow) = unwrap(j.left, Nil).getOrElse(return None)
-    val (rRoot, rName, rBelow) = unwrap(j.right, Nil).getOrElse(return None)
-    if (lRoot.getCanonicalPath != rRoot.getCanonicalPath) return None
-    val root = lRoot
+    val (leaves, conds, filters) =
+      flattenJoin(agg.child, Nil).getOrElse(return None)
+    if (leaves.length < 2 || conds.isEmpty) return None
+    val unwrapped = leaves.map(l => unwrap(l, Nil).getOrElse(return None))
+    val root = unwrapped.head._1
+    if (!unwrapped.forall(_._1.getCanonicalPath == root.getCanonicalPath))
+      return None
+    val names = unwrapped.map(_._2)
+    if (names.distinct.length != names.length) return None // self-joins: no
     val manifest = ManifestTable.read(root).getOrElse(return None)
-    val lOut = j.left.outputSet
-    val rOut = j.right.outputSet
-    val cond = j.condition.getOrElse(return None)
-    // (left attr, right attr) name pairs of the query's equi-join
-    val pairs: Set[(String, String)] =
-      splitConjunctivePredicates(cond).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if lOut.contains(a) && rOut.contains(b) => (a.name, b.name)
-        case EqualTo(b: AttributeReference, a: AttributeReference)
-            if lOut.contains(a) && rOut.contains(b) => (a.name, b.name)
-        case _ => return None
-      }.toSet
-    val (lAbove, rest) = aboveFilters.partition(_.references.subsetOf(lOut))
-    val (rAbove, mixed) = rest.partition(_.references.subsetOf(rOut))
-    if (mixed.nonEmpty) return None
+    // leaf name → (plan, its below-scan filters)
+    val byName: Map[String, (LogicalPlan, Seq[Expression])] =
+      names.zip(leaves.zip(unwrapped.map(_._3))).toMap
+    def leafOf(a: Attribute): Option[String] =
+      names.zip(leaves).collectFirst {
+        case (n, l) if l.outputSet.contains(a) => n
+      }
+    // equi pairs as (leafA, colA, leafB, colB)
+    val pairs: Seq[(String, String, String, String)] = conds.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val la = leafOf(a).getOrElse(return None)
+        val lb = leafOf(b).getOrElse(return None)
+        if (la == lb) return None
+        (la, a.name, lb, b.name)
+      case _ => return None
+    }
+    // every filter binds to exactly one leaf
+    val leafFilters: Map[String, Seq[Expression]] =
+      filters.map { f =>
+        val owners = names.zip(leaves).filter {
+          case (_, l) => f.references.subsetOf(l.outputSet)
+        }
+        if (owners.length != 1) return None
+        owners.head._1 -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
     def freshFor(tName: String, stamp: Long): Boolean = {
       val ts = manifest.table(tName)
       ts.schemaJson.nonEmpty && ts.feedFrom >= 0 &&
         ts.changes.nonEmpty && ts.changes.last.version <= stamp
     }
-    // fresh candidates declaring exactly this (source, dim, keys) join,
-    // cheapest first — same cost rule as the scan shape
+    // fresh candidates declaring exactly this star, cheapest first —
+    // same cost rule as the scan shape
     val candidates = manifest.tables.toSeq.filter { case (_, ts) =>
       ts.schemaJson.nonEmpty && ts.props.contains(JoinedMart.Source)
     }.sortBy { case (name, ts) =>
@@ -434,49 +472,94 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
       def cols(key: String): Seq[String] = martTs.props.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      // the declared star: (dim, per-dim key pairs, per-dim groups) —
+      // star props when present, the legacy single-dim keys otherwise
+      def perDim(key: String): Seq[Seq[String]] = martTs.props.get(key)
+        .map(_.split(";", -1).toSeq.map(
+          _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .getOrElse(Nil)
       val src = martTs.props.getOrElse(JoinedMart.Source, "")
-      val dim = martTs.props.getOrElse(JoinedMart.Dim, "")
-      val declared = cols(JoinedMart.SrcKeys).zip(cols(JoinedMart.DimKeys))
-      // orient the query's sides onto the declaration (src may be the
-      // join's left or right; inner is symmetric)
-      val oriented: Option[(LogicalPlan, LogicalPlan, Seq[Expression],
-          Seq[Expression])] =
-        if (src == lName && dim == rName &&
-            pairs == declared.toSet)
-          Some((j.left, j.right, lBelow ++ lAbove, rBelow ++ rAbove))
-        else if (src == rName && dim == lName &&
-            pairs.map(_.swap) == declared.toSet)
-          Some((j.right, j.left, rBelow ++ rAbove, lBelow ++ lAbove))
-        else None
-      oriented.flatMap { case (srcPlan, dimPlan, srcFilters, dimFilters) =>
+      val dimNames: Seq[String] = martTs.props.get(JoinedMart.Dims)
+        .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(martTs.props.get(JoinedMart.Dim).toSeq)
+      val dimSrcKeys = {
+        val star = perDim(JoinedMart.DimSrcKeysAll)
+        if (star.nonEmpty) star else Seq(cols(JoinedMart.SrcKeys))
+      }
+      val dimKeys = {
+        val star = perDim(JoinedMart.DimKeysAll)
+        if (star.nonEmpty) star else Seq(cols(JoinedMart.DimKeys))
+      }
+      val dimGroups = {
+        val star = perDim(JoinedMart.DimGroupsAll)
+        if (star.nonEmpty) star else Seq(cols(JoinedMart.DimGroupCols))
+      }
+      val shapeOk =
+        byName.contains(src) && dimNames.nonEmpty &&
+          dimNames.length == dimSrcKeys.length &&
+          dimNames.length == dimKeys.length &&
+          dimNames.toSet == (names.toSet - src) &&
+          // per dim: the query's (src col, dim col) pair set equals the
+          // declared one; and no pair may connect two dims
+          pairs.forall { case (la, _, lb, _) => la == src || lb == src } &&
+          dimNames.zipWithIndex.forall { case (d, i) =>
+            val declared = dimSrcKeys(i).zip(dimKeys(i)).toSet
+            val queried = pairs.collect {
+              case (`src`, sc, `d`, dc) => (sc, dc)
+              case (`d`, dc, `src`, sc) => (sc, dc)
+            }.toSet
+            queried == declared
+          }
+      if (!shapeOk) None
+      else {
         val sV = martTs.props.get(JoinedMart.SourceVersion)
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .getOrElse(-1L)
         val fV = martTs.props.get(JoinedMart.FoldVersion)
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .getOrElse(-1L)
-        if (!freshFor(src, sV) || !freshFor(dim, fV)) None
-        else rewriteJoinedOnto(agg, root, manifest, src, dim,
-          cols(JoinedMart.SrcGroupCols).toSet,
-          cols(JoinedMart.DimGroupCols).toSet,
-          cols(JoinedMart.ValueCols).toSet,
-          srcPlan, dimPlan, srcFilters, dimFilters, martName, martTs)
+        if (!freshFor(src, sV) || !dimNames.forall(freshFor(_, fV))) None
+        else {
+          val srcPlan = byName(src)._1
+          val dimPlans = dimNames.map(byName(_)._1)
+          val srcFilters =
+            byName(src)._2 ++ leafFilters.getOrElse(src, Nil)
+          val dimFilters = dimNames.flatMap(d =>
+            byName(d)._2 ++ leafFilters.getOrElse(d, Nil))
+          // per-column type lookup across the dims (group names are
+          // disjoint by the mart's construction)
+          val dimType: Map[String, org.apache.spark.sql.types.DataType] =
+            dimNames.zipWithIndex.flatMap { case (d, i) =>
+              val sch = manifest.table(d).schema
+              dimGroups(i).filter(sch.fieldNames.contains)
+                .map(c => c -> sch(c).dataType)
+            }.toMap
+          rewriteJoinedOnto(agg, root, manifest, src,
+            cols(JoinedMart.SrcGroupCols).toSet,
+            dimGroups.flatten.toSet, dimType,
+            cols(JoinedMart.ValueCols).toSet,
+            srcPlan.outputSet,
+            dimPlans.map(_.outputSet)
+              .foldLeft(org.apache.spark.sql.catalyst.expressions
+                .AttributeSet.empty)(_ ++ _),
+            srcFilters, dimFilters, martName, martTs)
+        }
       }
     }.headOption
   }
 
   private def rewriteJoinedOnto(agg: Aggregate, root: File,
-      manifest: ManifestTable.Manifest, srcName: String, dimName: String,
-      srcGroups: Set[String], dimGroups: Set[String], valueCols: Set[String],
-      srcPlan: LogicalPlan, dimPlan: LogicalPlan,
+      manifest: ManifestTable.Manifest, srcName: String,
+      srcGroups: Set[String], dimGroups: Set[String],
+      dimType: Map[String, org.apache.spark.sql.types.DataType],
+      valueCols: Set[String],
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      dimOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
       srcFilters: Seq[Expression], dimFilters: Seq[Expression],
       martName: String, martTs: ManifestTable.TableState)
       : Option[LogicalPlan] = {
-    val srcOut = srcPlan.outputSet
-    val dimOut = dimPlan.outputSet
     val martFields = martTs.schema.fieldNames.toSet
     val srcSchema = manifest.table(srcName).schema
-    val dimSchema = manifest.table(dimName).schema
 
     // subsumption: groupings and filters live at the mart's grain on
     // their own side
@@ -498,10 +581,11 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     val mAttrs = martDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     // group-column types must line up with their side's schema
-    def sideType(n: String) =
-      if (srcGroups.contains(n)) srcSchema(n).dataType else dimSchema(n).dataType
-    if (gNames.exists(n =>
-      mAttrs.get(n).forall(_.dataType != sideType(n)))) return None
+    def sideType(n: String): Option[org.apache.spark.sql.types.DataType] =
+      if (srcGroups.contains(n)) Some(srcSchema(n).dataType)
+      else dimType.get(n)
+    if (gNames.exists(n => !sideType(n).exists(t =>
+      mAttrs.get(n).exists(_.dataType == t)))) return None
 
     // derivability: the additive set only (count + sums + non-null
     // counts, so count(x)/avg derive too; extrema fall through to the
@@ -599,7 +683,7 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         }: _*)
       }
     logInfo(s"mart rewrite (joined mart): aggregate over " +
-      s"$srcName ⋈ $dimName → $martName, join eliminated")
+      s"$srcName ⋈ dims → $martName, join eliminated")
     Some(aliasTo(agg.output, grouped.queryExecution.analyzed))
   }
 

@@ -346,7 +346,7 @@ object GraftProcedures {
     "delete_where", "update_where", "detail", "vacuum",
     "begin", "commit", "rollback", "clone", "clone_across", "restore",
     "rebucket", "refresh_mart",
-    "refresh_joined_mart", "maintain")
+    "refresh_joined_mart", "refresh_star_mart", "maintain")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -550,6 +550,35 @@ object GraftProcedures {
         val v = row.getLong(3)
         Seq(InternalRow(ManifestTable.cloneTable(root(str(row, 0)),
           str(row, 1), str(row, 2), if (v < 0) None else Some(v))))
+      }
+      // -- STAR joined mart: several dims, each equi-joined to the
+      //    source on its own key set; per-dim fields ';'-separated
+      //    between dims, ','-separated within one. Later calls may pass
+      //    empty column args — the recorded declaration fills them in.
+      case "refresh_star_mart" => bound("refresh_star_mart",
+        Seq(in("namespace", StringType), in("source", StringType),
+          in("mart", StringType), in("dims", StringType),
+          in("dim_src_keys", StringType), in("dim_keys", StringType),
+          in("dim_group_cols", StringType), in("src_group_cols", StringType),
+          in("value_cols", StringType)),
+        StructType(Seq(StructField("current_through", LongType)))) { row =>
+        import graft.streaming.JoinedMart
+        def dims(i: Int): Seq[Seq[String]] = str(row, i)
+          .split(";", -1).toSeq.map(
+            _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        def cols(i: Int): Seq[String] = str(row, i)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val names = str(row, 3).split(";").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val (sks, dks, dgs) = (dims(4), dims(5), dims(6))
+        def at(rows: Seq[Seq[String]], i: Int): Seq[String] =
+          if (i < rows.length) rows(i) else Nil
+        val specs = names.zipWithIndex.map { case (n, i) =>
+          JoinedMart.DimSpec(n, at(sks, i), at(dks, i), at(dgs, i))
+        }
+        Seq(InternalRow(JoinedMart.refreshStar(SparkSession.active,
+          root(str(row, 0)), str(row, 1), specs, str(row, 2),
+          cols(7), cols(8))))
       }
       // -- RESTORE a table to a retained version (incl. UNDROP from a
       //    pre-drop snapshot); an active feed gets the exact keyed diff

@@ -7,58 +7,68 @@ import graft.sources.ManifestTable.TableBatch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** JOIN-AWARE self-maintaining mart — a rollup of `source ⋈ dim`
+/** JOIN-AWARE self-maintaining mart — a rollup of `source ⋈ dim₁ ⋈ … ⋈
+  * dimₙ` (a STAR: every dim equi-joins the source on its own key set)
   * materialized at (source groups × dim attributes) grain and kept
-  * current INCREMENTALLY from both tables' change feeds, so a
+  * current INCREMENTALLY from every table's change feed, so a
   * dim-attribute dashboard rollup (the reference's ops views join
   * canonical facts to reference data before aggregating,
   * sql/07_operational_views.sql) answers from a churn-maintained table
   * with NO join at query time at all.
   *
-  * Architecture — the cascade, extended through a join. The joined
+  * Architecture — the cascade, extended through the join. The joined
   * mart J sits on top of an ordinary [[IncrementalMart]] partial P:
   *
   * {{{
-  *   P = source.groupBy(joinKeys ++ srcGroupCols)
-  *             .agg(count(*) as n_rows, sum(v) as sum_v)   // feed-active
-  *   J = (P ⋈ dim on keys).groupBy(srcGroupCols ++ dimGroupCols)
-  *             .agg(sum(n_rows) as n_rows, sum(sum_v) as sum_v)
+  *   P = source.groupBy(allJoinKeys ++ srcGroupCols)
+  *             .agg(count(*) as n_rows, sum(v) as sum_v, …)  // feed-active
+  *   J = (P ⋈ dim₁ ⋈ … ⋈ dimₙ).groupBy(srcGroups ++ dimGroups)
+  *             .agg(sum(n_rows), sum(sum_v), sum(cnt_v))
   * }}}
   *
-  * and each refresh folds the classic join-IVM identity
+  * and each refresh folds the classic multi-relation join-IVM identity,
+  * SEQUENCED so each input's delta joins the inputs before it at their
+  * NEW versions and the inputs after it at their OLD versions:
   *
-  * {{{   ΔJ = ΔP ⋈ D_old  +  P_new ⋈ ΔD   }}}
+  * {{{
+  *   ΔJ = ΔP  ⋈ D₁_old ⋈ … ⋈ Dₙ_old
+  *      + P_new ⋈ ΔD₁   ⋈ D₂_old ⋈ … ⋈ Dₙ_old
+  *      + P_new ⋈ D₁_new ⋈ ΔD₂  ⋈ D₃_old ⋈ …
+  *      + …
+  *      + P_new ⋈ D₁_new ⋈ … ⋈ Dₙ₋₁_new ⋈ ΔDₙ
+  * }}}
   *
   * (exact for additive aggregates because join multiplicity distributes
-  * over the partial sums; both terms are change-feed reads, never a
-  * source scan). Sequencing makes the identity hold verbatim: the ΔP
-  * term joins against the dim pinned at the PREVIOUS fold watermark,
-  * the ΔD term against the partial at the NEW one, so a key whose fact
-  * rows and dim row both changed in the range contributes exactly once
-  * from each side.
+  * over the partial sums; every term is change-feed-sized on its delta
+  * side, never a source scan). The sequencing makes a key whose fact
+  * rows and several dim rows all changed in one range contribute exactly
+  * once per input.
   *
-  * Cost at scale: a refresh pays churn(source) to maintain P (the
-  * standard mart fold), churn(P) × dim-match + churn(dim) × partial
-  * rows on changed keys to maintain J — the 100 TB fact table is never
+  * Cost at scale: a refresh pays churn(source) to maintain P, then per
+  * term churn(delta side) × match width — the 100 TB fact table is never
   * rescanned, and a dim attribute update (the classic "region renamed"
   * migration that invalidates every naive rollup) costs one bounded
   * re-join of the affected keys' PARTIALS, not their facts.
   *
-  * Aggregates are the additive set (count(*), sum) only: extrema are
+  * Aggregates are the additive set (count(*), sum, and the non-null
+  * `cnt_<col>` partials that derive count(col)/avg) only: extrema are
   * not invertible through a dim retraction without refetching fact
-  * rows, which would break the never-rescan contract — a query needing
-  * joined min/max still rewrites onto (P ⋈ dim) via
-  * [[graft.plans.MartRewriteRule]]'s join shape.
+  * rows — a query needing joined min/max still rewrites onto (P ⋈ dim)
+  * via [[graft.plans.MartRewriteRule]]'s join shape.
   *
   * Freshness is two-stamped: `jmartSourceVersion` is the SOURCE commit
   * version folded through P into J, `jmartFoldVersion` the manifest
-  * version through which BOTH P's and the dim's feeds are folded —
-  * the query rewrite substitutes J only when no source change is newer
-  * than the former and no dim change newer than the latter.
+  * version through which P's and EVERY dim's feeds are folded — the
+  * query rewrite substitutes J only when no source change is newer than
+  * the former and no dim change newer than the latter.
   */
 object JoinedMart {
 
-  /** Property keys the joined mart stamps on itself. */
+  /** Property keys the joined mart stamps on itself. The legacy
+    * single-dim keys stay stamped for one-dim marts (recorded
+    * declarations keep working); the star keys are authoritative —
+    * per-dim fields join with ';' between dims, ',' within one.
+    */
   val Source = "jmartSource"
   val Dim = "jmartDim"
   val SrcKeys = "jmartSrcKeys"
@@ -69,14 +79,25 @@ object JoinedMart {
   val Partial = "jmartPartial"
   val SourceVersion = "jmartSourceVersion"
   val FoldVersion = "jmartFoldVersion"
+  val Dims = "jmartDims"
+  val DimSrcKeysAll = "jmartDimSrcKeysAll"
+  val DimKeysAll = "jmartDimKeysAll"
+  val DimGroupsAll = "jmartDimGroupsAll"
+
+  /** One dimension of the star: `dim` equi-joins the source on
+    * `srcKeys(i) = dimKeys(i)` and contributes `groupCols` attributes
+    * to the mart's grain.
+    */
+  final case class DimSpec(table: String, srcKeys: Seq[String],
+      dimKeys: Seq[String], groupCols: Seq[String])
 
   /** `CREATE/REFRESH` verb (`CALL graft.system.refresh_joined_mart`):
-    * bring the joined mart current through the manifest head — first
-    * call records the declaration and builds base state (one P ⋈ dim
-    * join at partial grain), later calls may omit the column lists and
-    * fold only the unseen feed ranges. Returns the manifest version the
-    * mart is now current through. Idempotent: a repeated call folds an
-    * empty range and commits nothing.
+    * bring the single-dim joined mart current through the manifest head —
+    * first call records the declaration and builds base state, later
+    * calls may omit the column lists and fold only the unseen feed
+    * ranges. Returns the manifest version the mart is now current
+    * through. Idempotent: a repeated call folds an empty range and
+    * commits nothing.
     */
   def refresh(spark: SparkSession, root: File, source: String, dim: String,
       mart: String, srcKeys: Seq[String] = Nil, dimKeys: Seq[String] = Nil,
@@ -89,16 +110,8 @@ object JoinedMart {
         * [[IncrementalMart]], a mart already feed-active stays so.
         */
       changeFeed: Boolean = false): Long = {
-    val m0 = ManifestTable.read(root).getOrElse(
-      throw new IllegalArgumentException(s"no manifest under $root"))
-    require(m0.table(source).schemaJson.nonEmpty,
-      s"table '$source' does not exist")
-    val dimTs0 = m0.table(dim)
-    require(dimTs0.schemaJson.nonEmpty, s"table '$dim' does not exist")
-    require(dimTs0.feedFrom >= 0,
-      s"dim table '$dim' has no active change feed — joined-mart " +
-        "maintenance folds it; write the dim with changeFeed=true")
-    val martTs = m0.table(mart)
+    val martTs = ManifestTable.read(root)
+      .map(_.table(mart)).getOrElse(ManifestTable.TableState("", Map.empty))
     def recorded(key: String): Seq[String] = martTs.props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -106,13 +119,71 @@ object JoinedMart {
       if (passed.nonEmpty) passed else recorded(key)
     val sk = pick(srcKeys, SrcKeys)
     val dk = pick(dimKeys, DimKeys)
-    val sg = pick(srcGroupCols, SrcGroupCols)
-    val dg = pick(dimGroupCols, DimGroupCols)
-    val vc = pick(valueCols, ValueCols)
     require(sk.nonEmpty && sk.length == dk.length,
       s"join keys required (src=$sk, dim=$dk): mart '$mart' has no " +
         "recorded declaration yet")
-    val groupCols = sg ++ dg
+    refreshStar(spark, root, source,
+      Seq(DimSpec(dim, sk, dk, pick(dimGroupCols, DimGroupCols))), mart,
+      pick(srcGroupCols, SrcGroupCols), pick(valueCols, ValueCols),
+      numBuckets, changeFeed)
+  }
+
+  /** The STAR refresh: several dims, each joining the source on its own
+    * key set. Declarations record like the single-dim verb's; later
+    * calls may pass `dims` with empty column lists per entry — the
+    * recorded star declaration fills them in by table name.
+    */
+  def refreshStar(spark: SparkSession, root: File, source: String,
+      dimSpecs: Seq[DimSpec], mart: String,
+      srcGroupCols: Seq[String] = Nil, valueCols: Seq[String] = Nil,
+      numBuckets: Int = 8, changeFeed: Boolean = false): Long = {
+    require(dimSpecs.nonEmpty, "at least one dim required")
+    require(dimSpecs.map(_.table).distinct.length == dimSpecs.length,
+      s"dims must be distinct tables: ${dimSpecs.map(_.table)}")
+    val m0 = ManifestTable.read(root).getOrElse(
+      throw new IllegalArgumentException(s"no manifest under $root"))
+    require(m0.table(source).schemaJson.nonEmpty,
+      s"table '$source' does not exist")
+    // a DimSpec passed with empty fields fills in from the mart's
+    // RECORDED star declaration (by table name) — the re-refresh verb
+    val recordedDims: Map[String, DimSpec] = {
+      val p = m0.table(mart).props
+      def split(k: String): Seq[Seq[String]] = p.get(k)
+        .map(_.split(";", -1).toSeq.map(
+          _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .getOrElse(Nil)
+      val names = p.get(Dims)
+        .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      names.zipWithIndex.map { case (n, i) =>
+        def at(rows: Seq[Seq[String]]) =
+          if (i < rows.length) rows(i) else Nil
+        n -> DimSpec(n, at(split(DimSrcKeysAll)), at(split(DimKeysAll)),
+          at(split(DimGroupsAll)))
+      }.toMap
+    }
+    val dimSpecsFilled = dimSpecs.map { ds =>
+      if (ds.srcKeys.nonEmpty) ds
+      else recordedDims.getOrElse(ds.table, ds)
+    }
+    dimSpecsFilled.foreach { ds =>
+      val ts = m0.table(ds.table)
+      require(ts.schemaJson.nonEmpty, s"table '${ds.table}' does not exist")
+      require(ts.feedFrom >= 0,
+        s"dim table '${ds.table}' has no active change feed — joined-mart " +
+          "maintenance folds it; write the dim with changeFeed=true")
+      require(ds.srcKeys.nonEmpty && ds.srcKeys.length == ds.dimKeys.length,
+        s"join keys required for dim '${ds.table}'")
+    }
+    val martTs = m0.table(mart)
+    val sg = if (srcGroupCols.nonEmpty) srcGroupCols
+      else martTs.props.get(SrcGroupCols)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val vc = if (valueCols.nonEmpty) valueCols
+      else martTs.props.get(ValueCols)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val dims = dimSpecsFilled
+    val groupCols = sg ++ dims.flatMap(_.groupCols)
     require(groupCols.nonEmpty, "at least one group column required")
     require(groupCols.distinct.length == groupCols.length,
       s"source and dim group column names must be disjoint: $groupCols")
@@ -123,59 +194,78 @@ object JoinedMart {
     // keep an already-feed-active joined mart cascading
     val feed = changeFeed || martTs.feedFrom >= 0
 
-    // 1. the partial mart: source rolled up to (join keys × src groups),
-    //    feed-active so its diffs cascade into J. refreshMart stamps the
-    //    SOURCE version P (and therefore J) is current through.
+    // 1. the partial mart: source rolled up to (ALL join keys × src
+    //    groups), feed-active so its diffs cascade into J. refreshMart
+    //    stamps the SOURCE version P (and therefore J) is current through.
     val srcV = IncrementalMart.refreshMart(spark, root, source, partial,
-      groupCols = (sk ++ sg).distinct, valueCols = vc,
+      groupCols = (dims.flatMap(_.srcKeys) ++ sg).distinct, valueCols = vc,
       numBuckets = buckets, changeFeed = true)
 
     val m1 = ManifestTable.read(root).get
     val v1 = m1.version
     val qid = EventPipeline.currentQueryId(spark)
-    val props = Map(
-      Source -> source, Dim -> dim, Partial -> partial,
-      SrcKeys -> sk.mkString(","), DimKeys -> dk.mkString(","),
-      SrcGroupCols -> sg.mkString(","), DimGroupCols -> dg.mkString(","),
+    val legacy =
+      if (dims.length != 1) Map.empty[String, String]
+      else Map(
+        Dim -> dims.head.table,
+        SrcKeys -> dims.head.srcKeys.mkString(","),
+        DimKeys -> dims.head.dimKeys.mkString(","),
+        DimGroupCols -> dims.head.groupCols.mkString(","))
+    val props = legacy ++ Map(
+      Source -> source, Partial -> partial,
+      Dims -> dims.map(_.table).mkString(";"),
+      DimSrcKeysAll -> dims.map(_.srcKeys.mkString(",")).mkString(";"),
+      DimKeysAll -> dims.map(_.dimKeys.mkString(",")).mkString(";"),
+      DimGroupsAll -> dims.map(_.groupCols.mkString(",")).mkString(";"),
+      SrcGroupCols -> sg.mkString(","),
       ValueCols -> vc.mkString(","),
       SourceVersion -> srcV.toString, FoldVersion -> v1.toString)
 
-    def keyCond(l: DataFrame, r: DataFrame): Column =
-      sk.zip(dk).map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
-    // a partial/dim row's additive contribution to its joined group,
-    // signed by the feed row's change type on the driving side
-    def contrib(rows: DataFrame, part: DataFrame, d: DataFrame)
-        : DataFrame = {
-      val sign = when(col(ManifestTable.ChangeTypeCol)
+    def keyCond(l: DataFrame, r: DataFrame, ds: DimSpec): Column =
+      ds.srcKeys.zip(ds.dimKeys).map { case (a, b) => l(a) === r(b) }
+        .reduce(_ && _)
+    // join the partial-grain frame `p` against one frame per dim, and
+    // roll up to the mart grain with the SIGN taken from whichever side
+    // carries the feed's change-type column (`signed`)
+    def contrib(p: DataFrame, dimFrames: Seq[DataFrame],
+        signed: DataFrame): DataFrame = {
+      val joined = dims.zip(dimFrames).foldLeft(p) { case (acc, (ds, d)) =>
+        acc.join(d, keyCond(p, d, ds))
+      }
+      val sign = when(signed(ManifestTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      val sumType = (c: String) => part.schema(s"sum_$c").dataType
-      rows.groupBy((sg.map(part(_)) ++ dg.map(d(_))): _*)
+      val sumType = (c: String) => p.schema(s"sum_$c").dataType
+      joined.groupBy((sg.map(p(_)) ++ dims.zip(dimFrames).flatMap {
+        case (ds, d) => ds.groupCols.map(d(_)) }): _*)
         .agg(
-          sum(sign * part(IncrementalMart.RowsCol)).as("delta_rows"),
-          (vc.map(c => sum(sign * part(s"sum_$c")).cast(sumType(c))
+          sum(sign * p(IncrementalMart.RowsCol)).as("delta_rows"),
+          (vc.map(c => sum(sign * p(s"sum_$c")).cast(sumType(c))
             .as(s"delta_$c"))
             // non-null counts ride the same signed fold: count(col)/avg
             // stay derivable from the JOINED mart too
-            ++ vc.map(c => sum(sign * part(s"cnt_$c")).cast("long")
+            ++ vc.map(c => sum(sign * p(s"cnt_$c")).cast("long")
               .as(s"delta_cnt_$c"))): _*)
     }
 
-    // base (re)build: one join at PARTIAL grain — P is group-sized, the
-    // dim is a dim, never the fact table. Also the fallback when a feed
-    // range this mart needs has aged past retention (a mart left
-    // unrefreshed longer than the feed window): overwrite replaces the
-    // stale state wholesale in one atomic commit.
+    // base (re)build: one star join at PARTIAL grain — P is group-sized,
+    // the dims are dims, never the fact table. Also the fallback when a
+    // feed range this mart needs has aged past retention: overwrite
+    // replaces the stale state wholesale in one atomic commit.
     def rebuild(overwrite: Boolean): Unit = {
-      // pin BOTH reads to the stamped watermark v1: a commit landing
+      // pin EVERY read to the stamped watermark v1: a commit landing
       // between the manifest read and these table reads would otherwise
       // be included in the rebuild yet stamped unfolded — and the next
       // refresh would fold its feed range a second time
       val p = ManifestTable.readTable(spark, root.toString,
         version = Some(v1), table = partial)
-      val d = ManifestTable.readTable(spark, root.toString,
-        version = Some(v1), table = dim)
-      val rows = p.join(d, keyCond(p, d))
-        .groupBy((sg.map(p(_)) ++ dg.map(d(_))): _*)
+      val dFrames = dims.map(ds => ManifestTable.readTable(spark,
+        root.toString, version = Some(v1), table = ds.table))
+      val joined = dims.zip(dFrames).foldLeft(p) { case (acc, (ds, d)) =>
+        acc.join(d, keyCond(p, d, ds))
+      }
+      val rows = joined
+        .groupBy((sg.map(p(_)) ++ dims.zip(dFrames).flatMap {
+          case (ds, d) => ds.groupCols.map(d(_)) }): _*)
         .agg(sum(p(IncrementalMart.RowsCol)).as(IncrementalMart.RowsCol),
           (vc.map(c => sum(p(s"sum_$c"))
             .cast(p.schema(s"sum_$c").dataType).as(s"sum_$c"))
@@ -192,53 +282,61 @@ object JoinedMart {
       case None => rebuild(overwrite = false)
       case Some(from) if from >= v1 => // nothing new anywhere
       case Some(from) =>
-        // ΔP ⋈ D_old: the partial's feed changes against the dim AS OF
-        // the previous watermark (time travel when retained, exact feed
-        // inversion when aged — added rows subtracted back, removed
-        // rows restored; multiset algebra, same contract as
-        // IncrementalMart's retraction fallback)
-        val (dP, dDRaw) =
+        // every input's feed for the unfolded range; any aged-out range
+        // falls back to a wholesale rebuild
+        val (dP, dDsRaw) =
           try (
             ManifestTable.readChangeFeed(spark, root.toString,
               from + 1, Some(v1), partial),
-            ManifestTable.readChangeFeed(spark, root.toString,
-              from + 1, Some(v1), dim))
+            dims.map(ds => ManifestTable.readChangeFeed(spark,
+              root.toString, from + 1, Some(v1), ds.table)))
           catch {
             case _: IllegalStateException => // feed range aged out
               rebuild(overwrite = true); return v1
           }
-        val dD = dDRaw.persist()
+        val dDs = dDsRaw.map(_.persist())
         try {
-          val dNow = ManifestTable.readTable(spark, root.toString,
-            version = Some(v1), table = dim)
-          val dCols = dNow.columns.toIndexedSeq
-          val dOld =
-            try ManifestTable.readTable(spark, root.toString,
-              version = Some(from), table = dim)
-            catch {
-              case _: java.io.FileNotFoundException =>
-                val added = dD.filter(col(ManifestTable.ChangeTypeCol)
-                  .isin("insert", "update_postimage"))
-                  .select(dCols.map(col): _*)
-                val removed = dD.filter(col(ManifestTable.ChangeTypeCol)
-                  .isin("delete", "update_preimage"))
-                  .select(dCols.map(col): _*)
-                // union BEFORE subtracting: a key inserted at v_i and
-                // updated at v_j (both in the unfolded range) must
-                // reconstruct to {} — subtract-first floors the multiset
-                // at zero and resurrects the pre-update row
-                dNow.unionAll(removed).exceptAll(added)
-            }
+          // per dim: its state AT v1 and AT the previous watermark (time
+          // travel when retained, exact feed inversion when aged — union
+          // BEFORE subtracting: a key inserted at v_i and updated at v_j,
+          // both in the unfolded range, must reconstruct to {} at the
+          // watermark; subtract-first floors the multiset at zero and
+          // resurrects the pre-update row)
+          val dNews = dims.map(ds => ManifestTable.readTable(spark,
+            root.toString, version = Some(v1), table = ds.table))
+          val dOlds = dims.zip(dDs).zip(dNews).map {
+            case ((ds, dD), dNow) =>
+              try ManifestTable.readTable(spark, root.toString,
+                version = Some(from), table = ds.table)
+              catch {
+                case _: java.io.FileNotFoundException =>
+                  val dCols = dNow.columns.toIndexedSeq
+                  val added = dD.filter(col(ManifestTable.ChangeTypeCol)
+                    .isin("insert", "update_postimage"))
+                    .select(dCols.map(col): _*)
+                  val removed = dD.filter(col(ManifestTable.ChangeTypeCol)
+                    .isin("delete", "update_preimage"))
+                    .select(dCols.map(col): _*)
+                  dNow.unionAll(removed).exceptAll(added)
+              }
+          }
           val pNow = ManifestTable.readTable(spark, root.toString,
             version = Some(v1), table = partial)
-          val fromP = contrib(dP.join(dOld, keyCond(dP, dOld)), dP, dOld)
-          // P_new ⋈ ΔD: dim feed changes against the just-refreshed
-          // partial — the term that makes a dim-attribute update migrate
-          // every affected key's rollup without touching the source
-          val fromD = contrib(dD.join(pNow, keyCond(pNow, dD)), pNow, dD)
-          // groups both terms touch must net BEFORE the fold (its
+          // ΔP against every dim AS OF the previous watermark
+          val fromP = contrib(dP, dOlds, dP)
+          // per dim i: the just-refreshed partial against ΔDᵢ, dims
+          // BEFORE i at their new state, dims AFTER i at their old —
+          // the sequencing that makes multi-input churn count once per
+          // input
+          val fromDs = dims.indices.map { i =>
+            val frames = dims.indices.map { j =>
+              if (j < i) dNews(j) else if (j == i) dDs(i) else dOlds(j)
+            }
+            contrib(pNow, frames, dDs(i))
+          }
+          // groups several terms touch must net BEFORE the fold (its
           // replace-by-key join expects one delta row per group)
-          val deltas = fromP.unionByName(fromD)
+          val deltas = (fromP +: fromDs).reduce(_ unionByName _)
             .groupBy(groupCols.map(col): _*)
             .agg(sum("delta_rows").as("delta_rows"),
               (vc.map(c => sum(s"delta_$c")
@@ -251,7 +349,7 @@ object JoinedMart {
             groupCols, vc, buckets, changeFeed = feed, deltas,
             qid, v1, props)
           finally { deltas.unpersist(); () }
-        } finally { dD.unpersist(); () }
+        } finally { dDs.foreach(_.unpersist()); () }
     }
     v1
   }

@@ -321,6 +321,166 @@ class JoinedMartSpec extends SparkSpec {
     assert(q.collect().map(_.toString).toSet == direct)
   }
 
+  test("STAR joined mart: two dims maintained from THREE change feeds — fact churn, churn on both dims, and all-inputs-in-one-range churn stay exactly the 3-way join aggregate") {
+    import graft.streaming.JoinedMart.DimSpec
+    val root = tmp("graft_jm_star")
+    def statusDim(rs: Seq[(String, String)]): DataFrame =
+      rs.toDF("s_status", "s_class")
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 60L).map(i =>
+          (i, i % 10, if (i % 3 == 0) "OPEN" else "FILLED", i * 100L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 8L).map(c =>
+          (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true),
+      TableBatch("status_dim",
+        statusDim(Seq(("OPEN", "ACTIVE"), ("FILLED", "DONE"),
+          ("CANCELLED", "DEAD"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    def refresh(): Unit = {
+      JoinedMart.refreshStar(spark, new File(root), "orders",
+        Seq(
+          DimSpec("customer", Seq("o_custkey"), Seq("c_custkey"),
+            Seq("c_mktsegment")),
+          DimSpec("status_dim", Seq("o_status"), Seq("s_status"),
+            Seq("s_class"))),
+        "jms", srcGroupCols = Nil, valueCols = Seq("o_price"),
+        numBuckets = 2)
+      ()
+    }
+    refresh()
+    def oracle3(): Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try raw(root, "orders")
+        .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(raw(root, "status_dim"), col("o_status") === col("s_status"))
+        .groupBy("c_mktsegment", "s_class")
+        .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+        .collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    def mart(): Set[String] = raw(root, "jms")
+      .select(col("c_mktsegment"), col("s_class"),
+        col("n_rows").as("n"), col("sum_o_price").as("sv"))
+      .collect().map(_.toString).toSet
+    assert(mart() == oracle3(), "star base build")
+
+    // fact churn only
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("orders",
+        orders(Seq((100L, 3L, "OPEN", 5000L), (0L, 0L, "CANCELLED", 999L))),
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(6L).toDF("o_id")))))
+    refresh()
+    assert(mart() == oracle3(), "after fact churn")
+
+    // churn on BOTH dims in one range: attribute migrations must move
+    // every affected key's rollup from each dim independently
+    ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
+      TableBatch("customer", customers(Seq((1L, 1L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    ManifestTable.mergeBatch(new File(root), "q", 3L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("OPEN", "LIVE"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    refresh()
+    assert(mart() == oracle3(), "after two-dim churn")
+
+    // ALL THREE inputs churn inside ONE unfolded range — the sequenced
+    // IVM terms must count each input's change exactly once
+    ManifestTable.mergeBatch(new File(root), "q", 4L, Seq(
+      TableBatch("orders",
+        orders(Seq((200L, 5L, "OPEN", 1111L), (3L, 5L, "FILLED", 333L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    ManifestTable.mergeBatch(new File(root), "q", 5L, Seq(
+      TableBatch("customer", customers(Seq((5L, 5L, "MIXED"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    ManifestTable.mergeBatch(new File(root), "q", 6L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("FILLED", "SETTLED"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    refresh()
+    assert(mart() == oracle3(), "after three-input churn")
+
+    // recorded declaration: a later refresh passes empty per-dim fields
+    ManifestTable.mergeBatch(new File(root), "q", 7L, Seq(
+      TableBatch("orders", orders(Seq((300L, 1L, "OPEN", 42L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    JoinedMart.refreshStar(spark, new File(root), "orders",
+      Seq(DimSpec("customer", Nil, Nil, Nil),
+        DimSpec("status_dim", Nil, Nil, Nil)), "jms")
+    assert(mart() == oracle3(), "recorded-declaration re-refresh")
+
+    // idempotent: nothing new → no commit
+    val v = ManifestTable.read(new File(root)).get.version
+    JoinedMart.refreshStar(spark, new File(root), "orders",
+      Seq(DimSpec("customer", Nil, Nil, Nil),
+        DimSpec("status_dim", Nil, Nil, Nil)), "jms")
+    assert(ManifestTable.read(new File(root)).get.version == v)
+
+    // the rewrite fires on the STAR query shape: the whole two-dim join
+    // tree is eliminated (works whichever way the joins associate)
+    def qStar = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(raw(root, "status_dim"), col("o_status") === col("s_status"))
+      .groupBy("c_mktsegment", "s_class")
+      .agg(count(lit(1)).as("n"), sum("o_price").as("sv"),
+        avg("o_price").as("av"))
+    assert(scannedTables(qStar) == Seq("jms"),
+      s"star rewrite did not fire: ${scannedTables(qStar)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try qStar.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(qStar.collect().map(_.toString).toSet == direct)
+
+    // filters on any side's declared group columns ride along
+    def qF = raw(root, "status_dim")
+      .join(raw(root, "orders"), col("o_status") === col("s_status"))
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_class") =!= "DEAD" && col("c_mktsegment") === "RETAIL")
+      .groupBy("s_class").agg(sum("o_price").as("sv"))
+    assert(scannedTables(qF) == Seq("jms"), s"got ${scannedTables(qF)}")
+    val fDirect = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try qF.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(qF.collect().map(_.toString).toSet == fDirect)
+
+    // a commit on ANY dim stales the star mart until the next refresh
+    ManifestTable.mergeBatch(new File(root), "q", 8L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("CANCELLED", "VOID"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    assert(!scannedTables(qStar).contains("jms"),
+      "a stale star mart must never answer")
+    JoinedMart.refreshStar(spark, new File(root), "orders",
+      Seq(DimSpec("customer", Nil, Nil, Nil),
+        DimSpec("status_dim", Nil, Nil, Nil)), "jms")
+    assert(scannedTables(qStar) == Seq("jms"))
+    assert(mart() == oracle3())
+
+    // joining on NON-declared keys falls through (different join)
+    assert(!scannedTables(raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_id"))
+      .join(raw(root, "status_dim"), col("o_status") === col("s_status"))
+      .groupBy("c_mktsegment", "s_class").agg(sum("o_price").as("sv")))
+      .contains("jms"))
+
+    // the SQL verb drives the same refresh (recorded declaration)
+    val ns = new File(root).getName
+    spark.conf.set("spark.sql.catalog.jmsx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.jmsx.warehouse",
+      new File(root).getParent)
+    ManifestTable.mergeBatch(new File(root), "q", 9L, Seq(
+      TableBatch("orders", orders(Seq((400L, 2L, "OPEN", 77L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    spark.sql(s"CALL jmsx.system.refresh_star_mart('$ns', 'orders', " +
+      "'jms', 'customer;status_dim', '', '', '', '', '')").collect()
+    assert(mart() == oracle3(), "SQL star refresh diverged")
+  }
+
   test("CALL graft.system.refresh_joined_mart: SQL surface declares, builds, and re-refreshes with the recorded declaration") {
     val root = tmp("graft_jm_call")
     val ns = new File(root).getName
