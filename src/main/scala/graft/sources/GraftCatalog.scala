@@ -202,7 +202,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // valid) and enforce on every write from the first row on;
       // generated columns derive on every write from the first row on
       props.collect { case (k, v)
-        if k.startsWith("constraint.") || k.startsWith("generated.") =>
+        if k.startsWith("constraint.") || k.startsWith("generated.") ||
+          k.startsWith("default.") =>
           k -> v }
     recorded.get("rowLevelMode").foreach(m =>
       require(GraftSqlTable.RowLevelModes.contains(m),
@@ -259,6 +260,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "buckets) instead of ALTER TABLE")
       case p: TableChange.SetProperty
           if p.property.startsWith("constraint.") =>
+        props += p.property -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("default.") =>
+        // applies to writes that OMIT the column from here on
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+          s"default expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.startsWith("generated.") =>

@@ -2735,14 +2735,36 @@ object ManifestTable {
       if (tb.overwrite) tb.rows.schema
       else unify(
         if (prev.schemaJson.nonEmpty) Some(prev.schema) else None, tb.rows.schema)
-    val aligned = applyGenerated(tb.name, prev.props ++ tb.props, unified,
+    val effProps = prev.props ++ tb.props
+    // DEFAULT columns (`TBLPROPERTIES ('default.<col>' = '<sql expr>')`):
+    // a column the WRITER OMITTED fills with its default expression
+    // instead of null — SQL DEFAULT semantics at the column-presence
+    // grain (a batch that carries the column keeps its values, explicit
+    // NULLs included; distinguishing per-row omission is not a thing a
+    // DataFrame can express). The expression may reference the batch's
+    // other columns, so `default.load_ts = 'current_timestamp()'` and
+    // `default.currency = "'USD'"` both work.
+    val defaults: Map[String, String] = effProps.collect {
+      case (k, v) if k.startsWith("default.") =>
+        k.stripPrefix("default.") -> v
+    }
+    val aligned = applyGenerated(tb.name, effProps, unified,
       tb.rows.select(unified.fields.map { f =>
         // cast even present columns: a batch arriving with a drifted numeric
         // type (int where the manifest says double) must land under the
         // manifest's type, or the written parquet becomes unreadable through
         // the manifest schema
         if (tb.rows.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        else defaults.get(f.name) match {
+          case Some(sql) =>
+            val e = try expr(sql) catch {
+              case ex: Exception => throw new IllegalArgumentException(
+                s"default for column '${f.name}' on table '${tb.name}' " +
+                  s"does not parse: $sql", ex)
+            }
+            e.cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }.toIndexedSeq: _*))
     val bucketExpr =
       pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets))
@@ -2752,7 +2774,7 @@ object ManifestTable {
     try {
       // CHECK constraints gate the batch BEFORE any bucket work — the
       // table's recorded constraints plus any this very batch declares
-      enforceConstraints(tb.name, prev.props ++ tb.props, incoming)
+      enforceConstraints(tb.name, effProps, incoming)
       val touchedRows = incoming.select(BucketCol).distinct()
         .collect().map(_.getLong(0)).toSet
       // delete-only buckets matter only where committed generations exist

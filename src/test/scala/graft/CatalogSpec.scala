@@ -670,6 +670,49 @@ class CatalogSpec extends SparkSpec {
       .head.getDouble(0) == 14.0, "MoR delta left the generated column stale")
   }
 
+  test("default columns: writer-omitted columns fill with their default expression; batches that carry the column keep values, explicit NULLs included") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_def").toString
+    spark.conf.set("spark.sql.catalog.dfl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dfl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dfl.ops")
+    spark.sql("""CREATE TABLE dfl.ops.t
+      (id BIGINT, amt DOUBLE, cur STRING, doubled DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'default.cur' = "'USD'", 'default.doubled' = 'amt * 2')""")
+    val root = new File(wh, "ops")
+    import spark.implicits._
+
+    // a provider write OMITTING cur and doubled: defaults fill —
+    // including the one referencing another batch column
+    Seq((1L, 5.0), (2L, 7.0)).toDF("id", "amt")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id").mode("append").save()
+    val got = spark.sql("SELECT id, cur, doubled FROM dfl.ops.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "USD", 10.0), (2L, "USD", 14.0)),
+      s"defaults did not fill: ${got.toSeq}")
+
+    // a batch that CARRIES the column keeps its values — explicit NULL
+    // included (SQL DEFAULT applies to omission, not null values)
+    Seq[(java.lang.Long, java.lang.Double, String)]((3L, 1.0, null))
+      .toDF("id", "amt", "cur")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id").mode("append").save()
+    assert(spark.sql("SELECT cur FROM dfl.ops.t WHERE id = 3").head.isNullAt(0),
+      "an explicit NULL must stay NULL when the column is present")
+
+    // ALTER adds a default for future writes
+    spark.sql("ALTER TABLE dfl.ops.t SET TBLPROPERTIES " +
+      "('default.amt' = '0.0')")
+    Seq(Tuple1(9L)).toDF("id")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id").mode("append").save()
+    val r9 = spark.sql("SELECT amt, cur, doubled FROM dfl.ops.t WHERE id = 9")
+      .head
+    assert(r9.getDouble(0) == 0.0 && r9.getString(1) == "USD"
+      && r9.getDouble(2) == 0.0, s"ALTER-declared default missing: $r9")
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
