@@ -47,10 +47,12 @@ import graft.streaming.IncrementalMart
   *    declared extremum column → `min(min_x)`/`max(max_x)`. No
   *    DISTINCT, no FILTER clauses. A NULLABLE `sum`/`avg` guards on
   *    `sum(cnt_x) > 0` so the all-NULL group keeps SQL semantics
-  *    (sum = NULL, not the fold's stored 0); `avg` over DECIMAL falls
-  *    through — Spark's `Average` divides at a fixed intermediate
-  *    precision a re-derived sum/cnt division is not bit-guaranteed to
-  *    reproduce.
+  *    (sum = NULL, not the fold's stored 0). `avg` over DECIMAL derives
+  *    exactly by rebuilding `Average`'s own evaluation shape — the
+  *    re-summed partial cast to the `Decimal(p+10, s)` sum type divided
+  *    by the count at `Decimal(20, 0)`, cast to the bounded
+  *    `Decimal(p+4, s+4)` result — so the reference's money columns
+  *    (`NUMBER(18,2)`) hit the highest-frequency dashboard rewrite too.
   *
   * The rewrite scales the query's cost from the SOURCE's size to the
   * mart's (≈ distinct groups): at 100 TB the ops rollup the reference
@@ -95,6 +97,34 @@ object MartRewriteRule {
 case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `avg(x)` from mart partials, bit-matching Spark's `Average` —
+    * including DECIMAL. `Average` over `Decimal(p, s)` evaluates
+    * `Divide(sum: Decimal(p+10, s), count cast Decimal(20, 0))` under the
+    * standard decimal-precision promotion, then casts to its bounded
+    * `Decimal(p+4, s+4)` result type; rebuilding that exact shape from the
+    * re-summed partials reproduces it digit for digit. Overflow parity:
+    * the re-sum (at p+20) cast back to the p+10 sum type answers NULL
+    * exactly where the direct aggregate's `CheckOverflowInSum` does.
+    * Guarded on the non-null partial count so an all-NULL group answers
+    * SQL NULL (the fold stores 0).
+    */
+  private def avgFromPartials(sumPartial: Column, cntPartial: Column,
+      childType: org.apache.spark.sql.types.DataType,
+      outType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = fsum(sumPartial)
+    val c = fsum(cntPartial)
+    val quotient = childType match {
+      case dt: DecimalType =>
+        // Sum's intermediate is DecimalType.bounded(p+10, s) = capped at
+        // the 38-digit max (the `bounded` helper is private[sql])
+        val sumT = DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+        s.cast(sumT) / c.cast(DecimalType(20, 0))
+      case _ => s / c
+    }
+    when(c > 0, quotient.cast(outType))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.martRewrite", "true").toBoolean) plan
@@ -244,15 +274,11 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         case a: Average => a.child match {
           case ar: AttributeReference
               if valueCols.contains(ar.name) &&
-                martFields.contains(s"sum_${ar.name}") &&
-                !ar.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.DecimalType] =>
-            // avg = re-summed sum / re-summed non-null count; guarded so
-            // an empty/all-NULL group answers NULL. DECIMAL is gated in
-            // the match: Average divides at a fixed intermediate
-            // precision this re-derivation is not bit-guaranteed to hit
-            cnt(ar.name).map(cc => when(fsum(cc) > 0,
-              (fsum(col(s"sum_${ar.name}")) / fsum(cc)).cast(ae.dataType)))
+                martFields.contains(s"sum_${ar.name}") =>
+            // avg = re-summed sum / re-summed non-null count, rebuilt in
+            // Average's own intermediate types (exact for DECIMAL too)
+            cnt(ar.name).map(cc => avgFromPartials(
+              col(s"sum_${ar.name}"), cc, ar.dataType, ae.dataType))
           case _ => None
         }
         case m: Max => m.child match {
@@ -629,11 +655,9 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         case a: Average => a.child match {
           case ar: AttributeReference
               if srcOut.contains(ar) && valueCols.contains(ar.name) &&
-                martFields.contains(s"sum_${ar.name}") &&
-                !ar.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.DecimalType] =>
-            cnt(ar).map(cc => when(fsum(cc) > 0,
-              (fsum(col(s"sum_${ar.name}")) / fsum(cc)).cast(ae.dataType)))
+                martFields.contains(s"sum_${ar.name}") =>
+            cnt(ar).map(cc => avgFromPartials(
+              col(s"sum_${ar.name}"), cc, ar.dataType, ae.dataType))
           case _ => None
         }
         case _ => None
@@ -813,13 +837,11 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         }
         case a: Average => a.child match {
           case ar: AttributeReference
-              if srcOut.contains(ar) && valueCols.contains(ar.name) &&
-                !ar.dataType.isInstanceOf[
-                  org.apache.spark.sql.types.DecimalType] =>
+              if srcOut.contains(ar) && valueCols.contains(ar.name) =>
             for {
               sc <- mCol(s"sum_${ar.name}")
               cc <- cnt(ar)
-            } yield when(fsum(cc) > 0, (fsum(sc) / fsum(cc)).cast(ae.dataType))
+            } yield avgFromPartials(sc, cc, ar.dataType, ae.dataType)
           case _ => None
         }
         case m: Max => m.child match {

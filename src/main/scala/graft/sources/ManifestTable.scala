@@ -3021,7 +3021,19 @@ object ManifestTable {
     val insert = col(ChangeTypeCol).isin("insert", "update_postimage")
     val sign = when(insert, lit(1L)).otherwise(lit(-1L))
     val aggs =
-      valueCols.map(c => sum(col(c) * sign).as(s"delta_$c")) ++
+      // DECIMAL deltas pin to Sum's own Decimal(p+10, s) intermediate
+      // (the signed multiply would otherwise widen to 38 digits and
+      // drift the mart's stored partial type); decimal arithmetic is
+      // exact so the cast only normalizes the declared width
+      valueCols.map { c =>
+        val d = sum(col(c) * sign)
+        changes.schema(c).dataType match {
+          case dt: org.apache.spark.sql.types.DecimalType =>
+            d.cast(org.apache.spark.sql.types.DecimalType(
+              math.min(dt.precision + 10, 38), dt.scale)).as(s"delta_$c")
+          case _ => d.as(s"delta_$c")
+        }
+      } ++
         // signed NON-NULL count per value column: what makes `count(col)`
         // and `avg` (= sum/cnt) derivable from the mart, and lets the
         // rewrite restore SQL null-sum semantics (all-NULL group → NULL)

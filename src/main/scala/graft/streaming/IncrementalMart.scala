@@ -287,10 +287,15 @@ object IncrementalMart {
         groupCols.map(k => coalesce(col(s"m.$k"), col(s"d.$k")).as(k))
           ++ Seq((coalesce(col(s"m.$RowsCol"), lit(0L))
             + col(s"d.delta_rows")).as(RowsCol))
+          // the running sum stays pinned at the delta's type (for DECIMAL
+          // that is Sum's Decimal(p+10, s) — Add would widen precision by
+          // one per fold and drift the stored schema); decimal adds are
+          // exact, so the cast only normalizes the declared width
           ++ valueCols.map(c =>
             (coalesce(col(s"m.sum_$c"), lit(0).cast(
               deltas.schema(s"delta_$c").dataType))
               + coalesce(col(s"d.delta_$c"), lit(0)))
+              .cast(deltas.schema(s"delta_$c").dataType)
               .as(s"sum_$c"))
           // per-column non-null counts: `count(col)`/`avg` derivability
           ++ valueCols.map(c =>

@@ -506,4 +506,55 @@ class JoinedMartSpec extends SparkSpec {
       "'customer', 'jm', '', '', '', '', '')").collect()
     assert(martState(root) == oracle(root))
   }
+
+  test("DECIMAL measures through the joined mart: the fold stays exact across fact+dim churn and avg derives bit-exactly join-free (the reference's NUMBER(18,2) money shape)") {
+    val root = tmp("graft_jm_dec")
+    def decOrders(rs: Seq[(Long, Long, String, String)]): DataFrame =
+      rs.toDF("o_id", "o_custkey", "o_status", "o_price")
+        .select(col("o_id"), col("o_custkey"), col("o_status"),
+          col("o_price").cast("decimal(18,2)").as("o_price"))
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders", decOrders((0L until 21L).map(i =>
+        (i, i % 7, if (i % 3 == 0) "OPEN" else "FILLED",
+          s"${i * 7}.${10 + i % 89}"))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer", customers((0L until 7L).map(c =>
+        (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm",
+      srcKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      srcGroupCols = Seq("o_status"), dimGroupCols = Seq("c_mktsegment"),
+      valueCols = Seq("o_price"), numBuckets = 2)
+    def q: DataFrame = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_status")
+      .agg(avg("o_price").as("ap"), sum("o_price").as("sp"),
+        count(col("o_price")).as("cp"))
+    def direct: Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(scannedTables(q) == Seq("jm"),
+      s"decimal star rewrite did not fire: ${scannedTables(q)}")
+    assert(q.collect().map(_.toString).toSet == direct)
+
+    // churn BOTH sides, refresh again: the decimal partials fold signed
+    // (delta sums cast back to the Decimal(p+10, s) partial type) and
+    // avg keeps deriving bit-exactly
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("orders", decOrders(Seq(
+        (100L, 3L, "OPEN", "123.45"),
+        (0L, 0L, "FILLED", "0.01"))), // update: group + price moved
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(6L).toDF("o_id"))),
+      TableBatch("customer", customers(Seq((1L, 1L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(scannedTables(q) == Seq("jm"))
+    assert(q.collect().map(_.toString).toSet == direct)
+    val sumT = raw(root, "jm").schema("sum_o_price").dataType
+    assert(sumT == org.apache.spark.sql.types.DecimalType(28, 2),
+      s"joined-mart decimal partial type drifted: $sumT")
+  }
 }

@@ -198,27 +198,100 @@ class MartRewriteSpec extends SparkSpec {
     assert(scannedTables(qAll) == Seq("m"))
     assert(qAll.collect().map(_.toString).toSet == direct(qAll))
 
-    // avg over DECIMAL stays on the source: Average's fixed intermediate
-    // division precision is not re-derivable bit-exactly
-    val dec = Seq((0L, "g0", BigDecimal("1.25")), (1L, "g1", BigDecimal("2.75")))
+    // avg over DECIMAL — the reference's money shape, NUMBER(18,2) —
+    // derives BIT-EXACTLY: the rewrite rebuilds Average's own evaluation
+    // (sum at Decimal(p+10,s) / count at Decimal(20,0) → Decimal(p+4,s+4)).
+    // Group sizes of 3 and 7 force repeating-decimal division so any
+    // intermediate-precision mismatch would show in the last digits.
+    val dec = (Seq[(Long, String, String)](
+        (0L, "g0", "1.25"), (1L, "g0", "2.77"), (2L, "g0", "4.01"),
+        (10L, "g1", "0.01"), (11L, "g1", "99999999999999.99"),
+        (12L, "g1", "7.33"), (13L, "g1", "1.10"), (14L, "g1", "2.23"),
+        (15L, "g1", "3.37"), (16L, "g1", "5.55"))
+      .map { case (i, g, v) => (i, g, BigDecimal(v)) } ++
+      Seq[(Long, String, BigDecimal)]((20L, "g2", null))) // all-NULL group
       .toDF("event_id", "grp", "dv")
       .select(col("event_id"), col("grp"),
-        col("dv").cast("decimal(10,2)").as("dv"))
+        col("dv").cast("decimal(18,2)").as("dv"))
     ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
       TableBatch("td", dec, Seq("event_id"), 2, changeFeed = true)))
     val cfgD = IncrementalMart.Config(root, root,
       groupCols = Seq("grp"), valueCols = Seq("dv"),
       sourceTable = "td", martTable = "md", numBuckets = 2)
-    IncrementalMart.sync(spark, cfgD, tmp("graft_mv_dec_ckpt"))
+    val ckptD = tmp("graft_mv_dec_ckpt")
+    IncrementalMart.sync(spark, cfgD, ckptD)
     def srcD: DataFrame = spark.read.format("graft")
       .option("path", root).option("table", "td").load()
-    assert(scannedTables(
-      srcD.groupBy("grp").agg(avg("dv").as("a"))) == Seq("td"))
-    // …while decimal sum and count(col) still derive
     def qd = srcD.groupBy("grp").agg(
-      sum("dv").as("s"), count(col("dv")).as("c"))
+      sum("dv").as("s"), count(col("dv")).as("c"), avg("dv").as("a"))
+    assert(scannedTables(qd) == Seq("md"),
+      s"decimal avg did not land on the mart: ${scannedTables(qd)}")
+    val directSchema = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try qd.schema finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(qd.schema == directSchema,
+      s"rewritten decimal schema drifted from Average's result type: " +
+        s"${qd.schema} vs $directSchema")
+    assert(qd.collect().map(_.toString).toSet == direct(qd))
+    val g2 = qd.filter(col("grp") === "g2").head
+    assert(g2.isNullAt(1) && g2.getLong(2) == 0L && g2.isNullAt(3),
+      s"all-NULL decimal group lost SQL semantics through the mart: $g2")
+    // global decimal avg derives too
+    def qdAll = srcD.agg(avg("dv").as("a"), sum("dv").as("s"))
+    assert(scannedTables(qdAll) == Seq("md"))
+    assert(qdAll.collect().map(_.toString).toSet == direct(qdAll))
+
+    // decimal churn folds through a SECOND sync: the stored sum partial
+    // stays pinned at Sum's Decimal(p+10, s) (the fold casts the Add
+    // back), so repeated maintenance never drifts the mart schema
+    ManifestTable.mergeBatch(new File(root), "q", 3L, Seq(
+      TableBatch("td", Seq((0L, "g0", BigDecimal("9.99")),
+        (21L, "g2", BigDecimal("0.07")), (17L, "g1", BigDecimal("6.66")))
+        .toDF("event_id", "grp", "dv")
+        .select(col("event_id"), col("grp"),
+          col("dv").cast("decimal(18,2)").as("dv")),
+        Seq("event_id"), 2, changeFeed = true)))
+    IncrementalMart.sync(spark, cfgD, ckptD)
+    val martSum = spark.read.format("graft").option("path", root)
+      .option("table", "md").load().schema("sum_dv").dataType
+    assert(martSum == org.apache.spark.sql.types.DecimalType(28, 2),
+      s"mart sum partial type drifted: $martSum")
     assert(scannedTables(qd) == Seq("md"))
     assert(qd.collect().map(_.toString).toSet == direct(qd))
+  }
+
+  test("decimal avg derives bit-exactly through the JOIN shape (mart ⋈ dim), multiplicity included") {
+    val root = tmp("graft_mv_decjoin")
+    val dec = Seq((0L, "g0", "1.25"), (1L, "g0", "2.77"), (2L, "g0", "4.01"),
+      (3L, "g1", "7.33"), (4L, "g1", "0.01"), (5L, "g2", "3.14"),
+      (6L, "g2", "2.72"))
+      .toDF("event_id", "grp", "dv")
+      .select(col("event_id"), col("grp"),
+        col("dv").cast("decimal(18,2)").as("dv"))
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("t", dec, Seq("event_id"), 2, changeFeed = true)))
+    val cfg = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("dv"),
+      sourceTable = "t", martTable = "m", numBuckets = 2)
+    IncrementalMart.sync(spark, cfg, tmp("graft_mv_decjoin_ckpt"))
+    val src = spark.read.format("graft")
+      .option("path", root).option("table", "t").load()
+    // g1 → two regions: join multiplicity scales sum and cnt partials
+    // together, so the quotient stays the direct Average
+    val dim = Seq(("g0", "r0"), ("g1", "r1"), ("g1", "r1b"), ("g2", "r2"))
+      .toDF("grp", "region")
+    def q = src.join(dim, src("grp") === dim("grp"))
+      .groupBy(dim("region"))
+      .agg(avg("dv").as("a"), sum("dv").as("s"), count(col("dv")).as("c"))
+    assert(scannedTables(q) == Seq("m"),
+      s"decimal join-shape rewrite did not fire: ${scannedTables(q)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(q.collect().map(_.toString).toSet == direct)
   }
 
   test("marts cascade: a feed-publishing mart feeds a second-level mart exactly, and the rewrite chains level by level") {
