@@ -95,14 +95,36 @@ object Bench {
       name -> (if (runs.length < iters) -1.0 else median(runs))
     }
 
+    // PLAN FINGERPRINTS — the drift-attribution ledger: a short hash of
+    // each query's canonicalized optimized plan (exprIds normalized;
+    // paths are driver-deterministic) rides the same JSON, so when a
+    // round's median moves the first question — "did the PLAN change, or
+    // just the box?" — answers by diffing two rounds' `plans` maps
+    // instead of a judge rerun. Hashing costs analysis+optimization
+    // only, no execution.
+    def planHash(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : String =
+      try {
+        val s = fn(spark, sfDir).queryExecution.optimizedPlan
+          .canonicalized.treeString
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+      } catch { case _: Throwable => "err" }
+    val plans = selected.toSeq.map { case (name, fn) =>
+      name -> planHash(name, fn) }
+
     val entries = builds ++ medians.toSeq
     val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ps = plans.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     // headline total sums only successful entries; failures are visible
     // in `errors` and as -1 per-query values
     val total = entries.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"plans":$ps,"errors":$errs,"sf":"$sfDir"}"""
     // the driver parses stdout, which sbt interleaves with log noise (the
     // round-2 dump survived only as a truncated tail) — persist the JSON
     // to a file as the authoritative copy, then print it as the very last

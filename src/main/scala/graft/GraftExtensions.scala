@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // row access policies FIRST: the policy filter must plant before the
+    // metadata-count rewrite could answer an aggregate from manifest row
+    // counts (which would leak hidden rows), and before pushdown so a
+    // sargable policy prunes like any user predicate
+    ext.injectOptimizerRule(_ => plans.RowPolicyRule())
     // metadata-only COUNT(*) over format("graft") relations — answered
     // from the manifest's recorded row counts, zero scan jobs
     ext.injectOptimizerRule(_ => plans.MetadataAggRule())

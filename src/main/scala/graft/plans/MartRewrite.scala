@@ -613,9 +613,9 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
     if (gNames.exists(n => !sideType(n).exists(t =>
       mAttrs.get(n).exists(_.dataType == t)))) return None
 
-    // derivability: the additive set only (count + sums + non-null
-    // counts, so count(x)/avg derive too; extrema fall through to the
-    // join-shape rewrite)
+    // derivability: the additive set (count + sums + non-null counts,
+    // so count(x)/avg derive too) plus declared max/min extrema (the
+    // fold stores max_<c>/min_<c> at the joined grain when declared)
     def mapAgg(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       def cnt(ar: AttributeReference): Option[Column] =
@@ -658,6 +658,23 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
                 martFields.contains(s"sum_${ar.name}") =>
             cnt(ar).map(cc => avgFromPartials(
               col(s"sum_${ar.name}"), cc, ar.dataType, ae.dataType))
+          case _ => None
+        }
+        // extrema (round 11): the joined mart stores max_<c>/min_<c>
+        // exactly when declared, and max/min are multiplicity-invariant —
+        // the join is transparent to their algebra
+        case m: Max => m.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) &&
+                martFields.contains(s"max_${ar.name}") =>
+            Some(fmax(col(s"max_${ar.name}")).cast(ae.dataType))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case ar: AttributeReference
+              if srcOut.contains(ar) &&
+                martFields.contains(s"min_${ar.name}") =>
+            Some(fmin(col(s"min_${ar.name}")).cast(ae.dataType))
           case _ => None
         }
         case _ => None

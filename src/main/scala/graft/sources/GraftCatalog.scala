@@ -62,6 +62,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = "graft"
   private var warehouse: File = _
 
+  /** Engine-native column DEFAULTs and IDENTITY columns: advertising
+    * these lets Spark's parser/analyzer accept `DEFAULT <expr>` and
+    * `GENERATED ALWAYS AS IDENTITY` in CREATE/REPLACE TABLE against
+    * this catalog — the resolved metadata arrives in the createTable
+    * schema's field metadata (CURRENT_DEFAULT / EXISTS_DEFAULT,
+    * identity.start / identity.step), which the manifest persists
+    * verbatim and the write path honors
+    * ([[ManifestTable.identityOf]], the mergeTable defaults fill).
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -77,6 +94,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.plans.MetadataAggRule.register(SparkSession.active)
     graft.plans.MergeOnReadRule.register(SparkSession.active)
     graft.plans.MartRewriteRule.register(SparkSession.active)
+    graft.plans.RowPolicyRule.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -176,6 +194,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(root, ident.name, Some(v))
   }
 
+  /** The v2-Column CREATE path: Spark's built-in column→StructType
+    * conversion carries DEFAULT metadata but not IDENTITY specs (those
+    * are the catalog's to interpret), so this override encodes
+    * `identity.start` / `identity.step` / `identity.allowExplicitInsert`
+    * into the field metadata the manifest persists — the write path's
+    * [[ManifestTable.identityOf]] reads them back from any snapshot.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+    val schema = StructType(columns.map { c =>
+      val mb = new MetadataBuilder()
+      Option(c.metadataInJSON())
+        .foreach(j => mb.withMetadata(Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { d =>
+        val cur = Option(d.getSql).getOrElse(
+          Option(d.getValue).map(v =>
+            org.apache.spark.sql.catalyst.expressions
+              .Literal(v.value(), v.dataType()).sql)
+            .getOrElse(throw new IllegalArgumentException(
+              s"default for column '${c.name}' has neither SQL nor value")))
+        mb.putString(org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, cur)
+        mb.putString(org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+          Option(d.getValue).map(v =>
+            org.apache.spark.sql.catalyst.expressions
+              .Literal(v.value(), v.dataType()).sql).getOrElse(cur))
+      }
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong("identity.start", s.getStart)
+        mb.putLong("identity.step", s.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", s.isAllowExplicitInsert)
+      }
+      require(c.generationExpression() == null,
+        "graft declares generated columns via TBLPROPERTIES " +
+          "('generated.<col>' = '<sql expr>'), not GENERATED ALWAYS AS")
+      StructField(c.name, c.dataType, c.nullable, mb.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -203,8 +266,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // generated columns derive on every write from the first row on
       props.collect { case (k, v)
         if k.startsWith("constraint.") || k.startsWith("generated.") ||
-          k.startsWith("default.") =>
-          k -> v }
+          k.startsWith("default.") || k.startsWith("metric.") =>
+          k -> v } ++
+      // row access policy: parse-checked, and incompatible with
+      // merge-on-read (its reads re-plan into reconciliation unions the
+      // policy filter placement does not govern)
+      props.get("rowpolicy").orElse(props.get("rowPolicy")).map { sql =>
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(sql)).isSuccess,
+          s"row policy does not parse: $sql")
+        require(!props.get("rowlevelmode").orElse(props.get("rowLevelMode"))
+          .contains(GraftSqlTable.MergeOnRead),
+          "rowPolicy is not supported on merge-on-read tables")
+        GraftSqlTable.RowPolicyKey -> sql
+      }
     recorded.get("rowLevelMode").foreach(m =>
       require(GraftSqlTable.RowLevelModes.contains(m),
         s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, got '$m'"))
@@ -232,6 +307,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var statsCols: Seq[String] = Nil
     var searchCols: Seq[String] = Nil
     val props = scala.collection.mutable.Map.empty[String, String]
+    val colDefaults = scala.collection.mutable.Map.empty[String, String]
     def cols(v: String): Seq[String] =
       v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def knownProp(name: String): Option[String] =
@@ -258,6 +334,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "changing the bucket count rewrites every row under the new " +
             "hash — run CALL <catalog>.system.rebucket(namespace, table, " +
             "buckets) instead of ALTER TABLE")
+      case u: TableChange.UpdateColumnDefaultValue =>
+        // engine-native `ALTER COLUMN <c> SET DEFAULT <expr>` / `DROP
+        // DEFAULT` (Spark signals DROP with an empty default): lands in
+        // the field's CURRENT_DEFAULT metadata, affecting future writes
+        // that omit the column; committed rows keep their values
+        require(u.fieldNames.length == 1,
+          "graft supports top-level column defaults only")
+        val sql = Option(u.newDefaultValue()).getOrElse("")
+        if (sql.nonEmpty)
+          require(scala.util.Try(
+            org.apache.spark.sql.functions.expr(sql)).isSuccess,
+            s"default expression does not parse: $sql")
+        colDefaults += u.fieldNames.head -> sql
       case p: TableChange.SetProperty
           if p.property.startsWith("constraint.") =>
         props += p.property -> p.value
@@ -267,6 +356,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(scala.util.Try(
           org.apache.spark.sql.functions.expr(p.value)).isSuccess,
           s"default expression does not parse: ${p.value}")
+        props += p.property -> p.value
+      case p: TableChange.SetProperty
+          if p.property.equalsIgnoreCase(GraftSqlTable.RowPolicyKey) =>
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+          s"row policy does not parse: ${p.value}")
+        props += GraftSqlTable.RowPolicyKey -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("metric.") =>
+        // data metric function: recorded (not enforced) on maintenance
+        // sweeps into the _metrics ops table
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+          s"metric expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.startsWith("generated.") =>
@@ -300,6 +403,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "COLUMNS and SET TBLPROPERTIES statsCols/searchCols/" +
           ManifestTable.KnownProps.toSeq.sorted.mkString("/") + ")")
     }
+    // rowPolicy and merge-on-read stay mutually exclusive through ALTER
+    // from either direction
+    if (props.contains(GraftSqlTable.RowPolicyKey) ||
+        props.get("rowLevelMode").contains(GraftSqlTable.MergeOnRead)) {
+      val eff = ManifestTable.read(root)
+        .map(_.table(ident.name).props).getOrElse(Map.empty) ++ props
+      require(!(eff.contains(GraftSqlTable.RowPolicyKey) &&
+        eff.get("rowLevelMode").contains(GraftSqlTable.MergeOnRead)),
+        "rowPolicy is not supported on merge-on-read tables")
+    }
     // ADDING a CHECK constraint validates EXISTING data first (the
     // Delta ADD CONSTRAINT contract): a declared constraint is an
     // invariant over the whole table, not just future writes
@@ -309,7 +422,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.readTable(SparkSession.active, root.toString,
           table = ident.name))
     ManifestTable.alterTable(root, ident.name, adds.toSeq,
-      statsCols, searchCols, props.toMap)
+      statsCols, searchCols, props.toMap, colDefaults.toMap)
     new GraftSqlTable(root, ident.name, None)
   }
 
@@ -568,14 +681,19 @@ object GraftProcedures {
           in("mart", StringType), in("dims", StringType),
           in("dim_src_keys", StringType), in("dim_keys", StringType),
           in("dim_group_cols", StringType), in("src_group_cols", StringType),
-          in("value_cols", StringType)),
+          in("value_cols", StringType),
+          ProcedureParameter.in("max_cols", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("min_cols", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(StructField("current_through", LongType)))) { row =>
         import graft.streaming.JoinedMart
         def dims(i: Int): Seq[Seq[String]] = str(row, i)
           .split(";", -1).toSeq.map(
             _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        def cols(i: Int): Seq[String] = str(row, i)
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def cols(i: Int): Seq[String] =
+          if (row.isNullAt(i)) Nil
+          else str(row, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val names = str(row, 3).split(";").map(_.trim)
           .filter(_.nonEmpty).toSeq
         val (sks, dks, dgs) = (dims(4), dims(5), dims(6))
@@ -586,7 +704,7 @@ object GraftProcedures {
         }
         Seq(InternalRow(JoinedMart.refreshStar(SparkSession.active,
           root(str(row, 0)), str(row, 1), specs, str(row, 2),
-          cols(7), cols(8))))
+          cols(7), cols(8), cols(9), cols(10))))
       }
       // -- RESTORE a table to a retained version (incl. UNDROP from a
       //    pre-drop snapshot); an active feed gets the exact keyed diff
@@ -634,13 +752,19 @@ object GraftProcedures {
           in("dim", StringType), in("mart", StringType),
           in("src_keys", StringType), in("dim_keys", StringType),
           in("src_group_cols", StringType), in("dim_group_cols", StringType),
-          in("value_cols", StringType)),
+          in("value_cols", StringType),
+          ProcedureParameter.in("max_cols", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("min_cols", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(StructField("current_through", LongType)))) { row =>
-        def cols(i: Int): Seq[String] = str(row, i)
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        def cols(i: Int): Seq[String] =
+          if (row.isNullAt(i)) Nil
+          else str(row, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Seq(InternalRow(graft.streaming.JoinedMart.refresh(
           SparkSession.active, root(str(row, 0)), str(row, 1), str(row, 2),
-          str(row, 3), cols(4), cols(5), cols(6), cols(7), cols(8))))
+          str(row, 3), cols(4), cols(5), cols(6), cols(7), cols(8),
+          cols(9), cols(10))))
       }
       // -- bucket-count evolution: one atomic physical-only rewrite
       //    under the new merge-key hash (ManifestTable.rebucket)
@@ -752,11 +876,21 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // a copy-on-write rewrite planned under a policy-FILTERED read would
+    // silently drop the invisible rows: refuse loudly and point at the
+    // owner path (the engine verbs bypass policies by design)
+    if (index.state.props.contains(GraftSqlTable.RowPolicyKey))
+      throw new UnsupportedOperationException(
+        s"table '$table' carries a row access policy: SQL MERGE/UPDATE/" +
+          "DELETE would rewrite rows the policy hides. Use the owner " +
+          "verbs (CALL <catalog>.system.update_where/delete_where) or " +
+          "drop the policy first")
     if (index.state.props.get("rowLevelMode")
         .contains(GraftSqlTable.MergeOnRead))
       new GraftDeltaBuilder(root, table, index, info)
     else new GraftRowLevelBuilder(root, table, index, info)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // scan-build time is the first moment the PLANNING session is known
@@ -766,6 +900,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     graft.plans.MetadataAggRule.register(spark)
     graft.plans.MergeOnReadRule.register(spark)
     graft.plans.MartRewriteRule.register(spark)
+    graft.plans.RowPolicyRule.register(spark)
     if (options.getBoolean(GraftSqlTable.ReadChangeFeedOption, false)) {
       // named feed subscription: plan the SAME CdfMicroBatchStream as
       // format("graft-cdf"), so offsets/checkpoints/admission control
@@ -843,9 +978,12 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     // a merge-on-read table routes EVERY delete through the delta path
     // (key tombstones, no generation rewrite) — refusing here makes
-    // Spark fall back to the row-level operation
+    // Spark fall back to the row-level operation; a policy-bearing
+    // table refuses too, so the fallback surfaces the policy error
+    // instead of a metadata delete silently bypassing the policy
     !index.state.props.get("rowLevelMode")
       .contains(GraftSqlTable.MergeOnRead) &&
+      !index.state.props.contains(GraftSqlTable.RowPolicyKey) &&
       filters.forall(f => GraftSqlTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -873,6 +1011,11 @@ object GraftSqlTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
   val RowLevelModes: Set[String] = Set(CopyOnWrite, MergeOnRead)
+
+  /** Table property holding a row access policy predicate
+    * ([[graft.plans.RowPolicyRule]]).
+    */
+  val RowPolicyKey: String = graft.plans.RowPolicyRule.PolicyKey
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 

@@ -4,9 +4,9 @@ import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, StandardCopyOption}
 
-import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -2664,6 +2664,37 @@ object ManifestTable {
         k.stripPrefix("generated.") -> v
     }.sortBy(_._1)
 
+  /** IDENTITY columns declared through Spark's native DDL
+    * (`GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)` —
+    * the Snowflake `AUTOINCREMENT` shape): the analyzer records
+    * `identity.start` / `identity.step` in the field's metadata, which
+    * the manifest persists verbatim through `schema.json`. Returns
+    * (column, start, step) per declared identity column.
+    */
+  private[sources] def identityOf(schema: StructType)
+      : Seq[(String, Long, Long, Boolean)] =
+    schema.fields.toSeq.flatMap { f =>
+      val m = f.metadata
+      if (m.contains("identity.start") || m.contains("identity.step"))
+        Some((f.name,
+          if (m.contains("identity.start")) m.getLong("identity.start")
+          else 1L,
+          if (m.contains("identity.step")) m.getLong("identity.step")
+          else 1L,
+          if (m.contains("identity.allowExplicitInsert"))
+            m.getBoolean("identity.allowExplicitInsert")
+          else true))
+      else None
+    }
+
+  /** Table-property key holding an identity column's high-water mark —
+    * the next value the NEXT writer's block reservation starts at.
+    * Advanced in the SAME atomic commit as the data it numbered, so ids
+    * and their reservation can never diverge.
+    */
+  private[sources] def identityHwmKey(col: String): String =
+    s"identity.hwm.$col"
+
   /** Overwrite every declared generated column with its expression —
     * a pure per-row projection (map-side, codegen'd, no pass added).
     */
@@ -2720,6 +2751,103 @@ object ManifestTable {
     }
   }
 
+  // ---- DATA METRIC FUNCTIONS (`TBLPROPERTIES ('metric.<name>' =
+  // '<sql>')`) — the Snowflake DMF surface: declarative quality metrics
+  // evaluated on a maintenance sweep and RECORDED into an ops table
+  // instead of refusing the write (the CHECK machinery generalized from
+  // gate to gauge; the reference's anomaly pipeline,
+  // sql/06_anomaly_detection.sql, is exactly this pattern at row
+  // grain). ----
+
+  /** Declared data metric functions: (name, sql expression). */
+  private[sources] def metricsOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("metric.") =>
+        k.stripPrefix("metric.") -> v
+    }.sortBy(_._1)
+
+  /** The ops table every metric sweep records into: one row per
+    * (table, metric, evaluated manifest version) — a time series, the
+    * Snowflake DMF event-table shape.
+    */
+  val MetricsTable = "_metrics"
+
+  /** Evaluate every table's declared metrics at the CURRENT snapshot and
+    * record the results into [[MetricsTable]] as ONE atomic commit.
+    * A metric expression may be either:
+    *  - a boolean ROW PREDICATE (`email is null`) → the metric value is
+    *    the count of rows where it holds (violation counting — CHECK
+    *    semantics, recorded instead of refused);
+    *  - an AGGREGATE (`count(distinct email)`, `max(load_ts)`) → its
+    *    scalar value, cast to double.
+    * All of one table's metrics evaluate in ONE aggregate pass (map-side
+    * partials, no shuffle beyond the final reduce). A FEED-ACTIVE table
+    * whose last change is already covered by a recorded sweep is skipped
+    * (the `metricSrcVersion.<table>` stamp on the metrics table), so an
+    * idle namespace's scheduled sweeps cost metadata probes, not scans.
+    * Returns (table, metric, value) for everything evaluated this sweep.
+    */
+  def runMetrics(spark: SparkSession, root: File)
+      : Seq[(String, String, Option[Double])] = {
+    val m = read(root).getOrElse(return Nil)
+    val evalV = m.version
+    val metricProps = scala.collection.mutable.Map.empty[String, String]
+    val recorded = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Option[Double])]
+    m.tables.toSeq.sortBy(_._1).foreach { case (name, ts) =>
+      val ms = metricsOf(ts.props)
+      if (ts.schemaJson.nonEmpty && name != MetricsTable && ms.nonEmpty) {
+        val already = m.table(MetricsTable).props
+          .get(s"metricSrcVersion.$name")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        val lastChange = ts.changes.lastOption.map(_.version)
+        val fresh = (already, lastChange) match {
+          case (Some(a), Some(c)) => c <= a // feed says nothing new
+          case _ => false // no feed (or first sweep): evaluate
+        }
+        if (!fresh) {
+          val df = readTable(spark, root.toString, version = Some(evalV),
+            table = name)
+          val aggCols = ms.map { case (n, sql) =>
+            val e = try expr(sql) catch {
+              case ex: Exception => throw new IllegalArgumentException(
+                s"metric '$n' on table '$name' does not parse: $sql", ex)
+            }
+            // aggregate-shaped (analyzes under a global agg: `count(…)`,
+            // `max(…)`) → its scalar; otherwise a boolean row predicate →
+            // violation count. The probe must test the AGG shape: a plain
+            // select() also accepts aggregates (it becomes a global agg),
+            // but agg() rejects non-aggregate row expressions.
+            val aggShaped = scala.util.Try(
+              df.limit(0).groupBy().agg(e).schema).isSuccess
+            if (aggShaped) e.cast("double").as(n)
+            else sum(when(e, lit(1L)).otherwise(lit(0L)))
+              .cast("double").as(n)
+          }
+          val row = df.agg(aggCols.head, aggCols.tail: _*).head
+          ms.zipWithIndex.foreach { case ((n, _), i) =>
+            recorded += ((name, n,
+              if (row.isNullAt(i)) None else Some(row.getDouble(i))))
+          }
+          metricProps += s"metricSrcVersion.$name" -> evalV.toString
+        }
+      }
+    }
+    if (recorded.nonEmpty) {
+      import spark.implicits._
+      val rows = recorded.toSeq.map { case (t, n, v) =>
+        (t, n, evalV, v.map(Double.box).orNull: java.lang.Double,
+          new java.sql.Timestamp(System.currentTimeMillis()))
+      }.toDF("table_name", "metric_name", "version", "value",
+        "measured_at")
+      mergeBatch(root, s"metrics-$evalV", 0L, Seq(TableBatch(
+        MetricsTable, rows, Seq("table_name", "metric_name", "version"), 2,
+        props = metricProps.toMap)))
+    }
+    recorded.toList
+  }
+
   /** Merge or append one table's batch rows into its touched buckets; None
     * when the batch brings this table no rows.
     */
@@ -2744,7 +2872,19 @@ object ManifestTable {
     // DataFrame can express). The expression may reference the batch's
     // other columns, so `default.load_ts = 'current_timestamp()'` and
     // `default.currency = "'USD'"` both work.
-    val defaults: Map[String, String] = effProps.collect {
+    // engine-native column DEFAULTs (Spark DDL `DEFAULT <expr>` lands in
+    // the field metadata the manifest persists) unify with the
+    // `default.<col>` property surface — the property wins when both
+    // declare, since it is the engine-level override knob
+    val metaDefaults: Map[String, String] = unified.fields.collect {
+      case f if f.metadata.contains(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY) =>
+        f.name -> f.metadata.getString(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+    }.toMap
+    val defaults: Map[String, String] = metaDefaults ++ effProps.collect {
       case (k, v) if k.startsWith("default.") =>
         k.stripPrefix("default.") -> v
     }
@@ -2766,9 +2906,71 @@ object ManifestTable {
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toIndexedSeq: _*))
+    // IDENTITY columns: NULL (or writer-omitted) identity slots fill
+    // with engine-generated values from a block reserved against the
+    // table's high-water mark, advanced IN THIS COMMIT's props.
+    // Concurrent-writer uniqueness is the OCC contract: a rival commit
+    // that consumed ids moves the hwm property, which fails the staged
+    // rebase's props-equality check and forces a re-derivation against
+    // the fresh hwm — writers that both GENERATE ids serialize (the
+    // Delta identity model), everyone else keeps the disjoint-bucket
+    // fast path. One id per batch row is reserved (not per null row):
+    // sequences promise uniqueness, not density — Snowflake documents
+    // AUTOINCREMENT gaps — and over-reserving keeps this one pass.
+    val idCols = identityOf(unified)
+    // GENERATED ALWAYS (allowExplicitInsert = false) refuses an
+    // INSERT-shaped batch that CARRIES non-null identity values — Spark
+    // leaves this check to the connector. Only append-shaped writes are
+    // gated: merge/upsert batches legitimately re-write rows carrying
+    // the ids they were assigned at insert time
+    idCols.foreach { case (name, _, _, allowExplicit) =>
+      if (!allowExplicit && tb.append && tb.rows.columns.contains(name)) {
+        val explicit = tb.rows.filter(col(name).isNotNull).limit(1).count()
+        require(explicit == 0L,
+          s"identity column '$name' on table '${tb.name}' is GENERATED " +
+            "ALWAYS: inserts must not provide a value (omit the column " +
+            "or pass NULL/DEFAULT)")
+      }
+    }
+    var idPersisted: Option[DataFrame] = None
+    val (withIds, hwmProps): (DataFrame, Map[String, String]) =
+      if (idCols.isEmpty) (aligned, Map.empty)
+      else {
+        val pre = aligned.persist()
+        idPersisted = Some(pre)
+        val n = pre.count()
+        if (n == 0L) (pre, Map.empty)
+        else {
+          val schema = pre.schema
+          // per-ordinal fill spec: (base, step, needsInt)
+          val byOrdinal: Map[Int, (Long, Long, Boolean)] =
+            idCols.map { case (name, start, step, _) =>
+              val base = effProps.get(identityHwmKey(name))
+                .map(_.toLong).getOrElse(start)
+              schema.fieldIndex(name) ->
+                ((base, step, schema(name).dataType == IntegerType))
+            }.toMap
+          val filled = spark.createDataFrame(
+            pre.rdd.zipWithIndex().map { case (row, i) =>
+              Row.fromSeq(Seq.tabulate(row.length) { j =>
+                byOrdinal.get(j) match {
+                  case Some((base, step, asInt)) if row.isNullAt(j) =>
+                    val v = base + step * i
+                    if (asInt) v.toInt else v
+                  case _ => row.get(j)
+                }
+              })
+            }, schema)
+          (filled, idCols.map { case (name, start, step, _) =>
+            val base = effProps.get(identityHwmKey(name))
+              .map(_.toLong).getOrElse(start)
+            identityHwmKey(name) -> (base + step * n).toString
+          }.toMap)
+        }
+      }
     val bucketExpr =
       pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets))
-    val incoming = aligned.withColumn(BucketCol, bucketExpr).persist()
+    val incoming = withIds.withColumn(BucketCol, bucketExpr).persist()
     val delKeys = tb.deleteKeys.map(_.select(tb.mergeKeys.map(col).toIndexedSeq: _*)
       .distinct().withColumn(BucketCol, bucketExpr).persist())
     try {
@@ -2877,9 +3079,12 @@ object ManifestTable {
           mergeKeys = tb.mergeKeys, numBuckets = tb.numBuckets,
           replaceAll = tb.overwrite,
           statsCols = tb.statsCols, searchCols = tb.searchCols,
-          props = tb.props))
+          props = tb.props ++ hwmProps))
       }
-    } finally { incoming.unpersist(); delKeys.foreach(_.unpersist()); () }
+    } finally {
+      incoming.unpersist(); idPersisted.foreach(_.unpersist())
+      delKeys.foreach(_.unpersist()); ()
+    }
   }
 
   /** Tag a merge batch's rows with their change type: a row whose merge
@@ -3122,7 +3327,12 @@ object ManifestTable {
   def alterTable(root: File, table: String,
       addColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
       statsCols: Seq[String] = Nil, searchCols: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      // `ALTER COLUMN <c> SET DEFAULT <sql>` / `DROP DEFAULT` (empty
+      // string): updates the field's CURRENT_DEFAULT metadata — future
+      // writes that omit the column fill with it; committed rows are
+      // untouched (standard SQL SET DEFAULT semantics)
+      columnDefaults: Map[String, String] = Map.empty): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -3135,12 +3345,29 @@ object ManifestTable {
       val evolved0 = unify(Some(schema), StructType(addColumns))
       // flipping a table INTO merge-on-read adopts the non-null merge
       // key contract the delta rewrites require
-      val evolved =
+      val evolved1 =
         if (props.get("rowLevelMode").contains("merge-on-read"))
           StructType(evolved0.fields.map(f =>
             if (ts.mergeKeys.contains(f.name)) f.copy(nullable = false)
             else f))
         else evolved0
+      columnDefaults.keys.foreach(c =>
+        require(evolved1.fieldNames.contains(c),
+          s"ALTER COLUMN SET DEFAULT: column '$c' not in the table schema"))
+      val evolved =
+        if (columnDefaults.isEmpty) evolved1
+        else StructType(evolved1.fields.map { f =>
+          columnDefaults.get(f.name) match {
+            case None => f
+            case Some(sql) =>
+              val key = org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              if (sql.isEmpty) mb.remove(key) else mb.putString(key, sql)
+              f.copy(metadata = mb.build())
+          }
+        })
       (statsCols ++ searchCols).foreach(c =>
         require(evolved.fieldNames.contains(c),
           s"layout column '$c' not in the table schema"))
@@ -4346,6 +4573,12 @@ object ManifestTable {
         }
       }
     }
+    // declared data metric functions sweep last, so they measure the
+    // maintained state; the count reported here is rows recorded into
+    // the _metrics ops table this sweep (values live in that table)
+    val metricRows = runMetrics(spark, root)
+    if (metricRows.nonEmpty)
+      out += (("", "metrics", metricRows.size.toLong))
     val swept = read(root).map(gc(root, _)).getOrElse(GcStats(0L, 0L))
     out += (("", "vacuum", swept.files))
     out.toList

@@ -50,11 +50,20 @@ import org.apache.spark.sql.functions._
   * migration that invalidates every naive rollup) costs one bounded
   * re-join of the affected keys' PARTIALS, not their facts.
   *
-  * Aggregates are the additive set (count(*), sum, and the non-null
-  * `cnt_<col>` partials that derive count(col)/avg) only: extrema are
-  * not invertible through a dim retraction without refetching fact
-  * rows — a query needing joined min/max still rewrites onto (P ⋈ dim)
-  * via [[graft.plans.MartRewriteRule]]'s join shape.
+  * Aggregates: the additive set (count(*), sum, and the non-null
+  * `cnt_<col>` partials that derive count(col)/avg), plus declared
+  * MAX/MIN extrema under the two-regime rule lifted over the join
+  * (round 11): the PARTIAL carries `max_<c>`/`min_<c>` at its grain
+  * (maintained by [[IncrementalMart]]'s own two-regime machinery), and
+  * the joined fold takes the monotone fast path per group — new
+  * extremum = greatest/least(stored, insert-side candidates from the
+  * sequenced contribution terms) — falling back, ONLY for groups a
+  * retraction touched (a fact delete/update preimage, a dim
+  * delete/attribute migration), to an exact recompute over
+  * `P_new ⋈ dims_new` at PARTIAL grain: the fact table is never
+  * rescanned even for `MAX(load_ts)`-shaped views through the star
+  * (max/min are multiplicity-invariant, so the join changes nothing
+  * about their algebra).
   *
   * Freshness is two-stamped: `jmartSourceVersion` is the SOURCE commit
   * version folded through P into J, `jmartFoldVersion` the manifest
@@ -76,6 +85,8 @@ object JoinedMart {
   val SrcGroupCols = "jmartSrcGroupCols"
   val DimGroupCols = "jmartDimGroupCols"
   val ValueCols = "jmartValueCols"
+  val MaxCols = "jmartMaxCols"
+  val MinCols = "jmartMinCols"
   val Partial = "jmartPartial"
   val SourceVersion = "jmartSourceVersion"
   val FoldVersion = "jmartFoldVersion"
@@ -102,7 +113,8 @@ object JoinedMart {
   def refresh(spark: SparkSession, root: File, source: String, dim: String,
       mart: String, srcKeys: Seq[String] = Nil, dimKeys: Seq[String] = Nil,
       srcGroupCols: Seq[String] = Nil, dimGroupCols: Seq[String] = Nil,
-      valueCols: Seq[String] = Nil, numBuckets: Int = 8,
+      valueCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil, numBuckets: Int = 8,
       /** Publish the joined mart's OWN change feed, so even coarser
         * rollups cascade ABOVE the join (daily joined rollup → monthly)
         * with per-level cost tracking that level's churn — and the
@@ -125,6 +137,7 @@ object JoinedMart {
     refreshStar(spark, root, source,
       Seq(DimSpec(dim, sk, dk, pick(dimGroupCols, DimGroupCols))), mart,
       pick(srcGroupCols, SrcGroupCols), pick(valueCols, ValueCols),
+      pick(maxCols, MaxCols), pick(minCols, MinCols),
       numBuckets, changeFeed)
   }
 
@@ -136,6 +149,7 @@ object JoinedMart {
   def refreshStar(spark: SparkSession, root: File, source: String,
       dimSpecs: Seq[DimSpec], mart: String,
       srcGroupCols: Seq[String] = Nil, valueCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil, minCols: Seq[String] = Nil,
       numBuckets: Int = 8, changeFeed: Boolean = false): Long = {
     require(dimSpecs.nonEmpty, "at least one dim required")
     require(dimSpecs.map(_.table).distinct.length == dimSpecs.length,
@@ -182,6 +196,11 @@ object JoinedMart {
     val vc = if (valueCols.nonEmpty) valueCols
       else martTs.props.get(ValueCols)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def recordedCols(key: String): Seq[String] = martTs.props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val mx = if (maxCols.nonEmpty) maxCols else recordedCols(MaxCols)
+    val mn = if (minCols.nonEmpty) minCols else recordedCols(MinCols)
+    val hasExtrema = mx.nonEmpty || mn.nonEmpty
     val dims = dimSpecsFilled
     val groupCols = sg ++ dims.flatMap(_.groupCols)
     require(groupCols.nonEmpty, "at least one group column required")
@@ -199,6 +218,7 @@ object JoinedMart {
     //    stamps the SOURCE version P (and therefore J) is current through.
     val srcV = IncrementalMart.refreshMart(spark, root, source, partial,
       groupCols = (dims.flatMap(_.srcKeys) ++ sg).distinct, valueCols = vc,
+      maxCols = mx, minCols = mn,
       numBuckets = buckets, changeFeed = true)
 
     val m1 = ManifestTable.read(root).get
@@ -219,6 +239,7 @@ object JoinedMart {
       DimGroupsAll -> dims.map(_.groupCols.mkString(",")).mkString(";"),
       SrcGroupCols -> sg.mkString(","),
       ValueCols -> vc.mkString(","),
+      MaxCols -> mx.mkString(","), MinCols -> mn.mkString(","),
       SourceVersion -> srcV.toString, FoldVersion -> v1.toString)
 
     def keyCond(l: DataFrame, r: DataFrame, ds: DimSpec): Column =
@@ -244,7 +265,16 @@ object JoinedMart {
             // non-null counts ride the same signed fold: count(col)/avg
             // stay derivable from the JOINED mart too
             ++ vc.map(c => sum(sign * p(s"cnt_$c")).cast("long")
-              .as(s"delta_cnt_$c"))): _*)
+              .as(s"delta_cnt_$c"))
+            // extrema: insert-side candidates (the monotone half) + the
+            // per-group retraction count that decides the fold's regime
+            ++ mx.map(c =>
+              max(when(sign > 0, p(s"max_$c"))).as(s"max_$c"))
+            ++ mn.map(c =>
+              min(when(sign > 0, p(s"min_$c"))).as(s"min_$c"))
+            ++ (if (!hasExtrema) Nil
+                else Seq(sum(when(sign > 0, lit(0L)).otherwise(lit(1L)))
+                  .as("delta_retracts")))): _*)
     }
 
     // base (re)build: one star join at PARTIAL grain — P is group-sized,
@@ -270,7 +300,12 @@ object JoinedMart {
           (vc.map(c => sum(p(s"sum_$c"))
             .cast(p.schema(s"sum_$c").dataType).as(s"sum_$c"))
             ++ vc.map(c =>
-              sum(p(s"cnt_$c")).cast("long").as(s"cnt_$c"))): _*)
+              sum(p(s"cnt_$c")).cast("long").as(s"cnt_$c"))
+            // extrema at joined grain = extrema over the partial-grain
+            // extrema (max/min are multiplicity-invariant: the join
+            // changes nothing about their algebra)
+            ++ mx.map(c => max(p(s"max_$c")).as(s"max_$c"))
+            ++ mn.map(c => min(p(s"min_$c")).as(s"min_$c"))): _*)
       ManifestTable.mergeBatch(root, qid, v1,
         Seq(TableBatch(mart, rows, groupCols, buckets,
           overwrite = overwrite, changeFeed = feed, props = props)))
@@ -343,11 +378,73 @@ object JoinedMart {
                 .cast(fromP.schema(s"delta_$c").dataType)
                 .as(s"delta_$c"))
                 ++ vc.map(c => sum(s"delta_cnt_$c").cast("long")
-                  .as(s"delta_cnt_$c"))): _*)
+                  .as(s"delta_cnt_$c"))
+                ++ mx.map(c => max(s"max_$c").as(s"max_$c"))
+                ++ mn.map(c => min(s"min_$c").as(s"min_$c"))
+                ++ (if (!hasExtrema) Nil
+                    else Seq(sum("delta_retracts").cast("long")
+                      .as("delta_retracts")))): _*)
             .persist()
+          // extrema: the IncrementalMart two-regime rule lifted over
+          // the star — greatest/least with the insert-side candidates
+          // for retraction-free groups; ONLY retraction-touched groups
+          // recompute, and the recompute runs over P_new ⋈ dims_new at
+          // PARTIAL grain (never the fact table). The driver-side total
+          // keeps the insert-only path from ever planning that join.
+          val extremaCols = mx.map(c => s"max_$c") ++ mn.map(c => s"min_$c")
+          def withExtrema(joined: DataFrame): (DataFrame, Seq[Column]) =
+            if (!hasExtrema) (joined, Nil)
+            else {
+              val retracts =
+                deltas.agg(sum("delta_retracts")).head.getLong(0)
+              if (retracts == 0L)
+                (joined,
+                  mx.map(c => greatest(col(s"m.max_$c"), col(s"d.max_$c"))
+                    .as(s"max_$c"))
+                    ++ mn.map(c => least(col(s"m.min_$c"), col(s"d.min_$c"))
+                      .as(s"min_$c")))
+              else {
+                val rGroups = deltas.filter(col("delta_retracts") > 0)
+                  .select(groupCols.map(col): _*)
+                val starNew = dims.zip(dNews).foldLeft(pNow) {
+                  case (acc, (ds, d)) => acc.join(d, keyCond(pNow, d, ds))
+                }
+                val grouped = starNew.select(
+                  (sg.map(pNow(_)) ++ dims.zip(dNews).flatMap {
+                    case (ds, d) => ds.groupCols.map(d(_)) }
+                    ++ mx.map(c => pNow(s"max_$c"))
+                    ++ mn.map(c => pNow(s"min_$c"))): _*)
+                val rCondSemi = groupCols
+                  .map(k => grouped(k) <=> rGroups(k)).reduce(_ && _)
+                val rcAggs =
+                  mx.map(c => max(col(s"max_$c")).as(s"rc_max_$c")) ++
+                    mn.map(c => min(col(s"min_$c")).as(s"rc_min_$c"))
+                val recomputed = grouped
+                  .join(rGroups, rCondSemi, "left_semi")
+                  .groupBy(groupCols.map(col): _*)
+                  .agg(rcAggs.head, rcAggs.tail: _*)
+                val rCond = groupCols
+                  .map(k => col(s"d.$k") <=> col(s"r.$k")).reduce(_ && _)
+                val j2 = joined.join(recomputed.alias("r"), rCond,
+                  "left_outer")
+                val sel = mx.map(c =>
+                  when(col("d.delta_retracts") > 0, col(s"r.rc_max_$c"))
+                    .otherwise(greatest(col(s"m.max_$c"), col(s"d.max_$c")))
+                    .as(s"max_$c")) ++
+                  mn.map(c =>
+                    when(col("d.delta_retracts") > 0, col(s"r.rc_min_$c"))
+                      .otherwise(least(col(s"m.min_$c"), col(s"d.min_$c")))
+                      .as(s"min_$c"))
+                (j2, sel)
+              }
+            }
           try IncrementalMart.foldDeltas(spark, root.toString, mart,
             groupCols, vc, buckets, changeFeed = feed, deltas,
-            qid, v1, props)
+            qid, v1, props,
+            extraFields = extremaCols.map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                deltas.schema(c).dataType)),
+            extraSelect = withExtrema)
           finally { deltas.unpersist(); () }
         } finally { dDs.foreach(_.unpersist()); () }
     }

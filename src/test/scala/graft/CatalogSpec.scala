@@ -713,6 +713,147 @@ class CatalogSpec extends SparkSpec {
       && r9.getDouble(2) == 0.0, s"ALTER-declared default missing: $r9")
   }
 
+  test("engine-native DEFAULT + IDENTITY: SQL DDL defaults fill INSERT column lists, ALTER COLUMN SET DEFAULT applies forward, identity values generate from the committed high-water mark and never collide across concurrent writers") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idn").toString
+    spark.conf.set("spark.sql.catalog.idn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.idn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS idn.ops")
+    // native DDL: DEFAULT and GENERATED ALWAYS AS IDENTITY both parse
+    // because the catalog advertises the capabilities; the analyzer's
+    // resolved metadata persists through the manifest schema
+    spark.sql("""CREATE TABLE idn.ops.t
+      (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2),
+       name STRING, cur STRING DEFAULT 'USD', qty INT DEFAULT 7)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+
+    // INSERT with a COLUMN LIST: omitted defaults fill with their
+    // declared expressions, the omitted identity column generates
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('a'), ('b')")
+    val r1 = spark.sql("SELECT id, name, cur, qty FROM idn.ops.t ORDER BY id")
+      .collect()
+    assert(r1.map(_.getString(2)).toSeq == Seq("USD", "USD") &&
+      r1.map(_.getInt(3)).toSeq == Seq(7, 7),
+      s"declared defaults did not fill the INSERT column list: ${r1.toSeq}")
+    assert(r1.map(_.getLong(0)).toSeq == Seq(100L, 102L),
+      s"identity did not generate from START 100 STEP 2: ${r1.toSeq}")
+
+    // the DEFAULT keyword works positionally too
+    spark.sql("INSERT INTO idn.ops.t (name, cur) VALUES ('c', DEFAULT)")
+    assert(spark.sql("SELECT cur, id FROM idn.ops.t WHERE name = 'c'")
+      .head.getString(0) == "USD")
+    // the hwm advanced with the prior commit: no reuse of 100/102
+    val ids3 = spark.sql("SELECT id FROM idn.ops.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids3.distinct.length == 3 && ids3.forall(i => i >= 100 && i % 2 == 0),
+      s"identity block reservation broke: $ids3")
+
+    // GENERATED ALWAYS refuses an explicit value through SQL
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO idn.ops.t (id, name) VALUES (1, 'x')")
+    }
+    assert(ex.getMessage.toLowerCase.contains("identity"),
+      s"expected the ALWAYS identity refusal, got: ${ex.getMessage}")
+
+    // ALTER COLUMN SET DEFAULT applies to future writes; DROP DEFAULT
+    // returns the column to null-fill
+    spark.sql("ALTER TABLE idn.ops.t ALTER COLUMN qty SET DEFAULT 42")
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('d')")
+    assert(spark.sql("SELECT qty FROM idn.ops.t WHERE name = 'd'")
+      .head.getInt(0) == 42, "SET DEFAULT did not apply forward")
+    spark.sql("ALTER TABLE idn.ops.t ALTER COLUMN qty DROP DEFAULT")
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('e')")
+    assert(spark.sql("SELECT qty FROM idn.ops.t WHERE name = 'e'")
+      .head.isNullAt(0), "DROP DEFAULT did not apply forward")
+
+    // CONCURRENT writers through the provider path (DataFrame writes
+    // omitting the identity column): the loser's OCC rebase sees the
+    // winner's moved hwm property, fails the staged-rebase props check,
+    // and re-derives against the fresh block — ids never collide
+    import spark.implicits._
+    val root = new File(wh, "ops")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 4).map { w =>
+      Future {
+        (0L until 25L).map(i => s"w$w-$i").toDF("name")
+          .write.format("graft").option("path", root.toString)
+          .option("table", "t").option("mergeKeys", "id")
+          .mode("append").save()
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val ids = spark.sql("SELECT id FROM idn.ops.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.length == 105 && ids.distinct.length == 105,
+      s"concurrent identity writers collided: ${ids.length} rows, " +
+        s"${ids.distinct.length} distinct")
+    assert(ids.forall(i => i >= 100L && (i - 100L) % 2 == 0),
+      "generated ids left the START/STEP lattice")
+  }
+
+  test("row access policies: a rowPolicy property filters every catalog read (incl. time travel), writes land full rows, row-level DML refuses loudly, the provider path stays the owner view") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rap").toString
+    spark.conf.set("spark.sql.catalog.rap", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rap.ops")
+    spark.sql("""CREATE TABLE rap.ops.t
+      (id BIGINT, region STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "region <> 'SECRET'")""")
+    spark.sql("""INSERT INTO rap.ops.t VALUES
+      (1, 'EU', 10), (2, 'SECRET', 20), (3, 'US', 30), (4, 'SECRET', 40)""")
+
+    // catalog reads see only policy-visible rows; the write landed ALL
+    // rows (write targets are exempt — proven by the owner view below)
+    assert(spark.sql("SELECT sum(v) FROM rap.ops.t").head.getLong(0) == 40L)
+    assert(spark.sql("SELECT id FROM rap.ops.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the provider path is the OWNER view — engine maintainers must see
+    // the unfiltered table or incremental folds would corrupt it
+    val root = new File(wh, "ops")
+    assert(spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().count() == 4L)
+    // time travel reads filter too (same relation shape)
+    val v = graft.sources.ManifestTable.read(root).get.version
+    assert(spark.sql(s"SELECT count(*) FROM rap.ops.t VERSION AS OF $v")
+      .head.getLong(0) == 2L)
+
+    // row-level DML refuses loudly: a CoW rewrite under a filtered read
+    // would silently drop the hidden rows
+    val up = intercept[Exception] {
+      spark.sql("UPDATE rap.ops.t SET v = 0 WHERE id = 1")
+    }
+    assert(up.getMessage.contains("row access policy"),
+      s"expected the policy refusal, got: ${up.getMessage}")
+    val del = intercept[Exception] {
+      spark.sql("DELETE FROM rap.ops.t WHERE id = 1")
+    }
+    assert(del.getMessage.contains("row access policy"))
+    // the owner verbs keep working (policies gate the SQL surface)
+    spark.sql("CALL rap.system.update_where('ops', 't', 'id = 2', " +
+      "'v', 'v + 1')").collect()
+    assert(spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load()
+      .filter(org.apache.spark.sql.functions.col("id") === 2)
+      .head.getAs[Long]("v") == 21L)
+
+    // ALTER swaps the policy for future reads; aggregate rewrites and
+    // metadata counts never leak hidden rows (count goes through the
+    // filter, not the manifest row count)
+    spark.sql("""ALTER TABLE rap.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "region = 'EU'")""")
+    assert(spark.sql("SELECT count(*) FROM rap.ops.t").head.getLong(0) == 1L)
+
+    // declaring a policy on a merge-on-read table refuses
+    val mor = intercept[Exception] {
+      spark.sql("""CREATE TABLE rap.ops.m (id BIGINT, v BIGINT)
+        USING graft TBLPROPERTIES ('mergeKeys'='id',
+          'rowLevelMode'='merge-on-read', 'rowPolicy'='v > 0')""")
+    }
+    assert(mor.getMessage.contains("merge-on-read"))
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)

@@ -347,7 +347,7 @@ class JoinedMartSpec extends SparkSpec {
           DimSpec("status_dim", Seq("o_status"), Seq("s_status"),
             Seq("s_class"))),
         "jms", srcGroupCols = Nil, valueCols = Seq("o_price"),
-        numBuckets = 2)
+        maxCols = Seq("o_price"), numBuckets = 2)
       ()
     }
     refresh()
@@ -357,13 +357,15 @@ class JoinedMartSpec extends SparkSpec {
         .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
         .join(raw(root, "status_dim"), col("o_status") === col("s_status"))
         .groupBy("c_mktsegment", "s_class")
-        .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+        .agg(count(lit(1)).as("n"), sum("o_price").as("sv"),
+          max("o_price").as("mx"))
         .collect().map(_.toString).toSet
       finally spark.conf.unset("spark.graft.martRewrite")
     }
     def mart(): Set[String] = raw(root, "jms")
       .select(col("c_mktsegment"), col("s_class"),
-        col("n_rows").as("n"), col("sum_o_price").as("sv"))
+        col("n_rows").as("n"), col("sum_o_price").as("sv"),
+        col("max_o_price").as("mx"))
       .collect().map(_.toString).toSet
     assert(mart() == oracle3(), "star base build")
 
@@ -425,7 +427,7 @@ class JoinedMartSpec extends SparkSpec {
       .join(raw(root, "status_dim"), col("o_status") === col("s_status"))
       .groupBy("c_mktsegment", "s_class")
       .agg(count(lit(1)).as("n"), sum("o_price").as("sv"),
-        avg("o_price").as("av"))
+        avg("o_price").as("av"), max("o_price").as("mx"))
     assert(scannedTables(qStar) == Seq("jms"),
       s"star rewrite did not fire: ${scannedTables(qStar)}")
     val direct = {
@@ -505,6 +507,87 @@ class JoinedMartSpec extends SparkSpec {
     spark.sql(s"CALL jmc.system.refresh_joined_mart('$ns', 'orders', " +
       "'customer', 'jm', '', '', '', '', '')").collect()
     assert(martState(root) == oracle(root))
+  }
+
+  test("EXTREMA through the joined mart (the VW_LOAD_AUDIT_SUMMARY MAX(load_ts) shape through a join): monotone inserts ride greatest/least, fact retractions and dim churn recompute ONLY touched groups at partial grain, and max/min rewrite join-free") {
+    val root = tmp("graft_jm_ext")
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 40L).map(i =>
+          (i, i % 8, if (i % 3 == 0) "OPEN" else "FILLED", i * 100L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 8L).map(c =>
+          (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm",
+      srcKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+      srcGroupCols = Seq("o_status"), dimGroupCols = Seq("c_mktsegment"),
+      valueCols = Seq("o_price"), maxCols = Seq("o_price"),
+      minCols = Seq("o_price"), numBuckets = 2)
+    def q: DataFrame = raw(root, "orders")
+      .join(raw(root, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_status")
+      .agg(max("o_price").as("mx"), min("o_price").as("mn"),
+        sum("o_price").as("sv"))
+    def direct: Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    // base build + the rewrite: max/min land on the mart JOIN-FREE
+    assert(scannedTables(q) == Seq("jm"),
+      s"extrema did not rewrite join-free: ${scannedTables(q)}")
+    assert(q.collect().map(_.toString).toSet == direct, "base build")
+
+    // monotone fact inserts (the fast path: no retraction anywhere)
+    ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+      TableBatch("orders", orders(Seq(
+        (100L, 3L, "OPEN", 99999L), (101L, 4L, "FILLED", 1L))),
+        Seq("o_id"), 4, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(scannedTables(q) == Seq("jm"))
+    assert(q.collect().map(_.toString).toSet == direct,
+      "monotone insert path")
+
+    // fact retraction REMOVING a group max: delete the planted 99999 row
+    // and update another group's max downward — only recompute recovers
+    ManifestTable.mergeBatch(new File(root), "q", 2L, Seq(
+      TableBatch("orders", orders(Seq(
+        (39L, 7L, "FILLED", 5L))), // update: was the global max 3900
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(100L).toDF("o_id")))))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(q.collect().map(_.toString).toSet == direct,
+      "fact retraction removed the stored extremum")
+
+    // dim churn: attribute migration moves every key-7 partial from CORP
+    // to GOV — the vacated group's max must recompute, the new group's
+    // max appears; a dim delete drops key 6 entirely
+    ManifestTable.mergeBatch(new File(root), "q", 3L, Seq(
+      TableBatch("customer", customers(Seq((7L, 7L, "GOV"))),
+        Seq("c_id"), 2, changeFeed = true,
+        deleteKeys = Some(Seq(6L).toDF("c_id")))))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(q.collect().map(_.toString).toSet == direct,
+      "dim attribute migration + dim delete")
+
+    // mixed range: fact churn AND dim churn folded in ONE refresh
+    ManifestTable.mergeBatch(new File(root), "q", 4L, Seq(
+      TableBatch("orders", orders(Seq((102L, 5L, "OPEN", 88888L))),
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(35L).toDF("o_id")))))
+    ManifestTable.mergeBatch(new File(root), "q", 5L, Seq(
+      TableBatch("customer", customers(Seq((1L, 1L, "MOVED"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    JoinedMart.refresh(spark, new File(root), "orders", "customer", "jm")
+    assert(scannedTables(q) == Seq("jm"))
+    assert(q.collect().map(_.toString).toSet == direct,
+      "mixed fact+dim churn in one range")
+
+    // the mart table itself carries the extrema at joined grain
+    assert(raw(root, "jm").columns.toSet
+      .intersect(Set("max_o_price", "min_o_price")).size == 2)
   }
 
   test("DECIMAL measures through the joined mart: the fold stays exact across fact+dim churn and avg derives bit-exactly join-free (the reference's NUMBER(18,2) money shape)") {

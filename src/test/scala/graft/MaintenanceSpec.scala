@@ -320,4 +320,72 @@ class MaintenanceSpec extends SparkSpec {
     assert(!settled.exists(_._2 == "index"),
       s"covered table still reported index work: ${settled.toSeq}")
   }
+
+  test("data metric functions: declared metrics RECORD into the _metrics ops table on the maintain sweep (counts match direct queries), fresh feed-active tables skip, and a new commit re-measures") {
+    val wh = tmp("graft_dmf")
+    spark.conf.set("spark.sql.catalog.dmf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dmf.ops")
+    // the reference's anomaly shapes as declarative metrics: a boolean
+    // row predicate (violation COUNT, the CHECK machinery recording
+    // instead of refusing) and two aggregates (distinct count, max)
+    spark.sql("""CREATE TABLE dmf.ops.txn
+      (id BIGINT, email STRING, amt DOUBLE, load_ts TIMESTAMP)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'metric.null_email' = 'email IS NULL',
+        'metric.negative_amt' = 'amt < 0',
+        'metric.distinct_emails' = 'count(distinct email)',
+        'metric.freshness' = 'max(unix_seconds(load_ts))')""")
+    import spark.implicits._
+    val root = new java.io.File(wh, "ops")
+    def write(rows: Seq[(Long, String, Double, Long)]): Unit =
+      graft.sources.ManifestTable.mergeBatch(root, "q", rows.head._1, Seq(
+        graft.sources.ManifestTable.TableBatch("txn",
+          rows.toDF("id", "email", "amt", "epoch")
+            .select(col("id"), col("email"), col("amt"),
+              col("epoch").cast("timestamp").as("load_ts")),
+          Seq("id"), 2, changeFeed = true)))
+    write(Seq((1L, "a@x.com", 5.0, 1000L), (2L, null, -3.0, 2000L),
+      (3L, "b@x.com", 7.0, 3000L), (4L, null, 1.0, 1500L),
+      (5L, "a@x.com", -0.5, 2500L)))
+
+    val sweep = spark.sql("CALL dmf.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sweep.exists(t => t._2 == "metrics" && t._3 == 4L),
+      s"maintain did not record the 4 declared metrics: ${sweep.toSeq}")
+    def latest: Map[String, Option[Double]] =
+      spark.sql("""SELECT metric_name, value FROM dmf.ops._metrics m
+        WHERE version = (SELECT max(version) FROM dmf.ops._metrics)""")
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(latest == Map(
+      "null_email" -> Some(2.0), "negative_amt" -> Some(2.0),
+      "distinct_emails" -> Some(2.0), "freshness" -> Some(3000.0)),
+      s"metric values diverged from the direct counts: $latest")
+
+    // a second sweep on the UNCHANGED feed-active table skips: no new
+    // _metrics rows (the metricSrcVersion stamp covers the feed head)
+    val rowsBefore = spark.sql("SELECT count(*) FROM dmf.ops._metrics")
+      .head.getLong(0)
+    val sweep2 = spark.sql("CALL dmf.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(!sweep2.exists(_._2 == "metrics"),
+      s"an unchanged table re-measured: ${sweep2.toSeq}")
+    assert(spark.sql("SELECT count(*) FROM dmf.ops._metrics")
+      .head.getLong(0) == rowsBefore)
+
+    // new churn re-measures: the null email heals, freshness advances
+    write(Seq((2L, "c@x.com", 3.0, 9000L)))
+    spark.sql("CALL dmf.system.maintain('ops')").collect()
+    assert(latest == Map(
+      "null_email" -> Some(1.0), "negative_amt" -> Some(1.0),
+      "distinct_emails" -> Some(3.0), "freshness" -> Some(9000.0)),
+      s"re-measured values diverged: $latest")
+    // the history KEEPS the earlier measurement — a time series, the
+    // Snowflake DMF event-table shape
+    assert(spark.sql(
+      "SELECT count(DISTINCT version) FROM dmf.ops._metrics")
+      .head.getLong(0) == 2L)
+  }
 }
