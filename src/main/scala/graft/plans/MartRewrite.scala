@@ -522,6 +522,12 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
       }
       val shapeOk =
         byName.contains(src) && dimNames.nonEmpty &&
+          // a mart built over a dim in ANOTHER namespace root never
+          // substitutes into a same-root query: a same-NAMED local table
+          // is a different table, and this rewrite only sees one root's
+          // relations (cross-root queries never reach it)
+          !martTs.props.get(JoinedMart.DimRootsAll)
+            .exists(_.split(";", -1).exists(_.trim.nonEmpty)) &&
           dimNames.length == dimSrcKeys.length &&
           dimNames.length == dimKeys.length &&
           dimNames.toSet == (names.toSet - src) &&

@@ -685,6 +685,10 @@ object GraftProcedures {
           ProcedureParameter.in("max_cols", StringType)
             .defaultValue("''").build(),
           ProcedureParameter.in("min_cols", StringType)
+            .defaultValue("''").build(),
+          // ';'-joined per-dim namespace ROOT PATHS for dims living in
+          // other roots (empty entry = this namespace)
+          ProcedureParameter.in("dim_roots", StringType)
             .defaultValue("''").build()),
         StructType(Seq(StructField("current_through", LongType)))) { row =>
         import graft.streaming.JoinedMart
@@ -699,8 +703,13 @@ object GraftProcedures {
         val (sks, dks, dgs) = (dims(4), dims(5), dims(6))
         def at(rows: Seq[Seq[String]], i: Int): Seq[String] =
           if (i < rows.length) rows(i) else Nil
+        val dimRoots: Seq[String] =
+          if (row.isNullAt(11)) Nil
+          else str(row, 11).split(";", -1).toSeq.map(_.trim)
         val specs = names.zipWithIndex.map { case (n, i) =>
-          JoinedMart.DimSpec(n, at(sks, i), at(dks, i), at(dgs, i))
+          JoinedMart.DimSpec(n, at(sks, i), at(dks, i), at(dgs, i),
+            root = if (i < dimRoots.length && dimRoots(i).nonEmpty)
+              Some(dimRoots(i)) else None)
         }
         Seq(InternalRow(JoinedMart.refreshStar(SparkSession.active,
           root(str(row, 0)), str(row, 1), specs, str(row, 2),

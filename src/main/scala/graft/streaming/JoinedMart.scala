@@ -94,13 +94,20 @@ object JoinedMart {
   val DimSrcKeysAll = "jmartDimSrcKeysAll"
   val DimKeysAll = "jmartDimKeysAll"
   val DimGroupsAll = "jmartDimGroupsAll"
+  val DimRootsAll = "jmartDimRootsAll"
+  val DimFoldAll = "jmartDimFoldAll"
 
   /** One dimension of the star: `dim` equi-joins the source on
     * `srcKeys(i) = dimKeys(i)` and contributes `groupCols` attributes
-    * to the mart's grain.
+    * to the mart's grain. `root` points at ANOTHER namespace root when
+    * the dim lives outside the mart's — reference/dimension data shared
+    * across warehouses (the Snowflake cross-database join shape): its
+    * feed and snapshots read from THAT root, folded under a per-dim
+    * watermark since version counters are per-root.
     */
   final case class DimSpec(table: String, srcKeys: Seq[String],
-      dimKeys: Seq[String], groupCols: Seq[String])
+      dimKeys: Seq[String], groupCols: Seq[String],
+      root: Option[String] = None)
 
   /** `CREATE/REFRESH` verb (`CALL graft.system.refresh_joined_mart`):
     * bring the single-dim joined mart current through the manifest head —
@@ -169,20 +176,33 @@ object JoinedMart {
       val names = p.get(Dims)
         .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      val roots = p.get(DimRootsAll)
+        .map(_.split(";", -1).toSeq.map(_.trim)).getOrElse(Nil)
       names.zipWithIndex.map { case (n, i) =>
         def at(rows: Seq[Seq[String]]) =
           if (i < rows.length) rows(i) else Nil
         n -> DimSpec(n, at(split(DimSrcKeysAll)), at(split(DimKeysAll)),
-          at(split(DimGroupsAll)))
+          at(split(DimGroupsAll)),
+          root = if (i < roots.length && roots(i).nonEmpty) Some(roots(i))
+          else None)
       }.toMap
     }
     val dimSpecsFilled = dimSpecs.map { ds =>
       if (ds.srcKeys.nonEmpty) ds
       else recordedDims.getOrElse(ds.table, ds)
     }
+    // a dim may live in ANOTHER namespace root (shared reference data);
+    // its feed and snapshots read from that root under its own version
+    // counter
+    def dimRoot(ds: DimSpec): File =
+      ds.root.map(new File(_)).getOrElse(root)
     dimSpecsFilled.foreach { ds =>
-      val ts = m0.table(ds.table)
-      require(ts.schemaJson.nonEmpty, s"table '${ds.table}' does not exist")
+      val dm = ManifestTable.read(dimRoot(ds)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest under ${dimRoot(ds)} for dim '${ds.table}'"))
+      val ts = dm.table(ds.table)
+      require(ts.schemaJson.nonEmpty,
+        s"table '${ds.table}' does not exist at ${dimRoot(ds)}")
       require(ts.feedFrom >= 0,
         s"dim table '${ds.table}' has no active change feed — joined-mart " +
           "maintenance folds it; write the dim with changeFeed=true")
@@ -223,6 +243,12 @@ object JoinedMart {
 
     val m1 = ManifestTable.read(root).get
     val v1 = m1.version
+    // per-dim fold watermark: a REMOTE dim's version counter is its own
+    // root's, so each dim stamps the version ITS feed folded through
+    // (local dims share root A's v1)
+    val dimV1: Seq[Long] = dims.map(ds =>
+      if (ds.root.isEmpty) v1
+      else ManifestTable.read(dimRoot(ds)).map(_.version).getOrElse(0L))
     val qid = EventPipeline.currentQueryId(spark)
     val legacy =
       if (dims.length != 1) Map.empty[String, String]
@@ -237,6 +263,8 @@ object JoinedMart {
       DimSrcKeysAll -> dims.map(_.srcKeys.mkString(",")).mkString(";"),
       DimKeysAll -> dims.map(_.dimKeys.mkString(",")).mkString(";"),
       DimGroupsAll -> dims.map(_.groupCols.mkString(",")).mkString(";"),
+      DimRootsAll -> dims.map(_.root.getOrElse("")).mkString(";"),
+      DimFoldAll -> dimV1.map(_.toString).mkString(";"),
       SrcGroupCols -> sg.mkString(","),
       ValueCols -> vc.mkString(","),
       MaxCols -> mx.mkString(","), MinCols -> mn.mkString(","),
@@ -288,8 +316,9 @@ object JoinedMart {
       // refresh would fold its feed range a second time
       val p = ManifestTable.readTable(spark, root.toString,
         version = Some(v1), table = partial)
-      val dFrames = dims.map(ds => ManifestTable.readTable(spark,
-        root.toString, version = Some(v1), table = ds.table))
+      val dFrames = dims.zip(dimV1).map { case (ds, dv) =>
+        ManifestTable.readTable(spark, dimRoot(ds).toString,
+          version = Some(dv), table = ds.table) }
       val joined = dims.zip(dFrames).foldLeft(p) { case (acc, (ds, d)) =>
         acc.join(d, keyCond(p, d, ds))
       }
@@ -313,36 +342,53 @@ object JoinedMart {
 
     val v0 = martTs.props.get(FoldVersion)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    // per-dim previous watermarks (remote dims stamp their own root's
+    // version); a legacy all-local mart recorded only FoldVersion
+    val dimV0: Seq[Option[Long]] = {
+      val recorded = martTs.props.get(DimFoldAll)
+        .map(_.split(";", -1).toSeq.map(s =>
+          scala.util.Try(s.trim.toLong).toOption)).getOrElse(Nil)
+      val recordedNames = martTs.props.get(Dims)
+        .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val byName = recordedNames.zip(recorded).toMap
+      dims.map(ds => byName.get(ds.table).flatten.orElse(v0))
+    }
     v0 match {
       case None => rebuild(overwrite = false)
-      case Some(from) if from >= v1 => // nothing new anywhere
+      case Some(from) if from >= v1 &&
+          dims.indices.forall(i => dimV0(i).exists(_ >= dimV1(i))) =>
+        // nothing new anywhere (each input checked against ITS root)
       case Some(from) =>
-        // every input's feed for the unfolded range; any aged-out range
-        // falls back to a wholesale rebuild
+        // every input's feed for the unfolded range (an input already at
+        // its watermark folds an EMPTY range); any aged-out range falls
+        // back to a wholesale rebuild
         val (dP, dDsRaw) =
           try (
             ManifestTable.readChangeFeed(spark, root.toString,
               from + 1, Some(v1), partial),
-            dims.map(ds => ManifestTable.readChangeFeed(spark,
-              root.toString, from + 1, Some(v1), ds.table)))
+            dims.zipWithIndex.map { case (ds, i) =>
+              ManifestTable.readChangeFeed(spark, dimRoot(ds).toString,
+                dimV0(i).getOrElse(from) + 1, Some(dimV1(i)), ds.table) })
           catch {
             case _: IllegalStateException => // feed range aged out
               rebuild(overwrite = true); return v1
           }
         val dDs = dDsRaw.map(_.persist())
         try {
-          // per dim: its state AT v1 and AT the previous watermark (time
-          // travel when retained, exact feed inversion when aged — union
-          // BEFORE subtracting: a key inserted at v_i and updated at v_j,
-          // both in the unfolded range, must reconstruct to {} at the
-          // watermark; subtract-first floors the multiset at zero and
+          // per dim: its state AT its v1 and AT its previous watermark
+          // (time travel when retained, exact feed inversion when aged —
+          // union BEFORE subtracting: a key inserted at v_i and updated
+          // at v_j, both in the unfolded range, must reconstruct to {} at
+          // the watermark; subtract-first floors the multiset at zero and
           // resurrects the pre-update row)
-          val dNews = dims.map(ds => ManifestTable.readTable(spark,
-            root.toString, version = Some(v1), table = ds.table))
-          val dOlds = dims.zip(dDs).zip(dNews).map {
-            case ((ds, dD), dNow) =>
-              try ManifestTable.readTable(spark, root.toString,
-                version = Some(from), table = ds.table)
+          val dNews = dims.zip(dimV1).map { case (ds, dv) =>
+            ManifestTable.readTable(spark, dimRoot(ds).toString,
+              version = Some(dv), table = ds.table) }
+          val dOlds = dims.zipWithIndex.zip(dDs).zip(dNews).map {
+            case (((ds, i), dD), dNow) =>
+              try ManifestTable.readTable(spark, dimRoot(ds).toString,
+                version = Some(dimV0(i).getOrElse(from)), table = ds.table)
               catch {
                 case _: java.io.FileNotFoundException =>
                   val dCols = dNow.columns.toIndexedSeq

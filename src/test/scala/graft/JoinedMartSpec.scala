@@ -590,6 +590,111 @@ class JoinedMartSpec extends SparkSpec {
       .intersect(Set("max_o_price", "min_o_price")).size == 2)
   }
 
+  test("MULTI-ROOT star: a dim living in ANOTHER namespace root feeds the mart under its own per-root watermark — remote dim churn stales and then refreshes exactly, mixed local+remote churn folds once per input, and the rewrite never substitutes a remote-dim mart into a same-root query") {
+    import graft.streaming.JoinedMart.DimSpec
+    val rootA = tmp("graft_jm_mr_a") // facts + local dim + the mart
+    val rootB = tmp("graft_jm_mr_b") // the REMOTE dim (shared ref data)
+    def statusDim(rs: Seq[(String, String)]): DataFrame =
+      rs.toDF("s_status", "s_class")
+    ManifestTable.mergeBatch(new File(rootA), "q", 0L, Seq(
+      TableBatch("orders",
+        orders((0L until 40L).map(i =>
+          (i, i % 8, if (i % 3 == 0) "OPEN" else "FILLED", i * 100L))),
+        Seq("o_id"), 4, changeFeed = true),
+      TableBatch("customer",
+        customers((0L until 8L).map(c =>
+          (c, c, if (c % 2 == 0) "RETAIL" else "CORP"))),
+        Seq("c_id"), 2, changeFeed = true)))
+    // pad root B with unrelated commits so its version counter DIVERGES
+    // from root A's — per-root watermarks must not conflate the two
+    (0 until 5).foreach { i =>
+      ManifestTable.mergeBatch(new File(rootB), "pad", i.toLong, Seq(
+        TableBatch("noise", Seq((i.toLong, i)).toDF("k", "x"),
+          Seq("k"), 1)))
+    }
+    ManifestTable.mergeBatch(new File(rootB), "q", 0L, Seq(
+      TableBatch("status_dim",
+        statusDim(Seq(("OPEN", "ACTIVE"), ("FILLED", "DONE"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    def refresh(): Unit = {
+      JoinedMart.refreshStar(spark, new File(rootA), "orders",
+        Seq(
+          DimSpec("customer", Seq("o_custkey"), Seq("c_custkey"),
+            Seq("c_mktsegment")),
+          DimSpec("status_dim", Seq("o_status"), Seq("s_status"),
+            Seq("s_class"), root = Some(rootB))),
+        "jmr", srcGroupCols = Nil, valueCols = Seq("o_price"),
+        numBuckets = 2)
+      ()
+    }
+    refresh()
+    def oracle3(): Set[String] = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try raw(rootA, "orders")
+        .join(raw(rootA, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(raw(rootB, "status_dim"), col("o_status") === col("s_status"))
+        .groupBy("c_mktsegment", "s_class")
+        .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+        .collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    def mart(): Set[String] = raw(rootA, "jmr")
+      .select(col("c_mktsegment"), col("s_class"),
+        col("n_rows").as("n"), col("sum_o_price").as("sv"))
+      .collect().map(_.toString).toSet
+    assert(mart() == oracle3(), "cross-root base build")
+
+    // REMOTE churn only: attribute migration in root B (OPEN → LIVE)
+    ManifestTable.mergeBatch(new File(rootB), "q", 1L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("OPEN", "LIVE"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    refresh()
+    assert(mart() == oracle3(), "after remote-only dim churn")
+
+    // LOCAL fact churn + REMOTE dim churn in one unfolded range
+    ManifestTable.mergeBatch(new File(rootA), "q", 1L, Seq(
+      TableBatch("orders",
+        orders(Seq((100L, 3L, "OPEN", 5000L), (0L, 0L, "CANCELLED", 1L))),
+        Seq("o_id"), 4, changeFeed = true,
+        deleteKeys = Some(Seq(6L).toDF("o_id")))))
+    ManifestTable.mergeBatch(new File(rootB), "q", 2L, Seq(
+      TableBatch("status_dim",
+        statusDim(Seq(("CANCELLED", "DEAD"), ("FILLED", "SETTLED"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    refresh()
+    assert(mart() == oracle3(), "mixed local+remote one-range churn")
+
+    // idempotent across BOTH roots: nothing new anywhere → no commit
+    val vA = ManifestTable.read(new File(rootA)).get.version
+    refresh()
+    assert(ManifestTable.read(new File(rootA)).get.version == vA,
+      "an all-fresh refresh must commit nothing")
+
+    // recorded declaration re-refresh (empty per-dim fields) after more
+    // remote churn — the recorded DIM ROOT must be honored
+    ManifestTable.mergeBatch(new File(rootB), "q", 3L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("LIVE2", "X"), ("OPEN", "REOPEN"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    JoinedMart.refreshStar(spark, new File(rootA), "orders",
+      Seq(DimSpec("customer", Nil, Nil, Nil),
+        DimSpec("status_dim", Nil, Nil, Nil)), "jmr")
+    assert(mart() == oracle3(), "recorded-declaration cross-root refresh")
+
+    // the rewrite must NOT substitute this mart into a same-root query
+    // joining a same-NAMED LOCAL table (a different table!)
+    ManifestTable.mergeBatch(new File(rootA), "q", 2L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("OPEN", "LOCALCLASS"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    def qLocal = raw(rootA, "orders")
+      .join(raw(rootA, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(raw(rootA, "status_dim"), col("o_status") === col("s_status"))
+      .groupBy("c_mktsegment", "s_class")
+      .agg(sum("o_price").as("sv"))
+    assert(!scannedTables(qLocal).contains("jmr"),
+      s"remote-dim mart leaked into a same-root query: " +
+        s"${scannedTables(qLocal)}")
+  }
+
   test("DECIMAL measures through the joined mart: the fold stays exact across fact+dim churn and avg derives bit-exactly join-free (the reference's NUMBER(18,2) money shape)") {
     val root = tmp("graft_jm_dec")
     def decOrders(rs: Seq[(Long, Long, String, String)]): DataFrame =
