@@ -320,8 +320,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "added columns must be nullable (existing rows null-backfill)")
         require(a.position == null,
           "added columns append at the end (no FIRST/AFTER)")
+        // ADD COLUMN … DEFAULT <expr>: the default applies to FUTURE
+        // writes (CURRENT_DEFAULT); existing rows null-backfill — the
+        // engine deliberately does NOT adopt exists-default rewriting of
+        // history (committed bytes keep their meaning)
+        val meta = Option(a.defaultValue()).fold(
+          org.apache.spark.sql.types.Metadata.empty) { d =>
+          val cur = Option(d.getSql).getOrElse(
+            Option(d.getValue).map(v =>
+              org.apache.spark.sql.catalyst.expressions
+                .Literal(v.value(), v.dataType()).sql)
+              .getOrElse(throw new IllegalArgumentException(
+                s"default for added column '${a.fieldNames.head}' has " +
+                  "neither SQL nor value")))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              cur)
+            .build()
+        }
         adds += org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
+          a.fieldNames.head, a.dataType, nullable = true, meta)
       case p: TableChange.SetProperty
           if p.property.equalsIgnoreCase("statsCols") =>
         statsCols = cols(p.value)

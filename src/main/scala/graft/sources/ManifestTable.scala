@@ -2695,6 +2695,56 @@ object ManifestTable {
   private[sources] def identityHwmKey(col: String): String =
     s"identity.hwm.$col"
 
+  /** Fill NULL identity slots with engine-generated values from a block
+    * reserved against the table's high-water mark. Returns (filled
+    * frame, hwm props the CALLER must stamp into ITS commit, persisted
+    * intermediate to unpersist after the write). Concurrent-writer
+    * uniqueness is the OCC contract on every caller: a rival commit
+    * that consumed ids moves the hwm property, which fails both the
+    * mergeBatch staged-rebase props check and the row-level paths'
+    * snapshot-rebase props check, forcing re-derivation against the
+    * fresh block. One id per frame row reserves (uniqueness, not
+    * density — Snowflake documents AUTOINCREMENT gaps). `skipRow` exempts
+    * rows that must stay untouched (merge-on-read tombstones carry null
+    * data columns by design).
+    */
+  private def fillIdentitySlots(spark: SparkSession, tableSchema: StructType,
+      effProps: Map[String, String], df: DataFrame,
+      skipRow: (Row, StructType) => Boolean = (_, _) => false)
+      : (DataFrame, Map[String, String], Option[DataFrame]) = {
+    val idCols = identityOf(tableSchema)
+    if (idCols.isEmpty) return (df, Map.empty, None)
+    val pre = df.persist()
+    val n = pre.count()
+    if (n == 0L) return (pre, Map.empty, Some(pre))
+    val schema = pre.schema
+    // per-ordinal fill spec: (base, step, needsInt)
+    val byOrdinal: Map[Int, (Long, Long, Boolean)] =
+      idCols.map { case (name, start, step, _) =>
+        val base = effProps.get(identityHwmKey(name))
+          .map(_.toLong).getOrElse(start)
+        schema.fieldIndex(name) ->
+          ((base, step, schema(name).dataType == IntegerType))
+      }.toMap
+    val filled = spark.createDataFrame(
+      pre.rdd.zipWithIndex().map { case (row, i) =>
+        if (skipRow(row, schema)) row
+        else Row.fromSeq(Seq.tabulate(row.length) { j =>
+          byOrdinal.get(j) match {
+            case Some((base, step, asInt)) if row.isNullAt(j) =>
+              val v = base + step * i
+              if (asInt) v.toInt else v
+            case _ => row.get(j)
+          }
+        })
+      }, schema)
+    (filled, idCols.map { case (name, start, step, _) =>
+      val base = effProps.get(identityHwmKey(name))
+        .map(_.toLong).getOrElse(start)
+      identityHwmKey(name) -> (base + step * n).toString
+    }.toMap, Some(pre))
+  }
+
   /** Overwrite every declared generated column with its expression —
     * a pure per-row projection (map-side, codegen'd, no pass added).
     */
@@ -2932,42 +2982,8 @@ object ManifestTable {
             "or pass NULL/DEFAULT)")
       }
     }
-    var idPersisted: Option[DataFrame] = None
-    val (withIds, hwmProps): (DataFrame, Map[String, String]) =
-      if (idCols.isEmpty) (aligned, Map.empty)
-      else {
-        val pre = aligned.persist()
-        idPersisted = Some(pre)
-        val n = pre.count()
-        if (n == 0L) (pre, Map.empty)
-        else {
-          val schema = pre.schema
-          // per-ordinal fill spec: (base, step, needsInt)
-          val byOrdinal: Map[Int, (Long, Long, Boolean)] =
-            idCols.map { case (name, start, step, _) =>
-              val base = effProps.get(identityHwmKey(name))
-                .map(_.toLong).getOrElse(start)
-              schema.fieldIndex(name) ->
-                ((base, step, schema(name).dataType == IntegerType))
-            }.toMap
-          val filled = spark.createDataFrame(
-            pre.rdd.zipWithIndex().map { case (row, i) =>
-              Row.fromSeq(Seq.tabulate(row.length) { j =>
-                byOrdinal.get(j) match {
-                  case Some((base, step, asInt)) if row.isNullAt(j) =>
-                    val v = base + step * i
-                    if (asInt) v.toInt else v
-                  case _ => row.get(j)
-                }
-              })
-            }, schema)
-          (filled, idCols.map { case (name, start, step, _) =>
-            val base = effProps.get(identityHwmKey(name))
-              .map(_.toLong).getOrElse(start)
-            identityHwmKey(name) -> (base + step * n).toString
-          }.toMap)
-        }
-      }
+    val (withIds, hwmProps, idPersisted) =
+      fillIdentitySlots(spark, unified, effProps, aligned)
     val bucketExpr =
       pmod(xxhash64(tb.mergeKeys.map(col).toIndexedSeq: _*), lit(tb.numBuckets))
     val incoming = withIds.withColumn(BucketCol, bucketExpr).persist()
@@ -4014,9 +4030,14 @@ object ManifestTable {
       def touched(g: BucketGen): Boolean =
         replacedDirs.contains(new File(root, g.path).getCanonicalPath)
       val nonce = newNonce()
-      val aligned = applyGenerated(table, ts.props, schema,
+      val aligned0 = applyGenerated(table, ts.props, schema,
         rows.select(schema.fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+      // rows born through MERGE's NOT MATCHED INSERT get identity values
+      // too — same hwm reservation, stamped into THIS commit's props;
+      // the snapshot-rebase props check makes rival reservations conflict
+      val (aligned, hwmProps, idPersisted) =
+        fillIdentitySlots(spark, schema, ts.props, aligned0)
       val bucketExpr =
         pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
           lit(ts.numBuckets))
@@ -4058,7 +4079,7 @@ object ManifestTable {
           else replaceDelta(spark, root, table, ts, replacedDirs, aligned,
             manifest.version + 1, nonce)
         val updates = Map(table -> TableUpdate(ts.schemaJson, rewritten,
-          append = false, changePath = changePath))
+          append = false, changePath = changePath, props = hwmProps))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           updates, op)
         commit(root, next, deltaOf(next, manifest.queryId,
@@ -4073,7 +4094,9 @@ object ManifestTable {
             isFileRace(e) &&
             read(root).map(_.version).getOrElse(0L) != manifest.version =>
           attempt += 1 // same race-casualty rule as mergeBatch
-      } finally { withBucket.unpersist(); () }
+      } finally {
+        withBucket.unpersist(); idPersisted.foreach(_.unpersist()); ()
+      }
     }
   }
 
@@ -4186,10 +4209,18 @@ object ManifestTable {
       // generated columns derive on the UPSERT rows; tombstones carry a
       // key and the op marker only, so deriving over their nulls is
       // harmless (nothing reads a tombstone's data columns)
-      val aligned = applyGenerated(table, ts.props, schema,
+      val aligned0 = applyGenerated(table, ts.props, schema,
         staged.select((schema.fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)) :+ col(RowOpCol))
           .toIndexedSeq: _*))
+      // identity values for MERGE-inserted rows on the delta path too;
+      // tombstones are exempt (they carry null data columns by design)
+      val (aligned, hwmProps, idPersisted) =
+        fillIdentitySlots(spark, schema, ts.props, aligned0,
+          skipRow = (r, sch) => {
+            val op = r.getString(sch.fieldIndex(RowOpCol))
+            op == "d"
+          })
       val bucketExpr =
         pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
           lit(ts.numBuckets))
@@ -4243,7 +4274,8 @@ object ManifestTable {
           }
         val updates = Map(table -> TableUpdate(ts.schemaJson, Map.empty,
           append = true, changePath = changePath,
-          deltaBuckets = written.map { case (b, g) => b -> Seq(g) }))
+          deltaBuckets = written.map { case (b, g) => b -> Seq(g) },
+          props = hwmProps))
         val next = manifest.advance(manifest.queryId, manifest.lastBatch,
           updates, op)
         commit(root, next, deltaOf(next, manifest.queryId,
@@ -4257,7 +4289,9 @@ object ManifestTable {
             isFileRace(e) &&
             read(root).map(_.version).getOrElse(0L) != manifest.version =>
           attempt += 1 // race casualty of a concurrent winner's GC
-      } finally { withBucket.unpersist(); () }
+      } finally {
+        withBucket.unpersist(); idPersisted.foreach(_.unpersist()); ()
+      }
     }
   }
 

@@ -790,6 +790,63 @@ class CatalogSpec extends SparkSpec {
         s"${ids.distinct.length} distinct")
     assert(ids.forall(i => i >= 100L && (i - 100L) % 2 == 0),
       "generated ids left the START/STEP lattice")
+
+    // ADD COLUMN … DEFAULT: committed rows null-backfill (history keeps
+    // its meaning), FUTURE writes fill the declared default
+    spark.sql("ALTER TABLE idn.ops.t ADD COLUMN tag STRING DEFAULT 'z'")
+    assert(spark.sql("SELECT tag FROM idn.ops.t WHERE name = 'a'")
+      .head.isNullAt(0), "existing rows must null-backfill")
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('f')")
+    assert(spark.sql("SELECT tag FROM idn.ops.t WHERE name = 'f'")
+      .head.getString(0) == "z", "added-column default did not apply")
+
+    // rows born through native SQL MERGE's NOT MATCHED INSERT generate
+    // ids too — the copy-on-write row-level path reserves from the same
+    // committed hwm (identity columns can't key the merge, so key on a
+    // natural column via a second table)
+    spark.sql("""CREATE TABLE idn.ops.m
+      (mid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+       k BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='2')""")
+    spark.sql("INSERT INTO idn.ops.m (k, v) VALUES (1, 'a'), (2, 'b')")
+    val midOf2 = spark.sql("SELECT mid FROM idn.ops.m WHERE k = 2")
+      .head.getLong(0)
+    spark.sql("""MERGE INTO idn.ops.m t
+      USING (SELECT * FROM VALUES (2L, 'B'), (3L, 'c'), (4L, 'd')
+             AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val m = spark.sql("SELECT mid, k, v FROM idn.ops.m ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(m.map(_._3).toSeq == Seq("a", "B", "c", "d"),
+      s"merge semantics broke: ${m.toSeq}")
+    val mids = m.map(_._1)
+    assert(mids.distinct.length == 4 && mids.forall(_ >= 1L),
+      s"MERGE-born rows did not get unique identity values: ${m.toSeq}")
+    // the matched row KEPT its original id (updates re-carry identity)
+    assert(m.find(_._2 == 2L).map(_._1).contains(midOf2),
+      s"the updated row lost its identity value: ${m.toSeq}")
+
+    // same through the MERGE-ON-READ delta path
+    spark.sql("""CREATE TABLE idn.ops.mor
+      (mid BIGINT GENERATED ALWAYS AS IDENTITY,
+       k BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='2',
+        'rowLevelMode'='merge-on-read')""")
+    spark.sql("INSERT INTO idn.ops.mor (k, v) VALUES (1, 'a')")
+    spark.sql("""MERGE INTO idn.ops.mor t
+      USING (SELECT * FROM VALUES (1L, 'A'), (2L, 'b') AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val mor = spark.sql("SELECT mid, k, v FROM idn.ops.mor ORDER BY k")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getLong(1), r.getString(2)))
+    assert(mor.map(_._3).toSeq == Seq("A", "b") &&
+      mor.forall(_._1 != null) &&
+      mor.map(_._1).distinct.length == 2,
+      s"MoR MERGE-born rows did not get identity values: ${mor.toSeq}")
   }
 
   test("row access policies: a rowPolicy property filters every catalog read (incl. time travel), writes land full rows, row-level DML refuses loudly, the provider path stays the owner view") {
