@@ -450,21 +450,27 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
       flattenJoin(agg.child, Nil).getOrElse(return None)
     if (leaves.length < 2 || conds.isEmpty) return None
     val unwrapped = leaves.map(l => unwrap(l, Nil).getOrElse(return None))
-    val root = unwrapped.head._1
-    if (!unwrapped.forall(_._1.getCanonicalPath == root.getCanonicalPath))
-      return None
-    val names = unwrapped.map(_._2)
-    if (names.distinct.length != names.length) return None // self-joins: no
-    val manifest = ManifestTable.read(root).getOrElse(return None)
-    // leaf name → (plan, its below-scan filters)
-    val byName: Map[String, (LogicalPlan, Seq[Expression])] =
-      names.zip(leaves.zip(unwrapped.map(_._3))).toMap
-    def leafOf(a: Attribute): Option[String] =
-      names.zip(leaves).collectFirst {
+    // leaves are identified by (namespace root, table) — a star's dims
+    // may live in OTHER roots (the cross-root reference-data join), and
+    // a same-named table in a different root is a different table
+    type LeafId = (String, String)
+    val ids: Seq[LeafId] =
+      unwrapped.map(u => (u._1.getCanonicalPath, u._2))
+    if (ids.distinct.length != ids.length) return None // self-joins: no
+    val manifests = scala.collection.mutable.Map.empty[
+      String, Option[ManifestTable.Manifest]]
+    def manifestOf(rootPath: String): Option[ManifestTable.Manifest] =
+      manifests.getOrElseUpdate(rootPath,
+        ManifestTable.read(new File(rootPath)))
+    // leaf id → (plan, its below-scan filters)
+    val byId: Map[LeafId, (LogicalPlan, Seq[Expression])] =
+      ids.zip(leaves.zip(unwrapped.map(_._3))).toMap
+    def leafOf(a: Attribute): Option[LeafId] =
+      ids.zip(leaves).collectFirst {
         case (n, l) if l.outputSet.contains(a) => n
       }
     // equi pairs as (leafA, colA, leafB, colB)
-    val pairs: Seq[(String, String, String, String)] = conds.map {
+    val pairs: Seq[(LeafId, String, LeafId, String)] = conds.map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         val la = leafOf(a).getOrElse(return None)
         val lb = leafOf(b).getOrElse(return None)
@@ -473,28 +479,38 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     // every filter binds to exactly one leaf
-    val leafFilters: Map[String, Seq[Expression]] =
+    val leafFilters: Map[LeafId, Seq[Expression]] =
       filters.map { f =>
-        val owners = names.zip(leaves).filter {
+        val owners = ids.zip(leaves).filter {
           case (_, l) => f.references.subsetOf(l.outputSet)
         }
         if (owners.length != 1) return None
         owners.head._1 -> f
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
-    def freshFor(tName: String, stamp: Long): Boolean = {
-      val ts = manifest.table(tName)
-      ts.schemaJson.nonEmpty && ts.feedFrom >= 0 &&
-        ts.changes.nonEmpty && ts.changes.last.version <= stamp
-    }
-    // fresh candidates declaring exactly this star, cheapest first —
-    // same cost rule as the scan shape
-    val candidates = manifest.tables.toSeq.filter { case (_, ts) =>
-      ts.schemaJson.nonEmpty && ts.props.contains(JoinedMart.Source)
-    }.sortBy { case (name, ts) =>
-      (ts.rowCount.getOrElse(Long.MaxValue), name)
-    }
-    candidates.view.flatMap { case (martName, martTs) =>
+    def freshFor(id: LeafId, stamp: Long): Boolean =
+      manifestOf(id._1).exists { m =>
+        val ts = m.table(id._2)
+        ts.schemaJson.nonEmpty && ts.feedFrom >= 0 &&
+          ts.changes.nonEmpty && ts.changes.last.version <= stamp
+      }
+    // fresh candidates declaring exactly this star, cheapest first per
+    // root — the mart lives in its SOURCE's root, so every distinct leaf
+    // root's manifest is searched
+    val candidates: Seq[(String, String, ManifestTable.TableState)] =
+      ids.map(_._1).distinct.flatMap { rootPath =>
+        manifestOf(rootPath).toSeq.flatMap(_.tables.toSeq
+          .filter { case (_, ts) =>
+            ts.schemaJson.nonEmpty && ts.props.contains(JoinedMart.Source)
+          }
+          .sortBy { case (name, ts) =>
+            (ts.rowCount.getOrElse(Long.MaxValue), name)
+          }
+          .map { case (name, ts) => (rootPath, name, ts) })
+      }
+    candidates.view.flatMap { case (rootPath, martName, martTs) =>
+      val root = new File(rootPath)
+      val manifest = manifestOf(rootPath).get
       def cols(key: String): Seq[String] = martTs.props.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
@@ -505,9 +521,22 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
           _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
         .getOrElse(Nil)
       val src = martTs.props.getOrElse(JoinedMart.Source, "")
+      val srcId: LeafId = (rootPath, src)
       val dimNames: Seq[String] = martTs.props.get(JoinedMart.Dims)
         .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(martTs.props.get(JoinedMart.Dim).toSeq)
+      // per-dim declared ROOT ("" = the mart's own root), canonicalized
+      // like the leaf ids
+      val dimRoots: Seq[String] = {
+        val rec = martTs.props.get(JoinedMart.DimRootsAll)
+          .map(_.split(";", -1).toSeq.map(_.trim)).getOrElse(Nil)
+        dimNames.indices.map(i =>
+          if (i < rec.length && rec(i).nonEmpty)
+            new File(rec(i)).getCanonicalPath
+          else rootPath)
+      }
+      val dimIds: Seq[LeafId] = dimNames.zip(dimRoots).map {
+        case (n, r) => (r, n) }
       val dimSrcKeys = {
         val star = perDim(JoinedMart.DimSrcKeysAll)
         if (star.nonEmpty) star else Seq(cols(JoinedMart.SrcKeys))
@@ -521,24 +550,19 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         if (star.nonEmpty) star else Seq(cols(JoinedMart.DimGroupCols))
       }
       val shapeOk =
-        byName.contains(src) && dimNames.nonEmpty &&
-          // a mart built over a dim in ANOTHER namespace root never
-          // substitutes into a same-root query: a same-NAMED local table
-          // is a different table, and this rewrite only sees one root's
-          // relations (cross-root queries never reach it)
-          !martTs.props.get(JoinedMart.DimRootsAll)
-            .exists(_.split(";", -1).exists(_.trim.nonEmpty)) &&
-          dimNames.length == dimSrcKeys.length &&
-          dimNames.length == dimKeys.length &&
-          dimNames.toSet == (names.toSet - src) &&
+        byId.contains(srcId) && dimIds.nonEmpty &&
+          dimIds.length == dimSrcKeys.length &&
+          dimIds.length == dimKeys.length &&
+          dimIds.toSet == (ids.toSet - srcId) &&
           // per dim: the query's (src col, dim col) pair set equals the
           // declared one; and no pair may connect two dims
-          pairs.forall { case (la, _, lb, _) => la == src || lb == src } &&
-          dimNames.zipWithIndex.forall { case (d, i) =>
+          pairs.forall { case (la, _, lb, _) =>
+            la == srcId || lb == srcId } &&
+          dimIds.zipWithIndex.forall { case (d, i) =>
             val declared = dimSrcKeys(i).zip(dimKeys(i)).toSet
             val queried = pairs.collect {
-              case (`src`, sc, `d`, dc) => (sc, dc)
-              case (`d`, dc, `src`, sc) => (sc, dc)
+              case (`srcId`, sc, `d`, dc) => (sc, dc)
+              case (`d`, dc, `srcId`, sc) => (sc, dc)
             }.toSet
             queried == declared
           }
@@ -550,19 +574,31 @@ case class MartRewriteRule() extends Rule[LogicalPlan] with PredicateHelper {
         val fV = martTs.props.get(JoinedMart.FoldVersion)
           .flatMap(s => scala.util.Try(s.toLong).toOption)
           .getOrElse(-1L)
-        if (!freshFor(src, sV) || !dimNames.forall(freshFor(_, fV))) None
+        // per-dim fold stamps: a REMOTE dim's freshness compares against
+        // ITS root's version counter (the per-dim watermark the refresh
+        // stamps); local dims without one fall back to FoldVersion
+        val dimFolds: Map[String, Long] = {
+          val rec = martTs.props.get(JoinedMart.DimFoldAll)
+            .map(_.split(";", -1).toSeq.map(s =>
+              scala.util.Try(s.trim.toLong).toOption)).getOrElse(Nil)
+          dimNames.zipWithIndex.map { case (n, i) =>
+            n -> (if (i < rec.length) rec(i).getOrElse(fV) else fV)
+          }.toMap
+        }
+        if (!freshFor(srcId, sV) ||
+            !dimIds.forall(d => freshFor(d, dimFolds(d._2)))) None
         else {
-          val srcPlan = byName(src)._1
-          val dimPlans = dimNames.map(byName(_)._1)
+          val srcPlan = byId(srcId)._1
+          val dimPlans = dimIds.map(byId(_)._1)
           val srcFilters =
-            byName(src)._2 ++ leafFilters.getOrElse(src, Nil)
-          val dimFilters = dimNames.flatMap(d =>
-            byName(d)._2 ++ leafFilters.getOrElse(d, Nil))
+            byId(srcId)._2 ++ leafFilters.getOrElse(srcId, Nil)
+          val dimFilters = dimIds.flatMap(d =>
+            byId(d)._2 ++ leafFilters.getOrElse(d, Nil))
           // per-column type lookup across the dims (group names are
-          // disjoint by the mart's construction)
+          // disjoint by the mart's construction), each from ITS root
           val dimType: Map[String, org.apache.spark.sql.types.DataType] =
-            dimNames.zipWithIndex.flatMap { case (d, i) =>
-              val sch = manifest.table(d).schema
+            dimIds.zipWithIndex.flatMap { case (d, i) =>
+              val sch = manifestOf(d._1).get.table(d._2).schema
               dimGroups(i).filter(sch.fieldNames.contains)
                 .map(c => c -> sch(c).dataType)
             }.toMap

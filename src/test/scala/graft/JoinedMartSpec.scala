@@ -693,6 +693,30 @@ class JoinedMartSpec extends SparkSpec {
     assert(!scannedTables(qLocal).contains("jmr"),
       s"remote-dim mart leaked into a same-root query: " +
         s"${scannedTables(qLocal)}")
+
+    // …and the TRUE cross-root query substitutes: the rewrite matches
+    // leaves by (root, table), so the remote dim resolves to its
+    // declared root and the whole two-root star collapses onto the mart
+    def qCross = raw(rootA, "orders")
+      .join(raw(rootA, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(raw(rootB, "status_dim"), col("o_status") === col("s_status"))
+      .groupBy("c_mktsegment", "s_class")
+      .agg(count(lit(1)).as("n"), sum("o_price").as("sv"))
+    assert(scannedTables(qCross) == Seq("jmr"),
+      s"cross-root star query did not substitute: ${scannedTables(qCross)}")
+    assert(qCross.collect().map(_.toString).toSet == oracle3(),
+      "cross-root substitution answered differently from the direct join")
+    // a remote commit stales it (per-dim watermark), direct answers
+    // stay correct, and the next refresh re-arms
+    ManifestTable.mergeBatch(new File(rootB), "q", 9L, Seq(
+      TableBatch("status_dim", statusDim(Seq(("OPEN", "FINAL"))),
+        Seq("s_status"), 2, changeFeed = true)))
+    assert(!scannedTables(qCross).contains("jmr"),
+      "a remote dim commit must stale the cross-root substitution")
+    assert(qCross.collect().map(_.toString).toSet == oracle3())
+    refresh()
+    assert(scannedTables(qCross) == Seq("jmr"))
+    assert(qCross.collect().map(_.toString).toSet == oracle3())
   }
 
   test("DECIMAL measures through the joined mart: the fold stays exact across fact+dim churn and avg derives bit-exactly join-free (the reference's NUMBER(18,2) money shape)") {
