@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -9,17 +10,27 @@ import org.apache.spark.sql.functions.expr
 
 import graft.sources.GraftSqlTable
 
-/** ROW ACCESS POLICIES — the Snowflake row-access-policy surface at the
-  * catalog (governance) layer: a table declaring
-  * `TBLPROPERTIES ('rowPolicy' = '<boolean sql>')` serves, through any
-  * CATALOG read (`SELECT … FROM cat.ns.t`, `spark.table`, time travel),
-  * only the rows where the policy holds. The policy expression sees the
-  * row's columns plus session context functions (`current_user()`,
-  * `current_date()` …), and lands as an ordinary Catalyst `Filter`
-  * directly above the relation — injected before pushdown planning, so
-  * a sargable policy prunes generations/row groups like any user
-  * predicate (governance costs the same as a WHERE clause, not a
-  * post-scan pass).
+/** ROW ACCESS POLICIES + COLUMN MASKING — the Snowflake governance
+  * surface at the catalog layer:
+  *
+  *  - `TBLPROPERTIES ('rowPolicy' = '<boolean sql>')`: every CATALOG
+  *    read (`SELECT … FROM cat.ns.t`, `spark.table`, time travel)
+  *    serves only the rows where the policy holds. Lands as an ordinary
+  *    Catalyst `Filter` directly above the relation — injected before
+  *    pushdown planning, so a sargable policy prunes generations/row
+  *    groups like any user predicate (governance costs the same as a
+  *    WHERE clause, not a post-scan pass).
+  *  - `TBLPROPERTIES ('mask.<col>' = '<sql expr>')` (dynamic data
+  *    masking): catalog reads serve the column REWRITTEN through the
+  *    masking expression (which sees the row's columns — partial
+  *    masking like `concat('***', substring(email, position('@' in
+  *    email), 99))` works), planted as a `Project` whose output keeps
+  *    the ORIGINAL attribute ids, so parent operators stay resolved and
+  *    every downstream predicate/aggregate computes over MASKED values
+  *    (a filter can never probe the hidden cleartext). The expression
+  *    must cast to the column's type, and may not be nullable over a
+  *    non-nullable column (the optimizer believes declared
+  *    nullability).
   *
   * Boundaries, chosen to keep the engine's own state transitions exact:
   *  - WRITE TARGETS are exempt (the relation in a write command's
@@ -27,23 +38,27 @@ import graft.sources.GraftSqlTable
   *  - Engine-internal reads (the provider path `format("graft")`, mart
   *    folds, extremum recomputes, CoW rewrites) are the OWNER path and
   *    bypass policies, exactly like Snowflake's policy-owner reads —
-  *    otherwise an incremental maintainer would fold a filtered world
-  *    into an unfiltered table and corrupt it.
-  *  - SQL row-level DML (MERGE/UPDATE/DELETE) on a policy-bearing table
+  *    otherwise an incremental maintainer would fold a filtered/masked
+  *    world into an unfiltered table and corrupt it.
+  *  - SQL row-level DML (MERGE/UPDATE/DELETE) on a ROW-POLICY table
   *    REFUSES loudly: a copy-on-write rewrite under a filtered read
-  *    would silently DROP the invisible rows. Use the engine verbs
-  *    (`CALL …update_where/delete_where`) — the owner path — or drop
-  *    the policy.
-  *  - merge-on-read tables refuse the policy at declaration time (their
-  *    reads re-plan into multi-leg reconciliation unions this filter
-  *    placement does not govern).
+  *    would silently DROP the invisible rows. Masked tables allow DML —
+  *    the row-level read leg resolves through the operation wrapper
+  *    (owner view), so rewrites persist TRUE values, never masked ones.
+  *  - merge-on-read tables refuse the rowPolicy at declaration time
+  *    (their reads re-plan into multi-leg reconciliation unions this
+  *    filter placement does not govern); masks compose fine (the
+  *    reconciled union's top relation is still the catalog relation).
   */
 object RowPolicyRule {
 
   /** Table property holding the policy predicate. */
   val PolicyKey = "rowPolicy"
 
-  /** Set on a relation once its policy filter is planted — the
+  /** Table-property prefix for column masking expressions. */
+  val MaskPrefix = "mask."
+
+  /** Set on a relation once its governance plan is planted — the
     * fixpoint-idempotency marker (tags survive plan copies).
     */
   private[plans] val Applied = TreeNodeTag[Boolean]("graft.rowPolicyApplied")
@@ -65,10 +80,9 @@ object RowPolicyRule {
   * prunes with. The FALLBACK instance (`fallback = true`, registered
   * through `experimental.extraOptimizations` by the catalog for
   * sessions wired without extensions) runs AFTER pushdown, where only
-  * `DataSourceV2ScanRelation` remains — it plants the same filter
-  * above the scan (correct, unpruned), and stands down entirely when
-  * the extensions instance is present so the policy never applies
-  * twice.
+  * `DataSourceV2ScanRelation` remains — it plants the same governance
+  * plan above the scan (correct, unpruned), and stands down entirely
+  * when the extensions instance is present so nothing applies twice.
   */
 case class RowPolicyRule(fallback: Boolean = false)
     extends Rule[LogicalPlan] {
@@ -77,11 +91,23 @@ case class RowPolicyRule(fallback: Boolean = false)
 
   private def spark: SparkSession = SparkSession.active
 
-  private def policyOf(t: org.apache.spark.sql.connector.catalog.Table)
-      : Option[String] = t match {
-    case g: GraftSqlTable => g.index.state.props.get(RowPolicyRule.PolicyKey)
-    case _ => None
+  private def propsOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Map[String, String] = t match {
+    case g: GraftSqlTable => g.index.state.props
+    case _ => Map.empty
   }
+
+  private def policyOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[String] = propsOf(t).get(RowPolicyRule.PolicyKey)
+
+  private def masksOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Seq[(String, String)] = propsOf(t).toSeq.collect {
+    case (k, v) if k.startsWith(RowPolicyRule.MaskPrefix) =>
+      k.stripPrefix(RowPolicyRule.MaskPrefix) -> v
+  }.sortBy(_._1)
+
+  private def governed(t: org.apache.spark.sql.connector.catalog.Table)
+      : Boolean = policyOf(t).nonEmpty || masksOf(t).nonEmpty
 
   /** Is the pre-pushdown (extensions) instance active in this session? */
   private def extensionsActive: Boolean =
@@ -90,17 +116,53 @@ case class RowPolicyRule(fallback: Boolean = false)
       case _ => false
     })
 
-  private def planted(node: LogicalPlan, table: String, sql: String)
-      : LogicalPlan = {
-    val df = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
-      .filter(
-        try expr(sql) catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"row policy on '$table' does not parse: $sql", e)
-        })
-    // analyzed against the node itself, so the result is fully resolved
-    // (this is an optimizer-time rule)
-    df.queryExecution.analyzed
+  /** The governance plan over `node`: the policy filter (when declared),
+    * then the masking projection (when declared) with output attribute
+    * IDS PINNED to `node`'s — parents stay resolved, and downstream
+    * operators compute over masked values only.
+    */
+  private def planted(node: LogicalPlan, table: String,
+      policy: Option[String], masks: Seq[(String, String)]): LogicalPlan = {
+    def parse(what: String, sql: String) =
+      try expr(sql) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$what on '$table' does not parse: $sql", e)
+      }
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val filtered = policy.fold(node) { sql =>
+      bridge.ofRows(spark, node).filter(parse("row policy", sql))
+        .queryExecution.analyzed
+    }
+    if (masks.isEmpty) filtered
+    else {
+      val byCol = masks.toMap
+      val out = node.output
+      // analyze the masked projection against the filtered plan, then
+      // re-pin each masked output to the ORIGINAL attribute id
+      val cols: Seq[org.apache.spark.sql.Column] = out.map { a =>
+        byCol.get(a.name) match {
+          case Some(sql) =>
+            parse(s"mask for column '${a.name}'", sql)
+              .cast(a.dataType).as(a.name)
+          case None => bridge.column(a)
+        }
+      }
+      val analyzed = bridge.ofRows(spark, filtered).select(cols: _*)
+        .queryExecution.analyzed
+      analyzed match {
+        case p: Project =>
+          p.projectList.zip(out).foreach {
+            case (al: Alias, orig) =>
+              require(!al.child.nullable || orig.nullable,
+                s"mask for column '${orig.name}' on '$table' may " +
+                  "return NULL but the column is non-nullable — wrap " +
+                  "the expression in coalesce()")
+            case _ => ()
+          }
+          p
+        case other => other // select of pure attributes collapsed: no-op
+      }
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -109,32 +171,39 @@ case class RowPolicyRule(fallback: Boolean = false)
       case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
         w.table: LogicalPlan
     }.toSet
-    plan.transformUp {
+    // transformUpWithNewOutput: masked columns get FRESH attribute ids
+    // (a Project whose output id shadowed its own input id would read as
+    // redundant and optimize away), and every parent reference rewrites
+    // to the masked output automatically
+    plan.transformUpWithNewOutput {
       case r: DataSourceV2Relation
           if !targets.contains(r) &&
             r.getTagValue(RowPolicyRule.Applied).isEmpty &&
-            policyOf(r.table).nonEmpty =>
+            governed(r.table) =>
         r.setTagValue(RowPolicyRule.Applied, true)
-        planted(r, r.table.name(), policyOf(r.table).get)
+        val g = planted(r, r.table.name(), policyOf(r.table),
+          masksOf(r.table))
+        g -> r.output.zip(g.output).filter {
+          case (o, n) => o.exprId != n.exprId }
       case s: DataSourceV2ScanRelation
           if fallback && !extensionsActive &&
             s.getTagValue(RowPolicyRule.Applied).isEmpty &&
-            policyOf(s.relation.table).nonEmpty =>
+            governed(s.relation.table) =>
         // post-pushdown the scan is already column-pruned, possibly past
-        // the policy's columns: rebuild an UNPRUNED scan over the same
-        // relation (same attribute ids), filter, and project back to the
-        // pruned shape — correct, unpruned; the extensions instance is
-        // the pruning path
+        // the governance expressions' columns: rebuild an UNPRUNED scan
+        // over the same relation (same attribute ids), govern — correct,
+        // unpruned; the extensions instance is the pruning path
         val fresh = DataSourceV2ScanRelation(s.relation,
           s.relation.table
             .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
             .newScanBuilder(s.relation.options).build(),
           s.relation.output)
         fresh.setTagValue(RowPolicyRule.Applied, true)
-        val filtered = planted(fresh, s.relation.table.name(),
-          policyOf(s.relation.table).get)
-        org.apache.spark.sql.catalyst.plans.logical.Project(
-          s.output, filtered)
+        val g = planted(fresh, s.relation.table.name(),
+          policyOf(s.relation.table), masksOf(s.relation.table))
+        val mapping = s.relation.output.zip(g.output).filter {
+          case (o, n) => o.exprId != n.exprId }
+        g -> mapping
     }
   }
 }

@@ -266,7 +266,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // generated columns derive on every write from the first row on
       props.collect { case (k, v)
         if k.startsWith("constraint.") || k.startsWith("generated.") ||
-          k.startsWith("default.") || k.startsWith("metric.") =>
+          k.startsWith("default.") || k.startsWith("metric.") ||
+          k.startsWith("mask.") =>
           k -> v } ++
       // row access policy: parse-checked, and incompatible with
       // merge-on-read (its reads re-plan into reconciliation unions the
@@ -382,6 +383,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.functions.expr(p.value)).isSuccess,
           s"row policy does not parse: ${p.value}")
         props += GraftSqlTable.RowPolicyKey -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("mask.") =>
+        // dynamic data masking: catalog reads serve the column through
+        // this expression (parse-checked; type/nullability validated at
+        // plan time against the live schema)
+        require(scala.util.Try(
+          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+          s"mask expression does not parse: ${p.value}")
+        props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.startsWith("metric.") =>
         // data metric function: recorded (not enforced) on maintenance

@@ -911,6 +911,75 @@ class CatalogSpec extends SparkSpec {
     assert(mor.getMessage.contains("merge-on-read"))
   }
 
+  test("column masking (dynamic data masking): catalog reads serve masked values with downstream predicates/aggregates computing over the MASK, writes and the owner path see cleartext, and masks compose with a row policy") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_msk").toString
+    spark.conf.set("spark.sql.catalog.msk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.msk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS msk.ops")
+    // partial masking: keep the domain, hide the local part — the mask
+    // expression sees the row's own columns
+    spark.sql("""CREATE TABLE msk.ops.t
+      (id BIGINT, email STRING, region STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'mask.email' =
+          "concat('***', substring(email, position('@' in email), 99))")""")
+    spark.sql("""INSERT INTO msk.ops.t VALUES
+      (1, 'alice@x.com', 'EU', 10), (2, 'bob@y.org', 'US', 20),
+      (3, null, 'EU', 30)""")
+
+    // reads serve the mask; NULL flows through (concat of null → null)
+    val emails = spark.sql("SELECT email FROM msk.ops.t ORDER BY id")
+      .collect().map(r => Option(r.getString(0)))
+    assert(emails.toSeq == Seq(Some("***@x.com"), Some("***@y.org"), None),
+      s"mask did not apply: ${emails.toSeq}")
+    // downstream PREDICATES compute over masked values — cleartext is
+    // not probeable through a filter
+    assert(spark.sql(
+      "SELECT count(*) FROM msk.ops.t WHERE email = 'alice@x.com'")
+      .head.getLong(0) == 0L, "a filter probed the cleartext")
+    assert(spark.sql(
+      "SELECT count(*) FROM msk.ops.t WHERE email = '***@x.com'")
+      .head.getLong(0) == 1L)
+    // aggregates over the masked column see masked values; min/max must
+    // NOT be answered from manifest column stats (cleartext bounds)
+    assert(spark.sql("SELECT min(email) FROM msk.ops.t").head.getString(0)
+      == "***@x.com", "min leaked a cleartext bound")
+    // the owner path (provider read) sees cleartext — maintainers must
+    val root = new File(wh, "ops")
+    assert(spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load()
+      .filter(org.apache.spark.sql.functions.col("id") === 1)
+      .head.getAs[String]("email") == "alice@x.com")
+
+    // writes land cleartext (write targets exempt): proven above by the
+    // owner read; and row-level DML is ALLOWED on masked tables — its
+    // read leg is the owner view, so the rewrite persists TRUE values
+    spark.sql("UPDATE msk.ops.t SET v = 99 WHERE id = 1")
+    val r1 = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load()
+      .filter(org.apache.spark.sql.functions.col("id") === 1).head
+    assert(r1.getAs[Long]("v") == 99L &&
+      r1.getAs[String]("email") == "alice@x.com",
+      s"DML corrupted the masked column: $r1")
+
+    // masks compose with a row policy (filter first, then mask)
+    spark.sql("""ALTER TABLE msk.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "region = 'EU'")""")
+    val both = spark.sql("SELECT id, email FROM msk.ops.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(both.toSeq == Seq((1L, Some("***@x.com")), (3L, None)),
+      s"policy+mask composition broke: ${both.toSeq}")
+
+    // a nullable mask over a NON-nullable column refuses at plan time
+    spark.sql("""CREATE TABLE msk.ops.nn (id BIGINT, k BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='2',
+        'rowLevelMode'='merge-on-read',
+        'mask.v' = "concat('*', v)")""")
+    spark.sql("INSERT INTO msk.ops.nn (k, v) VALUES (1, 'x')")
+    // (merge-on-read + mask composes: the reconciled read still masks)
+    assert(spark.sql("SELECT v FROM msk.ops.nn").head.getString(0) == "*x")
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
