@@ -1194,7 +1194,7 @@ object ManifestTable {
   val IntProps: Set[String] =
     Set("retainVersions", "changeRetainVersions", "checkpointInterval",
       "retainHours", "maintCompactSmallRows", "maintReclusterSlices",
-      "maintOverlapBudget")
+      "maintOverlapBudget", "metricIntervalMs")
 
   /** The keys [[createTable]]/[[alterTable]] accept as table properties:
     * the operating integers, the row-level mode, and the mart
@@ -2852,11 +2852,21 @@ object ManifestTable {
           .get(s"metricSrcVersion.$name")
           .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
         val lastChange = ts.changes.lastOption.map(_.version)
-        val fresh = (already, lastChange) match {
+        val feedFresh = (already, lastChange) match {
           case (Some(a), Some(c)) => c <= a // feed says nothing new
           case _ => false // no feed (or first sweep): evaluate
         }
-        if (!fresh) {
+        // non-feed tables have no change watermark; a declared
+        // `metricIntervalMs` caps their sweep cadence by wall clock
+        // instead (the Snowflake DMF schedule shape)
+        val timeFresh = (for {
+          iv <- ts.props.get("metricIntervalMs")
+            .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          at <- m.table(MetricsTable).props
+            .get(s"metricMeasuredAt.$name")
+            .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        } yield System.currentTimeMillis() - at < iv).getOrElse(false)
+        if (!feedFresh && !timeFresh) {
           val df = readTable(spark, root.toString, version = Some(evalV),
             table = name)
           val aggCols = ms.map { case (n, sql) =>
@@ -2881,6 +2891,8 @@ object ManifestTable {
               if (row.isNullAt(i)) None else Some(row.getDouble(i))))
           }
           metricProps += s"metricSrcVersion.$name" -> evalV.toString
+          metricProps += s"metricMeasuredAt.$name" ->
+            System.currentTimeMillis().toString
         }
       }
     }

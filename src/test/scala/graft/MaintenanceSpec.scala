@@ -387,5 +387,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(DISTINCT version) FROM dmf.ops._metrics")
       .head.getLong(0) == 2L)
+
+    // a NON-feed table has no change watermark — `metricIntervalMs`
+    // caps its sweep cadence by wall clock instead: back-to-back sweeps
+    // measure once
+    spark.sql("""CREATE TABLE dmf.ops.nf (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'metric.neg_v' = 'v < 0', 'metricIntervalMs' = '3600000')""")
+    import spark.implicits._
+    Seq((1L, -1.0), (2L, 2.0)).toDF("id", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "nf").option("mergeKeys", "id")
+      .mode("append").save()
+    spark.sql("CALL dmf.system.maintain('ops')").collect()
+    val nfRows = spark.sql(
+      "SELECT count(*) FROM dmf.ops._metrics WHERE table_name = 'nf'")
+      .head.getLong(0)
+    assert(nfRows == 1L, s"non-feed metric did not record once: $nfRows")
+    val sweep3 = spark.sql("CALL dmf.system.maintain('ops')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(!sweep3.exists(_._2 == "metrics"),
+      s"interval-covered table re-measured: ${sweep3.toSeq}")
+    assert(spark.sql(
+      "SELECT count(*) FROM dmf.ops._metrics WHERE table_name = 'nf'")
+      .head.getLong(0) == 1L)
   }
 }
