@@ -953,8 +953,16 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
             override def readSchema(): StructType =
               ChangeFeedStream.feedSchema(params)
             override def toMicroBatchStream(checkpointLocation: String)
-                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+              if (GraftSqlTable.governedProps(index.state.props))
+                throw new UnsupportedOperationException(
+                  s"table '$table' carries a row policy or column " +
+                    "mask: a change-feed subscription by name would " +
+                    "serve raw changes past the governance plan. " +
+                    "Subscribe through format(\"graft-cdf\") — the " +
+                    "owner path — or drop the policy/mask")
               new CdfMicroBatchStream(spark, params)
+            }
             override def description(): String =
               s"GraftNamedCdfScan($root/$table)"
           }
@@ -1054,6 +1062,16 @@ object GraftSqlTable {
     * ([[graft.plans.RowPolicyRule]]).
     */
   val RowPolicyKey: String = graft.plans.RowPolicyRule.PolicyKey
+
+  /** Does this property set declare read governance (a row policy or
+    * any column mask)? Streaming subscriptions refuse on governed
+    * tables: a micro-batch stream serves raw rows/changes that would
+    * bypass the plan-time filter/mask — the provider CDF path remains
+    * as the explicit OWNER subscription for engine maintainers.
+    */
+  def governedProps(props: Map[String, String]): Boolean =
+    props.contains(RowPolicyKey) ||
+      props.keys.exists(_.startsWith(graft.plans.RowPolicyRule.MaskPrefix))
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 
@@ -1248,6 +1266,12 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
       throw new UnsupportedOperationException(
         "a time-traveled or raw graft relation cannot stream — it is " +
           "pinned to one snapshot")
+    if (GraftSqlTable.governedProps(index.state.props))
+      throw new UnsupportedOperationException(
+        s"table '${index.tableName}' carries a row policy or column " +
+          "mask: a streaming read would serve raw rows past the " +
+          "governance plan. Subscribe through format(\"graft-cdf\") — " +
+          "the owner path — or drop the policy/mask")
     new TableMicroBatchStream(SparkSession.active, index.rootPath,
       index.tableName, required, dataSchema, scanOptions)
   }

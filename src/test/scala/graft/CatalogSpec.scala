@@ -978,6 +978,19 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO msk.ops.nn (k, v) VALUES (1, 'x')")
     // (merge-on-read + mask composes: the reconciled read still masks)
     assert(spark.sql("SELECT v FROM msk.ops.nn").head.getString(0) == "*x")
+
+    // streaming reads by NAME refuse on governed tables (a micro-batch
+    // stream serves raw rows past the governance plan); the provider
+    // CDF path remains the owner subscription
+    val st = intercept[Exception] {
+      spark.readStream.table("msk.ops.t").writeStream
+        .format("memory").queryName("msk_leak")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("msk_ck").toString)
+        .start().processAllAvailable()
+    }
+    assert(st.getMessage.contains("row policy or column mask"),
+      s"governed table streamed raw rows: ${st.getMessage}")
   }
 
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
