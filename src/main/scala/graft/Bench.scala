@@ -106,8 +106,22 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : String =
       try {
+        // normalize run-specific tokens: build outputs land in per-run
+        // temp dirs whose paths (and file listings) ride the relation
+        // nodes — without this, a third of the hashes churn between two
+        // runs of IDENTICAL code and the ledger can't answer anything
         val s = fn(spark, sfDir).queryExecution.optimizedPlan
           .canonicalized.treeString
+          .replaceAll("file:[^\\s,\\]\\)]+", "<path>")
+          .replaceAll("/[-_/a-zA-Z0-9.]*(tmp|warehouse|testdata)" +
+            "[-_/a-zA-Z0-9.]*", "<path>")
+          .replaceAll("#-?\\d+", "#id")
+          .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=x]")
+          .replaceAll("QueryStage \\d+", "QueryStage x")
+          .replaceAll("\\*\\(\\d+\\)", "*(n)")
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda")
+          .replaceAll("@[0-9a-f]{6,}", "@x")
+          .replaceAll("FILTER \\(WHERE \\(\\d+ =", "FILTER (WHERE (k =")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.getBytes("UTF-8"))
           .take(6).map("%02x".format(_)).mkString
