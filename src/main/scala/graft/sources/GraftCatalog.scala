@@ -427,9 +427,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"got '${p.value}'")
         // remaining mart declaration keys are free-form name lists
         props += key -> p.value
+      case rm: TableChange.RemoveProperty =>
+        // UNSET TBLPROPERTIES: drop a row policy, mask, constraint,
+        // metric, default/generated expression, or operating property —
+        // a removal sentinel rides the same metadata commit and the
+        // manifest fold deletes the key
+        val k = rm.property
+        val key =
+          if (k.equalsIgnoreCase(GraftSqlTable.RowPolicyKey))
+            GraftSqlTable.RowPolicyKey
+          else knownProp(k).getOrElse(k)
+        val removable = key == GraftSqlTable.RowPolicyKey ||
+          knownProp(k).nonEmpty ||
+          Seq("mask.", "constraint.", "metric.", "default.",
+            "generated.").exists(key.startsWith)
+        require(removable,
+          s"property '$k' is not removable (layout properties like " +
+            "mergeKeys/buckets define committed bytes' meaning)")
+        props += key -> ManifestTable.PropRemoved
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (graft supports ADD " +
-          "COLUMNS and SET TBLPROPERTIES statsCols/searchCols/" +
+          "COLUMNS and SET/UNSET TBLPROPERTIES statsCols/searchCols/" +
           ManifestTable.KnownProps.toSeq.sorted.mkString("/") + ")")
     }
     // rowPolicy and merge-on-read stay mutually exclusive through ALTER

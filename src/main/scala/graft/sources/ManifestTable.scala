@@ -256,8 +256,13 @@ object ManifestTable {
         val nextDeltas = u.deltaBuckets.foldLeft(afterClear) {
           case (ds, (b, gens)) => ds + (b -> (ds.getOrElse(b, Nil) ++ gens))
         }
+        // a props entry carrying the removal sentinel DELETES the key —
+        // `ALTER TABLE … UNSET TBLPROPERTIES` (dropping a row policy,
+        // mask, constraint, metric, default, maintenance threshold)
         val pr =
-          if (u.props.nonEmpty) prevState.props ++ u.props else prevState.props
+          if (u.props.nonEmpty)
+            (prevState.props ++ u.props).filterNot(_._2 == PropRemoved)
+          else prevState.props
         acc + (name -> TableState(u.schemaJson, next, changes, feedFrom,
           mk, nb, sc, xc, nextDeltas, pr))
       }
@@ -1208,6 +1213,12 @@ object ManifestTable {
       "martSourceRoot", "martGroupCols", "martValueCols", "martMaxCols",
       "martMinCols", "martSourceVersion",
       "maintReclusterCols", "maintZorder")
+
+  /** Sentinel a [[TableUpdate]] props entry carries to DELETE the key
+    * from the table state (`ALTER TABLE … UNSET TBLPROPERTIES`). Never
+    * persists: the manifest fold filters it out.
+    */
+  val PropRemoved: String = "__graft_unset__"
   /** Row-level operation isolation levels (the Iceberg property shape):
     * `serializable` (default) aborts a statement when ANY concurrent
     * commit changed its table; `snapshot` narrows the conflict to the

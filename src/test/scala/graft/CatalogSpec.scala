@@ -800,6 +800,19 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT tag FROM idn.ops.t WHERE name = 'f'")
       .head.getString(0) == "z", "added-column default did not apply")
 
+    // identity reservations advance through a transaction ENVELOPE's
+    // overlay: two statements in one envelope read each other's hwm
+    // (read-your-own-writes covers table PROPS too), so blocks never
+    // reuse — and the published single commit carries the final hwm
+    spark.sql("CALL idn.system.begin('ops')")
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('tx1'), ('tx2')")
+    spark.sql("INSERT INTO idn.ops.t (name) VALUES ('tx3')")
+    spark.sql("CALL idn.system.commit('ops')")
+    val idsTx = spark.sql("SELECT id FROM idn.ops.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(idsTx.distinct.length == idsTx.length,
+      s"envelope statements reused an identity block: ${idsTx.sorted}")
+
     // rows born through native SQL MERGE's NOT MATCHED INSERT generate
     // ids too — the copy-on-write row-level path reserves from the same
     // committed hwm (identity columns can't key the merge, so key on a

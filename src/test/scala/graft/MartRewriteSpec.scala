@@ -294,6 +294,60 @@ class MartRewriteSpec extends SparkSpec {
     assert(q.collect().map(_.toString).toSet == direct)
   }
 
+  test("governance composes with the mart rewrite: a group-column row policy rides onto the mart like any filter, and a masked source never substitutes (the mask Project blocks unwrap)") {
+    val wh = tmp("graft_mv_gov")
+    spark.conf.set("spark.sql.catalog.gvm",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvm.ops")
+    val root = new File(wh, "ops").toString
+    ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+      TableBatch("t",
+        (0L until 60L).map(i => (i, s"g${i % 3}", i * 0.5))
+          .toDF("event_id", "grp", "value"),
+        Seq("event_id"), 2, changeFeed = true)))
+    val cfg = IncrementalMart.Config(root, root,
+      groupCols = Seq("grp"), valueCols = Seq("value"),
+      sourceTable = "t", martTable = "m", numBuckets = 2)
+    IncrementalMart.sync(spark, cfg, tmp("graft_mv_gov_ckpt"))
+
+    // a GROUP-column policy: the planted Filter is group-subsumed, so
+    // the rewrite still fires and re-applies the policy on the mart
+    spark.sql("""ALTER TABLE gvm.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "grp <> 'g0'")""")
+    def q = spark.table("gvm.ops.t").groupBy("grp")
+      .agg(sum("value").as("sv"))
+    assert(scannedTables(q) == Seq("m"),
+      s"group-column policy blocked the rewrite: ${scannedTables(q)}")
+    val direct = {
+      spark.conf.set("spark.graft.martRewrite", "false")
+      try q.collect().map(_.toString).toSet
+      finally spark.conf.unset("spark.graft.martRewrite")
+    }
+    assert(!direct.exists(_.contains("g0")), "policy did not filter")
+    assert(q.collect().map(_.toString).toSet == direct,
+      "policy+mart composition diverged from the direct governed scan")
+
+    // a VALUE-column policy is NOT group-subsumed: never a wrong answer,
+    // the rewrite stands down and the governed scan answers
+    spark.sql("""ALTER TABLE gvm.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "value < 20.0")""")
+    assert(scannedTables(q) == Seq("t"),
+      s"non-group policy must block the rewrite: ${scannedTables(q)}")
+
+    // a MASKED column blocks substitution structurally (the mask
+    // Project is not attribute-only): masked values aggregate, the
+    // cleartext mart partials never serve
+    spark.sql("ALTER TABLE gvm.ops.t UNSET TBLPROPERTIES ('rowPolicy')")
+    spark.sql("""ALTER TABLE gvm.ops.t SET TBLPROPERTIES
+      ('mask.value' = 'cast(0.0 as double)')""")
+    assert(scannedTables(q) == Seq("t"),
+      s"a masked source substituted the cleartext mart: " +
+        s"${scannedTables(q)}")
+    assert(q.collect().map(r => r.getDouble(1)).forall(_ == 0.0),
+      "the aggregate saw cleartext past the mask")
+  }
+
   test("marts cascade: a feed-publishing mart feeds a second-level mart exactly, and the rewrite chains level by level") {
     val root = tmp("graft_mv_chain")
     def mkSrc(rs: Seq[(Long, String, String, Double)]): DataFrame =
