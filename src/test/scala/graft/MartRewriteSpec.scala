@@ -294,6 +294,62 @@ class MartRewriteSpec extends SparkSpec {
     assert(q.collect().map(_.toString).toSet == direct)
   }
 
+  test("decimal avg derivation FUZZ: random decimal corpora (nulls, negatives, magnitude spread, churn) never diverge from the direct Average") {
+    val rng = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val root = tmp(s"graft_mv_fuzz$trial")
+      def rows(n: Int, idBase: Long) = (0 until n).map { i =>
+        val v: java.math.BigDecimal =
+          if (rng.nextInt(8) == 0) null
+          else java.math.BigDecimal.valueOf(
+            (rng.nextLong() % 10000000000000000L) / 100.0)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+        (idBase + i, s"g${rng.nextInt(7)}", v)
+      }
+      def df(rs: Seq[(Long, String, java.math.BigDecimal)]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rs.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2, t._3))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("grp",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("dv",
+              org.apache.spark.sql.types.DecimalType(18, 2)))))
+      ManifestTable.mergeBatch(new File(root), "q", 0L, Seq(
+        TableBatch("t", df(rows(200, 0L)), Seq("event_id"), 2,
+          changeFeed = true)))
+      val cfg = IncrementalMart.Config(root, root,
+        groupCols = Seq("grp"), valueCols = Seq("dv"),
+        sourceTable = "t", martTable = "m", numBuckets = 2)
+      val ck = tmp(s"graft_mv_fuzz_ck$trial")
+      IncrementalMart.sync(spark, cfg, ck)
+      def src: DataFrame = spark.read.format("graft")
+        .option("path", root).option("table", "t").load()
+      def q = src.groupBy("grp").agg(avg("dv").as("a"),
+        sum("dv").as("s"), count(col("dv")).as("c"))
+      def direct: Set[String] = {
+        spark.conf.set("spark.graft.martRewrite", "false")
+        try q.collect().map(_.toString).toSet
+        finally spark.conf.unset("spark.graft.martRewrite")
+      }
+      assert(scannedTables(q) == Seq("m"), s"trial $trial: no rewrite")
+      assert(q.collect().map(_.toString).toSet == direct,
+        s"trial $trial diverged after base build")
+      // signed churn: updates (some to/from null) + deletes, re-sync
+      ManifestTable.mergeBatch(new File(root), "q", 1L, Seq(
+        TableBatch("t", df(rows(60, 0L) ++ rows(40, 300L)),
+          Seq("event_id"), 2, changeFeed = true,
+          deleteKeys = Some(
+            (100L until 120L).toDF("event_id")))))
+      IncrementalMart.sync(spark, cfg, ck)
+      assert(scannedTables(q) == Seq("m"))
+      assert(q.collect().map(_.toString).toSet == direct,
+        s"trial $trial diverged after signed churn")
+    }
+  }
+
   test("governance composes with the mart rewrite: a group-column row policy rides onto the mart like any filter, and a masked source never substitutes (the mask Project blocks unwrap)") {
     val wh = tmp("graft_mv_gov")
     spark.conf.set("spark.sql.catalog.gvm",
