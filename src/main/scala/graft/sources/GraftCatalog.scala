@@ -166,6 +166,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .exists(_.tables.get(ident.name).exists(_.schemaJson.nonEmpty))
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables: `SELECT * FROM cat.ns.t$history|$files|$properties`
+    // — answered from the manifest alone ([[GraftMetaTable]])
+    val di = ident.name.lastIndexOf('$')
+    if (di > 0) {
+      val (base, kind) =
+        (ident.name.substring(0, di), ident.name.substring(di + 1))
+      if (GraftMetaTable.Kinds.contains(kind) &&
+          namespaceExists(ident.namespace)) {
+        val root = rootOf(ident.namespace)
+        if (ManifestTable.read(root)
+            .exists(_.table(base).schemaJson.nonEmpty))
+          return new GraftMetaTable(root, base, kind)
+      }
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
   }

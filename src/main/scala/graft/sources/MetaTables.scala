@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** METADATA TABLES — the Iceberg `db.t$history` / Delta DESCRIBE-DETAIL
+  * / Snowflake INFORMATION_SCHEMA surface as plain SQL relations:
+  *
+  * {{{
+  *   SELECT * FROM graft.ops.events$history     -- commits touching it
+  *   SELECT * FROM graft.ops.events$files       -- live generation files
+  *   SELECT * FROM graft.ops.events$properties  -- table properties
+  * }}}
+  *
+  * Each is answered ENTIRELY from the manifest — a `LocalScan` whose
+  * rows compute driver-side at metadata rate, zero data files opened —
+  * so an operator can join `$files` row counts or watch `$history`
+  * without ever scanning the 100 TB the metadata describes. Read-only
+  * by construction (no write capabilities), always the CURRENT
+  * snapshot.
+  */
+private[sources] class GraftMetaTable(root: File, table: String,
+    kind: String) extends Table with SupportsRead {
+
+  override def name(): String = s"$root/$table$$$kind"
+
+  override def schema(): StructType = GraftMetaTable.schemaOf(kind)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] =
+        GraftMetaTable.rowsOf(root, table, kind)
+      override def description(): String = name()
+    }
+  }
+}
+
+private[sources] object GraftMetaTable {
+
+  val Kinds: Set[String] = Set("history", "files", "properties")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType),
+      StructField("operation", StringType),
+      StructField("commit_ts", TimestampType),
+      StructField("query_id", StringType),
+      StructField("batch_id", LongType)))
+    case "files" => StructType(Seq(
+      StructField("bucket", LongType),
+      StructField("path", StringType),
+      StructField("rows", LongType),
+      StructField("file_kind", StringType), // base | delta
+      StructField("stats_cols", ArrayType(StringType)),
+      StructField("search_cols", ArrayType(StringType))))
+    case "properties" => StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StringType)))
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table kind '$other' (one of $Kinds)")
+  }
+
+  private def s(v: String): UTF8String = UTF8String.fromString(v)
+
+  def rowsOf(root: File, table: String, kind: String): Array[InternalRow] = {
+    val m = ManifestTable.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest under $root"))
+    val ts = m.table(table)
+    require(ts.schemaJson.nonEmpty, s"table '$table' does not exist")
+    kind match {
+      case "history" =>
+        // the root's commit history filtered to commits that touched
+        // THIS table (one namespace = one manifest, so the root history
+        // spans every table — the $history view is the per-table cut)
+        ManifestTable.history(SparkSession.active, root).collect()
+          .filter(r => r.isNullAt(3) ||
+            r.getSeq[String](3).isEmpty || r.getSeq[String](3).contains(table))
+          .map { r =>
+            InternalRow(
+              r.getLong(0),
+              if (r.isNullAt(1)) null else s(r.getString(1)),
+              if (r.isNullAt(2)) null
+              else r.getTimestamp(2).getTime * 1000L,
+              if (r.isNullAt(4)) null else s(r.getString(4)),
+              r.getLong(5))
+          }
+      case "files" =>
+        def arr(xs: Seq[String]) = new GenericArrayData(xs.map(s))
+        val base = ts.buckets.toSeq.sortBy(_._1).flatMap { case (b, gens) =>
+          gens.map(g => InternalRow(b, s(g.path), g.rows, s("base"),
+            arr(g.stats.keys.toSeq.sorted), arr(g.search)))
+        }
+        val deltas = ts.deltas.toSeq.sortBy(_._1).flatMap { case (b, gens) =>
+          gens.map(g => InternalRow(b, s(g.path), g.rows, s("delta"),
+            arr(g.stats.keys.toSeq.sorted), arr(g.search)))
+        }
+        (base ++ deltas).toArray
+      case "properties" =>
+        ts.props.toSeq.sortBy(_._1).map { case (k, v) =>
+          InternalRow(s(k), s(v))
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table kind '$other'")
+    }
+  }
+}

@@ -1006,6 +1006,61 @@ class CatalogSpec extends SparkSpec {
       s"governed table streamed raw rows: ${st.getMessage}")
   }
 
+  test("metadata tables: t$history / t$files / t$properties answer from the manifest alone — per-table commit cuts, live generation files incl. MoR deltas, and declared properties") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    spark.conf.set("spark.sql.catalog.mt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mt.ops")
+    spark.sql("""CREATE TABLE mt.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'retainHours'='48')""")
+    spark.sql("""CREATE TABLE mt.ops.u (id BIGINT, w BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO mt.ops.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO mt.ops.u VALUES (1, 1)")
+    spark.sql("INSERT INTO mt.ops.t VALUES (3, 30)")
+
+    // $history: only the commits that touched THIS table
+    val h = spark.sql("SELECT version, operation FROM mt.ops.`t$history`")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(h.length >= 3, s"history too short: ${h.toSeq}") // create + 2 inserts
+    val hu = spark.sql("SELECT count(*) FROM mt.ops.`u$history`")
+      .head.getLong(0)
+    assert(hu < h.length, "per-table history cut did not filter")
+
+    // $files: live generations with per-file row counts — sums to the
+    // table count without opening a data file
+    val files = spark.sql(
+      "SELECT bucket, path, rows, file_kind FROM mt.ops.`t$files`")
+      .collect()
+    assert(files.forall(_.getString(3) == "base"))
+    assert(files.map(_.getLong(2)).sum == 3L,
+      s"file rows did not sum to the table count: ${files.toSeq}")
+    assert(files.map(_.getString(1)).distinct.length == files.length)
+
+    // $properties: declared properties read back
+    val props = spark.sql(
+      "SELECT key, value FROM mt.ops.`t$properties`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("retainHours").contains("48"), s"props: $props")
+
+    // a MoR delta generation shows with its kind
+    spark.sql("ALTER TABLE mt.ops.t SET TBLPROPERTIES " +
+      "('rowLevelMode'='merge-on-read')")
+    spark.sql("UPDATE mt.ops.t SET v = 11 WHERE id = 1")
+    val kinds = spark.sql("SELECT file_kind FROM mt.ops.`t$files`")
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("base", "delta"), s"kinds: $kinds")
+
+    // unknown kinds and missing bases still error cleanly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mt.ops.`t$nope`").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mt.ops.`ghost$files`").collect()
+    }
+  }
+
   test("ALTER TABLE: ADD COLUMNS null-backfills as a metadata commit; SET TBLPROPERTIES adopts the layout for future writers and index backfill") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat6").toString
     spark.conf.set("spark.sql.catalog.graft6", classOf[GraftCatalog].getName)
