@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // session-context governance: graft_session_attr('k') folds the
+    // session conf graft.session.k to a literal at analysis time
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        functions.SessionAttr.Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", functions.SessionAttr.Name),
+      functions.SessionAttr.builder))
     // row access policies FIRST: the policy filter must plant before the
     // metadata-count rewrite could answer an aggregate from manifest row
     // counts (which would leak hidden rows), and before pushdown so a

@@ -91,9 +91,29 @@ case class RowPolicyRule(fallback: Boolean = false)
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Is `k` a read-governance property (the row policy or a mask)? */
+  private def isGovKey(k: String): Boolean =
+    k == RowPolicyRule.PolicyKey || k.startsWith(RowPolicyRule.MaskPrefix)
+
+  /** Table properties with GOVERNANCE keys resolved from the manifest
+    * HEAD rather than the relation's pinned snapshot: the CURRENT policy
+    * governs time-travel reads too (the Snowflake contract) — a policy
+    * or mask added after version v still filters `VERSION AS OF v`, and
+    * a dropped one stops filtering it. Non-governance props keep the
+    * snapshot's values; raw (owner-leg) tables never reach governance
+    * (their relations carry the Applied tag through plan copies).
+    */
   private def propsOf(t: org.apache.spark.sql.connector.catalog.Table)
       : Map[String, String] = t match {
-    case g: GraftSqlTable => g.index.state.props
+    case g: GraftSqlTable =>
+      val snap = g.index.state.props
+      if (g.pinnedVersion.isEmpty || g.raw) snap
+      else {
+        val head = graft.sources.ManifestTable.read(g.rootDir)
+          .map(_.table(g.tableName).props).getOrElse(snap)
+        snap.filterNot { case (k, _) => isGovKey(k) } ++
+          head.filter { case (k, _) => isGovKey(k) }
+      }
     case _ => Map.empty
   }
 
@@ -123,6 +143,9 @@ case class RowPolicyRule(fallback: Boolean = false)
     */
   private def planted(node: LogicalPlan, table: String,
       policy: Option[String], masks: Seq[(String, String)]): LogicalPlan = {
+    // policies/masks may call graft_session_attr — make sure the parse
+    // below resolves it even in sessions wired without extensions
+    graft.functions.SessionAttr.register(spark)
     def parse(what: String, sql: String) =
       try expr(sql) catch {
         case e: Exception => throw new IllegalArgumentException(

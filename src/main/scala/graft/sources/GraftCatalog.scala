@@ -166,6 +166,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .exists(_.tables.get(ident.name).exists(_.schemaJson.nonEmpty))
 
   override def loadTable(ident: Identifier): Table = {
+    // a REAL table wins over meta-table resolution: a created table
+    // whose name happens to contain '$' (legal in createTable) must stay
+    // reachable, never shadowed by the meta view of its '$'-prefix
+    if (tableExists(ident))
+      return new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
     // metadata tables: `SELECT * FROM cat.ns.t$history|$files|$properties`
     // — answered from the manifest alone ([[GraftMetaTable]])
     val di = ident.name.lastIndexOf('$')
@@ -180,8 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return new GraftMetaTable(root, base, kind)
       }
     }
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF 7` resolves
@@ -458,6 +462,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(removable,
           s"property '$k' is not removable (layout properties like " +
             "mergeKeys/buckets define committed bytes' meaning)")
+        // unsetting rowLevelMode on a merge-on-read table with LIVE
+        // deltas would route later UPDATE/DELETE through the
+        // copy-on-write builder, whose base rewrite leaves the old delta
+        // upserts/tombstones in place to shadow it — committed bytes
+        // would change meaning, exactly what removability protects
+        if (key == "rowLevelMode")
+          require(ManifestTable.read(root)
+              .forall(_.table(ident.name).deltas.isEmpty),
+            s"cannot UNSET rowLevelMode on '${ident.name}': outstanding " +
+              "merge-on-read deltas still shadow the base generations — " +
+              "collapse them first (CALL graft.system.compact)")
         props += key -> ManifestTable.PropRemoved
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other (graft supports ADD " +
@@ -971,6 +986,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     graft.plans.MergeOnReadRule.register(spark)
     graft.plans.MartRewriteRule.register(spark)
     graft.plans.RowPolicyRule.register(spark)
+    graft.functions.SessionAttr.register(spark)
     if (options.getBoolean(GraftSqlTable.ReadChangeFeedOption, false)) {
       // named feed subscription: plan the SAME CdfMicroBatchStream as
       // format("graft-cdf"), so offsets/checkpoints/admission control

@@ -77,4 +77,36 @@ object Bridge {
     ss.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
       isStreaming = false)
   }
+
+  /** Register a session-scoped SQL function builder (`sessionState` is
+    * private[sql]) — idempotent; how `graft_session_attr` reaches
+    * sessions wired without [[graft.GraftExtensions]].
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!ss.sessionState.functionRegistry.functionExists(ident))
+      ss.sessionState.functionRegistry.registerFunction(ident,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder)
+  }
+
+  /** Fold the current-like expressions (`current_user()`,
+    * `current_date()`, `current_timestamp()`, `current_catalog()`, …)
+    * in an ANALYZED plan to literals — the two optimizer rules Spark
+    * itself runs, applied standalone so a governance predicate can be
+    * bound and evaluated OUTSIDE a full optimization pass (the
+    * policy-aware row-level scan, the governed micro-batch stream).
+    */
+  def foldCurrentLike(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.catalyst.optimizer.ReplaceCurrentLike(
+      ss.sessionState.catalogManager)(
+      org.apache.spark.sql.catalyst.optimizer.ComputeCurrentTime(plan))
+  }
 }

@@ -1111,4 +1111,130 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft6.ops.t RENAME COLUMN note TO memo")
     }
   }
+
+  test("governance hardening: the CURRENT policy governs time-travel reads, rowLevelMode cannot unset over live deltas, and a real table named like a meta view stays reachable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gvh").toString
+    spark.conf.set("spark.sql.catalog.gvh", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvh.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvh.ops")
+
+    // --- CURRENT governance applies to time travel (the Snowflake
+    // contract): a policy added AFTER version v still filters
+    // `VERSION AS OF v`, and dropping it stops filtering v too ---
+    spark.sql("""CREATE TABLE gvh.ops.t (id BIGINT, region STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("""INSERT INTO gvh.ops.t VALUES
+      (1, 'EU'), (2, 'SECRET'), (3, 'US')""")
+    val root = new File(wh, "ops")
+    val vPrePolicy = ManifestTable.read(root).get.version
+    assert(spark.sql(
+      s"SELECT count(*) FROM gvh.ops.t VERSION AS OF $vPrePolicy")
+      .head.getLong(0) == 3L)
+    spark.sql("""ALTER TABLE gvh.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "region <> 'SECRET'",
+       'mask.region' = "substring(region, 1, 1)")""")
+    // the pre-ALTER snapshot serves FILTERED + MASKED rows now
+    val tt = spark.sql(s"SELECT id, region FROM gvh.ops.t " +
+      s"VERSION AS OF $vPrePolicy ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(tt.toSeq == Seq((1L, "E"), (3L, "U")),
+      s"time travel escaped the current policy/mask: ${tt.toSeq}")
+    // dropping the policy un-governs the SAME old version
+    spark.sql("ALTER TABLE gvh.ops.t UNSET TBLPROPERTIES " +
+      "('rowPolicy', 'mask.region')")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gvh.ops.t VERSION AS OF $vPrePolicy")
+      .head.getLong(0) == 3L)
+
+    // --- rowLevelMode is not removable while deltas shadow the base:
+    // stale delta upserts would resurrect under a CoW rewrite ---
+    spark.sql("""CREATE TABLE gvh.ops.m (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowLevelMode'='merge-on-read')""")
+    spark.sql("INSERT INTO gvh.ops.m VALUES (1, 10), (2, 20)")
+    spark.sql("UPDATE gvh.ops.m SET v = 11 WHERE id = 1")
+    assert(ManifestTable.read(root).get.table("m").deltas.nonEmpty)
+    val rm = intercept[Exception] {
+      spark.sql("ALTER TABLE gvh.ops.m UNSET TBLPROPERTIES ('rowLevelMode')")
+    }
+    assert(rm.getMessage.contains("merge-on-read deltas"),
+      s"unexpected refusal: ${rm.getMessage}")
+    // after collapsing the deltas the unset goes through, and CoW DML
+    // then sees the collapsed (correct) values
+    spark.sql("CALL gvh.system.compact('ops', 'm')").collect()
+    spark.sql("ALTER TABLE gvh.ops.m UNSET TBLPROPERTIES ('rowLevelMode')")
+    spark.sql("UPDATE gvh.ops.m SET v = v + 1 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM gvh.ops.m WHERE id = 1")
+      .head.getLong(0) == 12L)
+
+    // --- a REAL table whose name carries '$' is never shadowed by the
+    // meta view of its prefix ---
+    spark.sql("""CREATE TABLE gvh.ops.`t$history` (k BIGINT, note STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='2')""")
+    spark.sql("INSERT INTO gvh.ops.`t$history` VALUES (7, 'real')")
+    val real = spark.sql("SELECT k, note FROM gvh.ops.`t$history`").collect()
+    assert(real.length == 1 && real.head.getLong(0) == 7L &&
+      real.head.getString(1) == "real",
+      s"real '$$'-named table shadowed by the meta view: ${real.toSeq}")
+    // the meta view of OTHER tables keeps answering
+    assert(spark.sql("SELECT count(*) FROM gvh.ops.`m$history`")
+      .head.getLong(0) >= 1L)
+  }
+
+  test("session-context governance: graft_session_attr reads session confs inside policies and masks — one table serves different rows/masks to sessions differing only in the attribute") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sat").toString
+    def wire(s: org.apache.spark.sql.SparkSession): Unit = {
+      s.conf.set("spark.sql.catalog.sat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.sat.warehouse", wh)
+    }
+    wire(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sat.ops")
+    // the reference's ops views are per-client (sql/07): "an analyst
+    // sees only their own client" is the canonical per-session policy
+    spark.sql("""CREATE TABLE sat.ops.t (id BIGINT, client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')",
+        'mask.v' = "CASE WHEN graft_session_attr('role') = 'admin'
+                    THEN v ELSE -1 END")""")
+    spark.sql("""INSERT INTO sat.ops.t VALUES
+      (1, 'ACME', 10), (2, 'BETA', 20), (3, 'ACME', 30)""")
+
+    // session 1: ACME analyst — own rows, masked values
+    spark.conf.set("graft.session.client", "ACME")
+    val s1 = spark.sql("SELECT id, v FROM sat.ops.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.toSeq == Seq((1L, -1L), (3L, -1L)),
+      s"ACME analyst view wrong: ${s1.toSeq}")
+
+    // same session promoted to admin: mask lifts, rows unchanged
+    spark.conf.set("graft.session.role", "admin")
+    val s1a = spark.sql("SELECT id, v FROM sat.ops.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1a.toSeq == Seq((1L, 10L), (3L, 30L)),
+      s"admin mask lift wrong: ${s1a.toSeq}")
+
+    // a SECOND session over the same table, differing only in the attr,
+    // gets different rows — session isolation of the attribute
+    val spark2 = spark.newSession()
+    wire(spark2)
+    spark2.conf.set("graft.session.client", "BETA")
+    val s2 = spark2.sql("SELECT id, v FROM sat.ops.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s2.toSeq == Seq((2L, -1L)), s"BETA analyst view wrong: ${s2.toSeq}")
+
+    // unset attribute → NULL → the equality policy hides everything
+    val spark3 = spark.newSession()
+    wire(spark3)
+    assert(spark3.sql("SELECT count(*) FROM sat.ops.t").head.getLong(0) == 0L,
+      "an unset session attribute leaked rows")
+
+    // the folded literal keeps the policy SARGABLE: the planted filter
+    // prunes generations like a user predicate (merge-key equality not
+    // required — just assert the plan carries a pushed filter)
+    spark.conf.unset("graft.session.role")
+    val plan = spark.sql("SELECT v FROM sat.ops.t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("client"),
+      s"policy filter missing from the plan:\n$plan")
+  }
 }
