@@ -40,11 +40,14 @@ import graft.sources.GraftSqlTable
   *    bypass policies, exactly like Snowflake's policy-owner reads —
   *    otherwise an incremental maintainer would fold a filtered/masked
   *    world into an unfiltered table and corrupt it.
-  *  - SQL row-level DML (MERGE/UPDATE/DELETE) on a ROW-POLICY table
-  *    REFUSES loudly: a copy-on-write rewrite under a filtered read
-  *    would silently DROP the invisible rows. Masked tables allow DML —
-  *    the row-level read leg resolves through the operation wrapper
-  *    (owner view), so rewrites persist TRUE values, never masked ones.
+  *  - SQL row-level DML (MERGE/UPDATE/DELETE) on a ROW-POLICY table is
+  *    POLICY-AWARE (the Snowflake contract): the statement's scan serves
+  *    only policy-visible rows and the commit carries the hidden slice
+  *    of the rewritten groups through unmodified — see
+  *    [[graft.sources.GovernedRows]] / [[graft.sources.GraftRowLevelOperation]].
+  *    Masked tables allow DML with cleartext semantics — the row-level
+  *    read leg resolves through the operation wrapper (owner view), so
+  *    rewrites persist TRUE values, never masked ones.
   *  - merge-on-read tables refuse the rowPolicy at declaration time
   *    (their reads re-plan into multi-leg reconciliation unions this
   *    filter placement does not govern); masks compose fine (the

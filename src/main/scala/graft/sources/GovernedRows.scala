@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.functions.expr
@@ -30,12 +30,12 @@ import org.apache.spark.sql.types.StructType
 private[graft] object GovernedRows {
 
   /** Parse + analyze `sql` as a predicate over `schema`, fold
-    * current-like calls, and return (resolved condition, the attribute
-    * set it resolved against). The condition's `AttributeReference`s
-    * point into the returned attrs — bind or remap before evaluating.
+    * current-like calls, and return the resolved condition. Its
+    * `AttributeReference`s carry the schema's names/types — remap by
+    * NAME before evaluating ([[filtering]], [[onFrame]]).
     */
   def compile(spark: SparkSession, schema: StructType, sql: String,
-      what: String): (Expression, Seq[Attribute]) = {
+      what: String): Expression = {
     graft.functions.SessionAttr.register(spark)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val parsed =
@@ -58,7 +58,7 @@ private[graft] object GovernedRows {
     require(cond.deterministic,
       s"$what is nondeterministic ($sql) — the visible/hidden split " +
         "must be stable between a statement's scan and its commit")
-    (cond, relation.output)
+    cond
   }
 
   /** `cond` re-targeted at a DataFrame's own attributes (matched by
@@ -75,13 +75,23 @@ private[graft] object GovernedRows {
 
   /** Wrap a reader factory with a per-row keep-predicate: rows where
     * `cond` does not evaluate to exactly TRUE are dropped (NULL =
-    * hidden, the SQL policy contract). `cond` must be resolved against
-    * `attrs` in the factory's OUTPUT order; binding happens here so the
+    * hidden, the SQL policy contract). `cond`'s attributes bind BY NAME
+    * against `schema` — the factory's output row layout — so the
     * executor-side reader evaluates a codegen'd `BasePredicate`.
     */
   def filtering(base: PartitionReaderFactory, cond: Expression,
-      attrs: Seq[Attribute]): PartitionReaderFactory =
-    FilteringReaderFactory(base, BindReferences.bindReference(cond, attrs))
+      schema: StructType, what: String): PartitionReaderFactory = {
+    val bound = cond.transform {
+      case a: AttributeReference =>
+        val i = schema.fieldNames.indexOf(a.name)
+        require(i >= 0, s"$what references column '${a.name}' which the " +
+          s"read schema [${schema.fieldNames.mkString(", ")}] does not " +
+          "carry")
+        org.apache.spark.sql.catalyst.expressions
+          .BoundReference(i, a.dataType, a.nullable)
+    }
+    FilteringReaderFactory(base, bound)
+  }
 }
 
 /** Row-filtering decorator over any row-based reader factory. Forces the

@@ -962,19 +962,24 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // a copy-on-write rewrite planned under a policy-FILTERED read would
-    // silently drop the invisible rows: refuse loudly and point at the
-    // owner path (the engine verbs bypass policies by design)
-    if (index.state.props.contains(GraftSqlTable.RowPolicyKey))
-      throw new UnsupportedOperationException(
-        s"table '$table' carries a row access policy: SQL MERGE/UPDATE/" +
-          "DELETE would rewrite rows the policy hides. Use the owner " +
-          "verbs (CALL <catalog>.system.update_where/delete_where) or " +
-          "drop the policy first")
+    // POLICY-AWARE row-level DML (the Snowflake contract: MERGE/UPDATE/
+    // DELETE on a governed table act on policy-VISIBLE rows only): the
+    // operation's scan filters to visible rows, and the commit carries
+    // the scanned groups' HIDDEN slice through unmodified — compiled
+    // here so an unexpressible policy (subquery) fails the statement
+    // fast with the remedy, not mid-write. Masks never apply to DML:
+    // the row-level read leg is the owner view, rewrites persist TRUE
+    // values. Merge-on-read tables can't carry a policy (declaration-
+    // time exclusion), so the delta path stays policy-free.
+    val policy = index.state.props.get(GraftSqlTable.RowPolicyKey)
+      .map { sql =>
+        GovernedRows.compile(spark, index.tableSchema, sql,
+          s"row policy on '$table'")
+      }
     if (index.state.props.get("rowLevelMode")
         .contains(GraftSqlTable.MergeOnRead))
       new GraftDeltaBuilder(root, table, index, info)
-    else new GraftRowLevelBuilder(root, table, index, info)
+    else new GraftRowLevelBuilder(root, table, index, info, policy)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1073,8 +1078,9 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     // a merge-on-read table routes EVERY delete through the delta path
     // (key tombstones, no generation rewrite) — refusing here makes
     // Spark fall back to the row-level operation; a policy-bearing
-    // table refuses too, so the fallback surfaces the policy error
-    // instead of a metadata delete silently bypassing the policy
+    // table refuses too, so every delete takes the POLICY-AWARE
+    // row-level path (a metadata delete drops whole generations and
+    // would erase policy-hidden rows the statement must not touch)
     !index.state.props.get("rowLevelMode")
       .contains(GraftSqlTable.MergeOnRead) &&
       !index.state.props.contains(GraftSqlTable.RowPolicyKey) &&

@@ -53,14 +53,30 @@ import org.apache.spark.util.SerializableConfiguration
   * transparently.
   */
 class GraftRowLevelBuilder(root: File, table: String,
-    index: ManifestFileIndex, info: RowLevelOperationInfo)
+    index: ManifestFileIndex, info: RowLevelOperationInfo,
+    policy: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      None)
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(root, table, index, info.command)
+    new GraftRowLevelOperation(root, table, index, info.command, policy)
 }
 
+/** `policy` (compiled by [[GovernedRows.compile]] when the table carries
+  * a `rowPolicy`) makes the statement POLICY-AWARE: the scan serves only
+  * policy-visible rows — so the rewrite query's conditions match, update,
+  * and delete exactly what the session can see — and the commit reads the
+  * scanned groups' HIDDEN complement back from the replaced files and
+  * carries it through unmodified. Hidden rows survive byte-identically
+  * (same values, re-bucketed with the replacement), so the published
+  * feed diff shows no change for them. One compiled predicate drives
+  * both sides: visible = evaluates exactly TRUE, hidden = everything
+  * else (NULL hides, the SQL policy contract) — the split is a
+  * partition, never a drop or a duplicate.
+  */
 class GraftRowLevelOperation(val root: File, val table: String,
-    val index: ManifestFileIndex, cmd: RowLevelOperation.Command)
+    val index: ManifestFileIndex, cmd: RowLevelOperation.Command,
+    val policy: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      None)
   extends RowLevelOperation {
 
   /** Files the operation's scan actually planned (post static + runtime
@@ -129,11 +145,23 @@ class GraftRowLevelScan(op: GraftRowLevelOperation, index: ManifestFileIndex,
     * `DELETE WHERE x=5` would lose the first group). The copy-on-write
     * equivalent of Iceberg's ignoreResiduals: scan unfiltered, let the
     * rewrite query's own Filter node drop the condemned rows.
+    *
+    * ONE exception, and it is exact: under a row POLICY the reader keeps
+    * only policy-VISIBLE rows — the user's statement must match, update,
+    * and delete only what the session can see — and the write's commit
+    * reads the HIDDEN complement back from the same planned files with
+    * the same compiled predicate ([[GraftReplaceDataWrite]]), so the
+    * visible/hidden split is a partition of every planned file's rows.
     */
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    GraftParquetRead.readerFactory(SparkSession.active, dataSchema,
-      required, new StructType(), Array.empty)
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val base = GraftParquetRead.readerFactory(SparkSession.active,
+      dataSchema, required, new StructType(), Array.empty)
+    op.policy.fold(
+      base: org.apache.spark.sql.connector.read.PartitionReaderFactory)(
+      cond => GovernedRows.filtering(base, cond, required,
+        s"row policy on '${op.table}'"))
+  }
 
   override def description(): String =
     s"GraftRowLevelScan($index, pushed=${pushed.mkString(",")}, " +
@@ -356,7 +384,7 @@ class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
       val staged = messages.collect {
         case StagedFile(p) if p.nonEmpty => p
       }
-      val rows =
+      val surviving =
         if (staged.isEmpty)
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -369,6 +397,22 @@ class GraftReplaceDataWrite(op: GraftRowLevelOperation, schema: StructType)
             }
           org.apache.spark.sql.graftbridge.Bridge
             .internalRowsDf(spark, rdd, schema)
+        }
+      // policy-aware statements scanned only the VISIBLE slice of the
+      // replaced groups: read the HIDDEN complement back from the same
+      // files with the same compiled predicate and carry it through
+      // unmodified — the commit drops those files wholesale, so without
+      // this the policy-hidden rows would silently vanish
+      val rows = op.policy.filter(_ => op.replacedFiles.nonEmpty)
+        .fold(surviving) { cond =>
+          val tableSchema = op.index.tableSchema
+          val replaced = spark.read.schema(tableSchema)
+            .parquet(op.replacedFiles: _*)
+          val hidden = replaced.filter(
+            !(GovernedRows.onFrame(cond, replaced) <=>
+              org.apache.spark.sql.functions.lit(true)))
+          surviving.unionByName(
+            hidden.select(schema.fieldNames.map(replaced(_)).toIndexedSeq: _*))
         }
       ManifestTable.replaceGroups(spark, op.root, op.table, op.replacedFiles,
         rows, op.command.toString, op.index.snapshotVersion)

@@ -862,7 +862,7 @@ class CatalogSpec extends SparkSpec {
       s"MoR MERGE-born rows did not get identity values: ${mor.toSeq}")
   }
 
-  test("row access policies: a rowPolicy property filters every catalog read (incl. time travel), writes land full rows, row-level DML refuses loudly, the provider path stays the owner view") {
+  test("row access policies: a rowPolicy property filters every catalog read (incl. time travel), writes land full rows, row-level DML acts on visible rows only, the provider path stays the owner view") {
     val wh = java.nio.file.Files.createTempDirectory("graft_rap").toString
     spark.conf.set("spark.sql.catalog.rap", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.rap.warehouse", wh)
@@ -889,17 +889,28 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM rap.ops.t VERSION AS OF $v")
       .head.getLong(0) == 2L)
 
-    // row-level DML refuses loudly: a CoW rewrite under a filtered read
-    // would silently drop the hidden rows
-    val up = intercept[Exception] {
-      spark.sql("UPDATE rap.ops.t SET v = 0 WHERE id = 1")
-    }
-    assert(up.getMessage.contains("row access policy"),
-      s"expected the policy refusal, got: ${up.getMessage}")
-    val del = intercept[Exception] {
-      spark.sql("DELETE FROM rap.ops.t WHERE id = 1")
-    }
-    assert(del.getMessage.contains("row access policy"))
+    // row-level DML is POLICY-AWARE: statements act on visible rows
+    // only, and the CoW rewrite carries the hidden slice through
+    // unmodified (the Snowflake contract)
+    spark.sql("UPDATE rap.ops.t SET v = 0 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM rap.ops.t WHERE id = 1")
+      .head.getLong(0) == 0L)
+    // a predicate that would hit a HIDDEN row touches nothing
+    spark.sql("UPDATE rap.ops.t SET v = -1 WHERE id = 2")
+    spark.sql("DELETE FROM rap.ops.t WHERE id = 4")
+    val owner = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("region"),
+        r.getAs[Long]("v"))).sortBy(_._1)
+    assert(owner.toSeq == Seq((1L, "EU", 0L), (2L, "SECRET", 20L),
+      (3L, "US", 30L), (4L, "SECRET", 40L)),
+      s"DML touched policy-hidden rows: ${owner.toSeq}")
+    // a DELETE over visible rows removes them — and ONLY them
+    spark.sql("DELETE FROM rap.ops.t WHERE id = 3")
+    assert(spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().collect().map(_.getAs[Long]("id")).sorted
+      .toSeq == Seq(1L, 2L, 4L),
+      "policy-aware DELETE dropped a hidden row")
     // the owner verbs keep working (policies gate the SQL surface)
     spark.sql("CALL rap.system.update_where('ops', 't', 'id = 2', " +
       "'v', 'v + 1')").collect()

@@ -334,4 +334,95 @@ class RowLevelSpec extends SparkSpec {
     assert(spark.sql("SELECT sc FROM rl7.ops.t WHERE id = 2000")
       .head.getString(0) == "k2000", "surviving row lost its value")
   }
+
+  test("policy-aware MERGE: the reference MERGE shape on a rowPolicy table updates/inserts against VISIBLE rows only, hidden rows survive byte-exactly, and the feed diff carries no hidden-row entries") {
+    val wh = catalog("rl8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl8.ops")
+    val root = new File(wh, "ops")
+    // per-session policy: the session's client attr gates visibility —
+    // the canonical Snowflake per-client row policy over session context
+    spark.conf.set("graft.session.client", "ACME")
+    spark.sql("""CREATE TABLE rl8.ops.t
+      (id BIGINT, client STRING, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    // open the feed so the diff contract is observable
+    import spark.implicits._
+    Seq((1L, "ACME", 10.0), (2L, "RIVAL", 20.0), (3L, "ACME", 30.0),
+      (4L, "RIVAL", 40.0))
+      .toDF("id", "client", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id")
+      .option("changeFeed", "true").mode("append").save()
+    val vBefore = ManifestTable.read(root).get.version
+
+    // the reference's three-verb MERGE: id 1 updates (visible), id 3
+    // deletes (visible), id 2 does NOT match (hidden to this session —
+    // its source row INSERTS instead, the Snowflake-documented hazard
+    // being governed by unique keys is the caller's job; here we keep
+    // the source disjoint), id 100 inserts
+    spark.sql("""
+      MERGE INTO rl8.ops.t t
+      USING (SELECT * FROM VALUES
+          (1L, 'ACME', -1.0D), (3L, 'ACME', 0.0D), (100L, 'ACME', 100.0D)
+        AS s(id, client, v)) s
+      ON t.id = s.id
+      WHEN MATCHED AND s.v = 0.0D THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, client, v)
+        VALUES (s.id, s.client, s.v)""")
+
+    // session view: own rows post-merge
+    assert(spark.sql("SELECT id, v FROM rl8.ops.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, -1.0), (100L, 100.0)))
+    // owner view: hidden rows survive EXACTLY (values, not just count)
+    val owner = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(owner.toSeq == Seq((1L, "ACME", -1.0), (2L, "RIVAL", 20.0),
+      (4L, "RIVAL", 40.0), (100L, "ACME", 100.0)),
+      s"hidden rows damaged by the policy-aware MERGE: ${owner.toSeq}")
+
+    // the feed diff names exactly the statement's changes — carried
+    // hidden rows produce NO feed entries
+    val feed = ManifestTable
+      .readChangeFeed(spark, root.toString, vBefore + 1, None, "t")
+      .select("id", "v", ManifestTable.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    assert(feed == Set(
+      (1L, 10.0, "update_preimage"), (1L, -1.0, "update_postimage"),
+      (3L, 30.0, "delete"), (100L, 100.0, "insert")),
+      s"feed diff leaked or missed rows: $feed")
+
+    // a MERGE whose condition matches only HIDDEN rows inserts instead
+    // of updating them (they are invisible to the statement)
+    spark.sql("""
+      MERGE INTO rl8.ops.t t
+      USING (SELECT 4L AS id, 'ACME' AS client, 4.5D AS v) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, client, v)
+        VALUES (s.id, s.client, s.v)""")
+    val after = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load()
+      .filter($"id" === 4L).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(after.toSeq == Seq(("ACME", 4.5), ("RIVAL", 40.0)),
+      s"hidden-key MERGE semantics wrong: ${after.toSeq}")
+
+    // a policy the row-level path cannot evaluate per row (subquery)
+    // refuses FAST at statement planning with the remedy
+    spark.sql("""CREATE TABLE rl8.ops.sub (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "id IN (SELECT id FROM range(3))")""")
+    spark.sql("INSERT INTO rl8.ops.sub SELECT id, 1.0 FROM range(5)")
+    val sub = intercept[Exception] {
+      spark.sql("UPDATE rl8.ops.sub SET v = 2.0 WHERE id = 1")
+    }
+    assert(sub.getMessage.contains("subquery"),
+      s"expected the subquery-policy refusal, got: ${sub.getMessage}")
+  }
 }
