@@ -1248,4 +1248,73 @@ class CatalogSpec extends SparkSpec {
     assert(plan.contains("client"),
       s"policy filter missing from the plan:\n$plan")
   }
+
+  test("nested-field masks: mask.<col>.<field> rewrites ONE struct field, siblings flow cleartext, dotted paths reach deeper levels, filter probes see the mask, and top-level masks compose") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_nfm").toString
+    spark.conf.set("spark.sql.catalog.nfm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nfm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nfm.ops")
+    // the reference's payload columns are semi-structured (sql/03's JSON
+    // paths): masking one PII field of the struct is the realistic ask
+    spark.sql("""CREATE TABLE nfm.ops.t (
+      id BIGINT, email STRING,
+      payload STRUCT<ssn: STRING, country: STRING,
+                     geo: STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'mask.payload.ssn' = "concat('***-', substring(payload.ssn, 8, 4))",
+        'mask.payload.geo.lat' = "cast(0.0 as double)",
+        'mask.email' = "'hidden'")""")
+    spark.sql("""INSERT INTO nfm.ops.t VALUES
+      (1, 'a@x.com', named_struct('ssn', '123-45-6789', 'country', 'DE',
+        'geo', named_struct('lat', 52.5, 'lon', 13.4))),
+      (2, 'b@y.org', named_struct('ssn', '987-65-4321', 'country', 'FR',
+        'geo', named_struct('lat', 48.8, 'lon', 2.3)))""")
+
+    // one field masks, siblings flow cleartext — incl. a dotted path one
+    // level deeper; the top-level mask on another column composes
+    val rows = spark.sql("""SELECT email, payload.ssn, payload.country,
+        payload.geo.lat, payload.geo.lon
+      FROM nfm.ops.t ORDER BY id""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("hidden", "***-6789", "DE", 0.0, 13.4),
+      ("hidden", "***-4321", "FR", 0.0, 2.3)),
+      s"nested mask wrong: ${rows.toSeq}")
+
+    // filter-probe resistance holds on the masked FIELD: the cleartext
+    // never matches, the mask does
+    assert(spark.sql(
+      "SELECT count(*) FROM nfm.ops.t WHERE payload.ssn = '123-45-6789'")
+      .head.getLong(0) == 0L, "a filter probed the cleartext field")
+    assert(spark.sql(
+      "SELECT count(*) FROM nfm.ops.t WHERE payload.ssn = '***-6789'")
+      .head.getLong(0) == 1L)
+
+    // the owner path sees cleartext, and writes landed full values
+    val root = new File(wh, "ops")
+    val ownerSsn = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load()
+      .selectExpr("payload.ssn").collect().map(_.getString(0)).sorted
+    assert(ownerSsn.toSeq == Seq("123-45-6789", "987-65-4321"))
+
+    // a mask key that addresses a non-struct path refuses loudly at
+    // read planning (id is BIGINT — 'id.x' cannot resolve)
+    spark.sql("""ALTER TABLE nfm.ops.t SET TBLPROPERTIES
+      ('mask.id.x' = "'0'")""")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM nfm.ops.t").collect()
+    }
+    assert(bad.getMessage.contains("not a struct field"),
+      s"unexpected error: ${bad.getMessage}")
+    spark.sql("ALTER TABLE nfm.ops.t UNSET TBLPROPERTIES ('mask.id.x')")
+    assert(spark.sql("SELECT count(*) FROM nfm.ops.t").head.getLong(0) == 2L)
+    // a whole-column mask on the same column wins over its field masks
+    spark.sql("""ALTER TABLE nfm.ops.t SET TBLPROPERTIES
+      ('mask.payload' = "named_struct('ssn', 'GONE', 'country', 'XX',
+        'geo', named_struct('lat', cast(0.0 as double),
+                            'lon', cast(0.0 as double)))")""")
+    assert(spark.sql("SELECT payload.ssn FROM nfm.ops.t").collect()
+      .map(_.getString(0)).toSet == Set("GONE"))
+  }
 }
