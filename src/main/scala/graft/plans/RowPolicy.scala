@@ -168,50 +168,12 @@ case class RowPolicyRule(fallback: Boolean = false)
     if (masks.isEmpty) filtered
     else {
       val out = node.output
-      // split whole-column masks (`mask.<col>`) from NESTED-FIELD masks
-      // (`mask.<col>.<path.to.field>` — one struct field rewrites, its
-      // siblings flow cleartext); matched against the relation's actual
-      // top-level columns, since a mask name itself may contain dots
-      val colNames = out.map(_.name).toSet
-      val (top, nested) = masks.partition(m => colNames.contains(m._1))
-      val nestedByCol: Map[String, Seq[(String, String)]] = nested.map {
-        case (name, sql) =>
-          val col = name.takeWhile(_ != '.')
-          require(colNames.contains(col),
-            s"mask key 'mask.$name' on '$table' matches no column " +
-              s"(columns: ${out.map(_.name).mkString(", ")})")
-          (col, name.drop(col.length + 1), sql)
-      }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
-      val byCol = top.toMap
-      def fieldType(dt: org.apache.spark.sql.types.DataType, path: String,
-          col: String): org.apache.spark.sql.types.DataType =
-        path.split('.').foldLeft(dt) { (t, f) =>
-          t match {
-            case s: org.apache.spark.sql.types.StructType
-                if s.fieldNames.contains(f) => s(f).dataType
-            case other => throw new IllegalArgumentException(
-              s"mask.$col.$path on '$table': '$f' is not a struct " +
-                s"field of $other — nested masks address struct fields")
-          }
-        }
-      // analyze the masked projection against the filtered plan, then
-      // re-pin each masked output to the ORIGINAL attribute id
-      val cols: Seq[org.apache.spark.sql.Column] = out.map { a =>
-        byCol.get(a.name) match {
-          case Some(sql) =>
-            parse(s"mask for column '${a.name}'", sql)
-              .cast(a.dataType).as(a.name)
-          case None => nestedByCol.get(a.name) match {
-            case Some(fms) =>
-              fms.foldLeft(bridge.column(a)) { case (c, (path, sql)) =>
-                c.withField(path,
-                  parse(s"mask for field '${a.name}.$path'", sql)
-                    .cast(fieldType(a.dataType, path, a.name)))
-              }.as(a.name)
-            case None => bridge.column(a)
-          }
-        }
-      }
+      // whole-column masks rewrite the column; NESTED keys
+      // (`mask.<col>.<path.to.field>`) rewrite one struct field — the
+      // column split/withField composition is shared with the compiled
+      // (streaming/row-level) path so the two can never diverge
+      val cols: Seq[org.apache.spark.sql.Column] =
+        graft.sources.GovernedRows.maskColumns(out, masks, table, parse)
       val analyzed = bridge.ofRows(spark, filtered).select(cols: _*)
         .queryExecution.analyzed
       analyzed match {

@@ -415,7 +415,8 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
   */
 class TableMicroBatchStream(spark: SparkSession, rootPath: String,
     table: String, readSchema: StructType, tableSchema: StructType,
-    options: Map[String, String])
+    options: Map[String, String],
+    governance: Option[Map[String, String]] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
   import ChangeFeedStream.ReadMaxVersions
@@ -555,9 +556,22 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
       .toArray
   }
 
+  /** Governed tables read FULL rows and pipe them through the compiled
+    * policy/mask decorator ([[GovernedRows.governing]]) — a mask or
+    * policy may reference columns the subscriber did not select, so the
+    * governance tax on a governed stream is an unpruned base read.
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetRead.readerFactory(spark, tableSchema, readSchema,
-      new StructType(), Array.empty)
+    governance match {
+      case Some(props) =>
+        GovernedRows.governing(
+          GraftParquetRead.readerFactory(spark, tableSchema, tableSchema,
+            new StructType(), Array.empty),
+          spark, tableSchema, readSchema, props, table)
+      case None =>
+        GraftParquetRead.readerFactory(spark, tableSchema, readSchema,
+          new StructType(), Array.empty)
+    }
 
   private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset

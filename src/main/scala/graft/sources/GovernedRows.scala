@@ -73,6 +73,130 @@ private[graft] object GovernedRows {
     })
   }
 
+  /** The mask projection over `out` — one Column per output attribute:
+    * whole-column masks (`mask.<col>`) rewrite the column, NESTED keys
+    * (`mask.<col>.<path>`) rewrite one struct field via `withField`
+    * (siblings cleartext, dotted paths compose, a whole-column mask on
+    * the same column wins). Shared by the plan-time
+    * [[graft.plans.RowPolicyRule]] and the compiled
+    * ([[compileProjection]]) paths so the two can never diverge.
+    */
+  def maskColumns(
+      out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      masks: Seq[(String, String)], table: String,
+      parse: (String, String) => org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val colNames = out.map(_.name).toSet
+    val (top, nested) = masks.partition(m => colNames.contains(m._1))
+    val nestedByCol: Map[String, Seq[(String, String)]] = nested.map {
+      case (name, sql) =>
+        val col = name.takeWhile(_ != '.')
+        require(colNames.contains(col),
+          s"mask key 'mask.$name' on '$table' matches no column " +
+            s"(columns: ${out.map(_.name).mkString(", ")})")
+        (col, name.drop(col.length + 1), sql)
+    }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val byCol = top.toMap
+    def fieldType(dt: org.apache.spark.sql.types.DataType, path: String,
+        col: String): org.apache.spark.sql.types.DataType =
+      path.split('.').foldLeft(dt) { (t, f) =>
+        t match {
+          case s: StructType if s.fieldNames.contains(f) => s(f).dataType
+          case other => throw new IllegalArgumentException(
+            s"mask.$col.$path on '$table': '$f' is not a struct " +
+              s"field of $other — nested masks address struct fields")
+        }
+      }
+    out.map { a =>
+      byCol.get(a.name) match {
+        case Some(sql) =>
+          parse(s"mask for column '${a.name}'", sql)
+            .cast(a.dataType).as(a.name)
+        case None => nestedByCol.get(a.name) match {
+          case Some(fms) =>
+            fms.foldLeft(bridge.column(a)) { case (c, (path, sql)) =>
+              c.withField(path,
+                parse(s"mask for field '${a.name}.$path'", sql)
+                  .cast(fieldType(a.dataType, path, a.name)))
+            }.as(a.name)
+          case None => bridge.column(a)
+        }
+      }
+    }
+  }
+
+  /** Compile the mask projection against `schema` OUTSIDE the optimizer:
+    * one resolved, current-like-folded expression per schema field (the
+    * identity attribute where unmasked). Attributes resolve by NAME —
+    * remap/bind before evaluating, exactly like [[compile]]'s condition.
+    */
+  def compileProjection(spark: SparkSession, schema: StructType,
+      masks: Seq[(String, String)], table: String): Seq[Expression] = {
+    graft.functions.SessionAttr.register(spark)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def parse(what: String, sql: String) =
+      try expr(sql) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$what on '$table' does not parse: $sql", e)
+      }
+    val relation = LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+    val cols = maskColumns(relation.output, masks, table, parse)
+    val analyzed = bridge.foldCurrentLike(spark,
+      bridge.ofRows(spark, relation).select(cols: _*)
+        .queryExecution.analyzed)
+    val projList = analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.map {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case other => other
+        }
+      case _ => relation.output // pure-attribute select collapsed
+    }
+    projList.foreach { e =>
+      require(!SubqueryExpression.hasSubquery(e),
+        s"a mask on '$table' carries a subquery — compiled mask " +
+          "projections evaluate per row; rewrite it without a subquery")
+    }
+    projList
+  }
+
+  /** Wrap a reader factory with the FULL governance pipeline: the base
+    * reads complete table rows, the decorator drops policy-hidden rows,
+    * applies the mask projection, and prunes to `required` — one
+    * codegen'd `UnsafeProjection` per partition. How a governed plain
+    * micro-batch stream serves exactly the governed batch view.
+    */
+  def governing(base: PartitionReaderFactory, spark: SparkSession,
+      tableSchema: StructType, required: StructType,
+      props: Map[String, String], table: String): PartitionReaderFactory = {
+    def bind(e: Expression): Expression = e.transform {
+      case a: AttributeReference =>
+        val i = tableSchema.fieldNames.indexOf(a.name)
+        require(i >= 0, s"governance on '$table' references column " +
+          s"'${a.name}' missing from the table schema")
+        org.apache.spark.sql.catalyst.expressions
+          .BoundReference(i, a.dataType, a.nullable)
+    }
+    val keep = props.get(graft.plans.RowPolicyRule.PolicyKey)
+      .map(sql => bind(compile(spark, tableSchema, sql,
+        s"row policy on '$table'")))
+    val masks = props.toSeq.collect {
+      case (k, v) if k.startsWith(graft.plans.RowPolicyRule.MaskPrefix) =>
+        k.stripPrefix(graft.plans.RowPolicyRule.MaskPrefix) -> v
+    }.sortBy(_._1)
+    val masked =
+      if (masks.isEmpty)
+        org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(tableSchema).map(a => a: Expression)
+      else compileProjection(spark, tableSchema, masks, table)
+    val projected = required.fields.toSeq.map { f =>
+      bind(masked(tableSchema.fieldIndex(f.name)))
+    }
+    GoverningReaderFactory(base, keep, projected)
+  }
+
   /** Wrap a reader factory with a per-row keep-predicate: rows where
     * `cond` does not evaluate to exactly TRUE are dropped (NULL =
     * hidden, the SQL policy contract). `cond`'s attributes bind BY NAME
@@ -91,6 +215,41 @@ private[graft] object GovernedRows {
           .BoundReference(i, a.dataType, a.nullable)
     }
     FilteringReaderFactory(base, bound)
+  }
+}
+
+/** Filter + mask + prune decorator over a full-row reader factory —
+  * the executor side of [[GovernedRows.governing]]. Expressions arrive
+  * BOUND to the base factory's row layout; the projection is built per
+  * partition so codegen happens executor-side.
+  */
+private[graft] case class GoverningReaderFactory(
+    base: PartitionReaderFactory, keep: Option[Expression],
+    projected: Seq[Expression]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = base.createReader(p)
+    val pred = keep.map { k =>
+      val b = org.apache.spark.sql.catalyst.expressions.Predicate.create(k)
+      b.initialize(0); b
+    }
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(projected.toIndexedSeq)
+    proj.initialize(0)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (pred.forall(_.eval(r))) { cur = proj(r); return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

@@ -1320,14 +1320,19 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
       throw new UnsupportedOperationException(
         "a time-traveled or raw graft relation cannot stream — it is " +
           "pinned to one snapshot")
-    if (GraftSqlTable.governedProps(index.state.props))
-      throw new UnsupportedOperationException(
-        s"table '${index.tableName}' carries a row policy or column " +
-          "mask: a streaming read would serve raw rows past the " +
-          "governance plan. Subscribe through format(\"graft-cdf\") — " +
-          "the owner path — or drop the policy/mask")
+    // a governed table streams through the SAME policy/mask semantics
+    // as its batch reads: the stream compiles the governance once
+    // (policy filter + mask projection, current-like folded) and every
+    // micro-batch's reader applies it before rows leave the scan —
+    // stateless, so per-batch application equals the plan-time plant.
+    // Only the CDF feed stays refused (preimages of newly-hidden rows
+    // are ill-posed); see the readChangeFeed branch of newScanBuilder.
+    val governance =
+      if (GraftSqlTable.governedProps(index.state.props))
+        Some(index.state.props)
+      else None
     new TableMicroBatchStream(SparkSession.active, index.rootPath,
-      index.tableName, required, dataSchema, scanOptions)
+      index.tableName, required, dataSchema, scanOptions, governance)
   }
 
   override def description(): String =

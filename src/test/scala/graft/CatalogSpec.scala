@@ -1003,18 +1003,40 @@ class CatalogSpec extends SparkSpec {
     // (merge-on-read + mask composes: the reconciled read still masks)
     assert(spark.sql("SELECT v FROM msk.ops.nn").head.getString(0) == "*x")
 
-    // streaming reads by NAME refuse on governed tables (a micro-batch
-    // stream serves raw rows past the governance plan); the provider
-    // CDF path remains the owner subscription
+    // a GOVERNED plain stream serves exactly the governed batch view:
+    // the policy filter and mask apply per micro-batch at the reader
+    val q = spark.readStream.table("msk.ops.t").writeStream
+      .format("memory").queryName("msk_gov")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("msk_ck").toString)
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT id, email, region FROM msk_gov")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2))).sortBy(_._1)
+    val batch = spark.sql("SELECT id, email, region FROM msk.ops.t")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty &&
+      streamed.forall { case (_, e, rg) =>
+        e.forall(_.startsWith("***")) && rg == "EU" },
+      s"governed stream diverged: stream=${streamed.toSeq} " +
+        s"batch=${batch.toSeq}")
+    q.stop()
+
+    // the CDF subscription stays refused on governed tables (preimages
+    // of newly-hidden rows are ill-posed); the provider CDF path
+    // remains the owner subscription
     val st = intercept[Exception] {
-      spark.readStream.table("msk.ops.t").writeStream
+      spark.readStream.option("readChangeFeed", "true")
+        .table("msk.ops.t").writeStream
         .format("memory").queryName("msk_leak")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("msk_ck").toString)
+          java.nio.file.Files.createTempDirectory("msk_ck2").toString)
         .start().processAllAvailable()
     }
     assert(st.getMessage.contains("row policy or column mask"),
-      s"governed table streamed raw rows: ${st.getMessage}")
+      s"governed CDF subscription must refuse: ${st.getMessage}")
   }
 
   test("metadata tables: t$history / t$files / t$properties answer from the manifest alone — per-table commit cuts, live generation files incl. MoR deltas, and declared properties") {
