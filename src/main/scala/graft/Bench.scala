@@ -119,8 +119,14 @@ object Bench {
           .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=x]")
           .replaceAll("QueryStage \\d+", "QueryStage x")
           .replaceAll("\\*\\(\\d+\\)", "*(n)")
-          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda")
-          .replaceAll("@[0-9a-f]{6,}", "@x")
+          // closure renders (MapPartitions etc.) vary per JVM in every
+          // part after "Lambda": the synthetic class index, the hidden-
+          // class address (with or without 0x), and the identity hash
+          // (1-8 hex chars, sometimes absent) — normalize the WHOLE
+          // token down to the declaring class, render-agnostically
+          .replaceAll("Lambda\\$?\\d*/(0x)?[0-9a-fA-F]+(@[0-9a-fA-F]+)?",
+            "Lambda")
+          .replaceAll("@[0-9a-f]{4,}", "@x")
           .replaceAll("FILTER \\(WHERE \\(\\d+ =", "FILTER (WHERE (k =")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.getBytes("UTF-8"))

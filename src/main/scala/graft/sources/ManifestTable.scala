@@ -2715,40 +2715,57 @@ object ManifestTable {
     * mergeBatch staged-rebase props check and the row-level paths'
     * snapshot-rebase props check, forcing re-derivation against the
     * fresh block. One id per frame row reserves (uniqueness, not
-    * density — Snowflake documents AUTOINCREMENT gaps). `skipRow` exempts
+    * density — Snowflake documents AUTOINCREMENT gaps). `skip` exempts
     * rows that must stay untouched (merge-on-read tombstones carry null
     * data columns by design).
+    *
+    * Fully DECLARATIVE — no RDD round-trip, the write stays codegen'd:
+    * pass 1 counts rows per partition over the persisted frame (one
+    * tiny job, ≤ one row per partition to the driver); pass 2 assigns
+    * `hwm + step · (partition offset + row-within-partition)`, where
+    * the within-partition counter is `monotonically_increasing_id`'s
+    * low 33 bits and the partition's starting offset broadcast-joins in
+    * on `spark_partition_id()` — both passes read the SAME cached
+    * blocks, so the (pid, ridx) pairs are stable between them.
     */
   private def fillIdentitySlots(spark: SparkSession, tableSchema: StructType,
       effProps: Map[String, String], df: DataFrame,
-      skipRow: (Row, StructType) => Boolean = (_, _) => false)
+      skip: Option[Column] = None)
       : (DataFrame, Map[String, String], Option[DataFrame]) = {
     val idCols = identityOf(tableSchema)
     if (idCols.isEmpty) return (df, Map.empty, None)
     val pre = df.persist()
-    val n = pre.count()
+    val counts = pre.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
     if (n == 0L) return (pre, Map.empty, Some(pre))
     val schema = pre.schema
-    // per-ordinal fill spec: (base, step, needsInt)
-    val byOrdinal: Map[Int, (Long, Long, Boolean)] =
-      idCols.map { case (name, start, step, _) =>
-        val base = effProps.get(identityHwmKey(name))
-          .map(_.toLong).getOrElse(start)
-        schema.fieldIndex(name) ->
-          ((base, step, schema(name).dataType == IntegerType))
-      }.toMap
-    val filled = spark.createDataFrame(
-      pre.rdd.zipWithIndex().map { case (row, i) =>
-        if (skipRow(row, schema)) row
-        else Row.fromSeq(Seq.tabulate(row.length) { j =>
-          byOrdinal.get(j) match {
-            case Some((base, step, asInt)) if row.isNullAt(j) =>
-              val v = base + step * i
-              if (asInt) v.toInt else v
-            case _ => row.get(j)
-          }
-        })
-      }, schema)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) =>
+      val o = acc; acc += c; Row(p, o)
+    }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets: _*),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val withIdx = pre
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__ridx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offDf), "__pid")
+    val filled0 = idCols.foldLeft(withIdx) { case (d, (name, start, step, _)) =>
+      val base = effProps.get(identityHwmKey(name))
+        .map(_.toLong).getOrElse(start)
+      val gen = (lit(base) + lit(step) * (col("__off") + col("__ridx")))
+        .cast(schema(name).dataType)
+      val fill = when(col(name).isNull, gen).otherwise(col(name))
+      d.withColumn(name,
+        skip.fold(fill)(s => when(s, col(name)).otherwise(fill)))
+    }
+    val filled = filled0.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     (filled, idCols.map { case (name, start, step, _) =>
       val base = effProps.get(identityHwmKey(name))
         .map(_.toLong).getOrElse(start)
@@ -4240,10 +4257,7 @@ object ManifestTable {
       // tombstones are exempt (they carry null data columns by design)
       val (aligned, hwmProps, idPersisted) =
         fillIdentitySlots(spark, schema, ts.props, aligned0,
-          skipRow = (r, sch) => {
-            val op = r.getString(sch.fieldIndex(RowOpCol))
-            op == "d"
-          })
+          skip = Some(col(RowOpCol) === "d"))
       val bucketExpr =
         pmod(xxhash64(ts.mergeKeys.map(col).toIndexedSeq: _*),
           lit(ts.numBuckets))

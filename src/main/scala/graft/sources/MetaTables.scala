@@ -18,14 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft.ops.events$history     -- commits touching it
   *   SELECT * FROM graft.ops.events$files       -- live generation files
   *   SELECT * FROM graft.ops.events$properties  -- table properties
+  *   SELECT * FROM graft.ops.events$snapshots   -- retained versions × size
+  *   SELECT * FROM graft.ops.events$metrics     -- the DMF time series
   * }}}
   *
-  * Each is answered ENTIRELY from the manifest — a `LocalScan` whose
-  * rows compute driver-side at metadata rate, zero data files opened —
-  * so an operator can join `$files` row counts or watch `$history`
-  * without ever scanning the 100 TB the metadata describes. Read-only
-  * by construction (no write capabilities), always the CURRENT
-  * snapshot.
+  * history/files/properties/snapshots answer ENTIRELY from the manifest
+  * — a `LocalScan` whose rows compute driver-side at metadata rate, zero
+  * data files opened — so an operator can join `$files` row counts or
+  * watch `$history` without ever scanning the 100 TB the metadata
+  * describes. `$metrics` is the per-table cut of the `_metrics` ops
+  * table (a bounded read: one row per metric × sweep). Read-only by
+  * construction (no write capabilities), always the CURRENT snapshot.
   */
 private[sources] class GraftMetaTable(root: File, table: String,
     kind: String) extends Table with SupportsRead {
@@ -50,7 +53,8 @@ private[sources] class GraftMetaTable(root: File, table: String,
 
 private[sources] object GraftMetaTable {
 
-  val Kinds: Set[String] = Set("history", "files", "properties")
+  val Kinds: Set[String] =
+    Set("history", "files", "properties", "snapshots", "metrics")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -69,6 +73,19 @@ private[sources] object GraftMetaTable {
     case "properties" => StructType(Seq(
       StructField("key", StringType),
       StructField("value", StringType)))
+    case "snapshots" => StructType(Seq(
+      StructField("version", LongType),
+      StructField("operation", StringType),
+      StructField("commit_ts", TimestampType),
+      StructField("files", LongType),
+      StructField("rows", LongType),
+      StructField("delta_files", LongType),
+      StructField("delta_rows", LongType)))
+    case "metrics" => StructType(Seq(
+      StructField("metric_name", StringType),
+      StructField("version", LongType),
+      StructField("value", DoubleType),
+      StructField("measured_at", TimestampType)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table kind '$other' (one of $Kinds)")
   }
@@ -112,6 +129,45 @@ private[sources] object GraftMetaTable {
         ts.props.toSeq.sortBy(_._1).map { case (k, v) =>
           InternalRow(s(k), s(v))
         }.toArray
+      case "snapshots" =>
+        // one row per RETAINED version at which the table existed — the
+        // Iceberg $snapshots listing: state sizes resolve from each
+        // version's manifest (checkpoints + deltas), zero data files
+        // opened; bounded by the retention window like $history
+        ManifestTable.history(SparkSession.active, root).collect()
+          .flatMap { r =>
+            val v = r.getLong(0)
+            val tv = ManifestTable.resolve(root, Some(v)).table(table)
+            if (tv.schemaJson.isEmpty) None
+            else Some(InternalRow(
+              v,
+              if (r.isNullAt(1)) null else s(r.getString(1)),
+              if (r.isNullAt(2)) null
+              else r.getTimestamp(2).getTime * 1000L,
+              tv.gens.size.toLong, tv.gens.map(_.rows).sum,
+              tv.deltaGens.size.toLong, tv.deltaGens.map(_.rows).sum))
+          }
+      case "metrics" =>
+        // the DMF time series for THIS table, cut from the `_metrics`
+        // ops table ([[ManifestTable.runMetrics]]) — a bounded read
+        // (one row per metric × sweep), collected at planning like the
+        // other meta views
+        if (m.table(ManifestTable.MetricsTable).schemaJson.isEmpty)
+          Array.empty[InternalRow]
+        else {
+          import org.apache.spark.sql.functions.col
+          ManifestTable.readTable(SparkSession.active, root.toString,
+            table = ManifestTable.MetricsTable)
+            .filter(col("table_name") === table)
+            .orderBy("version", "metric_name")
+            .collect().map { r =>
+              InternalRow(
+                s(r.getString(1)), r.getLong(2),
+                if (r.isNullAt(3)) null else r.getDouble(3),
+                if (r.isNullAt(4)) null
+                else r.getTimestamp(4).getTime * 1000L)
+            }
+        }
       case other => throw new IllegalArgumentException(
         s"unknown metadata table kind '$other'")
     }

@@ -1039,7 +1039,7 @@ class CatalogSpec extends SparkSpec {
       s"governed CDF subscription must refuse: ${st.getMessage}")
   }
 
-  test("metadata tables: t$history / t$files / t$properties answer from the manifest alone — per-table commit cuts, live generation files incl. MoR deltas, and declared properties") {
+  test("metadata tables: t$history / t$files / t$properties / t$snapshots answer from the manifest alone, and t$metrics serves the DMF time series by name") {
     val wh = java.nio.file.Files.createTempDirectory("graft_meta").toString
     spark.conf.set("spark.sql.catalog.mt", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.mt.warehouse", wh)
@@ -1084,6 +1084,38 @@ class CatalogSpec extends SparkSpec {
     val kinds = spark.sql("SELECT file_kind FROM mt.ops.`t$files`")
       .collect().map(_.getString(0)).toSet
     assert(kinds == Set("base", "delta"), s"kinds: $kinds")
+
+    // $snapshots: one row per RETAINED version at which the table
+    // existed — per-version state sizes from the manifest alone
+    val snaps = spark.sql("""SELECT version, rows, files, delta_files,
+        delta_rows FROM mt.ops.`t$snapshots` ORDER BY version""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(snaps.nonEmpty)
+    // row counts never shrink across this append-then-MoR history, and
+    // the head of the series reflects the live state: 3 base rows plus
+    // at least one delta generation from the UPDATE above
+    assert(snaps.map(_._2).toSeq == snaps.map(_._2).sorted.toSeq,
+      s"snapshot rows not monotone: ${snaps.toSeq}")
+    val last = snaps.last
+    assert(last._2 == 3L && last._4 >= 1L && last._5 >= 1L,
+      s"live snapshot row wrong: $last")
+    // $snapshots covers at least every commit $history names for t
+    val histV = spark.sql("SELECT version FROM mt.ops.`t$history`")
+      .collect().map(_.getLong(0)).toSet
+    val snapV = snaps.map(_._1).toSet
+    assert(histV.subsetOf(snapV),
+      s"snapshots missing history versions: ${histV -- snapV}")
+
+    // $metrics: declare a DMF, sweep, read the time series by name
+    spark.sql("""ALTER TABLE mt.ops.t SET TBLPROPERTIES
+      ('metric.null_v' = "v is null", 'metric.n_rows' = "count(*)")""")
+    spark.sql("CALL mt.system.maintain('ops')").collect()
+    val mets = spark.sql("""SELECT metric_name, value
+        FROM mt.ops.`t$metrics` ORDER BY metric_name""").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(mets.toSeq == Seq(("n_rows", 3.0), ("null_v", 0.0)),
+      s"metric series wrong: ${mets.toSeq}")
 
     // unknown kinds and missing bases still error cleanly
     intercept[Exception] {
