@@ -126,17 +126,14 @@ case class RowPolicyRule(fallback: Boolean = false)
     case _ => Map.empty
   }
 
-  private def policyOf(t: org.apache.spark.sql.connector.catalog.Table)
-      : Option[String] = propsOf(t).get(RowPolicyRule.PolicyKey)
+  private def policyOf(props: Map[String, String]): Option[String] =
+    props.get(RowPolicyRule.PolicyKey)
 
-  private def masksOf(t: org.apache.spark.sql.connector.catalog.Table)
-      : Seq[(String, String)] = propsOf(t).toSeq.collect {
-    case (k, v) if k.startsWith(RowPolicyRule.MaskPrefix) =>
-      k.stripPrefix(RowPolicyRule.MaskPrefix) -> v
-  }.sortBy(_._1)
-
-  private def governed(t: org.apache.spark.sql.connector.catalog.Table)
-      : Boolean = policyOf(t).nonEmpty || masksOf(t).nonEmpty
+  private def masksOf(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(RowPolicyRule.MaskPrefix) =>
+        k.stripPrefix(RowPolicyRule.MaskPrefix) -> v
+    }.sortBy(_._1)
 
   /** Is the pre-pushdown (extensions) instance active in this session? */
   private def extensionsActive: Boolean =
@@ -198,6 +195,17 @@ case class RowPolicyRule(fallback: Boolean = false)
       case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
         w.table: LogicalPlan
     }.toSet
+    // per-invocation props memo: a pinned relation's governance keys
+    // resolve from the manifest HEAD ([[propsOf]]), and the guard plus
+    // the match body would otherwise re-read the manifest several times
+    // per relation per optimizer pass
+    val memo = scala.collection.mutable.HashMap
+      .empty[org.apache.spark.sql.connector.catalog.Table,
+        Map[String, String]]
+    def props(t: org.apache.spark.sql.connector.catalog.Table)
+        : Map[String, String] = memo.getOrElseUpdate(t, propsOf(t))
+    def governed(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
+      policyOf(props(t)).nonEmpty || masksOf(props(t)).nonEmpty
     // transformUpWithNewOutput: masked columns get FRESH attribute ids
     // (a Project whose output id shadowed its own input id would read as
     // redundant and optimize away), and every parent reference rewrites
@@ -208,8 +216,8 @@ case class RowPolicyRule(fallback: Boolean = false)
             r.getTagValue(RowPolicyRule.Applied).isEmpty &&
             governed(r.table) =>
         r.setTagValue(RowPolicyRule.Applied, true)
-        val g = planted(r, r.table.name(), policyOf(r.table),
-          masksOf(r.table))
+        val g = planted(r, r.table.name(), policyOf(props(r.table)),
+          masksOf(props(r.table)))
         g -> r.output.zip(g.output).filter {
           case (o, n) => o.exprId != n.exprId }
       case s: DataSourceV2ScanRelation
@@ -227,7 +235,8 @@ case class RowPolicyRule(fallback: Boolean = false)
           s.relation.output)
         fresh.setTagValue(RowPolicyRule.Applied, true)
         val g = planted(fresh, s.relation.table.name(),
-          policyOf(s.relation.table), masksOf(s.relation.table))
+          policyOf(props(s.relation.table)),
+          masksOf(props(s.relation.table)))
         val mapping = s.relation.output.zip(g.output).filter {
           case (o, n) => o.exprId != n.exprId }
         g -> mapping
