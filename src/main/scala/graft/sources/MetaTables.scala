@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft.ops.events$properties  -- table properties
   *   SELECT * FROM graft.ops.events$snapshots   -- retained versions × size
   *   SELECT * FROM graft.ops.events$metrics     -- the DMF time series
+  *   SELECT * FROM graft.ops.events$partitions  -- per-bucket skew view
   * }}}
   *
   * history/files/properties/snapshots answer ENTIRELY from the manifest
@@ -54,7 +55,8 @@ private[sources] class GraftMetaTable(root: File, table: String,
 private[sources] object GraftMetaTable {
 
   val Kinds: Set[String] =
-    Set("history", "files", "properties", "snapshots", "metrics")
+    Set("history", "files", "properties", "snapshots", "metrics",
+      "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -86,6 +88,13 @@ private[sources] object GraftMetaTable {
       StructField("version", LongType),
       StructField("value", DoubleType),
       StructField("measured_at", TimestampType)))
+    case "partitions" => StructType(Seq(
+      StructField("bucket", LongType),
+      StructField("files", LongType),
+      StructField("rows", LongType),
+      StructField("delta_files", LongType),
+      StructField("delta_rows", LongType),
+      StructField("row_share", DoubleType)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table kind '$other' (one of $Kinds)")
   }
@@ -168,6 +177,23 @@ private[sources] object GraftMetaTable {
                 else r.getTimestamp(4).getTime * 1000L)
             }
         }
+      case "partitions" =>
+        // per-BUCKET live state (the Iceberg $partitions analogue over
+        // graft's hash buckets): file/row counts per bucket plus each
+        // bucket's share of the table's rows — the skew-triage view an
+        // operator reads before reclustering/rebucketing at 100 TB;
+        // manifest-only, zero data files opened
+        val totalRows = math.max(1L,
+          ts.gens.map(_.rows).sum + ts.deltaGens.map(_.rows).sum)
+        val allBuckets = (ts.buckets.keySet ++ ts.deltas.keySet).toSeq.sorted
+        allBuckets.map { b =>
+          val base = ts.buckets.getOrElse(b, Nil)
+          val del = ts.deltas.getOrElse(b, Nil)
+          val rows = base.map(_.rows).sum
+          val dRows = del.map(_.rows).sum
+          InternalRow(b, base.size.toLong, rows, del.size.toLong, dRows,
+            (rows + dRows).toDouble / totalRows)
+        }.toArray
       case other => throw new IllegalArgumentException(
         s"unknown metadata table kind '$other'")
     }

@@ -1039,7 +1039,7 @@ class CatalogSpec extends SparkSpec {
       s"governed CDF subscription must refuse: ${st.getMessage}")
   }
 
-  test("metadata tables: t$history / t$files / t$properties / t$snapshots answer from the manifest alone, and t$metrics serves the DMF time series by name") {
+  test("metadata tables: t$history / t$files / t$properties / t$snapshots / t$partitions answer from the manifest alone, and t$metrics serves the DMF time series by name") {
     val wh = java.nio.file.Files.createTempDirectory("graft_meta").toString
     spark.conf.set("spark.sql.catalog.mt", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.mt.warehouse", wh)
@@ -1106,6 +1106,18 @@ class CatalogSpec extends SparkSpec {
     val snapV = snaps.map(_._1).toSet
     assert(histV.subsetOf(snapV),
       s"snapshots missing history versions: ${histV -- snapV}")
+
+    // $partitions: per-bucket skew view — rows sum to the table, shares
+    // sum to ~1, MoR delta generations counted per bucket
+    val parts = spark.sql("""SELECT bucket, files, rows, delta_files,
+        delta_rows, row_share FROM mt.ops.`t$partitions`""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(parts.map(p => p._3 + p._5).sum == 4L, // 3 base + 1 delta row
+      s"partition rows wrong: ${parts.toSeq}")
+    assert(parts.map(_._4).sum >= 1L, "MoR delta not counted per bucket")
+    assert(math.abs(parts.map(_._6).sum - 1.0) < 1e-9,
+      s"row shares must sum to 1: ${parts.toSeq}")
 
     // $metrics: declare a DMF, sweep, read the time series by name
     spark.sql("""ALTER TABLE mt.ops.t SET TBLPROPERTIES
