@@ -289,7 +289,8 @@ class ChangeFeedStream(spark: SparkSession, parameters: Map[String, String])
   *    split-size/bin-packing rule ([[FilePartition.getFilePartitions]]),
   *    so a many-file backlog drain parallelizes like any batch scan.
   */
-class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
+class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String],
+    governance: Option[Map[String, String]] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
   import ChangeFeedStream.ReadMaxVersions
@@ -384,9 +385,27 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String])
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetRead.readerFactory(spark, dataSchema, dataSchema,
+  /** The GOVERNED POSTIMAGE-ONLY view (`governance` = the table's props,
+    * set by the catalog when the subscriber opted in): only
+    * policy-visible inserts and update postimages flow, masked — the
+    * well-defined governed slice of a feed (preimages and deletes of
+    * rows the session cannot see are ill-posed, so they never flow; an
+    * update that moves a row OUT of policy simply stops emitting it).
+    * The change-type restriction rides the same compiled predicate as
+    * the policy: the catalog rewrites `rowPolicy` to
+    * `(policy) AND _change_type IN ('insert','update_postimage')`
+    * before handing the props over, so one bound predicate drives both.
+    */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val base = GraftParquetRead.readerFactory(spark, dataSchema, dataSchema,
       partitionSchema, Array.empty)
+    governance match {
+      case Some(props) =>
+        val full = StructType(dataSchema.fields ++ partitionSchema.fields)
+        GovernedRows.governing(base, spark, full, full, props, table)
+      case None => base
+    }
+  }
 
   private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset

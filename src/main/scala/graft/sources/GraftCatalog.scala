@@ -1007,14 +1007,35 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
               ChangeFeedStream.feedSchema(params)
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-              if (GraftSqlTable.governedProps(index.state.props))
+              val props = index.state.props
+              if (!GraftSqlTable.governedProps(props))
+                new CdfMicroBatchStream(spark, params)
+              else if (options.getBoolean(
+                  GraftSqlTable.GovernedPostimagesOption, false)) {
+                // the well-defined governed slice of a feed: only
+                // policy-visible inserts/update postimages, masked —
+                // the downstream-sync (upsert) consumer shape. Full
+                // feeds stay refused: preimages of rows the session
+                // cannot see are ill-posed. The change-type cut rides
+                // the same compiled predicate as the policy.
+                val ct = s"${ManifestTable.ChangeTypeCol} IN " +
+                  "('insert', 'update_postimage')"
+                val gProps = props +
+                  (GraftSqlTable.RowPolicyKey ->
+                    props.get(GraftSqlTable.RowPolicyKey)
+                      .fold(ct)(p => s"($p) AND $ct"))
+                new CdfMicroBatchStream(spark, params, Some(gProps))
+              } else
                 throw new UnsupportedOperationException(
                   s"table '$table' carries a row policy or column " +
                     "mask: a change-feed subscription by name would " +
                     "serve raw changes past the governance plan. " +
-                    "Subscribe through format(\"graft-cdf\") — the " +
+                    "Opt into the governed POSTIMAGE-ONLY view with " +
+                    s"option(\"${GraftSqlTable.GovernedPostimagesOption}" +
+                    "\", true) (policy-visible inserts/update " +
+                    "postimages, masked — no preimages/deletes), " +
+                    "subscribe through format(\"graft-cdf\") — the " +
                     "owner path — or drop the policy/mask")
-              new CdfMicroBatchStream(spark, params)
             }
             override def description(): String =
               s"GraftNamedCdfScan($root/$table)"
@@ -1104,6 +1125,12 @@ object GraftSqlTable {
     * Delta's option name, so a reader migrating over keeps its spelling.
     */
   val ReadChangeFeedOption = "readChangeFeed"
+
+  /** Opt-in for the governed POSTIMAGE-ONLY change-feed view on a
+    * policy/mask-bearing table: policy-visible inserts and update
+    * postimages flow (masked); preimages and deletes never do.
+    */
+  val GovernedPostimagesOption = "governedPostimages"
 
   /** Row-level write modes a table may declare via
     * `TBLPROPERTIES ('rowLevelMode'='…')`.

@@ -1315,6 +1315,66 @@ class CatalogSpec extends SparkSpec {
       s"policy filter missing from the plan:\n$plan")
   }
 
+  test("governed postimage-only CDF: governedPostimages serves policy-visible inserts/update postimages masked; preimages, deletes, and hidden-row changes never flow; the raw subscription still refuses") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gcf").toString
+    spark.conf.set("spark.sql.catalog.gcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcf.ops")
+    spark.sql("""CREATE TABLE gcf.ops.t (id BIGINT, region STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "region = 'EU'", 'mask.v' = "v * -1")""")
+    val root = new File(wh, "ops")
+    import spark.implicits._
+    // feed-on write: two inserts, one visible (EU) one hidden (XX)
+    Seq((1L, "EU", 10L), (2L, "XX", 20L)).toDF("id", "region", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id")
+      .option("changeFeed", "true").mode("append").save()
+    // owner-verb churn: update a visible row, update a hidden row,
+    // insert a visible row, delete a visible row
+    spark.sql("CALL gcf.system.update_where('ops','t','id = 1','v','v + 1')")
+      .collect()
+    spark.sql("CALL gcf.system.update_where('ops','t','id = 2','v','v + 9')")
+      .collect()
+    spark.sql("INSERT INTO gcf.ops.t VALUES (3, 'EU', 30)")
+    spark.sql("CALL gcf.system.delete_where('ops','t','id = 3')").collect()
+
+    val q = spark.readStream
+      .option(graft.sources.GraftSqlTable.ReadChangeFeedOption, "true")
+      .option(graft.sources.GraftSqlTable.GovernedPostimagesOption, "true")
+      .table("gcf.ops.t")
+      .writeStream.format("memory").queryName("gcf_gov")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gcf_ck").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      s"""SELECT id, v, ${ManifestTable.ChangeTypeCol} FROM gcf_gov""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3))
+    // visible insert id1 (masked), its update postimage, insert id3
+    // (masked; its later DELETE never flows); the hidden row id2's
+    // insert/update never flow; zero preimages/deletes of any kind
+    assert(got.toSeq == Seq(
+      (1L, -10L, "insert"), (1L, -11L, "update_postimage"),
+      (3L, -30L, "insert")),
+      s"governed feed slice wrong: ${got.toSeq}")
+
+    // without the opt-in the governed subscription still refuses
+    val raw = intercept[Exception] {
+      spark.readStream
+        .option(graft.sources.GraftSqlTable.ReadChangeFeedOption, "true")
+        .table("gcf.ops.t")
+        .writeStream.format("memory").queryName("gcf_raw")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("gcf_ck2").toString)
+        .start().processAllAvailable()
+    }
+    assert(raw.getMessage.contains(graft.sources.GraftSqlTable.GovernedPostimagesOption),
+      s"refusal must name the opt-in: ${raw.getMessage}")
+  }
+
   test("nested-field masks: mask.<col>.<field> rewrites ONE struct field, siblings flow cleartext, dotted paths reach deeper levels, filter probes see the mask, and top-level masks compose") {
     val wh = java.nio.file.Files.createTempDirectory("graft_nfm").toString
     spark.conf.set("spark.sql.catalog.nfm", classOf[GraftCatalog].getName)
