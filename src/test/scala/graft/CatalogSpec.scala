@@ -1313,6 +1313,29 @@ class CatalogSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("client"),
       s"policy filter missing from the plan:\n$plan")
+
+    // and it really PRUNES: a searchCols-covered policy column drives
+    // sidecar membership pruning exactly like a user predicate — fewer
+    // files planned under the policy than the owner view reads
+    spark.sql("""CREATE TABLE sat.ops.p (id BIGINT, client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+        'searchCols'='client')""")
+    (0 until 4).foreach { i =>
+      spark.sql(s"""INSERT INTO sat.ops.p
+        SELECT id + ${i * 100}, 'c$i', id FROM range(50)""")
+    }
+    val allFiles = scanOf(spark.sql("SELECT v FROM sat.ops.p")).plannedFiles
+    spark.sql("""ALTER TABLE sat.ops.p SET TBLPROPERTIES
+      ('rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.conf.set("graft.session.client", "c2")
+    val governedScan = scanOf(spark.sql("SELECT v FROM sat.ops.p"))
+    assert(governedScan.plannedFiles > 0 &&
+      governedScan.plannedFiles < allFiles,
+      s"session-attr policy failed to prune: " +
+        s"${governedScan.plannedFiles}/$allFiles")
+    assert(spark.sql("SELECT count(*) FROM sat.ops.p").head.getLong(0)
+      == 50L)
+    spark.conf.unset("graft.session.client")
   }
 
   test("governed postimage-only CDF: governedPostimages serves policy-visible inserts/update postimages masked; preimages, deletes, and hidden-row changes never flow; the raw subscription still refuses") {

@@ -425,4 +425,55 @@ class RowLevelSpec extends SparkSpec {
     assert(sub.getMessage.contains("subquery"),
       s"expected the subquery-policy refusal, got: ${sub.getMessage}")
   }
+
+  test("policy-aware MERGE composes with IDENTITY and CHECK constraints: merge-born rows get engine ids, carried hidden rows keep theirs, a violating replacement aborts whole") {
+    val wh = catalog("rl9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl9.ops")
+    spark.sql("""CREATE TABLE rl9.ops.t (
+      k BIGINT, sid BIGINT GENERATED BY DEFAULT AS IDENTITY
+        (START WITH 1000 INCREMENT BY 1),
+      client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='2',
+        'rowPolicy' = "client = 'A'", 'constraint.nonneg' = "v >= 0")""")
+    spark.sql("""INSERT INTO rl9.ops.t (k, client, v) VALUES
+      (1, 'A', 10), (2, 'B', 20), (3, 'A', 30)""")
+    val root = new File(wh, "ops")
+    def owner() = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    val before = owner()
+    assert(before.map(_._2).distinct.length == 3, s"seed ids: ${before.toSeq}")
+    val hiddenSid = before.find(_._1 == 2L).get._2
+
+    // MERGE: update visible k=1, insert k=100 (identity slot omitted)
+    spark.sql("""
+      MERGE INTO rl9.ops.t t
+      USING (SELECT 1L AS k, 'A' AS client, 11L AS v
+             UNION ALL SELECT 100L, 'A', 40L) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, client, v)
+        VALUES (s.k, s.client, s.v)""")
+    val after = owner()
+    assert(after.map(_._1).toSeq == Seq(1L, 2L, 3L, 100L))
+    // the carried hidden row kept its id AND value; updated row kept its
+    // id; the merge-born row got a fresh engine id on the lattice
+    assert(after.find(_._1 == 2L).get == (2L, hiddenSid, "B", 20L))
+    assert(after.find(_._1 == 1L).get._2 == before.find(_._1 == 1L).get._2)
+    val newSid = after.find(_._1 == 100L).get._2
+    assert(!before.map(_._2).contains(newSid) && newSid >= 1000L,
+      s"merge-born identity wrong: $newSid in ${after.toSeq}")
+    assert(after.map(_._2).distinct.length == 4, "identity collision")
+
+    // a violating update aborts the WHOLE replacement — hidden rows and
+    // visible rows alike stay untouched
+    val bad = intercept[Exception] {
+      spark.sql("UPDATE rl9.ops.t SET v = -1 WHERE k = 1")
+    }
+    assert(bad.getMessage.contains("nonneg"),
+      s"expected the constraint refusal: ${bad.getMessage}")
+    assert(owner().toSeq == after.toSeq,
+      "failed statement mutated the table")
+  }
 }
