@@ -938,6 +938,19 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
   override def schema(): StructType =
     ManifestTable.resolve(root, version).table(table).schema
 
+  /** Declared table properties — what `SHOW TBLPROPERTIES` / `DESCRIBE
+    * EXTENDED` render (without this override Spark shows an empty set
+    * for every graft table). Internal high-water marks ride along: they
+    * are real committed state an operator debugging identity blocks
+    * wants visible.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    ManifestTable.resolve(root, version).table(table).props
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE alongside V1_BATCH_WRITE: INSERTs still dispatch on
     // the V1Write the builder returns; BATCH_WRITE is what the

@@ -1119,6 +1119,14 @@ class CatalogSpec extends SparkSpec {
     assert(math.abs(parts.map(_._6).sum - 1.0) < 1e-9,
       s"row shares must sum to 1: ${parts.toSeq}")
 
+    // SHOW TBLPROPERTIES / DESCRIBE EXTENDED render the declared props
+    // (Table.properties() — without the override Spark shows nothing)
+    val shown = spark.sql("SHOW TBLPROPERTIES mt.ops.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("retainHours").contains("48") &&
+      shown.get("rowLevelMode").contains("merge-on-read"),
+      s"SHOW TBLPROPERTIES incomplete: $shown")
+
     // $metrics: declare a DMF, sweep, read the time series by name
     spark.sql("""ALTER TABLE mt.ops.t SET TBLPROPERTIES
       ('metric.null_v' = "v is null", 'metric.n_rows' = "count(*)")""")
