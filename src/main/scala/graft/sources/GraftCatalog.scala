@@ -945,9 +945,23 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     * wants visible.
     */
   override def properties(): java.util.Map[String, String] = {
+    val ts = ManifestTable.resolve(root, version).table(table)
     val m = new java.util.HashMap[String, String]()
-    ManifestTable.resolve(root, version).table(table).props
-      .foreach { case (k, v) => m.put(k, v) }
+    ts.props.foreach { case (k, v) => m.put(k, v) }
+    // the LAYOUT state (recorded outside the props map because it
+    // defines committed bytes' meaning) renders too, so SHOW CREATE
+    // TABLE round-trips the full declaration
+    m.put("mergeKeys", ts.mergeKeys.mkString(","))
+    m.put("buckets", ts.numBuckets.toString)
+    if (ts.statsCols.nonEmpty) m.put("statsCols", ts.statsCols.mkString(","))
+    if (ts.searchCols.nonEmpty)
+      m.put("searchCols", ts.searchCols.mkString(","))
+    // reserved keys Spark's SHOW CREATE TABLE / DESCRIBE EXTENDED render
+    // as the USING clause and location line
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER,
+      "graft")
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION,
+      new File(new File(root, "data"), table).toString)
     m
   }
 

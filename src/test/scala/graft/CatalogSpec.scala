@@ -1346,6 +1346,33 @@ class CatalogSpec extends SparkSpec {
     spark.conf.unset("graft.session.client")
   }
 
+  test("SQL surface: CTAS lands an atomic create+insert, DESCRIBE TABLE serves columns, SHOW CREATE TABLE round-trips the declaration") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqs").toString
+    spark.conf.set("spark.sql.catalog.sqs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sqs.ops")
+
+    // CTAS: schema from the query, data in the same statement
+    spark.sql("""CREATE TABLE sqs.ops.t USING graft
+      TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id, concat('c', id % 3) AS client,
+        cast(id as double) * 1.5 AS v FROM range(30)""")
+    assert(spark.sql("SELECT count(*) FROM sqs.ops.t").head.getLong(0) == 30L)
+    assert(spark.sql("SELECT v FROM sqs.ops.t WHERE id = 4")
+      .head.getDouble(0) == 6.0)
+
+    // DESCRIBE serves the committed schema
+    val desc = spark.sql("DESCRIBE TABLE sqs.ops.t").collect()
+      .map(_.getString(0))
+    assert(Seq("id", "client", "v").forall(desc.contains),
+      s"DESCRIBE incomplete: ${desc.toSeq}")
+
+    // SHOW CREATE TABLE round-trips the provider and the declared props
+    val ddl = spark.sql("SHOW CREATE TABLE sqs.ops.t").head.getString(0)
+    assert(ddl.contains("graft") && ddl.contains("mergeKeys"),
+      s"SHOW CREATE TABLE incomplete:\n$ddl")
+  }
+
   test("governed postimage-only CDF: governedPostimages serves policy-visible inserts/update postimages masked; preimages, deletes, and hidden-row changes never flow; the raw subscription still refuses") {
     val wh = java.nio.file.Files.createTempDirectory("graft_gcf").toString
     spark.conf.set("spark.sql.catalog.gcf", classOf[GraftCatalog].getName)
