@@ -396,16 +396,21 @@ class CdfMicroBatchStream(spark: SparkSession, parameters: Map[String, String],
     * `(policy) AND _change_type IN ('insert','update_postimage')`
     * before handing the props over, so one bound predicate drives both.
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val base = GraftParquetRead.readerFactory(spark, dataSchema, dataSchema,
-      partitionSchema, Array.empty)
+  override def createReaderFactory(): PartitionReaderFactory =
     governance match {
       case Some(props) =>
+        // the feed serves its full schema, so the read prunes nothing
+        // here — the governed slice still pays one row-path projection
         val full = StructType(dataSchema.fields ++ partitionSchema.fields)
-        GovernedRows.governing(base, spark, full, full, props, table)
-      case None => base
+        GovernedRows.governing(spark, full, full, props, table, rs =>
+          GraftParquetRead.readerFactory(spark, dataSchema,
+            StructType(rs.fields.filterNot(f =>
+              partitionSchema.fieldNames.contains(f.name))),
+            partitionSchema, Array.empty))
+      case None =>
+        GraftParquetRead.readerFactory(spark, dataSchema, dataSchema,
+          partitionSchema, Array.empty)
     }
-  }
 
   private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
@@ -575,18 +580,17 @@ class TableMicroBatchStream(spark: SparkSession, rootPath: String,
       .toArray
   }
 
-  /** Governed tables read FULL rows and pipe them through the compiled
-    * policy/mask decorator ([[GovernedRows.governing]]) — a mask or
-    * policy may reference columns the subscriber did not select, so the
-    * governance tax on a governed stream is an unpruned base read.
+  /** Governed tables pipe rows through the compiled policy/mask
+    * decorator ([[GovernedRows.governing]]), which widens the base read
+    * only to the columns the governance itself references — a policy on
+    * one column of a wide table costs that column, not all of them.
     */
   override def createReaderFactory(): PartitionReaderFactory =
     governance match {
       case Some(props) =>
-        GovernedRows.governing(
-          GraftParquetRead.readerFactory(spark, tableSchema, tableSchema,
-            new StructType(), Array.empty),
-          spark, tableSchema, readSchema, props, table)
+        GovernedRows.governing(spark, tableSchema, readSchema, props,
+          table, rs => GraftParquetRead.readerFactory(spark, tableSchema,
+            rs, new StructType(), Array.empty))
       case None =>
         GraftParquetRead.readerFactory(spark, tableSchema, readSchema,
           new StructType(), Array.empty)

@@ -163,38 +163,54 @@ private[graft] object GovernedRows {
   }
 
   /** Wrap a reader factory with the FULL governance pipeline: the base
-    * reads complete table rows, the decorator drops policy-hidden rows,
-    * applies the mask projection, and prunes to `required` — one
-    * codegen'd `UnsafeProjection` per partition. How a governed plain
+    * reads the MINIMAL column set (the subscriber's `required` plus
+    * every column the policy and the relevant masks reference — a
+    * governed stream of a wide table pays for governance's columns,
+    * not all of them), the decorator drops policy-hidden rows, applies
+    * the mask projection, and prunes to `required` — one codegen'd
+    * `UnsafeProjection` per partition. `mkBase` builds the underlying
+    * reader for the computed read schema. How a governed plain
     * micro-batch stream serves exactly the governed batch view.
     */
-  def governing(base: PartitionReaderFactory, spark: SparkSession,
+  def governing(spark: SparkSession,
       tableSchema: StructType, required: StructType,
-      props: Map[String, String], table: String): PartitionReaderFactory = {
+      props: Map[String, String], table: String,
+      mkBase: StructType => PartitionReaderFactory)
+      : PartitionReaderFactory = {
+    // masks on columns the subscriber did not select are irrelevant —
+    // those columns never leave the reader
+    val masks = props.toSeq.collect {
+      case (k, v) if k.startsWith(graft.plans.RowPolicyRule.MaskPrefix) =>
+        k.stripPrefix(graft.plans.RowPolicyRule.MaskPrefix) -> v
+    }.sortBy(_._1).filter { case (name, _) =>
+      required.fieldNames.contains(name.takeWhile(_ != '.')) }
+    val keepUnbound = props.get(graft.plans.RowPolicyRule.PolicyKey)
+      .map(sql => compile(spark, tableSchema, sql,
+        s"row policy on '$table'"))
+    val maskedUnbound =
+      if (masks.isEmpty)
+        org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .toAttributes(tableSchema).map(a => a: Expression)
+      else compileProjection(spark, tableSchema, masks, table)
+    val projUnbound = required.fields.toSeq.map { f =>
+      maskedUnbound(tableSchema.fieldIndex(f.name))
+    }
+    val referenced: Set[String] =
+      (keepUnbound.toSeq ++ projUnbound).flatMap(_.collect {
+        case a: AttributeReference => a.name
+      }).toSet
+    val readSchema = StructType(tableSchema.fields.filter(f =>
+      required.fieldNames.contains(f.name) || referenced.contains(f.name)))
     def bind(e: Expression): Expression = e.transform {
       case a: AttributeReference =>
-        val i = tableSchema.fieldNames.indexOf(a.name)
+        val i = readSchema.fieldNames.indexOf(a.name)
         require(i >= 0, s"governance on '$table' references column " +
           s"'${a.name}' missing from the table schema")
         org.apache.spark.sql.catalyst.expressions
           .BoundReference(i, a.dataType, a.nullable)
     }
-    val keep = props.get(graft.plans.RowPolicyRule.PolicyKey)
-      .map(sql => bind(compile(spark, tableSchema, sql,
-        s"row policy on '$table'")))
-    val masks = props.toSeq.collect {
-      case (k, v) if k.startsWith(graft.plans.RowPolicyRule.MaskPrefix) =>
-        k.stripPrefix(graft.plans.RowPolicyRule.MaskPrefix) -> v
-    }.sortBy(_._1)
-    val masked =
-      if (masks.isEmpty)
-        org.apache.spark.sql.catalyst.types.DataTypeUtils
-          .toAttributes(tableSchema).map(a => a: Expression)
-      else compileProjection(spark, tableSchema, masks, table)
-    val projected = required.fields.toSeq.map { f =>
-      bind(masked(tableSchema.fieldIndex(f.name)))
-    }
-    GoverningReaderFactory(base, keep, projected)
+    GoverningReaderFactory(mkBase(readSchema), keepUnbound.map(bind),
+      projUnbound.map(bind))
   }
 
   /** Wrap a reader factory with a per-row keep-predicate: rows where

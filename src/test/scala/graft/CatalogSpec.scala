@@ -1024,6 +1024,22 @@ class CatalogSpec extends SparkSpec {
         s"batch=${batch.toSeq}")
     q.stop()
 
+    // a PRUNED governed subscriber (selects neither the policy nor the
+    // mask column) still gets policy-filtered rows: the reader widens
+    // its read to the governance's columns and projects back down
+    val qp = spark.readStream.table("msk.ops.t").select("id")
+      .writeStream.format("memory").queryName("msk_gov_pruned")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("msk_ckp").toString)
+      .start()
+    qp.processAllAvailable()
+    qp.stop()
+    assert(spark.sql("SELECT id FROM msk_gov_pruned").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      spark.sql("SELECT id FROM msk.ops.t").collect()
+        .map(_.getLong(0)).sorted.toSeq,
+      "pruned governed stream diverged from the governed batch read")
+
     // the CDF subscription stays refused on governed tables (preimages
     // of newly-hidden rows are ill-posed); the provider CDF path
     // remains the owner subscription
