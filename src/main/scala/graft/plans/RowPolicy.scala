@@ -100,9 +100,14 @@ case class RowPolicyRule(fallback: Boolean = false)
 
   private def spark: SparkSession = SparkSession.active
 
-  /** Is `k` a read-governance property (the row policy or a mask)? */
+  /** Is `k` a read-governance property (the row policy, a mask, or the
+    * object-tagging surface — a tag assignment or a tag-attached
+    * masking policy)?
+    */
   private def isGovKey(k: String): Boolean =
-    k == RowPolicyRule.PolicyKey || k.startsWith(RowPolicyRule.MaskPrefix)
+    k == RowPolicyRule.PolicyKey || k.startsWith(RowPolicyRule.MaskPrefix) ||
+      k.startsWith(graft.sources.GovernedRows.TagPrefix) ||
+      k.startsWith(graft.sources.GovernedRows.TagMaskPrefix)
 
   /** Table properties with GOVERNANCE keys resolved from the manifest
     * HEAD rather than the relation's pinned snapshot: the CURRENT policy
@@ -129,11 +134,9 @@ case class RowPolicyRule(fallback: Boolean = false)
   private def policyOf(props: Map[String, String]): Option[String] =
     props.get(RowPolicyRule.PolicyKey)
 
-  private def masksOf(props: Map[String, String]): Seq[(String, String)] =
-    props.toSeq.collect {
-      case (k, v) if k.startsWith(RowPolicyRule.MaskPrefix) =>
-        k.stripPrefix(RowPolicyRule.MaskPrefix) -> v
-    }.sortBy(_._1)
+  private def masksOf(props: Map[String, String], table: String)
+      : Seq[graft.sources.MaskSpec] =
+    graft.sources.GovernedRows.effectiveMasks(props, table)
 
   /** Is the pre-pushdown (extensions) instance active in this session? */
   private def extensionsActive: Boolean =
@@ -148,7 +151,8 @@ case class RowPolicyRule(fallback: Boolean = false)
     * operators compute over masked values only.
     */
   private def planted(node: LogicalPlan, table: String,
-      policy: Option[String], masks: Seq[(String, String)]): LogicalPlan = {
+      policy: Option[String], masks: Seq[graft.sources.MaskSpec])
+      : LogicalPlan = {
     // policies/masks may call graft_session_attr — make sure the parse
     // below resolves it even in sessions wired without extensions
     graft.functions.SessionAttr.register(spark)
@@ -189,6 +193,78 @@ case class RowPolicyRule(fallback: Boolean = false)
     }
   }
 
+  /** The graft file index inside a Dataset-cache entry's materialized
+    * plan (descending through the AQE wrapper), when the cached data is
+    * a graft table read whose table is GOVERNED at the manifest HEAD.
+    *
+    * Why this exists: Spark's analyzer resolves a table name straight
+    * to the cache manager's stored relation plan when an entry for that
+    * name is live (`CacheManager.lookupCachedTable`), and
+    * `withCachedData` then swaps in the `InMemoryRelation` — all BEFORE
+    * the optimizer runs, so no Table-equality key can gate it, and the
+    * materialized rows were governed under the CACHING session's
+    * context (or none, for a pre-ALTER entry). Serving them to another
+    * context is the one true cache leak; the rule answers it by
+    * BYPASSING the cache for governed tables — rebuild a live scan,
+    * govern it, and let the entry idle.
+    */
+  private def governedCache(
+      imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+      : Option[graft.sources.ManifestFileIndex] = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.inputPlan)
+      case other => other.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.inputPlan)
+        case l => Seq(l)
+      }
+    }
+    leaves(imr.cachedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.GraftBatchScan => Some(g.index)
+          case _ => None
+        }
+    }.flatten.filter { idx =>
+      val head = graft.sources.ManifestTable
+        .read(new java.io.File(idx.rootPath))
+        .map(_.table(idx.tableName).props).getOrElse(Map.empty)
+      graft.sources.GovernedRows.governs(head, idx.tableName)
+    }
+  }
+
+  /** The Dataset-cache entry this `InMemoryRelation` materializes,
+    * matched by its shared `CachedRDDBuilder` (`withCachedData`
+    * substitutes copies, so instance identity of the relation itself is
+    * not stable) — the entry's stored logical plan is what a governed
+    * bypass must recompute. Reaches the cache manager's private entry
+    * list reflectively; a miss returns None and the caller refuses
+    * loudly rather than serving or guessing.
+    */
+  private def storedPlanOf(
+      imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+      : Option[LogicalPlan] = {
+    val cm = spark.sharedState.cacheManager
+    val fld = cm.getClass.getDeclaredFields
+      .find(_.getName.endsWith("cachedData"))
+    fld.flatMap { f =>
+      f.setAccessible(true)
+      val entries: Seq[Any] = f.get(cm) match {
+        case l: java.util.List[_] =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+        case s: scala.collection.Seq[_] => s.toSeq
+        case _ => Nil
+      }
+      entries.collectFirst {
+        case cd: org.apache.spark.sql.execution.CachedData
+            if cd.cachedRepresentation.cacheBuilder eq imr.cacheBuilder =>
+          cd.plan
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // relations in WRITE-TARGET position are sinks, never scans
     val targets: Set[LogicalPlan] = plan.collect {
@@ -205,7 +281,7 @@ case class RowPolicyRule(fallback: Boolean = false)
     def props(t: org.apache.spark.sql.connector.catalog.Table)
         : Map[String, String] = memo.getOrElseUpdate(t, propsOf(t))
     def governed(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
-      policyOf(props(t)).nonEmpty || masksOf(props(t)).nonEmpty
+      policyOf(props(t)).nonEmpty || masksOf(props(t), t.name()).nonEmpty
     // transformUpWithNewOutput: masked columns get FRESH attribute ids
     // (a Project whose output id shadowed its own input id would read as
     // redundant and optimize away), and every parent reference rewrites
@@ -217,8 +293,75 @@ case class RowPolicyRule(fallback: Boolean = false)
             governed(r.table) =>
         r.setTagValue(RowPolicyRule.Applied, true)
         val g = planted(r, r.table.name(), policyOf(props(r.table)),
-          masksOf(props(r.table)))
+          masksOf(props(r.table), r.table.name()))
         g -> r.output.zip(g.output).filter {
+          case (o, n) => o.exprId != n.exprId }
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if (!fallback || !extensionsActive) &&
+            governedCache(imr).isDefined =>
+        // Dataset-cache BYPASS for governed tables: the entry's rows
+        // materialized under one governance context — recompute the
+        // entry's own STORED logical plan (user operators preserved)
+        // over fresh, un-tagged relations, governed inline under THIS
+        // query's context; the entry idles (see [[governedCache]])
+        val stored = storedPlanOf(imr).getOrElse(
+          throw new IllegalStateException(
+            s"a Dataset cache entry over governed table " +
+              s"'${governedCache(imr).get.tableName}' cannot be matched " +
+              "back to its stored plan — unpersist it (a governed read " +
+              "never serves from a cross-context cache)"))
+        // fresh relation instances: the stored plan's relations are
+        // SHARED across queries (the analyzer resolves a cached name to
+        // the stored plan) and carry the Applied tag from the caching
+        // query's own optimization — planting must not race on them
+        val cleansed0 = stored.transformUpWithNewOutput {
+          case r: DataSourceV2Relation =>
+            // a FRESH table instance, not the stored one: the shared
+            // instance's lazily-pinned index froze the snapshot (and
+            // its governance props) at CACHING time — the bypass must
+            // resolve the CURRENT state, or a policy ALTERed in after
+            // caching would never plant
+            val tbl = r.table match {
+              case g: GraftSqlTable => new GraftSqlTable(
+                g.rootDir, g.tableName, g.pinnedVersion, g.raw)
+              case other => other
+            }
+            val nr = DataSourceV2Relation.create(
+              tbl, r.catalog, r.identifier, r.options)
+            nr -> r.output.zip(nr.output).filter {
+              case (o, n) => o.exprId != n.exprId }
+        }
+        val cleansed = org.apache.spark.sql.catalyst.analysis
+          .EliminateSubqueryAliases(cleansed0)
+        // govern inline — the SAME pass; deferring to the next fixpoint
+        // iteration would let a later rule (the metadata-count rewrite)
+        // see the relation ungoverned
+        val g = cleansed.transformUpWithNewOutput {
+          case r: DataSourceV2Relation if governed(r.table) =>
+            r.setTagValue(RowPolicyRule.Applied, true)
+            val head = props(r.table)
+            val gr = planted(r, r.table.name(), policyOf(head),
+              masksOf(head, r.table.name()))
+            gr -> r.output.zip(gr.output).filter {
+              case (o, n) => o.exprId != n.exprId }
+        }
+        // fallback instance: post-pushdown a bare logical relation has
+        // no physical strategy — rebuild every remaining one (governed
+        // plants sit ABOVE their relation, so this covers both) as a
+        // scan relation, the same shape the fallback's ordinary case
+        // builds
+        val planned =
+          if (!fallback) g
+          else g.transformUp {
+            case r: DataSourceV2Relation =>
+              val fresh = DataSourceV2ScanRelation(r,
+                r.table.asInstanceOf[
+                  org.apache.spark.sql.connector.catalog.SupportsRead]
+                  .newScanBuilder(r.options).build(), r.output)
+              fresh.setTagValue(RowPolicyRule.Applied, true)
+              fresh
+          }
+        planned -> imr.output.zip(planned.output).filter {
           case (o, n) => o.exprId != n.exprId }
       case s: DataSourceV2ScanRelation
           if fallback && !extensionsActive &&
@@ -236,7 +379,7 @@ case class RowPolicyRule(fallback: Boolean = false)
         fresh.setTagValue(RowPolicyRule.Applied, true)
         val g = planted(fresh, s.relation.table.name(),
           policyOf(props(s.relation.table)),
-          masksOf(props(s.relation.table)))
+          masksOf(props(s.relation.table), s.relation.table.name()))
         val mapping = s.relation.output.zip(g.output).filter {
           case (o, n) => o.exprId != n.exprId }
         g -> mapping

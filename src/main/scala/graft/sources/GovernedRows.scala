@@ -27,7 +27,94 @@ import org.apache.spark.sql.types.StructType
   * [[graft.plans.RowPolicyRule]] remains the read path that supports
   * them.
   */
+/** One effective column mask: `key` is the column (or dotted
+  * `col.path.to.field`), `sql` the masking expression. `fromTag` marks a
+  * mask derived from OBJECT TAGGING (`tag.<col>` = comma-separated tag
+  * names; `maskForTag.<tag>` = one policy expression written against the
+  * placeholder `val`, the Snowflake masking-policy signature) — its
+  * parsed expression rewrites `val` to the tagged column before
+  * analysis, so one policy governs every column carrying the tag.
+  */
+private[graft] final case class MaskSpec(key: String, sql: String,
+    fromTag: Boolean = false)
+
 private[graft] object GovernedRows {
+
+  /** Table-property prefix assigning governance tags to a column
+    * (`tag.<col>` = 'pii,contact').
+    */
+  val TagPrefix = "tag."
+
+  /** Table-property prefix attaching ONE masking policy to every column
+    * carrying the tag (`maskForTag.<tag>` = expression over `val`).
+    */
+  val TagMaskPrefix = "maskForTag."
+
+  /** The effective masks of a table: explicit `mask.<col>[...]` entries
+    * plus tag-derived whole-column masks. Precedence is the Snowflake
+    * rule — a mask attached DIRECTLY to the column (whole-column or any
+    * of its field masks) wins over its tags' policies; a column whose
+    * tags resolve to MORE THAN ONE policy refuses loudly (attach one, or
+    * set an explicit `mask.<col>` to arbitrate).
+    */
+  def effectiveMasks(props: Map[String, String], table: String)
+      : Seq[MaskSpec] = {
+    val explicit = props.toSeq.collect {
+      case (k, v) if k.startsWith(graft.plans.RowPolicyRule.MaskPrefix) =>
+        MaskSpec(k.stripPrefix(graft.plans.RowPolicyRule.MaskPrefix), v)
+    }
+    val tagMasks: Map[String, String] = props.collect {
+      case (k, v) if k.startsWith(TagMaskPrefix) =>
+        k.stripPrefix(TagMaskPrefix) -> v
+    }
+    val explicitCols = explicit.map(_.key.takeWhile(_ != '.')).toSet
+    val derived = props.toSeq.collect {
+      case (k, v) if k.startsWith(TagPrefix) =>
+        k.stripPrefix(TagPrefix) ->
+          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.sortBy(_._1).flatMap { case (col, tags) =>
+      if (explicitCols.contains(col)) Nil // column-attached mask wins
+      else {
+        val hits = tags.filter(tagMasks.contains)
+        require(hits.size <= 1,
+          s"column '$col' on '$table' carries ${hits.size} tag masks " +
+            s"(${hits.mkString(", ")}) — attach at most one maskForTag " +
+            s"per column, or set an explicit mask.$col to arbitrate")
+        hits.headOption.map(t => MaskSpec(col, tagMasks(t), fromTag = true))
+      }
+    }
+    (explicit ++ derived).sortBy(_.key)
+  }
+
+  /** Does this property set govern reads (policy, mask, or a tag that
+    * resolves to a masking policy)?
+    */
+  def governs(props: Map[String, String], table: String): Boolean =
+    props.contains(graft.plans.RowPolicyRule.PolicyKey) ||
+      effectiveMasks(props, table).nonEmpty
+
+  /** Parse a tag policy and rewrite its placeholder `val` to the
+    * governed column — through the session PARSER (a `functions.expr`
+    * Column is an opaque node until analysis, so a transform over it
+    * would never see the unresolved attribute), pre-analysis, so the
+    * substituted expression resolves like a hand-written per-column
+    * mask.
+    */
+  private def bindTagValue(sql: String, what: String,
+      target: Expression): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val parsed =
+      try SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$what does not parse: $sql", e)
+      }
+    bridge.column(parsed.transform {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 &&
+            u.nameParts.head.equalsIgnoreCase("val") => target
+    })
+  }
 
   /** Parse + analyze `sql` as a predicate over `schema`, fold
     * current-like calls, and return the resolved condition. Its
@@ -73,6 +160,42 @@ private[graft] object GovernedRows {
     })
   }
 
+  /** `cond` as an UNRESOLVED Column — attributes become by-name
+    * references the next analysis resolves against whatever plan the
+    * Column lands on. How the session-enforced owner verbs thread one
+    * compiled policy through [[ManifestTable.deleteWhere]] /
+    * [[ManifestTable.updateWhere]], which filter several frames (the
+    * pruned discovery read, the touched-generation feed read)
+    * internally.
+    */
+  def asColumn(cond: Expression): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.column(cond.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  /** The table's row policy compiled for a SESSION-ENFORCED owner verb:
+    * resolved from the manifest HEAD (the same current-policy contract
+    * as reads), current-like calls and session attrs folded, returned
+    * as a by-name Column to conjoin with the verb's own condition —
+    * rows the policy hides (FALSE or NULL) fall out of the mutation's
+    * match set, so the verb runs exactly as if the caller could not see
+    * them. None when the table carries no policy (the verb runs as the
+    * owner — nothing to enforce). Masks never bind here: mutation verbs
+    * keep cleartext semantics, like SQL DML.
+    */
+  def sessionPolicy(spark: SparkSession, root: java.io.File,
+      table: String): Option[org.apache.spark.sql.Column] =
+    ManifestTable.read(root).map(_.table(table))
+      .filter(_.schemaJson.nonEmpty).flatMap { ts =>
+        ts.props.get(graft.plans.RowPolicyRule.PolicyKey).map { sql =>
+          asColumn(compile(spark, ts.schema, sql,
+            s"row policy on '$table'"))
+        }
+      }
+
   /** The mask projection over `out` — one Column per output attribute:
     * whole-column masks (`mask.<col>`) rewrite the column, NESTED keys
     * (`mask.<col>.<path>`) rewrite one struct field via `withField`
@@ -83,21 +206,21 @@ private[graft] object GovernedRows {
     */
   def maskColumns(
       out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-      masks: Seq[(String, String)], table: String,
+      masks: Seq[MaskSpec], table: String,
       parse: (String, String) => org.apache.spark.sql.Column)
       : Seq[org.apache.spark.sql.Column] = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val colNames = out.map(_.name).toSet
-    val (top, nested) = masks.partition(m => colNames.contains(m._1))
-    val nestedByCol: Map[String, Seq[(String, String)]] = nested.map {
-      case (name, sql) =>
-        val col = name.takeWhile(_ != '.')
-        require(colNames.contains(col),
-          s"mask key 'mask.$name' on '$table' matches no column " +
-            s"(columns: ${out.map(_.name).mkString(", ")})")
-        (col, name.drop(col.length + 1), sql)
+    val (top, nested) = masks.partition(m => colNames.contains(m.key))
+    val nestedByCol: Map[String, Seq[(String, String)]] = nested.map { m =>
+      val col = m.key.takeWhile(_ != '.')
+      require(colNames.contains(col),
+        (if (m.fromTag) s"tag key 'tag.${m.key}'" else
+          s"mask key 'mask.${m.key}'") + s" on '$table' matches no " +
+          s"column (columns: ${out.map(_.name).mkString(", ")})")
+      (col, m.key.drop(col.length + 1), m.sql)
     }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
-    val byCol = top.toMap
+    val byCol = top.map(m => m.key -> m).toMap
     def fieldType(dt: org.apache.spark.sql.types.DataType, path: String,
         col: String): org.apache.spark.sql.types.DataType =
       path.split('.').foldLeft(dt) { (t, f) =>
@@ -110,8 +233,10 @@ private[graft] object GovernedRows {
       }
     out.map { a =>
       byCol.get(a.name) match {
-        case Some(sql) =>
-          parse(s"mask for column '${a.name}'", sql)
+        case Some(m) =>
+          val what = s"mask for column '${a.name}'"
+          (if (m.fromTag) bindTagValue(m.sql, what, a)
+           else parse(what, m.sql))
             .cast(a.dataType).as(a.name)
         case None => nestedByCol.get(a.name) match {
           case Some(fms) =>
@@ -132,7 +257,7 @@ private[graft] object GovernedRows {
     * remap/bind before evaluating, exactly like [[compile]]'s condition.
     */
   def compileProjection(spark: SparkSession, schema: StructType,
-      masks: Seq[(String, String)], table: String): Seq[Expression] = {
+      masks: Seq[MaskSpec], table: String): Seq[Expression] = {
     graft.functions.SessionAttr.register(spark)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     def parse(what: String, sql: String) =
@@ -179,11 +304,8 @@ private[graft] object GovernedRows {
       : PartitionReaderFactory = {
     // masks on columns the subscriber did not select are irrelevant —
     // those columns never leave the reader
-    val masks = props.toSeq.collect {
-      case (k, v) if k.startsWith(graft.plans.RowPolicyRule.MaskPrefix) =>
-        k.stripPrefix(graft.plans.RowPolicyRule.MaskPrefix) -> v
-    }.sortBy(_._1).filter { case (name, _) =>
-      required.fieldNames.contains(name.takeWhile(_ != '.')) }
+    val masks = effectiveMasks(props, table).filter(m =>
+      required.fieldNames.contains(m.key.takeWhile(_ != '.')))
     val keepUnbound = props.get(graft.plans.RowPolicyRule.PolicyKey)
       .map(sql => compile(spark, tableSchema, sql,
         s"row policy on '$table'"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo, NamespaceChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -57,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * safely with streaming sinks and compaction.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: File = _
@@ -192,10 +192,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * here — the pinned snapshot rides the same retention window as every
     * other time-travel read.
     */
+  /** `VERSION AS OF <v>` — a commit version, or a NAMED REF (`VERSION
+    * AS OF 'audited'`) resolving through the table's `ref.<name>`
+    * properties at HEAD. A ref pins its version against retention
+    * (see [[ManifestTable]]'s refVersionsOf), so `AS OF '<name>'` keeps
+    * serving after the count/time windows passed it.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(rootOf(ident.namespace), ident.name,
-      Some(version.toLong))
+    val root = rootOf(ident.namespace)
+    val v = scala.util.Try(version.trim.toLong).toOption.getOrElse {
+      ManifestTable.read(root)
+        .flatMap(_.table(ident.name).props.get(s"ref.$version"))
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$version' is neither a commit version nor a named ref on " +
+            s"'${ident.name}' — declare one with ALTER TABLE … SET " +
+            s"TBLPROPERTIES ('ref.$version' = '<version>')"))
+    }
+    new GraftSqlTable(root, ident.name, Some(v))
   }
 
   /** `TIMESTAMP AS OF` (the warehouse `AT(TIMESTAMP => …)` shape):
@@ -285,7 +300,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props.collect { case (k, v)
         if k.startsWith("constraint.") || k.startsWith("generated.") ||
           k.startsWith("default.") || k.startsWith("metric.") ||
-          k.startsWith("mask.") =>
+          k.startsWith("mask.") || k.startsWith("tag.") ||
+          k.startsWith("maskForTag.") =>
           k -> v } ++
       // row access policy: parse-checked, and incompatible with
       // merge-on-read (its reads re-plan into reconciliation unions the
@@ -307,6 +323,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       recorded)
     new GraftSqlTable(rootOf(ident.namespace), ident.name, None)
   }
+
+  // ---- atomic CREATE OR REPLACE (StagingTableCatalog) ----
+  //
+  // The reference's canonical DDL verb — `CREATE OR REPLACE TABLE`
+  // (sql/02_canonical_ddl.sql:6) — and atomic CTAS/RTAS. Staging rides
+  // the TRANSACTION ENVELOPE: stage* opens an envelope on the root, the
+  // drop+create (and the CTAS write, which the envelope's overlay makes
+  // read-your-own-writes) land invisibly, and commitStagedChanges
+  // publishes everything as ONE manifest swap — readers keep the old
+  // table until the commit point, a crash/abort publishes NOTHING, and
+  // the replaced state stays time-travelable/UNDROP-able within
+  // retention (the Snowflake CREATE OR REPLACE contract).
+
+  private def staged(ident: Identifier, info: TableInfo,
+      orReplace: Boolean, mustExist: Boolean): StagedTable = {
+    val root = rootOf(ident.namespace)
+    val exists = tableExists(ident)
+    if (!orReplace && exists) throw new TableAlreadyExistsException(ident)
+    if (mustExist && !exists) throw new NoSuchTableException(ident)
+    try ManifestTable.begin(root)
+    catch {
+      case e: IllegalArgumentException =>
+        throw new UnsupportedOperationException(
+          s"cannot stage CREATE [OR REPLACE] on '${ident.name}': a " +
+            "transaction envelope is already open on this namespace — " +
+            "CALL graft.system.commit/rollback first", e)
+    }
+    val inner =
+      try {
+        if (exists) ManifestTable.dropTable(root, ident.name): Unit
+        createTable(ident, info.columns, info.partitions, info.properties)
+          .asInstanceOf[GraftSqlTable]
+      } catch {
+        case e: Throwable => ManifestTable.rollback(root); throw e
+      }
+    new GraftStagedTable(root, inner)
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, orReplace = false, mustExist = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, orReplace = true, mustExist = true)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo)
+      : StagedTable =
+    staged(ident, info, orReplace = true, mustExist = false)
 
   /** `ALTER TABLE … ADD COLUMNS (…)` (append-only, nullable — the same
     * unify-on-merge evolution the write path applies, as a pure metadata
@@ -402,13 +465,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"row policy does not parse: ${p.value}")
         props += GraftSqlTable.RowPolicyKey -> p.value
       case p: TableChange.SetProperty
-          if p.property.startsWith("mask.") =>
-        // dynamic data masking: catalog reads serve the column through
-        // this expression (parse-checked; type/nullability validated at
-        // plan time against the live schema)
+          if p.property.startsWith("mask.") ||
+            p.property.startsWith("maskForTag.") =>
+        // dynamic data masking — column-attached or tag-attached (the
+        // tag policy is written against the placeholder `val`):
+        // parse-checked; type/nullability validated at plan time
+        // against the live schema
         require(scala.util.Try(
           org.apache.spark.sql.functions.expr(p.value)).isSuccess,
           s"mask expression does not parse: ${p.value}")
+        props += p.property -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("ref.") =>
+        // named snapshot ref: pins a commit version against retention
+        // and resolves through VERSION AS OF '<name>'. Must point at a
+        // version that is still reconstructible — a dead pin would
+        // never serve
+        val v = scala.util.Try(p.value.trim.toLong).toOption
+        require(v.exists(_ >= 0),
+          s"named ref '${p.property}' must pin a commit version, " +
+            s"got '${p.value}'")
+        require(scala.util.Try(
+            ManifestTable.resolve(root, v)).isSuccess,
+          s"cannot pin '${p.property}' to version ${v.get}: that " +
+            "version is not reconstructible (aged out of retention?)")
+        props += p.property -> p.value.trim
+      case p: TableChange.SetProperty
+          if p.property.startsWith("tag.") =>
+        // object tagging: a comma-separated tag list per column —
+        // free-form names; masking binds through maskForTag.<tag>
+        require(p.value.split(",").exists(_.trim.nonEmpty),
+          s"tag list for '${p.property}' is empty")
         props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.startsWith("metric.") =>
@@ -458,7 +545,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val removable = key == GraftSqlTable.RowPolicyKey ||
           knownProp(k).nonEmpty ||
           Seq("mask.", "constraint.", "metric.", "default.",
-            "generated.").exists(key.startsWith)
+            "generated.", "tag.", "maskForTag.", "ref.")
+            .exists(key.startsWith)
         require(removable,
           s"property '$k' is not removable (layout properties like " +
             "mergeKeys/buckets define committed bytes' meaning)")
@@ -648,19 +736,40 @@ object GraftProcedures {
               UTF8String.fromString(r.getString(4)), r.getLong(5))
           }
       }
+      // optional session_enforced = true runs the verb UNDER the
+      // session's row policy (current-like + session attrs folded at
+      // call time): only policy-visible rows match, hidden rows are
+      // untouchable — the audited-operator variant of the owner verbs.
+      // Default stays the OWNER view (policies gate the SQL surface).
       case "delete_where" => bound("delete_where",
         Seq(in("namespace", StringType), in("table", StringType),
-          in("condition", StringType)), CountSchema) { row =>
+          in("condition", StringType),
+          ProcedureParameter.in("session_enforced", BooleanType)
+            .defaultValue("false").build()), CountSchema) { row =>
+        val cond0 = org.apache.spark.sql.functions.expr(str(row, 2))
+        val cond =
+          if (!row.isNullAt(3) && row.getBoolean(3))
+            GovernedRows.sessionPolicy(spark, root(str(row, 0)), str(row, 1))
+              .map(cond0 && _).getOrElse(cond0)
+          else cond0
         val n = ManifestTable.deleteWhere(spark, root(str(row, 0)),
-          org.apache.spark.sql.functions.expr(str(row, 2)), str(row, 1))
+          cond, str(row, 1))
         Seq(InternalRow(n))
       }
       case "update_where" => bound("update_where",
         Seq(in("namespace", StringType), in("table", StringType),
           in("condition", StringType), in("set_column", StringType),
-          in("set_expr", StringType)), CountSchema) { row =>
+          in("set_expr", StringType),
+          ProcedureParameter.in("session_enforced", BooleanType)
+            .defaultValue("false").build()), CountSchema) { row =>
+        val cond0 = org.apache.spark.sql.functions.expr(str(row, 2))
+        val cond =
+          if (!row.isNullAt(5) && row.getBoolean(5))
+            GovernedRows.sessionPolicy(spark, root(str(row, 0)), str(row, 1))
+              .map(cond0 && _).getOrElse(cond0)
+          else cond0
         val n = ManifestTable.updateWhere(spark, root(str(row, 0)),
-          org.apache.spark.sql.functions.expr(str(row, 2)),
+          cond,
           Map(str(row, 3) ->
             org.apache.spark.sql.functions.expr(str(row, 4))), str(row, 1))
         Seq(InternalRow(n))
@@ -899,6 +1008,30 @@ object GraftProcedures {
   }
 }
 
+/** A staged table inside an open transaction envelope — the handle
+  * Spark's atomic CREATE OR REPLACE [AS SELECT] paths hold between
+  * stage* and commit. Reads and writes delegate to the (overlay-visible)
+  * inner table; commit publishes the envelope as one manifest swap,
+  * abort publishes nothing.
+  */
+private[sources] class GraftStagedTable(root: File, inner: GraftSqlTable)
+  extends StagedTable with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = ManifestTable.commitTxn(root)
+  override def abortStagedChanges(): Unit =
+    ManifestTable.rollback(root): Unit
+}
+
 /** One named graft table as a DSv2 `Table`: pruned columnar batch reads,
   * V1-fallback writes onto the manifest commit protocol, and filter-based
   * DELETE/TRUNCATE mapped to [[ManifestTable.deleteWhere]].
@@ -924,6 +1057,53 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
   private[graft] def tableName: String = table
 
   private[graft] def pinnedVersion: Option[Long] = version
+
+  /** Cache identity — what makes `df.cache()` on a graft table work
+    * across queries WITHOUT ever serving another governance context's
+    * rows. Spark's CacheManager matches cached plans by equality of
+    * their relations, and a `DataSourceV2Relation` compares its `Table`;
+    * the default reference equality made every fresh `spark.table` miss
+    * (caching inert across queries). So:
+    *
+    *  - an UNGOVERNED table's identity is (root, table, pinned version,
+    *    raw): fresh reads reuse the cache, catalog writes (INSERT/
+    *    MERGE/…) REFRESH the entry through Spark's own recache hook
+    *    (the write's relation equals the cached one, so `recacheByPlan`
+    *    recomputes it against the new snapshot — spec-verified),
+    *    `REFRESH TABLE` resolves by name and finds the entry, and
+    *    pinned (`VERSION AS OF`) reads key separately from live ones.
+    *    Out-of-band writes (the provider path, streaming sinks, owner
+    *    verbs) don't pass through Spark's hook — standard v2-connector
+    *    cache semantics: `REFRESH TABLE` (or unpersist) after them.
+    *  - a GOVERNED table (rowPolicy/mask/tag-mask at the manifest HEAD)
+    *    keeps IDENTITY equality: a governed read NEVER serves from a
+    *    cross-query cache — policies and masks re-evaluate per query
+    *    under the session's current attributes (governance plants in
+    *    the OPTIMIZER, after cache lookup, so no cache key could see
+    *    the policy context — strict miss is the only safe answer), and
+    *    an ALTER adding a policy instantly orphans every pre-policy
+    *    entry (governedness resolves from HEAD on BOTH sides of the
+    *    comparison, so either side post-ALTER kills the match).
+    *
+    * Frozen at first use (hashCode stability); resolution failure falls
+    * back to identity — never a false hit.
+    */
+  private lazy val cacheKey: Option[(String, String, Option[Long], Boolean)] =
+    try {
+      val props = ManifestTable.read(root)
+        .map(_.table(table).props).getOrElse(Map.empty)
+      if (GovernedRows.governs(props, table)) None
+      else Some((root.getCanonicalPath, table, version, raw))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def equals(other: Any): Boolean = other match {
+    case t: GraftSqlTable =>
+      (this eq t) || (cacheKey.isDefined && cacheKey == t.cacheKey)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    cacheKey.fold(System.identityHashCode(this))(_.##)
 
   /** This table re-pinned to the index's exact snapshot, marked as a
     * merge-on-read reconciliation base leg so
@@ -1178,8 +1358,7 @@ object GraftSqlTable {
     * as the explicit OWNER subscription for engine maintainers.
     */
   def governedProps(props: Map[String, String]): Boolean =
-    props.contains(RowPolicyKey) ||
-      props.keys.exists(_.startsWith(graft.plans.RowPolicyRule.MaskPrefix))
+    GovernedRows.governs(props, "table")
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 

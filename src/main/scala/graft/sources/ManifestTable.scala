@@ -1481,6 +1481,18 @@ object ManifestTable {
   def readVersionBuckets(root: File, v: Long): Seq[String] =
     reconstruct(root, v).map(_.allPaths).getOrElse(Nil)
 
+  /** Versions pinned by NAMED REFS (`TBLPROPERTIES ('ref.<name>' =
+    * '<version>')`, the Iceberg-tag shape): each stays retained —
+    * time-travelable (`VERSION AS OF '<name>'`) and GC-protected,
+    * including its reconstruction chain — regardless of the count/time
+    * windows, until its ref is UNSET.
+    */
+  private def refVersionsOf(m: Manifest): Seq[Long] =
+    m.tables.values.toSeq.flatMap(_.props.toSeq.collect {
+      case (k, v) if k.startsWith("ref.") =>
+        scala.util.Try(v.trim.toLong).toOption
+    }.flatten).filter(v => v >= 0 && v <= m.version).distinct.sorted
+
   private def retainedVersions(root: File, m: Manifest): Seq[Long] = {
     val countFloor = (m.version - retainOf(m) + 1) max 0
     // a declared time window extends retention below the count floor:
@@ -1492,7 +1504,10 @@ object ManifestTable {
       var v = countFloor - 1
       while (v >= 0 && withinTimeWindow(root, ms, v)) { floor = v; v -= 1 }
     }
-    floor to m.version
+    // named refs pin BELOW the floor: their data stays live, and the
+    // version-file anchor (computed from this seq's min) keeps their
+    // fold chain reconstructible
+    refVersionsOf(m).filter(_ < floor) ++ (floor to m.version)
   }
 
   /** One vacuum sweep's report: file count and bytes it removed — or,
@@ -1651,7 +1666,10 @@ object ManifestTable {
           val window = live.map(retainOf).getOrElse(RetainVersions)
           val timeOk = // a declared retainHours window extends travel
             withinTimeWindow(root, live.flatMap(retainMsOf), v)
-          if (v <= current - window && !timeOk)
+          // a NAMED REF pins its version through the gate: its data
+          // dirs are GC-protected for exactly as long as the ref lives
+          val pinned = live.exists(m => refVersionsOf(m).contains(v))
+          if (v <= current - window && !timeOk && !pinned)
             throw new java.io.FileNotFoundException(
               s"version $v of $root is not retained (window $window)")
           reconstruct(root, v).getOrElse(
@@ -1682,7 +1700,8 @@ object ManifestTable {
       val timeOk = withinTimeWindow(new File(root), // table's own hours
         live.flatMap(lm => retainHoursOf(lm.table(table)).map(_ * 3600000L)),
         v)
-      if (v <= current - window && !timeOk)
+      val pinned = live.exists(lm => refVersionsOf(lm).contains(v))
+      if (v <= current - window && !timeOk && !pinned)
         throw new java.io.FileNotFoundException(
           s"version $v of table '$table' is not retained " +
             s"(table window $window)")

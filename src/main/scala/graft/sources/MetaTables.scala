@@ -56,7 +56,7 @@ private[sources] object GraftMetaTable {
 
   val Kinds: Set[String] =
     Set("history", "files", "properties", "snapshots", "metrics",
-      "partitions")
+      "partitions", "refs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -95,6 +95,10 @@ private[sources] object GraftMetaTable {
       StructField("delta_files", LongType),
       StructField("delta_rows", LongType),
       StructField("row_share", DoubleType)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("version", LongType),
+      StructField("commit_ts", TimestampType)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table kind '$other' (one of $Kinds)")
   }
@@ -193,6 +197,23 @@ private[sources] object GraftMetaTable {
           val dRows = del.map(_.rows).sum
           InternalRow(b, base.size.toLong, rows, del.size.toLong, dRows,
             (rows + dRows).toDouble / totalRows)
+        }.toArray
+      case "refs" =>
+        // named snapshot refs (`ref.<name>` props): one row per pin,
+        // with the pinned commit's timestamp when its log entry is
+        // still in the listed history window (a pin far below the
+        // window keeps serving — the ts is best-effort metadata)
+        val ts2 = ManifestTable.history(SparkSession.active, root)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(2)) null else r.getTimestamp(2))).toMap
+        ts.props.toSeq.collect {
+          case (k, v) if k.startsWith("ref.") =>
+            k.stripPrefix("ref.") -> scala.util.Try(v.trim.toLong).toOption
+        }.collect { case (n, Some(v)) => (n, v) }.sortBy(_._1).map {
+          case (n, v) =>
+            InternalRow(s(n), v,
+              ts2.get(v).flatMap(Option(_))
+                .map(_.getTime * 1000L).map(Long.box).orNull)
         }.toArray
       case other => throw new IllegalArgumentException(
         s"unknown metadata table kind '$other'")

@@ -1517,4 +1517,389 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT payload.ssn FROM nfm.ops.t").collect()
       .map(_.getString(0)).toSet == Set("GONE"))
   }
+
+  test("session-enforced owner verbs: update_where/delete_where with session_enforced => true mutate only policy-visible rows, hidden rows are untouchable, default stays the owner view") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sev").toString
+    spark.conf.set("spark.sql.catalog.sev", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sev.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sev.ops")
+    spark.sql("""CREATE TABLE sev.ops.t (id BIGINT, client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.sql("""INSERT INTO sev.ops.t VALUES
+      (1, 'ACME', 10), (2, 'BETA', 20), (3, 'ACME', 30), (4, 'BETA', 40)""")
+    val root = new File(wh, "ops")
+    def owner() = spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).sortBy(_._1).toSeq
+
+    // enforced UPDATE under client=ACME: a condition spanning all rows
+    // touches only the visible ones, and the count says so
+    spark.conf.set("graft.session.client", "ACME")
+    val updated = spark.sql(
+      "CALL sev.system.update_where('ops', 't', 'v >= 10', 'v', 'v + 1', " +
+        "session_enforced => true)").head.getLong(0)
+    assert(updated == 2L, s"enforced update matched $updated rows")
+    assert(owner() == Seq((1L, 11L), (2L, 20L), (3L, 31L), (4L, 40L)),
+      s"enforced update touched hidden rows: ${owner()}")
+
+    // enforced DELETE keyed at a HIDDEN row is a no-op (invisible = no
+    // match — the caller cannot even probe its existence: count is 0)
+    val delHidden = spark.sql(
+      "CALL sev.system.delete_where('ops', 't', 'id = 2', " +
+        "session_enforced => true)").head.getLong(0)
+    assert(delHidden == 0L, "enforced delete reached a hidden row")
+    assert(owner().map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // enforced DELETE of a visible row lands
+    assert(spark.sql(
+      "CALL sev.system.delete_where('ops', 't', 'id = 3', " +
+        "session_enforced => true)").head.getLong(0) == 1L)
+    assert(owner().map(_._1) == Seq(1L, 2L, 4L))
+
+    // the attribute changes mid-session and the NEXT call re-folds it:
+    // BETA's rows become the mutable set
+    spark.conf.set("graft.session.client", "BETA")
+    assert(spark.sql(
+      "CALL sev.system.update_where('ops', 't', 'true', 'v', '0', " +
+        "session_enforced => true)").head.getLong(0) == 2L)
+    assert(owner() == Seq((1L, 11L), (2L, 0L), (4L, 0L)),
+      s"re-folded attr wrong: ${owner()}")
+
+    // DEFAULT (owner) call still reaches everything — policies gate the
+    // SQL surface and the enforced variant, not the owner's own verbs
+    assert(spark.sql(
+      "CALL sev.system.delete_where('ops', 't', 'v = 11')")
+      .head.getLong(0) == 1L)
+    assert(owner().map(_._1) == Seq(2L, 4L))
+
+    // enforced on a POLICY-FREE table = plain owner verb (nothing to
+    // enforce)
+    spark.sql("""CREATE TABLE sev.ops.free (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1')""")
+    spark.sql("INSERT INTO sev.ops.free VALUES (1, 1), (2, 2)")
+    assert(spark.sql(
+      "CALL sev.system.delete_where('ops', 'free', 'v = 2', " +
+        "session_enforced => true)").head.getLong(0) == 1L)
+
+    // a subquery policy refuses the enforced verb FAST with the remedy
+    spark.sql("""ALTER TABLE sev.ops.t SET TBLPROPERTIES
+      ('rowPolicy' = "id IN (SELECT 1)")""")
+    val bad = intercept[Exception] {
+      spark.sql("CALL sev.system.delete_where('ops', 't', 'true', " +
+        "session_enforced => true)").collect()
+    }
+    assert(bad.getMessage.contains("subquery"),
+      s"unexpected error: ${bad.getMessage}")
+    spark.conf.unset("graft.session.client")
+  }
+
+  test("dataset caching: snapshot-keyed reuse — fresh reads of the same snapshot hit the cache, a commit invalidates reuse instead of serving frozen bytes, governed tables never serve from a cross-query cache") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cch").toString
+    spark.conf.set("spark.sql.catalog.cch", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cch.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cch.ops")
+    spark.sql("""CREATE TABLE cch.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO cch.ops.t VALUES (1, 10), (2, 20)")
+    val root = new File(wh, "ops")
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+
+    // cache through one DataFrame; a FRESH spark.table (new loadTable,
+    // new Table instance) reuses it — the snapshot-keyed identity
+    val df = spark.table("cch.ops.t")
+    df.cache(); df.count()
+    try {
+      val fresh = spark.table("cch.ops.t")
+      assert(cached(fresh), "fresh read of the cached snapshot missed " +
+        s"the cache:\n${fresh.queryExecution.optimizedPlan}")
+      assert(fresh.count() == 2L)
+
+      // a CATALOG write refreshes the entry through Spark's recache
+      // hook: the next read still hits the cache AND serves the new
+      // snapshot's rows — never frozen bytes
+      spark.sql("INSERT INTO cch.ops.t VALUES (3, 30)")
+      val after = spark.table("cch.ops.t")
+      assert(after.count() == 3L,
+        "a cached entry served stale rows across a catalog commit")
+      assert(cached(after),
+        "a catalog write dropped the cache instead of refreshing it")
+
+      // an OUT-OF-BAND write (the provider path bypasses Spark's
+      // hook) is standard v2 semantics: REFRESH TABLE re-materializes
+      import org.apache.spark.sql.functions.lit
+      spark.range(1).select(lit(4L).as("id"), lit(40L).as("v"))
+        .write.format("graft").option("path", root.toString)
+        .option("table", "t").mode("append").save()
+      spark.sql("REFRESH TABLE cch.ops.t")
+      val refreshed = spark.table("cch.ops.t")
+      assert(refreshed.count() == 4L,
+        "REFRESH TABLE did not re-materialize the cache")
+      assert(cached(refreshed),
+        "REFRESH TABLE dropped the cache instead of recaching")
+    } finally { df.unpersist(blocking = true) }
+
+    // GOVERNED tables: policy context lives in the session, and
+    // governance plants AFTER cache lookup — so a governed read must
+    // never serve from a cross-query cache (an attr change between
+    // cache and read would leak another context's rows)
+    spark.sql("""CREATE TABLE cch.ops.g (id BIGINT, client STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.sql("INSERT INTO cch.ops.g VALUES (1, 'ACME'), (2, 'BETA')")
+    spark.conf.set("graft.session.client", "ACME")
+    val g = spark.table("cch.ops.g")
+    g.cache(); g.count()
+    try {
+      spark.conf.set("graft.session.client", "BETA")
+      val other = spark.table("cch.ops.g")
+      assert(!cached(other),
+        "a governed read served from another context's cache")
+      assert(other.collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "governed read after an attr change leaked rows")
+      // even the SAME context recomputes — governance is strict
+      spark.conf.set("graft.session.client", "ACME")
+      assert(!cached(spark.table("cch.ops.g")))
+    } finally {
+      g.unpersist(blocking = true)
+      spark.conf.unset("graft.session.client")
+    }
+
+    // ALTER adding a policy orphans pre-policy cache entries: new reads
+    // are governed and equal nothing cached
+    val u = spark.table("cch.ops.t")
+    u.cache(); u.count()
+    try {
+      spark.sql("""ALTER TABLE cch.ops.t SET TBLPROPERTIES
+        ('rowPolicy' = 'v > 15')""")
+      val gated = spark.table("cch.ops.t")
+      assert(!cached(gated),
+        "a policy-gated read served from a pre-policy cache")
+      assert(gated.count() == 3L) // rows 20, 30, 40
+    } finally { u.unpersist(blocking = true) }
+  }
+
+  test("object tagging: maskForTag.<tag> masks every column tagged <tag> through one policy over `val`, column-attached masks win, multi-policy tags refuse, untagging restores cleartext") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tgm").toString
+    spark.conf.set("spark.sql.catalog.tgm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tgm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tgm.ops")
+    // email and ssn carry 'pii'; phone carries only 'contact' (no
+    // policy attached yet) — ONE pii policy governs both pii columns
+    spark.sql("""CREATE TABLE tgm.ops.t
+      (id BIGINT, email STRING, ssn STRING, phone STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.email' = 'pii,contact', 'tag.ssn' = 'pii',
+        'tag.phone' = 'contact',
+        'maskForTag.pii' = "concat('#', val)")""")
+    spark.sql("""INSERT INTO tgm.ops.t VALUES
+      (1, 'a@x.com', '111', '555'), (2, 'b@y.org', '222', '666')""")
+    def row1() = spark.sql(
+      "SELECT email, ssn, phone FROM tgm.ops.t WHERE id = 1").head
+
+    // the one policy binds `val` per tagged column; untagged-policy
+    // columns flow cleartext
+    assert(row1().toSeq == Seq("#a@x.com", "#111", "555"),
+      s"tag mask wrong: ${row1().toSeq}")
+    // filter-probe resistance holds for tag masks too
+    assert(spark.sql(
+      "SELECT count(*) FROM tgm.ops.t WHERE ssn = '111'").head.getLong(0)
+      == 0L, "cleartext probed through a tag mask")
+    assert(spark.sql(
+      "SELECT count(*) FROM tgm.ops.t WHERE ssn = '#111'").head.getLong(0)
+      == 1L)
+    // the owner path is cleartext, as for column-attached masks
+    val root = new File(wh, "ops")
+    assert(spark.read.format("graft").option("path", root.toString)
+      .option("table", "t").load().filter("id = 1")
+      .head.getAs[String]("ssn") == "111")
+
+    // a COLUMN-ATTACHED mask on a tagged column wins over its tag
+    spark.sql("""ALTER TABLE tgm.ops.t SET TBLPROPERTIES
+      ('mask.email' = "'X'")""")
+    assert(row1().toSeq == Seq("X", "#111", "555"))
+
+    // attaching a policy to 'contact' masks phone; email (explicit
+    // mask) is immune to the new tag policy
+    spark.sql("""ALTER TABLE tgm.ops.t SET TBLPROPERTIES
+      ('maskForTag.contact' = "'-'")""")
+    assert(row1().toSeq == Seq("X", "#111", "-"))
+
+    // dropping the explicit mask exposes the conflict: email's tags now
+    // resolve to TWO policies — refuse loudly with the remedy
+    spark.sql("ALTER TABLE tgm.ops.t UNSET TBLPROPERTIES ('mask.email')")
+    val dup = intercept[Exception] { row1() }
+    assert(dup.getMessage.contains("tag masks"),
+      s"unexpected error: ${dup.getMessage}")
+    // arbitrating via the column mask clears it
+    spark.sql("""ALTER TABLE tgm.ops.t SET TBLPROPERTIES
+      ('mask.email' = "concat('#', email)")""")
+    assert(row1().toSeq == Seq("#a@x.com", "#111", "-"))
+
+    // untagging a column (UNSET tag.<col>) restores cleartext
+    spark.sql("ALTER TABLE tgm.ops.t UNSET TBLPROPERTIES ('tag.ssn')")
+    assert(row1().toSeq == Seq("#a@x.com", "111", "-"))
+
+    // the COMPILED projection (streaming/row-level path) shares the
+    // same expansion and `val` binding — prove it resolves
+    val props = graft.sources.ManifestTable.read(root).get.table("t").props
+    val schema = graft.sources.ManifestTable.read(root).get.table("t").schema
+    val proj = graft.sources.GovernedRows.compileProjection(spark, schema,
+      graft.sources.GovernedRows.effectiveMasks(props, "t"), "t")
+    assert(proj.length == schema.length)
+    assert(proj.forall(_.resolved), "compiled tag masks left unresolved " +
+      s"expressions: $proj")
+
+    // a tag on a column that does not exist refuses at read planning —
+    // a typo'd tag would otherwise silently skip the mask
+    spark.sql("""ALTER TABLE tgm.ops.t SET TBLPROPERTIES
+      ('tag.emial' = 'pii')""")
+    val typo = intercept[Exception] { row1() }
+    assert(typo.getMessage.contains("matches no column"),
+      s"unexpected error: ${typo.getMessage}")
+    spark.sql("ALTER TABLE tgm.ops.t UNSET TBLPROPERTIES ('tag.emial')")
+    assert(row1().toSeq == Seq("#a@x.com", "111", "-"))
+  }
+
+  test("named snapshot refs: VERSION AS OF '<name>' resolves ref.<name> props, a ref pins its version against retention until UNSET") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ref").toString
+    spark.conf.set("spark.sql.catalog.ref", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ref.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ref.ops")
+    // tight retention so the pin is what keeps the version alive
+    spark.sql("""CREATE TABLE ref.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+        'retainVersions'='1')""")
+    spark.sql("INSERT INTO ref.ops.t VALUES (1, 10)")
+    val root = new File(wh, "ops")
+    val audited = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("INSERT INTO ref.ops.t VALUES (2, 20)")
+    val unpinned = graft.sources.ManifestTable.read(root).get.version
+
+    // declare the ref while the version is still retained
+    spark.sql(s"""ALTER TABLE ref.ops.t SET TBLPROPERTIES
+      ('ref.audited' = '$audited')""")
+    // resolves by name, serving the pinned snapshot exactly
+    assert(spark.sql(
+      "SELECT id FROM ref.ops.t VERSION AS OF 'audited' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the `t$refs` metadata table lists the pin
+    val refRows = spark.sql(
+      "SELECT name, version FROM ref.ops.`t$refs`").collect()
+    assert(refRows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("audited", audited)), s"t$$refs wrong: ${refRows.toSeq}")
+
+    // age both versions far out of the count window (each INSERT's
+    // post-commit gc sweeps as it goes)
+    (3 to 8).foreach(i =>
+      spark.sql(s"INSERT INTO ref.ops.t VALUES ($i, ${i * 10})"))
+
+    // the UNPINNED old version aged out...
+    val aged = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM ref.ops.t VERSION AS OF $unpinned")
+        .collect()
+    }
+    assert(aged.getMessage.contains("not retained"),
+      s"unexpected error: ${aged.getMessage}")
+    // ...while the PINNED one still serves — by name and by number
+    assert(spark.sql(
+      "SELECT id FROM ref.ops.t VERSION AS OF 'audited'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "a named ref failed to pin its version against retention")
+    assert(spark.sql(
+      s"SELECT count(*) FROM ref.ops.t VERSION AS OF $audited")
+      .head.getLong(0) == 1L)
+
+    // an unknown name refuses with the remedy
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM ref.ops.t VERSION AS OF 'nope'").collect()
+    }
+    assert(bad.getMessage.contains("named ref"),
+      s"unexpected error: ${bad.getMessage}")
+    // pinning a version that is already gone refuses
+    val dead = intercept[Exception] {
+      spark.sql(s"""ALTER TABLE ref.ops.t SET TBLPROPERTIES
+        ('ref.dead' = '$unpinned')""")
+    }
+    assert(dead.getMessage.contains("not reconstructible"),
+      s"unexpected error: ${dead.getMessage}")
+
+    // UNSET drops the pin: after the next commit's gc the version ages
+    // out like any other
+    spark.sql("ALTER TABLE ref.ops.t UNSET TBLPROPERTIES ('ref.audited')")
+    spark.sql("INSERT INTO ref.ops.t VALUES (9, 90)")
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM ref.ops.t VERSION AS OF $audited")
+        .collect()
+    }
+    assert(gone.getMessage.contains("not retained"),
+      s"unexpected error: ${gone.getMessage}")
+  }
+
+  test("atomic CREATE OR REPLACE TABLE [AS SELECT]: one manifest swap per statement, a failed RTAS publishes nothing, replaced state stays time-travelable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cor").toString
+    spark.conf.set("spark.sql.catalog.cor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cor.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cor.ops")
+    spark.sql("""CREATE TABLE cor.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO cor.ops.t VALUES (1, 10), (2, 20)")
+    val root = new File(wh, "ops")
+    val preReplace = graft.sources.ManifestTable.read(root).get.version
+
+    // the reference's canonical DDL verb (sql/02): plain CREATE OR
+    // REPLACE swaps schema + state
+    spark.sql("""CREATE OR REPLACE TABLE cor.ops.t
+      (id BIGINT, name STRING, amt DECIMAL(12,2))
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    assert(spark.table("cor.ops.t").schema.fieldNames.toSeq ==
+      Seq("id", "name", "amt"))
+    assert(spark.sql("SELECT count(*) FROM cor.ops.t").head.getLong(0) == 0L)
+    // the replaced state stays time-travelable within retention
+    assert(spark.sql(
+      s"SELECT count(*) FROM cor.ops.t VERSION AS OF $preReplace")
+      .head.getLong(0) == 2L,
+      "CREATE OR REPLACE erased the pre-replace snapshot")
+
+    // RTAS lands create + data as ONE commit
+    val preRtas = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("""CREATE OR REPLACE TABLE cor.ops.t
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id * 10 AS id, CAST(id AS STRING) AS tag
+      FROM range(1, 4)""")
+    val postRtas = graft.sources.ManifestTable.read(root).get.version
+    assert(postRtas == preRtas + 1,
+      s"RTAS took ${postRtas - preRtas} commits, expected 1 (atomic)")
+    assert(spark.sql("SELECT sum(id) FROM cor.ops.t").head.getLong(0) == 60L)
+
+    // a FAILING RTAS publishes nothing — the envelope aborts
+    val boom = intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE cor.ops.t
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+        AS SELECT CASE WHEN assert_true(id < 0) IS NULL THEN id END AS id
+        FROM range(1, 3)""")
+    }
+    assert(boom.getMessage != null)
+    assert(graft.sources.ManifestTable.read(root).get.version == postRtas,
+      "a failed RTAS published a commit")
+    assert(spark.sql("SELECT sum(id) FROM cor.ops.t").head.getLong(0) == 60L,
+      "a failed RTAS mutated the table")
+
+    // plain CREATE still refuses on an existing table; REPLACE refuses
+    // on a missing one
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cor.ops.t (x BIGINT) USING graft")
+    }
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE cor.ops.missing (x BIGINT) USING graft")
+    }
+    // and a fresh CTAS (no replace) is atomic through the same path
+    val preCtas = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("""CREATE TABLE cor.ops.c USING graft
+      TBLPROPERTIES ('mergeKeys'='k', 'buckets'='1')
+      AS SELECT id AS k FROM range(0, 5)""")
+    assert(graft.sources.ManifestTable.read(root).get.version == preCtas + 1)
+    assert(spark.sql("SELECT count(*) FROM cor.ops.c").head.getLong(0) == 5L)
+  }
 }
