@@ -106,7 +106,9 @@ class CanonicalStreamSpec extends SparkSpec {
     def drain(): Unit = {
       val q = CanonicalStream.start(spark, jsonDir.toString, xmlDir.toString,
         csvDir.toString, root, ckpt)
-      try assert(q.awaitTermination(300000), "AvailableNow run did not stop")
+      // generous budget: the drain is seconds of work, but a loaded box
+      // has been observed to stretch it past five minutes
+      try assert(q.awaitTermination(900000), "AvailableNow run did not stop")
       finally q.stop()
     }
 
