@@ -1902,4 +1902,31 @@ class CatalogSpec extends SparkSpec {
     assert(graft.sources.ManifestTable.read(root).get.version == preCtas + 1)
     assert(spark.sql("SELECT count(*) FROM cor.ops.c").head.getLong(0) == 5L)
   }
+
+  test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_trc").toString
+    spark.conf.set("spark.sql.catalog.trc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.trc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS trc.ops")
+    spark.sql("""CREATE TABLE trc.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO trc.ops.t VALUES (1, 10), (2, 20), (3, 30)")
+    val root = new File(wh, "ops")
+    val full = graft.sources.ManifestTable.read(root).get.version
+
+    spark.sql("TRUNCATE TABLE trc.ops.t")
+    assert(spark.sql("SELECT count(*) FROM trc.ops.t").head.getLong(0) == 0L)
+    // a logical delete, not an erase: the old snapshot still serves
+    assert(spark.sql(
+      s"SELECT count(*) FROM trc.ops.t VERSION AS OF $full")
+      .head.getLong(0) == 3L, "TRUNCATE erased retained history")
+
+    // bare DELETE FROM (no WHERE) is the same verb through SQL DELETE
+    spark.sql("INSERT INTO trc.ops.t VALUES (4, 40), (5, 50)")
+    val pre = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("DELETE FROM trc.ops.t")
+    assert(spark.sql("SELECT count(*) FROM trc.ops.t").head.getLong(0) == 0L)
+    assert(graft.sources.ManifestTable.read(root).get.version == pre + 1,
+      "bare DELETE took more than one commit")
+  }
 }
