@@ -221,13 +221,15 @@ case class RowPolicyRule(fallback: Boolean = false)
         case l => Seq(l)
       }
     }
-    leaves(imr.cachedPlan).collectFirst {
+    // EVERY graft scan leaf is checked — a cached join/union of an
+    // ungoverned table with a governed one must still bypass, or the
+    // first (ungoverned) leaf would mask the leak
+    leaves(imr.cachedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case g: graft.sources.GraftBatchScan => Some(g.index)
-          case _ => None
-        }
-    }.flatten.filter { idx =>
+        b.scan
+    }.collect {
+      case g: graft.sources.GraftBatchScan => g.index
+    }.find { idx =>
       val head = graft.sources.ManifestTable
         .read(new java.io.File(idx.rootPath))
         .map(_.table(idx.tableName).props).getOrElse(Map.empty)
@@ -282,6 +284,15 @@ case class RowPolicyRule(fallback: Boolean = false)
         : Map[String, String] = memo.getOrElseUpdate(t, propsOf(t))
     def governed(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
       policyOf(props(t)).nonEmpty || masksOf(props(t), t.name()).nonEmpty
+    // per-invocation memo for the governed-cache probe: the guard, the
+    // body, and every fixpoint iteration would otherwise re-read and
+    // re-parse the manifest per cached-plan encounter
+    val cacheMemo = scala.collection.mutable.HashMap
+      .empty[AnyRef, Option[graft.sources.ManifestFileIndex]]
+    def govCache(
+        imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+        : Option[graft.sources.ManifestFileIndex] =
+      cacheMemo.getOrElseUpdate(imr.cacheBuilder, governedCache(imr))
     // transformUpWithNewOutput: masked columns get FRESH attribute ids
     // (a Project whose output id shadowed its own input id would read as
     // redundant and optimize away), and every parent reference rewrites
@@ -298,7 +309,7 @@ case class RowPolicyRule(fallback: Boolean = false)
           case (o, n) => o.exprId != n.exprId }
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation
           if (!fallback || !extensionsActive) &&
-            governedCache(imr).isDefined =>
+            govCache(imr).isDefined =>
         // Dataset-cache BYPASS for governed tables: the entry's rows
         // materialized under one governance context — recompute the
         // entry's own STORED logical plan (user operators preserved)
@@ -307,7 +318,7 @@ case class RowPolicyRule(fallback: Boolean = false)
         val stored = storedPlanOf(imr).getOrElse(
           throw new IllegalStateException(
             s"a Dataset cache entry over governed table " +
-              s"'${governedCache(imr).get.tableName}' cannot be matched " +
+              s"'${govCache(imr).get.tableName}' cannot be matched " +
               "back to its stored plan — unpersist it (a governed read " +
               "never serves from a cross-context cache)"))
         // fresh relation instances: the stored plan's relations are

@@ -71,8 +71,15 @@ private[graft] object GovernedRows {
     val derived = props.toSeq.collect {
       case (k, v) if k.startsWith(TagPrefix) =>
         k.stripPrefix(TagPrefix) ->
-          v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          v.split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq
     }.sortBy(_._1).flatMap { case (col, tags) =>
+      // tags attach to COLUMNS (the Snowflake column-tag shape) — a
+      // dotted tag key would lose the `val` binding in the nested-mask
+      // branch; field-grain masking is mask.<col>.<field>'s job
+      require(!col.contains('.'),
+        s"tag key 'tag.$col' on '$table' addresses a struct field — " +
+          s"tags attach to whole columns; mask one field with an " +
+          s"explicit mask.$col instead")
       if (explicitCols.contains(col)) Nil // column-attached mask wins
       else {
         val hits = tags.filter(tagMasks.contains)

@@ -481,6 +481,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // and resolves through VERSION AS OF '<name>'. Must point at a
         // version that is still reconstructible — a dead pin would
         // never serve
+        // a numeric ref NAME could never resolve: VERSION AS OF tries
+        // the numeric parse first, so 'ref.7' would pin a version no
+        // query can reach by name
+        require(scala.util.Try(
+            p.property.stripPrefix("ref.").trim.toLong).isFailure,
+          s"named ref '${p.property}' has a numeric name — VERSION AS " +
+            "OF would read it as a commit version; pick a non-numeric " +
+            "name")
         val v = scala.util.Try(p.value.trim.toLong).toOption
         require(v.exists(_ >= 0),
           s"named ref '${p.property}' must pin a commit version, " +
@@ -493,7 +501,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty
           if p.property.startsWith("tag.") =>
         // object tagging: a comma-separated tag list per column —
-        // free-form names; masking binds through maskForTag.<tag>
+        // free-form names; masking binds through maskForTag.<tag>.
+        // Tags attach to WHOLE columns (field-grain masking is
+        // mask.<col>.<field>'s job)
+        require(!p.property.stripPrefix("tag.").contains('.'),
+          s"tag key '${p.property}' addresses a struct field — tags " +
+            "attach to whole columns; mask one field with " +
+            "mask.<col>.<field> instead")
         require(p.value.split(",").exists(_.trim.nonEmpty),
           s"tag list for '${p.property}' is empty")
         props += p.property -> p.value
@@ -1215,7 +1229,7 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
               val props = index.state.props
-              if (!GraftSqlTable.governedProps(props))
+              if (!GraftSqlTable.governedProps(props, index.tableName))
                 new CdfMicroBatchStream(spark, params)
               else if (options.getBoolean(
                   GraftSqlTable.GovernedPostimagesOption, false)) {
@@ -1357,8 +1371,9 @@ object GraftSqlTable {
     * bypass the plan-time filter/mask — the provider CDF path remains
     * as the explicit OWNER subscription for engine maintainers.
     */
-  def governedProps(props: Map[String, String]): Boolean =
-    GovernedRows.governs(props, "table")
+  def governedProps(props: Map[String, String],
+      table: String = "table"): Boolean =
+    GovernedRows.governs(props, table)
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources
 
@@ -1561,7 +1576,7 @@ class GraftBatchScan(val index: ManifestFileIndex, dataSchema: StructType,
     // Only the CDF feed stays refused (preimages of newly-hidden rows
     // are ill-posed); see the readChangeFeed branch of newScanBuilder.
     val governance =
-      if (GraftSqlTable.governedProps(index.state.props))
+      if (GraftSqlTable.governedProps(index.state.props, index.tableName))
         Some(index.state.props)
       else None
     new TableMicroBatchStream(SparkSession.active, index.rootPath,

@@ -1666,6 +1666,23 @@ class CatalogSpec extends SparkSpec {
       spark.conf.unset("graft.session.client")
     }
 
+    // a governed leaf ANYWHERE in a cached plan (here: joined under an
+    // ungoverned scan) still triggers the bypass — probing only the
+    // first scan leaf was a cross-context leak
+    spark.conf.set("graft.session.client", "ACME")
+    val j = spark.table("cch.ops.t").join(spark.table("cch.ops.g"), "id")
+    j.cache(); j.count()
+    try {
+      spark.conf.set("graft.session.client", "BETA")
+      val ids = j.select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L),
+        s"a cached JOIN over a governed table leaked another " +
+          s"context's rows: $ids")
+    } finally {
+      j.unpersist(blocking = true)
+      spark.conf.unset("graft.session.client")
+    }
+
     // ALTER adding a policy orphans pre-policy cache entries: new reads
     // are governed and equal nothing cached
     val u = spark.table("cch.ops.t")
@@ -1760,6 +1777,18 @@ class CatalogSpec extends SparkSpec {
       s"unexpected error: ${typo.getMessage}")
     spark.sql("ALTER TABLE tgm.ops.t UNSET TBLPROPERTIES ('tag.emial')")
     assert(row1().toSeq == Seq("#a@x.com", "111", "-"))
+
+    // duplicate tag names in one list are ONE tag, not a conflict
+    spark.sql("ALTER TABLE tgm.ops.t SET TBLPROPERTIES ('tag.ssn' = 'pii,pii')")
+    assert(row1().toSeq == Seq("#a@x.com", "#111", "-"),
+      "a duplicated tag name was counted as a second tag mask")
+    // tags attach to whole columns — a dotted tag key refuses at ALTER
+    val dotted = intercept[Exception] {
+      spark.sql("""ALTER TABLE tgm.ops.t SET TBLPROPERTIES
+        ('tag.payload.ssn' = 'pii')""")
+    }
+    assert(dotted.getMessage.contains("whole columns"),
+      s"unexpected error: ${dotted.getMessage}")
   }
 
   test("named snapshot refs: VERSION AS OF '<name>' resolves ref.<name> props, a ref pins its version against retention until UNSET") {
@@ -1824,6 +1853,14 @@ class CatalogSpec extends SparkSpec {
     }
     assert(dead.getMessage.contains("not reconstructible"),
       s"unexpected error: ${dead.getMessage}")
+    // a NUMERIC ref name could never resolve (VERSION AS OF parses
+    // numbers as commit versions first) — refuse at declaration
+    val numeric = intercept[Exception] {
+      spark.sql(s"""ALTER TABLE ref.ops.t SET TBLPROPERTIES
+        ('ref.7' = '$audited')""")
+    }
+    assert(numeric.getMessage.contains("numeric"),
+      s"unexpected error: ${numeric.getMessage}")
 
     // UNSET drops the pin: after the next commit's gc the version ages
     // out like any other
