@@ -260,6 +260,33 @@ object Curation {
        |  doc_id = cluster_id AS is_canonical
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained add-one-smoothed unigram model attached back onto the
+    * (doc, term) tf grain — the shared fit/score front half of
+    * doc_lm_score and doc_ccnet_bucket. Shape at scale: the unigram dim is
+    * OPEN-VOCABULARY (corpus-sized at 100 TB), so the score join stays
+    * KEYED on term — never broadcast-hinted; AQE broadcasts it when it is
+    * actually small (the doc_bigram_lm rule). The two corpus scalars
+    * (t_tokens, vocab) come from a ONE-ROW aggregate over the unigram
+    * grain cross-joined back — not a single-partition window over the
+    * vocab grain, which would funnel the whole vocabulary through one
+    * task. The tf subtree feeds three consumers, but its shuffle is
+    * byte-identical in each, so exchange reuse collapses them onto one
+    * physical scan (PlanSpec locks the scan budget and the absence of
+    * foldable-partition windows / vocab-grain broadcast hints).
+    */
+  private def unigramScoredTf(s: SparkSession, d: String,
+      withLang: Boolean): DataFrame = {
+    val keys = if (withLang) Seq("doc_id", "lang") else Seq("doc_id")
+    val tf = docs(s, d)
+      .select(keys.map(col) :+ explode(TextOps.tokens(col("text"))).as("term"): _*)
+      .groupBy((keys :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+    val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
+    val totals = unigram.agg(sum("c").as("t_tokens"),
+      count(lit(1)).as("vocab"))
+    tf.join(unigram, Seq("term")).crossJoin(broadcast(totals))
+  }
+
   val defs: Map[String, Q] = Map(
     // ----------------------------------------------------------------
     // Stratified sampling: per-source keep rates from a broadcast config
@@ -505,17 +532,7 @@ object Curation {
     // rounds to 6dp on both engines.
     "doc_lm_score" -> Q(
       (s, d) => {
-        // single corpus scan: unigram model + totals derive from the
-        // (doc, term) grain rather than re-exploding the corpus, and the
-        // vocab-grain dim broadcasts back onto it
-        val w = Window.partitionBy(lit(1))
-        val tf = docs(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
-          .withColumn("t_tokens", sum("c").over(w))
-          .withColumn("vocab", count(lit(1)).over(w))
-        tf.join(broadcast(unigram), "term")
+        unigramScoredTf(s, d, withLang = false)
           .groupBy("doc_id")
           .agg(sum(col("tf")).cast("long").as("n_tokens"),
             round((sum(col("tf").cast("double") *
@@ -739,40 +756,52 @@ object Curation {
         |FROM pw ORDER BY source""".stripMargin),
 
     // ----------------------------------------------------------------
-    // CCNet-style perplexity bucketing: within each language, rank docs by
-    // unigram-LM average NLL (doc_lm_score's statistic) and split into
-    // head/middle/tail tertiles — the classic "keep head+middle, drop or
-    // re-filter tail" curation gate. ntile over a per-lang window = one
-    // hash shuffle on lang; the NLL build is doc_lm_score's two
-    // partial-agg shuffles.
+    // CCNet-style perplexity bucketing: within each language, split docs
+    // into head/middle/tail tertiles by unigram-LM average NLL
+    // (doc_lm_score's statistic) — the classic "keep head+middle, drop or
+    // re-filter tail" curation gate. CCNet's tertiles are QUANTILE
+    // THRESHOLDS, so the cut points are computed as per-lang discrete
+    // tertile values and bucketing is a broadcast join + map-only
+    // comparisons (the ev_rfm pattern) — NOT a per-lang global ntile,
+    // which would sort every document of a dominant language in ONE task
+    // at 100 TB. The cut points come from a cumulative histogram over the
+    // (lang, micro-NLL) grain: quantizing the already-6dp-rounded NLL to
+    // integer micro-units bounds that grain by the quantization (≤ range
+    // ×1e6 rows per lang, independent of corpus size) and makes the
+    // threshold choice pure integer arithmetic — t1 = the ceil(n/3)-th
+    // smallest value, t2 = the ceil(2n/3)-th — reproducible bit-exactly by
+    // the oracle, with none of the cross-engine FP interpolation risk a
+    // percentile at the non-dyadic fraction 1/3 would carry. Ties share a
+    // bucket by construction (value-based semantics).
     "doc_ccnet_bucket" -> Q(
       (s, d) => {
-        // single corpus scan: unigram counts + corpus totals derive from
-        // the (doc, term) grain (totals as whole-frame windows over the
-        // vocab grain), then the NLL join broadcasts the vocab dim back
-        val w = Window.partitionBy(lit(1))
-        val tf = docs(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "lang", "term")
-          .agg(count(lit(1)).as("tf"))
-        val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
-          .withColumn("t_tokens", sum("c").over(w))
-          .withColumn("vocab", count(lit(1)).over(w))
-        val nll = tf.join(broadcast(unigram), "term")
+        val nll = unigramScoredTf(s, d, withLang = true)
           .groupBy("doc_id", "lang")
           .agg(round((sum(col("tf").cast("double") *
             log((col("t_tokens") + col("vocab")).cast("double") / (col("c") + 1))) /
             sum(col("tf"))), 6).as("avg_nll"))
-        nll
-          .withColumn("tertile", ntile(3).over(Window.partitionBy("lang")
-            .orderBy(col("avg_nll"), col("doc_id"))))
+          .withColumn("nm", round(col("avg_nll") * 1e6).cast("long"))
+        val hist = nll.groupBy("lang", "nm").agg(count(lit(1)).as("cnt"))
+        // cumulative counts over the BOUNDED histogram grain — the window
+        // partitions on lang (never a foldable/global partition spec)
+        val cum = hist.withColumn("cum",
+          sum("cnt").over(Window.partitionBy("lang").orderBy("nm")))
+        val n = hist.groupBy("lang").agg(sum("cnt").as("n"))
+        val th = cum.join(broadcast(n), "lang")
+          .groupBy("lang")
+          .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("nm"))).as("t1"),
+            min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("nm"))).as("t2"))
+        nll.join(broadcast(th), "lang")
+          .withColumn("tertile",
+            when(col("nm") <= col("t1"), lit(1L))
+              .when(col("nm") <= col("t2"), lit(2L))
+              .otherwise(lit(3L)))
           .withColumn("bucket",
             when(col("tertile") === 1, lit("head"))
               .when(col("tertile") === 2, lit("middle"))
               .otherwise(lit("tail")))
           .select(col("doc_id"), col("lang"), col("avg_nll"),
-            col("tertile").cast("long").as("tertile"), col("bucket"))
+            col("tertile"), col("bucket"))
           .orderBy("doc_id")
       },
       """WITH terms AS (
@@ -790,13 +819,22 @@ object Curation {
         |      AS avg_nll
         |  FROM tf JOIN unigram USING (term) CROSS JOIN totals
         |  GROUP BY 1, 2),
-        |bucketed AS (
-        |  SELECT *, ntile(3) OVER (PARTITION BY lang
-        |    ORDER BY avg_nll, doc_id) AS tertile
-        |  FROM nll)
-        |SELECT doc_id, lang, avg_nll, cast(tertile as bigint) AS tertile,
-        |  CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |q AS (SELECT *, cast(round(avg_nll * 1e6) AS bigint) AS nm FROM nll),
+        |hist AS (SELECT lang, nm, count(*) AS cnt FROM q GROUP BY 1, 2),
+        |cum AS (SELECT lang, nm,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY nm) AS cum
+        |  FROM hist),
+        |n AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+        |th AS (SELECT lang,
+        |    min(CASE WHEN cum >= (n + 2) // 3 THEN nm END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN nm END) AS t2
+        |  FROM cum JOIN n USING (lang) GROUP BY 1)
+        |SELECT doc_id, lang, avg_nll,
+        |  cast(CASE WHEN nm <= t1 THEN 1 WHEN nm <= t2 THEN 2 ELSE 3 END
+        |    AS bigint) AS tertile,
+        |  CASE WHEN nm <= t1 THEN 'head' WHEN nm <= t2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
-        |FROM bucketed ORDER BY doc_id""".stripMargin)
+        |FROM q JOIN th USING (lang)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -490,13 +490,28 @@ class PipelineSpec extends SparkSpec {
     val rows = run("doc_ccnet_bucket").collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
-      val sizes = rs.groupBy(_.getAs[Long]("tertile")).view.mapValues(_.length)
-      // ntile(3) bucket sizes differ by at most 1
-      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
-      // head has the lowest NLL (most target-like), tail the highest
-      def avg(t: Long) = { val x = rs.filter(_.getAs[Long]("tertile") == t)
-        x.map(_.getAs[Double]("avg_nll")).sum / x.length }
-      if (sizes.keySet == Set(1L, 2L, 3L)) assert(avg(1L) <= avg(3L))
+      val n = rs.length
+      def ofT(t: Long) = rs.filter(_.getAs[Long]("tertile") == t)
+      val (h, m, t) = (ofT(1L), ofT(2L), ofT(3L))
+      // threshold semantics: t1 is the ceil(n/3)-th smallest micro-NLL,
+      // so head covers AT LEAST the first tertile (ties spill downward
+      // into head/middle, never upward into tail)
+      assert(h.length >= (n + 2) / 3, s"$lang: head=${h.length} of $n")
+      assert(h.length + m.length >= (2 * n + 2) / 3,
+        s"$lang: head+middle=${h.length + m.length} of $n")
+      // buckets are value-monotone: every head NLL <= every middle NLL
+      // <= every tail NLL (the property ntile only gives via its sort)
+      def nlls(xs: Array[org.apache.spark.sql.Row]) =
+        xs.map(_.getAs[Double]("avg_nll"))
+      if (h.nonEmpty && m.nonEmpty) assert(nlls(h).max <= nlls(m).min)
+      if (m.nonEmpty && t.nonEmpty) assert(nlls(m).max <= nlls(t).min)
+      if (h.nonEmpty && t.nonEmpty) assert(nlls(h).max <= nlls(t).min)
+      // with all-distinct NLLs the thresholds reproduce ntile's exact
+      // balance (sizes differ by at most 1)
+      if (rs.map(_.getAs[Double]("avg_nll")).distinct.length == n) {
+        val sizes = Seq(h.length, m.length, t.length)
+        assert(sizes.max - sizes.min <= 1, s"$lang: $sizes")
+      }
     }
   }
 
