@@ -212,18 +212,38 @@ case class RowPolicyRule(fallback: Boolean = false)
       imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
       : Option[graft.sources.ManifestFileIndex] = {
     def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        leaves(a.inputPlan)
-      case other => other.collectLeaves().flatMap {
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val own = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           leaves(a.inputPlan)
-        case l => Seq(l)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          leaves(m.relation.cachedPlan)
+        case other => other.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            leaves(a.inputPlan)
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            leaves(m.relation.cachedPlan)
+          case l => Seq(l)
+        }
       }
+      // subquery plans (SubqueryExec / InSubqueryExec live in EXPRESSIONS
+      // of interior nodes, not the main tree) are part of the
+      // materialized result too — a governed scan feeding a cached
+      // filter's scalar subquery leaked through the old main-tree-only
+      // walk; every node's expressions are swept, recursively
+      val subs = p match {
+        case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec |
+             _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          p.subqueries // nested plans were walked above; root exprs here
+        case other => other.flatMap(_.subqueries) // every node's exprs
+      }
+      own ++ subs.flatMap(leaves)
     }
     // EVERY graft scan leaf is checked — a cached join/union of an
     // ungoverned table with a governed one must still bypass, or the
-    // first (ungoverned) leaf would mask the leak
+    // first (ungoverned) leaf would mask the leak; the walk descends
+    // nested cache entries (an inner cache ALTERed governed after the
+    // outer materialized) and subquery plans recursively
     leaves(imr.cachedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan
@@ -293,6 +313,29 @@ case class RowPolicyRule(fallback: Boolean = false)
         imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
         : Option[graft.sources.ManifestFileIndex] =
       cacheMemo.getOrElseUpdate(imr.cacheBuilder, governedCache(imr))
+    // BRANCH-context staleness: the analyzer's NAME-keyed cache lookup
+    // is lineage-blind — an entry whose graft relations were loaded
+    // under a different `graft.session.branch` context than the current
+    // session's resolves the WRONG lineage (a branch write's refresh
+    // re-registers the table's entry with branch state; a later main
+    // read would serve it, and vice versa). Same remedy as governed
+    // tables: bypass and recompute live — the cleanse's fresh table
+    // instances capture the CURRENT branch.
+    val branchMemo = scala.collection.mutable.HashMap.empty[AnyRef, Boolean]
+    def branchStale(
+        imr: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+        : Boolean =
+      branchMemo.getOrElseUpdate(imr.cacheBuilder,
+        storedPlanOf(imr).exists { p =>
+          (p +: p.subqueriesAll).exists(_.collect {
+            case r: DataSourceV2Relation => r.table
+          }.exists {
+            case g: GraftSqlTable =>
+              g.branchAtLoad !=
+                graft.sources.ManifestTable.sessionBranch(g.rootDir)
+            case _ => false
+          })
+        })
     // transformUpWithNewOutput: masked columns get FRESH attribute ids
     // (a Project whose output id shadowed its own input id would read as
     // redundant and optimize away), and every parent reference rewrites
@@ -302,60 +345,115 @@ case class RowPolicyRule(fallback: Boolean = false)
           if !targets.contains(r) &&
             r.getTagValue(RowPolicyRule.Applied).isEmpty &&
             governed(r.table) =>
-        r.setTagValue(RowPolicyRule.Applied, true)
-        val g = planted(r, r.table.name(), policyOf(props(r.table)),
+        // tag a COPY, never the matched instance: when this rule runs
+        // inside the optimizer's first (subquery) batch, `r` IS the
+        // analyzed plan's node, shared with the Dataset handle that
+        // spawned this QueryExecution and with any cache entry storing
+        // the same plan — mutating it marks those OTHER pipelines
+        // "already governed" and their later optimization then skips
+        // planting entirely (a same-handle show-then-collect served the
+        // second execution UNGOVERNED before this copy)
+        val nr = r.copy()
+        nr.setTagValue(RowPolicyRule.Applied, true)
+        val g = planted(nr, r.table.name(), policyOf(props(r.table)),
           masksOf(props(r.table), r.table.name()))
         g -> r.output.zip(g.output).filter {
           case (o, n) => o.exprId != n.exprId }
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation
           if (!fallback || !extensionsActive) &&
-            govCache(imr).isDefined =>
-        // Dataset-cache BYPASS for governed tables: the entry's rows
-        // materialized under one governance context — recompute the
-        // entry's own STORED logical plan (user operators preserved)
-        // over fresh, un-tagged relations, governed inline under THIS
-        // query's context; the entry idles (see [[governedCache]])
+            (govCache(imr).isDefined || branchStale(imr)) =>
+        // Dataset-cache BYPASS for governed tables and cross-BRANCH
+        // entries: the entry's rows materialized under one governance/
+        // lineage context — recompute the entry's own STORED logical
+        // plan (user operators preserved) over fresh, un-tagged
+        // relations, governed inline under THIS query's context; the
+        // entry idles (see [[governedCache]] / branchStale above)
         val stored = storedPlanOf(imr).getOrElse(
           throw new IllegalStateException(
-            s"a Dataset cache entry over governed table " +
-              s"'${govCache(imr).get.tableName}' cannot be matched " +
-              "back to its stored plan — unpersist it (a governed read " +
-              "never serves from a cross-context cache)"))
+            "a Dataset cache entry over " +
+              govCache(imr).map(i => s"governed table '${i.tableName}'")
+                .getOrElse("a branch-context graft table") +
+              " cannot be matched back to its stored plan — unpersist " +
+              "it (reads never serve from a cross-context cache)"))
         // fresh relation instances: the stored plan's relations are
         // SHARED across queries (the analyzer resolves a cached name to
         // the stored plan) and carry the Applied tag from the caching
-        // query's own optimization — planting must not race on them
-        val cleansed0 = stored.transformUpWithNewOutput {
-          case r: DataSourceV2Relation =>
-            // a FRESH table instance, not the stored one: the shared
-            // instance's lazily-pinned index froze the snapshot (and
-            // its governance props) at CACHING time — the bypass must
-            // resolve the CURRENT state, or a policy ALTERed in after
-            // caching would never plant
-            val tbl = r.table match {
-              case g: GraftSqlTable => new GraftSqlTable(
-                g.rootDir, g.tableName, g.pinnedVersion, g.raw)
-              case other => other
-            }
-            val nr = DataSourceV2Relation.create(
-              tbl, r.catalog, r.identifier, r.options)
-            nr -> r.output.zip(nr.output).filter {
-              case (o, n) => o.exprId != n.exprId }
+        // query's own optimization — planting must not race on them.
+        // The cleanse DESCENDS INTO SUBQUERY EXPRESSION PLANS: a stored
+        // filter over a scalar subquery of a governed table carries the
+        // same shared, tagged relations one level down, and the main
+        // optimizer's subquery batch already ran, so nothing else would
+        // refresh them (subquery plans re-optimize at physical planning,
+        // but only FRESH untagged relations get planted there)
+        def cleanse(p0: LogicalPlan): LogicalPlan = {
+          val withSubs = p0.transformAllExpressions {
+            case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              se.withNewPlan(cleanse(se.plan))
+          }
+          val fresh = withSubs.transformUpWithNewOutput {
+            case r: DataSourceV2Relation =>
+              // a FRESH table instance, not the stored one: the shared
+              // instance's lazily-pinned index froze the snapshot (and
+              // its governance props) at CACHING time — the bypass must
+              // resolve the CURRENT state, or a policy ALTERed in after
+              // caching would never plant
+              val tbl = r.table match {
+                case g: GraftSqlTable => new GraftSqlTable(
+                  g.rootDir, g.tableName, g.pinnedVersion, g.raw)
+                case other => other
+              }
+              val nr = DataSourceV2Relation.create(
+                tbl, r.catalog, r.identifier, r.options)
+              nr -> r.output.zip(nr.output).filter {
+                case (o, n) => o.exprId != n.exprId }
+          }
+          org.apache.spark.sql.catalyst.analysis
+            .EliminateSubqueryAliases(fresh)
         }
-        val cleansed = org.apache.spark.sql.catalyst.analysis
-          .EliminateSubqueryAliases(cleansed0)
+        val cleansed = cleanse(stored)
         // govern inline — the SAME pass; deferring to the next fixpoint
         // iteration would let a later rule (the metadata-count rewrite)
-        // see the relation ungoverned
-        val g = cleansed.transformUpWithNewOutput {
-          case r: DataSourceV2Relation if governed(r.table) =>
-            r.setTagValue(RowPolicyRule.Applied, true)
-            val head = props(r.table)
-            val gr = planted(r, r.table.name(), policyOf(head),
-              masksOf(head, r.table.name()))
-            gr -> r.output.zip(gr.output).filter {
-              case (o, n) => o.exprId != n.exprId }
+        // see the relation ungoverned. Subquery plans are governed here
+        // too (idempotent with the physical-planning re-optimization:
+        // the Applied tag set on the fresh instances survives copies)
+        // subquery plans get NO further optimizer batches (the subquery
+        // batch ran first, pushdown only revisits the main tree), so a
+        // fresh logical relation inside one would reach physical planning
+        // unconverted ("No plan for RelationV2") — pre-plan it as a scan
+        // relation, the same shape the fallback's ordinary case builds.
+        // Unpruned by construction; correctness over pruning for the
+        // bypass's subquery edge.
+        def planScans(p0: LogicalPlan): LogicalPlan = p0.transformUp {
+          case r: DataSourceV2Relation =>
+            val fresh = DataSourceV2ScanRelation(r,
+              r.table.asInstanceOf[
+                org.apache.spark.sql.connector.catalog.SupportsRead]
+                .newScanBuilder(r.options).build(), r.output)
+            fresh.setTagValue(RowPolicyRule.Applied, true)
+            fresh
         }
+        def govern(p0: LogicalPlan): LogicalPlan = {
+          val withSubs = p0.transformAllExpressions {
+            case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              se.withNewPlan(planScans(govern(se.plan)))
+          }
+          // NO Applied-tag guard here: the cleanse's fresh relations can
+          // still CARRY a stale tag (transformUpWithNewOutput copies tags
+          // from the node it replaces, and the stored plan's relations
+          // were tag-mutated by the caching query's own subquery
+          // planning) — every cleansed relation is fresh by construction,
+          // so planting unconditionally is what makes the bypass correct
+          withSubs.transformUpWithNewOutput {
+            case r: DataSourceV2Relation if governed(r.table) =>
+              r.setTagValue(RowPolicyRule.Applied, true)
+              val head = props(r.table)
+              val gr = planted(r, r.table.name(), policyOf(head),
+                masksOf(head, r.table.name()))
+              gr -> r.output.zip(gr.output).filter {
+                case (o, n) => o.exprId != n.exprId }
+          }
+        }
+        val g = govern(cleansed)
         // fallback instance: post-pushdown a bare logical relation has
         // no physical strategy — rebuild every remaining one (governed
         // plants sit ABOVE their relation, so this covers both) as a

@@ -8,9 +8,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo, NamespaceChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -57,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * safely with streaming sinks and compaction.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: File = _
@@ -98,6 +98,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Eager parse check for declared expressions (policies, masks,
+    * metrics, generated/default columns). `functions.expr` no longer
+    * parses at call time (Spark 4 columns defer SQL strings to
+    * analysis), so `Try(expr(s)).isSuccess` never fails — route through
+    * the session parser, which throws on malformed input immediately.
+    */
+  private def parses(sql: String): Boolean =
+    scala.util.Try(SparkSession.active
+      .sessionState.sqlParser.parseExpression(sql)).isSuccess
 
   private def rootOf(namespace: Array[String]): File = {
     require(namespace.length == 1,
@@ -156,14 +166,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = rootOf(namespace)
     if (!root.isDirectory) throw new NoSuchNamespaceException(namespace)
-    ManifestTable.read(root).map(_.tables.keys.toArray.sorted
+    // view entries list through listViews (SHOW TABLES must not offer a
+    // name loadTable then refuses)
+    ManifestTable.read(root).map(_.tables
+      .collect { case (t, ts) if !ManifestTable.isView(ts) => t }
+      .toArray.sorted
       .map(t => Identifier.of(namespace, t))).getOrElse(Array.empty)
   }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.length == 1 &&
       ManifestTable.read(rootOf(ident.namespace))
-        .exists(_.tables.get(ident.name).exists(_.schemaJson.nonEmpty))
+        .exists(_.tables.get(ident.name).exists(ts =>
+          ts.schemaJson.nonEmpty && !ManifestTable.isView(ts)))
 
   override def loadTable(ident: Identifier): Table = {
     // a REAL table wins over meta-table resolution: a created table
@@ -300,6 +315,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props.collect { case (k, v)
         if k.startsWith("constraint.") || k.startsWith("generated.") ||
           k.startsWith("default.") || k.startsWith("metric.") ||
+          k.startsWith("metricGoverned.") ||
           k.startsWith("mask.") || k.startsWith("tag.") ||
           k.startsWith("maskForTag.") =>
           k -> v } ++
@@ -307,8 +323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // merge-on-read (its reads re-plan into reconciliation unions the
       // policy filter placement does not govern)
       props.get("rowpolicy").orElse(props.get("rowPolicy")).map { sql =>
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(sql)).isSuccess,
+        require(parses(sql),
           s"row policy does not parse: $sql")
         require(!props.get("rowlevelmode").orElse(props.get("rowLevelMode"))
           .contains(GraftSqlTable.MergeOnRead),
@@ -318,6 +333,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     recorded.get("rowLevelMode").foreach(m =>
       require(GraftSqlTable.RowLevelModes.contains(m),
         s"rowLevelMode must be one of ${GraftSqlTable.RowLevelModes}, got '$m'"))
+    // declaration-time validation, same require()s alterTable enforces —
+    // without it a CREATE TABLE with a dotted tag key, an empty tag
+    // list, or an unparsable mask/metric/generated expression succeeded
+    // at declaration and then every READ of the table threw from
+    // effectiveMasks
+    recorded.foreach {
+      case (k, v) if k.startsWith("tag.") =>
+        require(!k.stripPrefix("tag.").contains('.'),
+          s"tag key '$k' addresses a struct field — tags attach to " +
+            "whole columns; mask one field with mask.<col>.<field> instead")
+        require(v.split(",").exists(_.trim.nonEmpty),
+          s"tag list for '$k' is empty")
+      case (k, v) if k.startsWith("maskForTag.") || k.startsWith("mask.") ||
+          k.startsWith("metric.") || k.startsWith("generated.") =>
+        require(parses(v),
+          s"expression for '$k' does not parse: $v")
+      case _ => ()
+    }
     ManifestTable.createTable(rootOf(ident.namespace), ident.name, schema,
       mergeKeys, buckets, propCols("statsCols"), propCols("searchCols"),
       recorded)
@@ -339,26 +372,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def staged(ident: Identifier, info: TableInfo,
       orReplace: Boolean, mustExist: Boolean): StagedTable = {
     val root = rootOf(ident.namespace)
+    val key = root.getCanonicalPath
     val exists = tableExists(ident)
     if (!orReplace && exists) throw new TableAlreadyExistsException(ident)
     if (mustExist && !exists) throw new NoSuchTableException(ident)
-    try ManifestTable.begin(root)
-    catch {
-      case e: IllegalArgumentException =>
-        throw new UnsupportedOperationException(
-          s"cannot stage CREATE [OR REPLACE] on '${ident.name}': a " +
-            "transaction envelope is already open on this namespace — " +
-            "CALL graft.system.commit/rollback first", e)
-    }
+    // Two flavors (the ownership flag decides what commit/abort do):
+    //  - no envelope open → open a PRIVATE one; commitStagedChanges
+    //    publishes it, abort rolls it back — the standalone atomic
+    //    CREATE OR REPLACE [AS SELECT].
+    //  - an EXPLICIT envelope is open (CALL graft.system.begin) → stage
+    //    INTO it like any other buffered statement: publication waits
+    //    for the session's commit, and abort rewinds to a savepoint
+    //    taken here, compensating only the DDL's own piece.
+    //  - an envelope opened by ANOTHER in-flight staged DDL → refuse:
+    //    sharing would publish two unrelated DDLs together; the caller
+    //    retries after the first commits (the same wait-and-retry any
+    //    optimistic writer performs).
+    val savepoint = ManifestTable.savepointTxn(root)
+    val owned = savepoint.isEmpty
+    if (owned) {
+      try {
+        ManifestTable.begin(root)
+        GraftCatalog.stagedOwned.put(key, ()): Unit
+      } catch {
+        case e: IllegalArgumentException =>
+          throw new UnsupportedOperationException(
+            s"cannot stage CREATE [OR REPLACE] on '${ident.name}': " +
+              "another staged DDL opened an envelope on this namespace " +
+              "concurrently — retry after it commits", e)
+      }
+    } else if (GraftCatalog.stagedOwned.contains(key))
+      throw new UnsupportedOperationException(
+        s"cannot stage CREATE [OR REPLACE] on '${ident.name}': another " +
+          "staged DDL is in flight on this namespace — retry after it " +
+          "commits")
+    def undo(): Unit =
+      if (owned) { GraftCatalog.stagedOwned.remove(key); ManifestTable.rollback(root): Unit }
+      else savepoint.foreach(_.apply())
+    // tag/mask propagation through REPLACE lineage (the Snowflake
+    // shape): the replaced table's governance props carry onto the new
+    // declaration — tag.<col>/mask.<col> for columns that SURVIVE into
+    // the new schema (a CTAS that projects a tagged column keeps its
+    // tag), maskForTag.* policies wholesale — unless the new
+    // declaration sets the same key itself. Cross-TABLE column lineage
+    // (CTAS from a different tagged source) is out of the catalog's
+    // sight: Spark hands it the result schema, never the query plan.
+    val carried: Map[String, String] =
+      if (!exists) Map.empty
+      else {
+        val cols = info.columns.map(_.name).toSet
+        val declared = info.properties.asScala.keySet
+        ManifestTable.read(root).map(_.table(ident.name).props)
+          .getOrElse(Map.empty)
+          .filter { case (k, _) =>
+            !declared.contains(k) && (k.split("\\.", 3) match {
+              case Array("tag", c) => cols.contains(c)
+              case Array("maskForTag", _) => true
+              case Array("mask", c, _*) => cols.contains(c)
+              case _ => false
+            })
+          }
+      }
+    // REPLACE stages under a TEMP name and swaps at commit: the old
+    // table stays live in the overlay until the commit point, so a
+    // SELF-REFERENTIAL RTAS (`CREATE OR REPLACE t AS SELECT … FROM t`,
+    // the Snowflake idiom) reads the PRE-replace rows — an upfront drop
+    // made the source scan resolve the freshly-emptied table
+    val stagingName =
+      if (exists) s"${ident.name}__stage_${UUID.randomUUID.toString.take(8)}"
+      else ident.name
     val inner =
       try {
-        if (exists) ManifestTable.dropTable(root, ident.name): Unit
-        createTable(ident, info.columns, info.partitions, info.properties)
+        val t = createTable(Identifier.of(ident.namespace, stagingName),
+          info.columns, info.partitions, info.properties)
           .asInstanceOf[GraftSqlTable]
+        if (carried.nonEmpty)
+          ManifestTable.alterTable(root, stagingName, props = carried)
+        t
       } catch {
-        case e: Throwable => ManifestTable.rollback(root); throw e
+        case e: Throwable => undo(); throw e
       }
-    new GraftStagedTable(root, inner)
+    new GraftStagedTable(root, inner, owned,
+      onCommit = () => {
+        if (exists) { // the swap: both verbs buffer into the envelope
+          ManifestTable.dropTable(root, ident.name): Unit
+          ManifestTable.renameTable(root, stagingName, ident.name)
+        }
+        if (owned) {
+          GraftCatalog.stagedOwned.remove(key)
+          ManifestTable.commitTxn(root): Unit
+        } // shared envelope: stays staged until CALL graft.system.commit
+      },
+      onAbort = () => undo())
   }
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
@@ -444,8 +549,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft supports top-level column defaults only")
         val sql = Option(u.newDefaultValue()).getOrElse("")
         if (sql.nonEmpty)
-          require(scala.util.Try(
-            org.apache.spark.sql.functions.expr(sql)).isSuccess,
+          require(parses(sql),
             s"default expression does not parse: $sql")
         colDefaults += u.fieldNames.head -> sql
       case p: TableChange.SetProperty
@@ -454,14 +558,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty
           if p.property.startsWith("default.") =>
         // applies to writes that OMIT the column from here on
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+        require(parses(p.value),
           s"default expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.equalsIgnoreCase(GraftSqlTable.RowPolicyKey) =>
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+        require(parses(p.value),
           s"row policy does not parse: ${p.value}")
         props += GraftSqlTable.RowPolicyKey -> p.value
       case p: TableChange.SetProperty
@@ -471,8 +573,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // tag policy is written against the placeholder `val`):
         // parse-checked; type/nullability validated at plan time
         // against the live schema
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+        require(parses(p.value),
           s"mask expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty
@@ -515,16 +616,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if p.property.startsWith("metric.") =>
         // data metric function: recorded (not enforced) on maintenance
         // sweeps into the _metrics ops table
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+        require(parses(p.value),
           s"metric expression does not parse: ${p.value}")
+        props += p.property -> p.value
+      case p: TableChange.SetProperty
+          if p.property.startsWith("metricGoverned.") =>
+        // scope metric.<name>'s sweep to the session's policy-visible
+        // rows (tenant-scoped metric consumers); default = owner view
+        require(Seq("true", "false").contains(p.value.trim.toLowerCase),
+          s"'${p.property}' must be true or false, got '${p.value}'")
         props += p.property -> p.value
       case p: TableChange.SetProperty
           if p.property.startsWith("generated.") =>
         // applies to FUTURE writes; existing rows keep their values (run
         // a rewrite verb, e.g. update_where over TRUE, to re-derive)
-        require(scala.util.Try(
-          org.apache.spark.sql.functions.expr(p.value)).isSuccess,
+        require(parses(p.value),
           s"generated column expression does not parse: ${p.value}")
         props += p.property -> p.value
       case p: TableChange.SetProperty if knownProp(p.property).nonEmpty =>
@@ -558,8 +664,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else knownProp(k).getOrElse(k)
         val removable = key == GraftSqlTable.RowPolicyKey ||
           knownProp(k).nonEmpty ||
-          Seq("mask.", "constraint.", "metric.", "default.",
-            "generated.", "tag.", "maskForTag.", "ref.")
+          Seq("mask.", "constraint.", "metric.", "metricGoverned.",
+            "default.", "generated.", "tag.", "maskForTag.", "ref.")
             .exists(key.startsWith)
         require(removable,
           s"property '$k' is not removable (layout properties like " +
@@ -604,9 +710,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(root, ident.name, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    ident.namespace.length == 1 &&
-      ManifestTable.dropTable(rootOf(ident.namespace), ident.name)
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace.length != 1) return false
+    val root = rootOf(ident.namespace)
+    // DROP TABLE on a view is a different verb — refuse with the remedy
+    require(ManifestTable.viewSql(root, ident.name).isEmpty,
+      s"'${ident.name}' is a view — use DROP VIEW")
+    ManifestTable.dropTable(root, ident.name)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(oldIdent.namespace.sameElements(newIdent.namespace),
@@ -625,6 +736,124 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ---- named views ----
+  //
+  // The DSv2 `ViewCatalog` surface (API users + future Spark exec
+  // wiring) over [[ManifestTable]] view entries; the SQL verbs route
+  // through [[graft.plans.GraftSqlParser]] → create/dropGraftView, and
+  // reads expand at analysis ([[graft.plans.ResolveGraftViews]]) — see
+  // plans/GraftViews.scala for why Spark 4.1.2 can't drive this
+  // interface from SQL itself.
+
+  private[graft] def viewDefinition(ns: String, name: String)
+      : Option[String] =
+    ManifestTable.viewSql(rootOf(Array(ns)), name)
+
+  private[graft] def createGraftView(ns: String, name: String, sql: String,
+      replace: Boolean, schema: StructType,
+      extraProps: Map[String, String]): Unit =
+    ManifestTable.createView(rootOf(Array(ns)), name, sql, replace,
+      extraProps ++ Map(
+        "viewSchemaJson" -> schema.json,
+        "viewCatalog" -> catalogName,
+        "viewNamespace" -> ns))
+
+  private[graft] def dropGraftView(ns: String, name: String): Boolean =
+    ManifestTable.dropView(rootOf(Array(ns)), name)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val root = rootOf(namespace.toArray)
+    if (!root.isDirectory)
+      throw new NoSuchNamespaceException(namespace.toArray)
+    ManifestTable.read(root).map(_.tables
+      .collect { case (t, ts) if ManifestTable.isView(ts) => t }
+      .toArray.sorted
+      .map(t => Identifier.of(namespace.toArray, t)))
+      .getOrElse(Array.empty)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val entry = ManifestTable.read(rootOf(ident.namespace))
+      .flatMap(_.tables.get(ident.name))
+      .filter(ManifestTable.isView)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val p = entry.props
+    val hidden = Set(ManifestTable.ViewSqlKey, "viewSchemaJson",
+      "viewCatalog", "viewNamespace")
+    new View {
+      override def name(): String =
+        (catalogName +: ident.namespace :+ ident.name).mkString(".")
+      override def query(): String = p(ManifestTable.ViewSqlKey)
+      override def currentCatalog(): String =
+        p.getOrElse("viewCatalog", catalogName)
+      override def currentNamespace(): Array[String] =
+        Array(p.getOrElse("viewNamespace", ident.namespace.head))
+      override def schema(): StructType = p.get("viewSchemaJson")
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      override def queryColumnNames(): Array[String] = schema().fieldNames
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): java.util.Map[String, String] =
+        (p -- hidden).asJava
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      viewDefinition(ident.namespace.head, ident.name).isDefined
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident))
+      throw new ViewAlreadyExistsException(info.ident)
+    createGraftView(info.ident.namespace.head, info.ident.name, info.sql,
+      replace = false, info.schema, info.properties.asScala.toMap)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new NoSuchViewException(info.ident)
+    createGraftView(info.ident.namespace.head, info.ident.name, info.sql,
+      replace = true, info.schema, info.properties.asScala.toMap)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val entry = ManifestTable.read(rootOf(ident.namespace))
+      .flatMap(_.tables.get(ident.name))
+      .filter(ManifestTable.isView)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(entry.props) {
+      case (acc, sp: ViewChange.SetProperty) =>
+        require(sp.property != ManifestTable.ViewSqlKey,
+          "replace the view to change its definition")
+        acc + (sp.property -> sp.value)
+      case (acc, rp: ViewChange.RemoveProperty) => acc - rp.property
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    ManifestTable.createView(rootOf(ident.namespace), ident.name,
+      entry.props(ManifestTable.ViewSqlKey), orReplace = true, props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      dropGraftView(ident.namespace.head, ident.name)
+
+  override def renameView(fromIdent: Identifier, toIdent: Identifier)
+      : Unit = {
+    require(fromIdent.namespace.sameElements(toIdent.namespace),
+      "rename cannot move a view across namespaces (manifest roots)")
+    if (!viewExists(fromIdent)) throw new NoSuchViewException(fromIdent)
+    if (viewExists(toIdent) || tableExists(toIdent))
+      throw new ViewAlreadyExistsException(toIdent)
+    ManifestTable.renameTable(rootOf(fromIdent.namespace), fromIdent.name,
+      toIdent.name)
+  }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -645,7 +874,9 @@ object GraftProcedures {
     "delete_where", "update_where", "detail", "vacuum",
     "begin", "commit", "rollback", "clone", "clone_across", "restore",
     "rebucket", "refresh_mart",
-    "refresh_joined_mart", "refresh_star_mart", "maintain")
+    "refresh_joined_mart", "refresh_star_mart", "maintain",
+    "create_view", "drop_view", "show_views",
+    "branch_create", "branch_publish", "branch_drop", "show_branches")
 
   private def in(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -1016,6 +1247,72 @@ object GraftProcedures {
             UTF8String.fromString(verb), n)
         }
       }
+      // named views, the extension-less surface: without the injected
+      // parser the literal CREATE VIEW verb can't reach a graft catalog,
+      // but CALL create_view records the same entry (and SELECTs still
+      // need the extensions' resolution rule to expand — the documented
+      // deployment path)
+      case "create_view" => bound("create_view",
+        Seq(in("namespace", StringType), in("name", StringType),
+          in("sql", StringType),
+          ProcedureParameter.in("or_replace", BooleanType)
+            .defaultValue("false").build()),
+        new StructType()) { row =>
+        val sql = str(row, 2)
+        val schema = spark.sql(sql).schema // declaration-time validation
+        ManifestTable.createView(root(str(row, 0)), str(row, 1), sql,
+          orReplace = !row.isNullAt(3) && row.getBoolean(3),
+          Map("viewSchemaJson" -> schema.json,
+            "viewNamespace" -> str(row, 0)))
+        Nil
+      }
+      case "drop_view" => bound("drop_view",
+        Seq(in("namespace", StringType), in("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType)))) { row =>
+        Seq(InternalRow(
+          ManifestTable.dropView(root(str(row, 0)), str(row, 1))))
+      }
+      case "show_views" => bound("show_views",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("name", StringType),
+          StructField("sql", StringType)))) { row =>
+        ManifestTable.read(root(str(row, 0))).toSeq
+          .flatMap(_.tables.toSeq)
+          .collect { case (n, ts) if ManifestTable.isView(ts) => n -> ts }
+          .sortBy(_._1)
+          .map { case (n, ts) => InternalRow(UTF8String.fromString(n),
+            UTF8String.fromString(ts.props(ManifestTable.ViewSqlKey))) }
+      }
+      // writable branches (write-audit-publish): fork, then SET
+      // graft.session.branch = <name> to write/audit the branch;
+      // publish fast-forwards it onto main as ONE commit
+      case "branch_create" => bound("branch_create",
+        Seq(in("namespace", StringType), in("name", StringType)),
+        StructType(Seq(StructField("fork_version", LongType)))) { row =>
+        Seq(InternalRow(
+          ManifestTable.branchCreate(root(str(row, 0)), str(row, 1))))
+      }
+      case "branch_publish" => bound("branch_publish",
+        Seq(in("namespace", StringType), in("name", StringType)),
+        StructType(Seq(StructField("published_version", LongType)))) { row =>
+        Seq(InternalRow(
+          ManifestTable.branchPublish(root(str(row, 0)), str(row, 1))))
+      }
+      case "branch_drop" => bound("branch_drop",
+        Seq(in("namespace", StringType), in("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType)))) { row =>
+        Seq(InternalRow(
+          ManifestTable.branchDrop(root(str(row, 0)), str(row, 1))))
+      }
+      case "show_branches" => bound("show_branches",
+        Seq(in("namespace", StringType)),
+        StructType(Seq(StructField("name", StringType),
+          StructField("fork_version", LongType),
+          StructField("head_version", LongType)))) { row =>
+        ManifestTable.branches(root(str(row, 0))).map { case (n, b, h) =>
+          InternalRow(UTF8String.fromString(n), b, h)
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown procedure 'system.$other' (have: ${Names.mkString(", ")})")
     }
@@ -1028,7 +1325,8 @@ object GraftProcedures {
   * inner table; commit publishes the envelope as one manifest swap,
   * abort publishes nothing.
   */
-private[sources] class GraftStagedTable(root: File, inner: GraftSqlTable)
+private[sources] class GraftStagedTable(root: File, inner: GraftSqlTable,
+    owned: Boolean, onCommit: () => Unit, onAbort: () => Unit)
   extends StagedTable with SupportsRead with SupportsWrite {
 
   override def name(): String = inner.name()
@@ -1041,9 +1339,18 @@ private[sources] class GraftStagedTable(root: File, inner: GraftSqlTable)
       : ScanBuilder = inner.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     inner.newWriteBuilder(info)
-  override def commitStagedChanges(): Unit = ManifestTable.commitTxn(root)
-  override def abortStagedChanges(): Unit =
-    ManifestTable.rollback(root): Unit
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
+}
+
+private[sources] object GraftCatalog {
+  /** Roots with an in-flight PRIVATELY-opened staged-DDL envelope — the
+    * discriminator between "stage into the user's explicit envelope"
+    * and "refuse to share another staged DDL's" (see
+    * [[GraftCatalog.staged]]).
+    */
+  val stagedOwned =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
 }
 
 /** One named graft table as a DSv2 `Table`: pruned columnar batch reads,
@@ -1102,12 +1409,27 @@ class GraftSqlTable(root: File, table: String, version: Option[Long],
     * Frozen at first use (hashCode stability); resolution failure falls
     * back to identity — never a false hit.
     */
-  private lazy val cacheKey: Option[(String, String, Option[Long], Boolean)] =
+  /** The session branch CAPTURED AT CONSTRUCTION (load) time. The lazy
+    * cacheKey would otherwise stamp the branch at first-EQUALITY time —
+    * after the session may have switched lineages, which let an entry
+    * materialized under a branch key itself as a main entry once the
+    * conf flipped (BranchSpec's cache-identity case).
+    */
+  private[graft] val branchAtLoad: Option[String] =
+    try ManifestTable.sessionBranch(root)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private lazy val cacheKey
+      : Option[(String, String, Option[Long], Boolean, Option[String])] =
     try {
       val props = ManifestTable.read(root)
         .map(_.table(table).props).getOrElse(Map.empty)
       if (GovernedRows.governs(props, table)) None
-      else Some((root.getCanonicalPath, table, version, raw))
+      // the session's active BRANCH is part of the identity: a branch
+      // read and a main read share (root, table, None) but resolve
+      // different lineages — equality across them would let a cached
+      // main Dataset serve branch reads (and vice versa)
+      else Some((root.getCanonicalPath, table, version, raw, branchAtLoad))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def equals(other: Any): Boolean = other match {

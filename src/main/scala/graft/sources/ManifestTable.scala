@@ -755,6 +755,18 @@ object ManifestTable {
       case Some(t) => return Some(t.synchronized(t.overlay))
       case None =>
     }
+    // a session with graft.session.branch set operates on that BRANCH's
+    // lineage (write-audit-publish): its manifest is the current state
+    activeBranch(root).foreach { b =>
+      return Some(readBranch(root, b))
+    }
+    readDisk(root)
+  }
+
+  /** The latest MAIN-lineage manifest from disk, ignoring any session
+    * branch (the publish gate and branch forking read through this).
+    */
+  private def readDisk(root: File): Option[Manifest] = {
     val f = new File(root, ManifestName)
     // only a FULL snapshot can seed the fold — a pointer holding a delta
     // entry (possible after operator interference; a crashed writer
@@ -809,6 +821,167 @@ object ManifestTable {
   class ConcurrentCommitException(version: Long)
     extends RuntimeException(
       s"version $version was committed by a concurrent writer")
+
+  // ---- writable branches (write-audit-publish) ----
+  //
+  // The Iceberg-WAP shape the named refs lack: a BRANCH is a persisted
+  // side lineage forked from the main head. A session with
+  // `graft.session.branch = <name>` reads and writes the branch — every
+  // verb (INSERT/MERGE/owner verbs/streams) commits onto the branch
+  // file, main stays byte-untouched, and OTHER sessions see main. The
+  // audit step is just reading the branch (same conf). `branchPublish`
+  // FAST-FORWARDS: if main still sits at the fork version, the whole
+  // branch squashes into ONE main commit (change-feed entries netted,
+  // exactly like the envelope's publishable()); if main advanced, the
+  // publish refuses with nothing published — re-create and re-run, the
+  // same optimistic contract every writer follows. GC safety: gc() never
+  // runs under an active branch session, and main-side sweeps treat
+  // every branch manifest's dirs as live; dropping a branch orphans its
+  // unpublished dirs for the next sweep.
+
+  /** Session conf selecting the branch lineage (the `spark.wap.branch`
+    * shape): every read and commit on this root routes to the branch.
+    */
+  val BranchConf = "graft.session.branch"
+
+  private def branchFile(root: File, name: String): File =
+    new File(root, s"BRANCH.$name")
+
+  private def branchBaseFile(root: File, name: String): File =
+    new File(root, s"BRANCH.$name.base")
+
+  private val branchLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def branchLock(root: File, name: String): Object =
+    branchLocks.getOrElseUpdate(root.getCanonicalPath + "#" + name,
+      new Object)
+
+  /** Publish must commit to MAIN while the caller's session may still
+    * carry the branch conf — thread-local bypass for its inner commit.
+    */
+  private val branchBypass = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** The session's active branch on `root`, when its file exists. */
+  private def activeBranch(root: File): Option[String] =
+    if (branchBypass.get) None
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.getOption(BranchConf)).toOption.flatten)
+      .filter(n => branchFile(root, n).exists)
+
+  /** The session's active branch name (cache-identity input for
+    * [[GraftSqlTable]]: a branch read must never equal a main read).
+    */
+  private[graft] def sessionBranch(root: File): Option[String] =
+    activeBranch(root)
+
+  private def readBranch(root: File, name: String): Manifest =
+    parse(new String(
+      Files.readAllBytes(branchFile(root, name).toPath), UTF_8), root)
+
+  /** All live branch manifests on `root` — their paths are GC-live. */
+  private def branchManifests(root: File): Seq[Manifest] =
+    Option(root.listFiles).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("BRANCH.") &&
+        !f.getName.endsWith(".base") && !f.getName.endsWith(".tmp"))
+      .flatMap(f => scala.util.Try(parse(
+        new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption)
+
+  /** Fork a writable branch from the MAIN head (exclusive creation —
+    * the link(2) CAS refuses a concurrent same-name fork). Returns the
+    * fork version the publish gate fast-forwards against.
+    */
+  def branchCreate(root: File, name: String): Long = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch name '$name' must be alphanumeric/_/- only")
+    Files.createDirectories(root.toPath)
+    val base = readDisk(root).getOrElse(empty)
+    val tmp = new File(root, s".BRANCH.$name.${newNonce()}.tmp")
+    Files.write(tmp.toPath, render(base, None).getBytes(UTF_8))
+    try Files.createLink(branchFile(root, name).toPath, tmp.toPath): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"branch '$name' already exists on $root")
+    } finally Files.deleteIfExists(tmp.toPath)
+    Files.write(branchBaseFile(root, name).toPath,
+      base.version.toString.getBytes(UTF_8))
+    base.version
+  }
+
+  /** Fast-forward publish: squash the branch into ONE main commit (CDF
+    * entries netted per keyed table) — refused with NOTHING published
+    * when main advanced past the fork. The branch is consumed either
+    * way only on success.
+    */
+  def branchPublish(root: File, name: String): Long = {
+    require(branchFile(root, name).exists,
+      s"no branch '$name' on $root")
+    val branch = readBranch(root, name)
+    val base = new String(Files.readAllBytes(
+      branchBaseFile(root, name).toPath), UTF_8).trim.toLong
+    val head = readDisk(root).getOrElse(empty)
+    if (head.version != base)
+      throw new ConcurrentCommitException(head.version) {
+        override def getMessage: String =
+          s"branch '$name' forked at v$base but main is at " +
+            s"v${head.version} — fast-forward publish refused, NOTHING " +
+            "was published; re-create the branch from the new head and " +
+            "re-run its script"
+      }
+    if (branch.version == base) { // audit-only branch: nothing to publish
+      branchDrop(root, name): Unit
+      return base
+    }
+    val publishV = base + 1
+    val remapped = branch.tables.map { case (n, ts) =>
+      val (above, below) = ts.changes.partition(_.version > base)
+      val collapsed =
+        if (above.size < 2 || ts.mergeKeys.isEmpty)
+          above.map(_.copy(version = publishV))
+        else netChanges(root, n, ts, above, publishV)
+      val feedFrom = if (ts.feedFrom > publishV) publishV else ts.feedFrom
+      n -> ts.copy(changes = below ++ collapsed, feedFrom = feedFrom)
+    }
+    val touched = branch.tables.keys.toSeq.sorted
+      .filter(n => !head.tables.get(n).contains(branch.tables(n)))
+    val published = Manifest(publishV, branch.queryId, branch.lastBatch,
+      remapped, CommitInfo(s"PUBLISH:$name",
+        System.currentTimeMillis(), touched))
+    branchBypass.set(true)
+    try commit(root, published)
+    finally branchBypass.set(false)
+    branchDrop(root, name): Unit
+    gc(root, published)
+    publishV
+  }
+
+  /** Drop a branch: its unpublished data dirs orphan for the next main
+    * sweep. Returns false when absent.
+    */
+  def branchDrop(root: File, name: String): Boolean = {
+    val existed = branchFile(root, name).exists
+    Files.deleteIfExists(branchFile(root, name).toPath)
+    Files.deleteIfExists(branchBaseFile(root, name).toPath)
+    existed
+  }
+
+  /** Live branches on `root` with (name, fork version, head version). */
+  def branches(root: File): Seq[(String, Long, Long)] =
+    Option(root.listFiles).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("BRANCH.") &&
+        !f.getName.endsWith(".base") && !f.getName.endsWith(".tmp"))
+      .map(_.getName.stripPrefix("BRANCH."))
+      .sorted
+      .map { n =>
+        val base = scala.util.Try(new String(Files.readAllBytes(
+          branchBaseFile(root, n).toPath), UTF_8).trim.toLong).getOrElse(-1L)
+        (n, base, readBranch(root, n).version)
+      }
 
   // ---- multi-statement transaction envelope ----
   //
@@ -984,6 +1157,23 @@ object ManifestTable {
     * false when no envelope was open.
     */
   def rollback(root: File): Boolean = txns.remove(txnKey(root)).nonEmpty
+
+  /** Savepoint of the OPEN envelope's in-memory state, as a restore
+    * thunk (None when no envelope is open). Running the thunk rewinds
+    * the envelope to the captured overlay — everything staged after the
+    * savepoint becomes orphan data dirs a later GC collects, exactly
+    * like a rollback but scoped to the tail. This is the abort path for
+    * a staged DDL riding an envelope the USER opened (CALL
+    * graft.system.begin): the DDL must compensate only its own piece,
+    * never throw away the session's earlier buffered statements.
+    * Single-session semantics (the envelope's own contract): statements
+    * interleaved between savepoint and restore are rewound with it.
+    */
+  def savepointTxn(root: File): Option[() => Unit] =
+    activeTxn(root).map { t =>
+      val (o, v, ops) = t.synchronized((t.overlay, t.versions, t.ops))
+      () => t.synchronized { t.overlay = o; t.versions = v; t.ops = ops }
+    }
 
   /** Scala-side envelope: `transaction(root) { …verbs… }` — commits on
     * success, rolls back on any throw.
@@ -1399,6 +1589,25 @@ object ManifestTable {
         return
       case None =>
     }
+    // under an active session branch the commit point is the BRANCH
+    // file, never the main version log — same OCC contract against the
+    // branch's own head (the JVM lock serializes local writers; the
+    // atomic move is the cross-process commit point)
+    activeBranch(root) match {
+      case Some(b) if !branchBypass.get =>
+        branchLock(root, b).synchronized {
+          val cur = readBranch(root, b)
+          if (m.version != cur.version + 1)
+            throw new ConcurrentCommitException(m.version)
+          val tmp = new File(root, s".BRANCH.$b.${newNonce()}.tmp")
+          Files.write(tmp.toPath, render(m, None).getBytes(UTF_8))
+          Files.move(tmp.toPath, branchFile(root, b).toPath,
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+        return
+      case _ =>
+    }
     Files.createDirectories(root.toPath)
     delta.foreach(d => require(d.version == m.version,
       s"delta v${d.version} does not describe commit v${m.version}"))
@@ -1493,6 +1702,18 @@ object ManifestTable {
         scala.util.Try(v.trim.toLong).toOption
     }.flatten).filter(v => v >= 0 && v <= m.version).distinct.sorted
 
+  /** Versions pinned by refs declared ON ONE TABLE — the set the
+    * TABLE-scoped time-travel gate honors. GC/retention keeps using the
+    * manifest-wide [[refVersionsOf]] (data protection is rightly global:
+    * a version any table pins must stay reconstructible), but a ref on
+    * table A must not widen table B's own declared travel window.
+    */
+  private def refVersionsOfTable(ts: TableState): Seq[Long] =
+    ts.props.toSeq.collect {
+      case (k, v) if k.startsWith("ref.") =>
+        scala.util.Try(v.trim.toLong).toOption
+    }.flatten.filter(_ >= 0).distinct.sorted
+
   private def retainedVersions(root: File, m: Manifest): Seq[Long] = {
     val countFloor = (m.version - retainOf(m) + 1) max 0
     // a declared time window extends retention below the count floor:
@@ -1543,9 +1764,15 @@ object ManifestTable {
     // dirs no on-disk version knows about yet, and the final commit's
     // own GC sweeps once the envelope publishes
     if (activeTxn(root).nonEmpty) return swept
+    // same rule under an active session BRANCH: the branch's dirs live
+    // only in its branch file, and `m` here is branch state — a sweep
+    // computed from it would collect MAIN's dirs
+    if (activeBranch(root).nonEmpty) return swept
     val retained = retainedVersions(root, m)
     val live: Set[String] =
-      retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths
+      retained.flatMap(readVersionBuckets(root, _)).toSet ++ m.allPaths ++
+        // unpublished branch lineages pin their dirs until publish/drop
+        branchManifests(root).flatMap(_.allPaths)
     val inflight = inflightNonces(root)
     val tableDirs = new File(root, "data").listFiles
     if (tableDirs != null) tableDirs.filter(_.isDirectory).foreach { td =>
@@ -1700,7 +1927,12 @@ object ManifestTable {
       val timeOk = withinTimeWindow(new File(root), // table's own hours
         live.flatMap(lm => retainHoursOf(lm.table(table)).map(_ * 3600000L)),
         v)
-      val pinned = live.exists(lm => refVersionsOf(lm).contains(v))
+      // only THIS table's refs pierce ITS declared window (a ref on a
+      // sibling table keeps the data alive manifest-wide but must not
+      // silently widen this table's travel semantics)
+      val pinned = live.exists(lm =>
+        lm.tables.get(table).exists(ts =>
+          refVersionsOfTable(ts).contains(v)))
       if (v <= current - window && !timeOk && !pinned)
         throw new java.io.FileNotFoundException(
           s"version $v of table '$table' is not retained " +
@@ -2546,6 +2778,36 @@ object ManifestTable {
     */
   private case class RestartAttempt() extends Exception
 
+  /** [[mergeBatch]] under the calling SESSION's governance context —
+    * the provider-API analogue of the session-enforced owner verbs
+    * (SQL MERGE and the CALL verbs were already policy-aware; a
+    * provider user calling mergeBatch directly still wrote as owner).
+    * Per governed table, rows the session's row policy HIDES are
+    * untouchable: incoming rows keyed to a hidden existing row (and
+    * delete keys addressing one) drop from the batch, so hidden rows
+    * survive byte-exactly — the same "act on policy-visible rows only"
+    * contract the policy-aware MERGE implements. Session attrs fold at
+    * call time; a subquery policy refuses fast, like the enforced
+    * verbs. Policy-free tables pass through untouched.
+    */
+  def mergeBatchEnforced(spark: SparkSession, root: File, qid: String,
+      batchId: Long, batches: Seq[TableBatch]): Unit = {
+    val adjusted = batches.map { tb =>
+      GovernedRows.sessionPolicy(spark, root, tb.name) match {
+        case None => tb
+        case Some(policy) =>
+          val hiddenKeys = readTable(spark, root.toString, table = tb.name)
+            .filter(!coalesce(policy, lit(false)))
+            .select(tb.mergeKeys.map(col): _*)
+          tb.copy(
+            rows = tb.rows.join(hiddenKeys, tb.mergeKeys, "left_anti"),
+            deleteKeys = tb.deleteKeys.map(
+              _.join(hiddenKeys, tb.mergeKeys, "left_anti")))
+      }
+    }
+    mergeBatch(root, qid, batchId, adjusted)
+  }
+
   def mergeBatch(root: File, qid: String, batchId: Long,
       batches: Seq[TableBatch]): Unit = {
     var attempt = 0
@@ -2916,27 +3178,51 @@ object ManifestTable {
         if (!feedFresh && !timeFresh) {
           val df = readTable(spark, root.toString, version = Some(evalV),
             table = name)
-          val aggCols = ms.map { case (n, sql) =>
-            val e = try expr(sql) catch {
-              case ex: Exception => throw new IllegalArgumentException(
-                s"metric '$n' on table '$name' does not parse: $sql", ex)
+          def measure(df0: DataFrame, group: Seq[(String, String)])
+              : Map[String, Option[Double]] =
+            if (group.isEmpty) Map.empty
+            else {
+              val aggCols = group.map { case (n, sql) =>
+                val e = try expr(sql) catch {
+                  case ex: Exception => throw new IllegalArgumentException(
+                    s"metric '$n' on table '$name' does not parse: $sql", ex)
+                }
+                // aggregate-shaped (analyzes under a global agg:
+                // `count(…)`, `max(…)`) → its scalar; otherwise a boolean
+                // row predicate → violation count. The probe must test
+                // the AGG shape: a plain select() also accepts aggregates
+                // (it becomes a global agg), but agg() rejects
+                // non-aggregate row expressions.
+                val aggShaped = scala.util.Try(
+                  df0.limit(0).groupBy().agg(e).schema).isSuccess
+                if (aggShaped) e.cast("double").as(n)
+                else sum(when(e, lit(1L)).otherwise(lit(0L)))
+                  .cast("double").as(n)
+              }
+              val row = df0.agg(aggCols.head, aggCols.tail: _*).head
+              group.zipWithIndex.map { case ((n, _), i) =>
+                n -> (if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+              }.toMap
             }
-            // aggregate-shaped (analyzes under a global agg: `count(…)`,
-            // `max(…)`) → its scalar; otherwise a boolean row predicate →
-            // violation count. The probe must test the AGG shape: a plain
-            // select() also accepts aggregates (it becomes a global agg),
-            // but agg() rejects non-aggregate row expressions.
-            val aggShaped = scala.util.Try(
-              df.limit(0).groupBy().agg(e).schema).isSuccess
-            if (aggShaped) e.cast("double").as(n)
-            else sum(when(e, lit(1L)).otherwise(lit(0L)))
-              .cast("double").as(n)
-          }
-          val row = df.agg(aggCols.head, aggCols.tail: _*).head
-          ms.zipWithIndex.foreach { case ((n, _), i) =>
-            recorded += ((name, n,
-              if (row.isNullAt(i)) None else Some(row.getDouble(i))))
-          }
+          // `metricGoverned.<name> = true` scopes THAT metric to the
+          // sweeping session's row-policy-visible subset (tenant-scoped
+          // metric consumers); default stays the OWNER view — Snowflake
+          // DMF parity. Row policy only: masks rewrite values, which a
+          // metric should measure as stored.
+          val governedSet = ts.props.collect {
+            case (k, v) if k.startsWith("metricGoverned.") &&
+              v.trim.equalsIgnoreCase("true") =>
+              k.stripPrefix("metricGoverned.")
+          }.toSet
+          val (gms, ums) = ms.partition { case (n, _) =>
+            governedSet.contains(n) }
+          val visible =
+            if (gms.isEmpty) df
+            else GovernedRows.sessionPolicy(spark, root, name)
+              .map(p => df.filter(coalesce(p, lit(false))))
+              .getOrElse(df)
+          val vals = measure(df, ums) ++ measure(visible, gms)
+          ms.foreach { case (n, _) => recorded += ((name, n, vals(n))) }
           metricProps += s"metricSrcVersion.$name" -> evalV.toString
           metricProps += s"metricMeasuredAt.$name" ->
             System.currentTimeMillis().toString
@@ -3682,6 +3968,75 @@ object ManifestTable {
     * and GC collects them as those age out. Returns false when the table
     * doesn't exist.
     */
+  // ---- named views ----
+
+  /** Marker prop: a manifest entry carrying `viewSql` is a NAMED VIEW —
+    * stored SQL text (reference sql/07_ops_views.sql's CREATE OR REPLACE
+    * VIEW verb), expanded into the referencing query's plan at analysis
+    * by [[graft.plans.ResolveGraftViews]], never a storage table. Views
+    * ride the same commit protocol as tables: creation/replace is one
+    * versioned commit, old definitions time-travel, CLONE carries them,
+    * and row policies on the UNDERLYING tables still plant (expansion
+    * happens before optimization, so a view is governance-transparent —
+    * the Snowflake semantics).
+    */
+  val ViewSqlKey = "viewSql"
+
+  def isView(ts: TableState): Boolean = ts.props.contains(ViewSqlKey)
+
+  /** Declare (or replace) a named view. The stored props carry the SQL
+    * plus whatever the caller records (creation catalog/namespace,
+    * column comments — the ViewCatalog surface's metadata).
+    */
+  def createView(root: File, name: String, sql: String,
+      orReplace: Boolean, props: Map[String, String] = Map.empty): Unit = {
+    require(sql.trim.nonEmpty, s"view '$name' needs a SQL definition")
+    root.mkdirs()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val manifest = read(root).getOrElse(empty)
+      val existing = manifest.tables.get(name)
+      require(!existing.exists(ts => !isView(ts)),
+        s"'$name' is a TABLE at $root — DROP TABLE it first or pick " +
+          "another name")
+      if (existing.exists(isView) && !orReplace)
+        throw new IllegalArgumentException(
+          s"view '$name' already exists at $root (use CREATE OR REPLACE)")
+      val entry = TableState(
+        schemaJson = new org.apache.spark.sql.types.StructType().json,
+        buckets = Map.empty,
+        props = props + (ViewSqlKey -> sql))
+      val next = Manifest(manifest.version + 1, manifest.queryId,
+        manifest.lastBatch, manifest.tables + (name -> entry),
+        CommitInfo(if (existing.isDefined) "REPLACE VIEW" else "CREATE VIEW",
+          System.currentTimeMillis(), Seq(name)))
+      try { commit(root, next); done = true }
+      catch {
+        case _: ConcurrentCommitException if attempt < MaxCommitAttempts - 1 =>
+          attempt += 1
+      }
+    }
+  }
+
+  /** Drop a named view (false when absent); refuses on a TABLE of that
+    * name — DROP TABLE is a different, data-bearing verb.
+    */
+  def dropView(root: File, name: String): Boolean = {
+    val m = read(root).getOrElse(empty)
+    m.tables.get(name) match {
+      case None => false
+      case Some(ts) if !isView(ts) =>
+        throw new IllegalArgumentException(
+          s"'$name' at $root is a table, not a view — use DROP TABLE")
+      case Some(_) => dropTable(root, name)
+    }
+  }
+
+  /** The stored SQL of a named view, if `name` is one. */
+  def viewSql(root: File, name: String): Option[String] =
+    read(root).flatMap(_.tables.get(name)).flatMap(_.props.get(ViewSqlKey))
+
   def dropTable(root: File, table: String): Boolean = {
     var attempt = 0
     while (true) {

@@ -1594,6 +1594,113 @@ class CatalogSpec extends SparkSpec {
     spark.conf.unset("graft.session.client")
   }
 
+  test("tag propagation: CREATE OR REPLACE [AS SELECT] carries the replaced table's tags/masks for surviving columns; CLONE carries them wholesale") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tgp").toString
+    spark.conf.set("spark.sql.catalog.tgp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tgp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tgp.ops")
+    spark.sql("""CREATE TABLE tgp.ops.t (id BIGINT, ssn STRING, note STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.ssn' = 'pii', 'maskForTag.pii' = "concat('#', val)")""")
+    spark.sql("INSERT INTO tgp.ops.t VALUES (1, '111', 'a')")
+    // an untagged staging source: a CTAS reading the TAGGED table would
+    // correctly write MASKED values (the Snowflake semantics) — the
+    // propagation assert needs cleartext input
+    spark.sql("""CREATE TABLE tgp.ops.raw (id BIGINT, ssn STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO tgp.ops.raw VALUES (1, '333')")
+
+    // RTAS keeping the tagged column: the tag AND its policy carry —
+    // the replacement masks identically
+    spark.sql("""CREATE OR REPLACE TABLE tgp.ops.t
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id, ssn FROM tgp.ops.raw""")
+    assert(spark.sql("SELECT ssn FROM tgp.ops.t WHERE id = 1")
+      .head.getString(0) == "#333",
+      "CREATE OR REPLACE AS SELECT dropped the replaced table's tag mask")
+    val props = spark.sql("SHOW TBLPROPERTIES tgp.ops.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("tag.ssn").contains("pii") &&
+      props.contains("maskForTag.pii"), s"carried props wrong: $props")
+
+    // a replace that DROPS the tagged column sheds the column tag but
+    // keeps the tag policy (it may govern future tagged columns)
+    spark.sql("""CREATE OR REPLACE TABLE tgp.ops.t
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id FROM tgp.ops.raw""")
+    val props2 = spark.sql("SHOW TBLPROPERTIES tgp.ops.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props2.contains("tag.ssn"),
+      "a dropped column's tag survived the replace")
+
+    // an explicit re-declaration wins over the carried value
+    spark.sql("""CREATE TABLE tgp.ops.s (id BIGINT, ssn STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.ssn' = 'pii', 'maskForTag.pii' = "concat('#', val)")""")
+    spark.sql("INSERT INTO tgp.ops.s VALUES (1, '222')")
+    spark.sql("""CREATE OR REPLACE TABLE tgp.ops.s
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'maskForTag.pii' = "'X'")
+      AS SELECT id, ssn FROM tgp.ops.s""")
+    assert(spark.sql("SELECT ssn FROM tgp.ops.s WHERE id = 1")
+      .head.getString(0) == "X",
+      "a re-declared tag policy lost to the carried one")
+
+    // CLONE carries tags wholesale (the manifest entry copies)
+    spark.sql("CALL tgp.system.clone('ops', 's', 's2', -1)")
+    assert(spark.sql("SELECT ssn FROM tgp.ops.s2 WHERE id = 1")
+      .head.getString(0) == "X", "CLONE dropped the source's tag mask")
+  }
+
+  test("session-enforced mergeBatch: a provider replace-by-key under the session's context leaves policy-hidden rows untouchable") {
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.TableBatch
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mbe").toString
+    spark.conf.set("spark.sql.catalog.mbe", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mbe.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mbe.ops")
+    spark.sql("""CREATE TABLE mbe.ops.g (id BIGINT, client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.sql("""INSERT INTO mbe.ops.g VALUES
+      (1, 'ACME', 10), (2, 'BETA', 20)""")
+    val root = new File(wh, "ops")
+    def owner(): Seq[(Long, String, Long)] =
+      spark.read.format("graft").option("path", root.toString)
+        .option("table", "g").load().orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    // an ACME session upserts three keys: its own key updates, the new
+    // key inserts, and the key belonging to a BETA (hidden) row is
+    // UNTOUCHABLE — the hidden row survives byte-exactly
+    spark.conf.set("graft.session.client", "ACME")
+    try {
+      val batch = Seq((1L, "ACME", 11L), (2L, "ACME", 99L),
+        (3L, "ACME", 30L)).toDF("id", "client", "v")
+      ManifestTable.mergeBatchEnforced(spark, root, "q-enf", 1L,
+        Seq(TableBatch("g", batch, Seq("id"), 2)))
+      assert(owner() == Seq((1L, "ACME", 11L), (2L, "BETA", 20L),
+        (3L, "ACME", 30L)),
+        s"enforced mergeBatch touched a hidden row: ${owner()}")
+
+      // an enforced delete set drops hidden keys too: deleting 2 (BETA,
+      // hidden) is a no-op, deleting 3 (visible) lands
+      ManifestTable.mergeBatchEnforced(spark, root, "q-enf", 2L,
+        Seq(TableBatch("g",
+          Seq.empty[(Long, String, Long)].toDF("id", "client", "v"),
+          Seq("id"), 2,
+          deleteKeys = Some(Seq(2L, 3L).toDF("id")))))
+      assert(owner() == Seq((1L, "ACME", 11L), (2L, "BETA", 20L)),
+        s"enforced delete reached a hidden row: ${owner()}")
+    } finally spark.conf.unset("graft.session.client")
+
+    // the plain owner-path mergeBatch is unchanged: it reaches everything
+    ManifestTable.mergeBatch(root, "q-own", 3L, Seq(TableBatch("g",
+      Seq((2L, "BETA", 21L)).toDF("id", "client", "v"), Seq("id"), 2)))
+    assert(owner() == Seq((1L, "ACME", 11L), (2L, "BETA", 21L)))
+  }
+
   test("dataset caching: snapshot-keyed reuse — fresh reads of the same snapshot hit the cache, a commit invalidates reuse instead of serving frozen bytes, governed tables never serve from a cross-query cache") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cch").toString
     spark.conf.set("spark.sql.catalog.cch", classOf[GraftCatalog].getName)
@@ -1697,6 +1804,90 @@ class CatalogSpec extends SparkSpec {
     } finally { u.unpersist(blocking = true) }
   }
 
+  test("governed-cache bypass reaches subquery plans and nested cache entries — no cross-context serve through either indirection") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_csq").toString
+    spark.conf.set("spark.sql.catalog.csq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.csq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS csq.ops")
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+
+    // (1) SUBQUERY indirection: the cached plan's MAIN tree scans only
+    // the ungoverned table — the governed scan hides inside a scalar
+    // subquery's SubqueryExec expression, which collectLeaves never
+    // visits. Serving the entry across an attr flip would leak the old
+    // context's threshold into the new context's filter.
+    spark.sql("""CREATE TABLE csq.ops.t3 (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO csq.ops.t3 VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("""CREATE TABLE csq.ops.g3 (id BIGINT, client STRING, lim BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.sql("INSERT INTO csq.ops.g3 VALUES (1, 'ACME', 15), (2, 'BETA', 25)")
+    val q = "SELECT id FROM csq.ops.t3 WHERE v > " +
+      "(SELECT max(lim) FROM csq.ops.g3) ORDER BY id"
+
+    // (0) same-handle, NO cache: head() compiles a derived COPY whose
+    // subquery planting runs in the optimizer's FIRST batch, directly on
+    // the shared analyzed nodes — tagging the matched instance (instead
+    // of a copy) poisoned the handle's own later optimization into
+    // skipping the plant, serving the handle's collect() UNGOVERNED
+    spark.conf.set("graft.session.client", "ACME")
+    val h = spark.sql(q)
+    h.head() // derived copy executes (and governs) first
+    assert(h.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      "a derived execution poisoned the handle's own subquery governance")
+
+    val sq = spark.sql(q)
+    sq.cache(); sq.count()
+    try {
+      assert(sq.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L)) // lim 15
+      spark.conf.set("graft.session.client", "BETA")
+      val fresh = spark.sql(q)
+      assert(!cached(fresh),
+        "a cached plan with a governed scan in a SUBQUERY served " +
+          "across a context flip")
+      assert(fresh.collect().map(_.getLong(0)).toSeq == Seq(3L), // lim 25
+        "subquery-carried governance leaked the caching context's rows")
+    } finally {
+      sq.unpersist(blocking = true)
+      spark.conf.unset("graft.session.client")
+    }
+
+    // (2) NESTED-CACHE indirection: an inner cache over a then-
+    // ungoverned table embeds as an InMemoryTableScanExec inside the
+    // outer entry's materialized plan; ALTERing the inner table governed
+    // afterwards must stop the OUTER entry from serving to the pinned
+    // DataFrame handle (HEAD policies apply to old snapshots too).
+    spark.sql("""CREATE TABLE csq.ops.t2 (id BIGINT, w BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO csq.ops.t2 VALUES (1, 100), (2, 200)")
+    spark.sql("""CREATE TABLE csq.ops.g2 (id BIGINT, client STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO csq.ops.g2 VALUES (1, 'ACME'), (2, 'BETA')")
+    val inner = spark.table("csq.ops.g2")
+    inner.cache(); inner.count()
+    val outer = spark.table("csq.ops.t2").join(spark.table("csq.ops.g2"), "id")
+    outer.cache(); outer.count()
+    try {
+      assert(outer.count() == 2L)
+      spark.sql("""ALTER TABLE csq.ops.g2 SET TBLPROPERTIES
+        ('rowPolicy' = "client = graft_session_attr('client')")""")
+      spark.conf.set("graft.session.client", "BETA")
+      // the pinned handle still matches ITS OWN entry (snapshot keys
+      // unchanged inside the plan) — the bypass must see the governed
+      // scan through the embedded inner InMemoryTableScanExec
+      val ids = outer.select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L),
+        s"a cached JOIN embedding an inner cache over a table ALTERed " +
+          s"governed leaked rows: $ids")
+    } finally {
+      outer.unpersist(blocking = true)
+      inner.unpersist(blocking = true)
+      spark.conf.unset("graft.session.client")
+    }
+  }
+
   test("object tagging: maskForTag.<tag> masks every column tagged <tag> through one policy over `val`, column-attached masks win, multi-policy tags refuse, untagging restores cleartext") {
     val wh = java.nio.file.Files.createTempDirectory("graft_tgm").toString
     spark.conf.set("spark.sql.catalog.tgm", classOf[GraftCatalog].getName)
@@ -1789,6 +1980,34 @@ class CatalogSpec extends SparkSpec {
     }
     assert(dotted.getMessage.contains("whole columns"),
       s"unexpected error: ${dotted.getMessage}")
+
+    // CREATE TABLE enforces the SAME declaration checks ALTER does — a
+    // dotted tag key, an empty tag list, or an unparsable maskForTag
+    // previously succeeded at declaration and then every READ threw
+    val createDotted = intercept[Exception] {
+      spark.sql("""CREATE TABLE tgm.ops.bad1 (id BIGINT, p STRING)
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+          'tag.payload.ssn' = 'pii')""")
+    }
+    assert(createDotted.getMessage.contains("whole columns"),
+      s"unexpected error: ${createDotted.getMessage}")
+    val createEmpty = intercept[Exception] {
+      spark.sql("""CREATE TABLE tgm.ops.bad2 (id BIGINT, p STRING)
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+          'tag.p' = ' , ')""")
+    }
+    assert(createEmpty.getMessage.contains("empty"),
+      s"unexpected error: ${createEmpty.getMessage}")
+    val createBadMask = intercept[Exception] {
+      spark.sql("""CREATE TABLE tgm.ops.bad3 (id BIGINT, p STRING)
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1',
+          'tag.p' = 'pii', 'maskForTag.pii' = 'concat(((')""")
+    }
+    assert(createBadMask.getMessage.contains("does not parse"),
+      s"unexpected error: ${createBadMask.getMessage}")
+    Seq("bad1", "bad2", "bad3").foreach(t =>
+      assert(!spark.catalog.tableExists(s"tgm.ops.$t"),
+        s"a refused CREATE left '$t' behind"))
   }
 
   test("named snapshot refs: VERSION AS OF '<name>' resolves ref.<name> props, a ref pins its version against retention until UNSET") {
@@ -1938,6 +2157,134 @@ class CatalogSpec extends SparkSpec {
       AS SELECT id AS k FROM range(0, 5)""")
     assert(graft.sources.ManifestTable.read(root).get.version == preCtas + 1)
     assert(spark.sql("SELECT count(*) FROM cor.ops.c").head.getLong(0) == 5L)
+
+    // a staged DDL inside an EXPLICITLY-open envelope buffers INTO it
+    // like any other statement (it used to refuse): nothing publishes
+    // until the session's commit, which lands the earlier buffered
+    // write and the CTAS as ONE manifest swap
+    val preEnv = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("CALL cor.system.begin('ops')")
+    spark.sql("INSERT INTO cor.ops.c VALUES (100)")
+    spark.sql("""CREATE OR REPLACE TABLE cor.ops.e
+      USING graft TBLPROPERTIES ('mergeKeys'='k', 'buckets'='1')
+      AS SELECT id AS k FROM range(0, 3)""")
+    // read() serves the OVERLAY inside an open envelope (read-your-own-
+    // writes), so "nothing published" is the DISK's version-file absence
+    assert(!new File(root, s"MANIFEST.v${preEnv + 1}").exists,
+      "a staged DDL published from inside an open envelope")
+    spark.sql("CALL cor.system.commit('ops')")
+    assert(graft.sources.ManifestTable.read(root).get.version == preEnv + 1,
+      "the envelope must publish the buffered write + CTAS as ONE commit")
+    assert(!new File(root, s"MANIFEST.v${preEnv + 2}").exists,
+      "the envelope published more than one commit")
+    assert(spark.sql("SELECT count(*) FROM cor.ops.e").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM cor.ops.c").head.getLong(0) == 6L)
+
+    // a FAILING staged DDL inside the envelope rewinds only ITS piece —
+    // the session's earlier buffered statements still publish
+    spark.sql("CALL cor.system.begin('ops')")
+    spark.sql("INSERT INTO cor.ops.c VALUES (101)")
+    intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE cor.ops.e2
+        USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='1')
+        AS SELECT CASE WHEN assert_true(id < 0) IS NULL THEN id END AS id
+        FROM range(1, 3)""")
+    }
+    spark.sql("CALL cor.system.commit('ops')")
+    assert(spark.sql("SELECT count(*) FROM cor.ops.c").head.getLong(0) == 7L,
+      "a failed staged DDL threw away the envelope's earlier statements")
+    assert(!spark.catalog.tableExists("cor.ops.e2"),
+      "a failed staged DDL left its table behind in the envelope")
+  }
+
+  test("CREATE/DROP VIEW against a graft catalog: the SQL verb persists the definition, reads expand with row policies applied, cycles and typos refuse at the right time") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vw").toString
+    spark.conf.set("spark.sql.catalog.vw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vw.ops")
+    spark.sql("""CREATE TABLE vw.ops.g (id BIGINT, client STRING, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')")""")
+    spark.sql("""INSERT INTO vw.ops.g VALUES
+      (1, 'ACME', 10), (2, 'BETA', 20), (3, 'ACME', 30)""")
+    val root = new File(wh, "ops")
+
+    // the reference's literal verb (sql/07_ops_views.sql): CREATE OR
+    // REPLACE VIEW by SQL — one manifest commit
+    val pre = graft.sources.ManifestTable.read(root).get.version
+    spark.sql("""CREATE OR REPLACE VIEW vw.ops.acme_totals AS
+      SELECT client, sum(v) AS total FROM vw.ops.g GROUP BY client""")
+    assert(graft.sources.ManifestTable.read(root).get.version == pre + 1)
+
+    // a view is GOVERNANCE-TRANSPARENT: the underlying table's row
+    // policy plants inside the expanded plan — each context sees only
+    // its own rows THROUGH the view
+    spark.conf.set("graft.session.client", "ACME")
+    try {
+      val acme = spark.sql(
+        "SELECT client, total FROM vw.ops.acme_totals ORDER BY client")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(acme == Seq(("ACME", 40L)),
+        s"policy not applied through the view: $acme")
+      spark.conf.set("graft.session.client", "BETA")
+      val beta = spark.sql(
+        "SELECT client, total FROM vw.ops.acme_totals ORDER BY client")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(beta == Seq(("BETA", 20L)),
+        s"stale context served through the view: $beta")
+    } finally spark.conf.unset("graft.session.client")
+
+    // view-over-view expands recursively
+    spark.sql("""CREATE VIEW vw.ops.grand AS
+      SELECT sum(total) AS grand FROM vw.ops.acme_totals""")
+    spark.conf.set("graft.session.client", "ACME")
+    try assert(spark.sql("SELECT grand FROM vw.ops.grand").head.getLong(0)
+      == 40L)
+    finally spark.conf.unset("graft.session.client")
+
+    // REPLACE swaps the definition; plain CREATE refuses on an existing
+    // view; a typo'd definition refuses at DECLARATION, not first read
+    spark.sql("""CREATE OR REPLACE VIEW vw.ops.grand AS
+      SELECT count(*) AS grand FROM vw.ops.g""")
+    intercept[Exception] {
+      spark.sql("CREATE VIEW vw.ops.grand AS SELECT 1 AS one")
+    }
+    intercept[Exception] {
+      spark.sql("""CREATE VIEW vw.ops.broken AS
+        SELECT no_such_col FROM vw.ops.g""")
+    }
+    assert(spark.sql("CALL vw.system.show_views('ops')").collect()
+      .map(_.getString(0)).toSeq == Seq("acme_totals", "grand"))
+
+    // views and tables stay distinct verbs both ways
+    intercept[Exception] { spark.sql("DROP TABLE vw.ops.acme_totals") }
+    assert(!spark.sql("SHOW TABLES IN vw.ops").collect()
+      .map(_.getString(1)).contains("acme_totals"),
+      "SHOW TABLES listed a view it cannot load")
+    // a definition CYCLE refuses at read with the chain
+    spark.sql("""CREATE OR REPLACE VIEW vw.ops.grand AS
+      SELECT grand FROM vw.ops.grand""")
+    val cyc = intercept[Exception] {
+      spark.sql("SELECT * FROM vw.ops.grand").collect()
+    }
+    assert(cyc.getMessage.contains("cycle"),
+      s"unexpected error: ${cyc.getMessage}")
+
+    // DROP VIEW; IF EXISTS tolerates absence; the bare form refuses
+    spark.sql("DROP VIEW vw.ops.grand")
+    spark.sql("DROP VIEW IF EXISTS vw.ops.grand")
+    intercept[Exception] { spark.sql("DROP VIEW vw.ops.grand") }
+
+    // the procedure surface records the same entry (the extension-less
+    // declaration path)
+    spark.sql("""CALL vw.system.create_view('ops', 'by_client',
+      'SELECT client, count(*) AS n FROM vw.ops.g GROUP BY client')""")
+    spark.conf.set("graft.session.client", "BETA")
+    try assert(spark.sql("SELECT n FROM vw.ops.by_client").head.getLong(0)
+      == 1L)
+    finally spark.conf.unset("graft.session.client")
+    assert(spark.sql("CALL vw.system.drop_view('ops', 'by_client')")
+      .head.getBoolean(0))
   }
 
   test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {

@@ -75,6 +75,36 @@ class RetentionSpec extends SparkSpec {
       .agg(max("value")).head.getDouble(0) == 5.0)
   }
 
+  test("a named ref on one table pins its data manifest-wide but does NOT widen a sibling table's own travel window") {
+    val root = new File(
+      java.nio.file.Files.createTempDirectory("graft_refscope").toString)
+    def commit(b: Long, extra: Map[String, String] = Map.empty): Unit =
+      ManifestTable.mergeBatch(root, "q", b, Seq(
+        TableBatch("t", mk(b.toDouble), Seq("id"), 2,
+          props = Map("retainVersions" -> "1") ++ extra),
+        TableBatch("s", mk(b.toDouble), Seq("id"), 2,
+          props = Map("retainVersions" -> "1"))))
+    commit(0L) // version 1
+    val pinV = ManifestTable.read(root).get.version
+    // pin version 1 through a ref declared on table t only, then age it
+    // far out of every count window
+    commit(1L, Map("ref.keep" -> pinV.toString))
+    (2L to 7L).foreach(commit(_))
+    assert(ManifestTable.read(root).get.version == 8L)
+
+    // t's own ref serves the pinned snapshot through t ...
+    assert(ManifestTable.readTable(spark, root.toString,
+      version = Some(pinV), table = "t").count() == 8L,
+      "the declaring table must travel to its own pinned version")
+    // ... but the SAME version through s refuses: a sibling's ref keeps
+    // the DATA alive (GC protection is rightly manifest-global) without
+    // silently widening s's declared table-scoped window
+    intercept[java.io.FileNotFoundException] {
+      ManifestTable.readTable(spark, root.toString,
+        version = Some(pinV), table = "s").collect()
+    }
+  }
+
   test("without retainHours the count window alone governs (previous behavior intact)") {
     val root = new File(
       java.nio.file.Files.createTempDirectory("graft_ret2").toString)
