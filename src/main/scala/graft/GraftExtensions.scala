@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view substitution: subsumed aggregates over a table
     // with a FRESH self-maintaining mart rewrite onto the mart
     ext.injectOptimizerRule(_ => plans.MartRewriteRule())
+    // named views against graft catalogs: the CREATE/DROP VIEW verbs
+    // reroute at PARSE time (Spark 4.1.2 has no v2 view exec wiring and
+    // ResolveSessionCatalog refuses them before a resolution rule could
+    // run), and reads expand the stored SQL at resolution
+    ext.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => plans.ResolveGraftViews())
   }
 }

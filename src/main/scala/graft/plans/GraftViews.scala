@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedView}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** Named views for graft catalogs — the reference's
+  * `CREATE OR REPLACE VIEW` verb (sql/07_ops_views.sql:1-27) made to
+  * work against `graft.<ns>` by SQL.
+  *
+  * Why not Spark's own path: Spark 4.1.2 ships the DSv2 `ViewCatalog`
+  * API but not the exec wiring — there is no v2 CreateViewExec, no
+  * `asViewCatalog` helper, and `ResolveSessionCatalog` refuses
+  * `CREATE VIEW` against any non-session catalog before a custom
+  * resolution rule could see it. So the verb is intercepted one stage
+  * earlier, at PARSE time ([[GraftSqlParser]] wraps the delegate parser
+  * via `injectParser`), where a `CreateView`/`DropView` statement whose
+  * identifier targets a graft catalog rewrites to the commands below;
+  * everything else passes through byte-identical.
+  *
+  * Reads resolve by EXPANSION: [[ResolveGraftViews]] (an injected
+  * resolution rule) replaces an `UnresolvedRelation` naming a stored
+  * view with the parsed view SQL — recursively, cycle-checked — so by
+  * the time the optimizer runs, a view is indistinguishable from its
+  * defining query. Row policies and masks on the underlying tables
+  * plant exactly as in a direct query: a view is
+  * governance-transparent, the Snowflake semantics the reference's ops
+  * views rely on ("an analyst sees only their own client" holds through
+  * the view). `GraftCatalog.loadTable` deliberately misses on view
+  * entries so the relation stays unresolved until this rule fires.
+  */
+object GraftViews {
+
+  /** The graft catalog + namespace + view name a (possibly 2-part)
+    * relation identifier addresses, when its catalog IS a graft catalog.
+    */
+  def target(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftCatalog, String, String)] = {
+    val mgr = spark.sessionState.catalogManager
+    val resolved: Option[(AnyRef, String, String)] = parts match {
+      case Seq(c, ns, v) if mgr.isCatalogRegistered(c) =>
+        Some((mgr.catalog(c), ns, v))
+      case Seq(ns, v) => Some((mgr.currentCatalog, ns, v))
+      case _ => None
+    }
+    resolved.collect { case (g: GraftCatalog, ns, v) => (g, ns, v) }
+  }
+}
+
+/** Expand stored graft views into their defining query at resolution. */
+case class ResolveGraftViews() extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation =>
+        expand(u.multipartIdentifier, Set.empty).getOrElse(u)
+    }
+
+  /** Fully expand `parts` if it names a stored view: parse its SQL and
+    * recursively expand nested view references eagerly (the analyzer
+    * never sees a partial expansion), refusing cycles with the chain in
+    * the error. `seen` carries fully-qualified names on the expansion
+    * stack.
+    */
+  private def expand(parts: Seq[String], seen: Set[String])
+      : Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    GraftViews.target(spark, parts).flatMap { case (g, ns, name) =>
+      g.viewDefinition(ns, name).map { sql =>
+        val fq = s"${g.name}.$ns.$name"
+        require(!seen.contains(fq),
+          s"view definition cycle: ${(seen + fq).mkString(" -> ")}")
+        val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+        val inner = parsed.transformUp {
+          case u2: UnresolvedRelation =>
+            expand(u2.multipartIdentifier, seen + fq).getOrElse(u2)
+        }
+        SubqueryAlias(Seq(g.name, ns, name), inner)
+      }
+    }
+  }
+}
+
+/** Parser wrapper: reroute view DDL aimed at graft catalogs; delegate
+  * everything else untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case cv: CreateView => cv.child match {
+        case ui: UnresolvedIdentifier
+            if graftTarget(ui.nameParts).isDefined =>
+          val (g, ns, name) = graftTarget(ui.nameParts).get
+          val text = cv.originalText.getOrElse(throw new IllegalArgumentException(
+            s"CREATE VIEW ${ui.nameParts.mkString(".")} has no query text"))
+          CreateGraftViewCommand(g, ns, name, text,
+            replace = cv.replace, allowExisting = cv.allowExisting,
+            comment = cv.comment, properties = cv.properties)
+        case _ => cv
+      }
+      case dv: DropView =>
+        val parts = dv.child match {
+          case uv: UnresolvedView => Some(uv.multipartIdentifier)
+          case ui: UnresolvedIdentifier => Some(ui.nameParts)
+          case _ => None
+        }
+        parts.flatMap(graftTarget) match {
+          case Some((g, ns, name)) =>
+            DropGraftViewCommand(g, ns, name, ifExists = dv.ifExists)
+          case None => dv
+        }
+      case other => other
+    }
+
+  private def graftTarget(parts: Seq[String])
+      : Option[(GraftCatalog, String, String)] =
+    GraftViews.target(SparkSession.active, parts)
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String) =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `CREATE [OR REPLACE] VIEW graft.<ns>.<name> AS <query>` — validates
+  * the query text by analyzing it NOW (a typo'd view should refuse at
+  * declaration, not on first read), then records the SQL as one
+  * manifest commit.
+  */
+case class CreateGraftViewCommand(catalog: GraftCatalog, ns: String,
+    name: String, sql: String, replace: Boolean, allowExisting: Boolean,
+    comment: Option[String], properties: Map[String, String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    if (allowExisting && catalog.viewDefinition(ns, name).isDefined)
+      return Seq.empty
+    // declaration-time validation: parse + ANALYZE the defining query
+    // (resolves nested views, missing columns, bad functions) — schema
+    // recorded for the ViewCatalog surface
+    val analyzed = spark.sql(sql)
+    catalog.createGraftView(ns, name, sql, replace,
+      analyzed.schema,
+      comment.map("comment" -> _).toMap ++ properties)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW graft.<ns>.<name>` (refuses on tables; honors IF EXISTS). */
+case class DropGraftViewCommand(catalog: GraftCatalog, ns: String,
+    name: String, ifExists: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val dropped = catalog.dropGraftView(ns, name)
+    if (!dropped && !ifExists)
+      throw new IllegalArgumentException(
+        s"view ${catalog.name}.$ns.$name does not exist")
+    Seq.empty
+  }
+}

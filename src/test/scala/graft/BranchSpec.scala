@@ -1,0 +1,105 @@
+package graft
+
+import java.io.File
+
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** Writable branches — the write-audit-publish workflow (the Iceberg
+  * `spark.wap.branch` shape) over the manifest commit protocol: a
+  * session with `graft.session.branch` set writes a persisted side
+  * lineage, main stays untouched and visible to everyone else, the
+  * audit step reads the branch, and publish fast-forwards the whole
+  * branch onto main as ONE commit — refusing (publishing nothing) when
+  * main advanced past the fork.
+  */
+class BranchSpec extends SparkSpec {
+
+  test("write-audit-publish: branch writes isolate from main, publish lands as one commit, a concurrent main commit refuses the publish, GC keeps branch dirs alive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    spark.conf.set("spark.sql.catalog.wap", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wap.ops")
+    spark.sql("""CREATE TABLE wap.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO wap.ops.t VALUES (1, 10), (2, 20)")
+    val root = new File(wh, "ops")
+    def mainV(): Long = ManifestTable.read(root).get.version
+    def count(): Long =
+      spark.sql("SELECT count(*) FROM wap.ops.t").head.getLong(0)
+
+    // WRITE: fork, switch the session onto the branch, write twice
+    val fork = spark.sql("CALL wap.system.branch_create('ops', 'wap1')")
+      .head.getLong(0)
+    assert(fork == mainV())
+    spark.conf.set("graft.session.branch", "wap1")
+    try {
+      spark.sql("INSERT INTO wap.ops.t VALUES (3, 30)")
+      spark.sql("INSERT INTO wap.ops.t VALUES (4, 40)")
+      // AUDIT: the branch session sees its writes ...
+      assert(count() == 4L, "branch session must read its own writes")
+    } finally spark.conf.unset("graft.session.branch")
+    // ... while main is byte-untouched for everyone else
+    assert(mainV() == fork, "branch writes leaked a main commit")
+    assert(count() == 2L, "branch rows visible outside the branch")
+
+    // main GC runs (e.g. via an unrelated maintenance pass) must keep
+    // the UNPUBLISHED branch dirs alive
+    val sweep = ManifestTable.gc(root, ManifestTable.read(root).get)
+    spark.conf.set("graft.session.branch", "wap1")
+    try assert(count() == 4L,
+      s"a main-side sweep collected live branch data (swept $sweep)")
+    finally spark.conf.unset("graft.session.branch")
+
+    // PUBLISH: both branch commits squash into ONE main commit
+    val published = spark.sql(
+      "CALL wap.system.branch_publish('ops', 'wap1')").head.getLong(0)
+    assert(published == fork + 1,
+      s"publish must fast-forward as one commit, got $published")
+    assert(count() == 4L)
+    assert(spark.sql("CALL wap.system.show_branches('ops')").count() == 0L,
+      "a published branch must be consumed")
+
+    // CONFLICT: a branch whose base gets overtaken by a main commit
+    // refuses to publish, publishing NOTHING
+    spark.sql("CALL wap.system.branch_create('ops', 'wap2')")
+    spark.conf.set("graft.session.branch", "wap2")
+    try spark.sql("INSERT INTO wap.ops.t VALUES (5, 50)")
+    finally spark.conf.unset("graft.session.branch")
+    spark.sql("INSERT INTO wap.ops.t VALUES (9, 90)") // main advances
+    val headBefore = mainV()
+    val lost = intercept[Exception] {
+      spark.sql("CALL wap.system.branch_publish('ops', 'wap2')").collect()
+    }
+    assert(lost.getMessage.contains("fast-forward"),
+      s"unexpected error: ${lost.getMessage}")
+    assert(mainV() == headBefore, "a refused publish committed something")
+    assert(count() == 5L) // rows 1,2,3,4,9 — never 5
+    // the dead branch drops; its dirs orphan for the next sweep
+    assert(spark.sql("CALL wap.system.branch_drop('ops', 'wap2')")
+      .head.getBoolean(0))
+
+    // branch identity keys the Dataset cache: a cached MAIN read must
+    // not serve the branch session (and vice versa)
+    spark.sql("CALL wap.system.branch_create('ops', 'wap3')")
+    val mainDf = spark.table("wap.ops.t")
+    mainDf.cache(); mainDf.count()
+    try {
+      spark.conf.set("graft.session.branch", "wap3")
+      try {
+        spark.sql("INSERT INTO wap.ops.t VALUES (6, 60)")
+        assert(count() == 6L,
+          "a cached main Dataset served a branch read")
+      } finally spark.conf.unset("graft.session.branch")
+      // disk truth first: the branch INSERT must not have touched main
+      val diskRows = ManifestTable.readTable(spark, root.toString,
+        table = "t").count()
+      assert(diskRows == 5L,
+        s"branch INSERT leaked into the MAIN manifest ($diskRows rows)")
+      assert(count() == 5L,
+        "a branch-context recompute refreshed a MAIN cache entry")
+    } finally {
+      mainDf.unpersist(blocking = true)
+      spark.sql("CALL wap.system.branch_drop('ops', 'wap3')").collect()
+    }
+  }
+}

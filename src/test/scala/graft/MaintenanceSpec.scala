@@ -412,4 +412,32 @@ class MaintenanceSpec extends SparkSpec {
       "SELECT count(*) FROM dmf.ops._metrics WHERE table_name = 'nf'")
       .head.getLong(0) == 1L)
   }
+
+  test("governed metrics: metricGoverned.<name>=true scopes that metric's sweep to the session's policy-visible rows; siblings keep the owner view") {
+    val wh = tmp("graft_gmf")
+    spark.conf.set("spark.sql.catalog.gmf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmf.ops")
+    spark.sql("""CREATE TABLE gmf.ops.t (id BIGINT, client STRING, v DOUBLE)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'rowPolicy' = "client = graft_session_attr('client')",
+        'metric.neg_all' = 'v < 0',
+        'metric.neg_mine' = 'v < 0',
+        'metricGoverned.neg_mine' = 'true')""")
+    spark.sql("""INSERT INTO gmf.ops.t VALUES
+      (1, 'ACME', -1.0), (2, 'ACME', 2.0),
+      (3, 'BETA', -3.0), (4, 'BETA', -4.0)""")
+    spark.conf.set("graft.session.client", "ACME")
+    try {
+      spark.sql("CALL gmf.system.maintain('ops')").collect()
+      val vals = spark.sql(
+        "SELECT metric_name, value FROM gmf.ops._metrics")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // the owner-view metric counts every negative row; the governed
+      // twin sees only the ACME subset
+      assert(vals == Map("neg_all" -> 3.0, "neg_mine" -> 1.0),
+        s"governed metric scope wrong: $vals")
+    } finally spark.conf.unset("graft.session.client")
+  }
 }
