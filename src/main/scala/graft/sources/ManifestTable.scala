@@ -882,6 +882,28 @@ object ManifestTable {
     parse(new String(
       Files.readAllBytes(branchFile(root, name).toPath), UTF_8), root)
 
+  /** Write a branch head atomically — spilling generation lists to a
+    * columnar checkpoint past the same inline cap the MAIN log uses: a
+    * branch over a 100k-generation table must not rewrite a megabyte
+    * manifest per commit.
+    */
+  private def writeBranchFile(root: File, name: String, m: Manifest)
+      : Unit = {
+    val nonce = newNonce()
+    val genCount =
+      m.tables.values.map(ts => ts.gens.size + ts.deltaGens.size).sum
+    val ckptRef =
+      if (genCount > CheckpointInlineMax &&
+          org.apache.spark.sql.SparkSession.getActiveSession.nonEmpty)
+        Some(writeCkpt(root, m, nonce))
+      else None
+    val tmp = new File(root, s".BRANCH.$name.$nonce.tmp")
+    Files.write(tmp.toPath, render(m, ckptRef).getBytes(UTF_8))
+    Files.move(tmp.toPath, branchFile(root, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** All live branch manifests on `root` — their paths are GC-live. */
   private def branchManifests(root: File): Seq[Manifest] =
     Option(root.listFiles).getOrElse(Array.empty).toSeq
@@ -900,8 +922,16 @@ object ManifestTable {
       s"branch name '$name' must be alphanumeric/_/- only")
     Files.createDirectories(root.toPath)
     val base = readDisk(root).getOrElse(empty)
-    val tmp = new File(root, s".BRANCH.$name.${newNonce()}.tmp")
-    Files.write(tmp.toPath, render(base, None).getBytes(UTF_8))
+    val nonce = newNonce()
+    val genCount =
+      base.tables.values.map(ts => ts.gens.size + ts.deltaGens.size).sum
+    val ckptRef = // same inline cap as the main log (see writeBranchFile)
+      if (genCount > CheckpointInlineMax &&
+          org.apache.spark.sql.SparkSession.getActiveSession.nonEmpty)
+        Some(writeCkpt(root, base, nonce))
+      else None
+    val tmp = new File(root, s".BRANCH.$name.$nonce.tmp")
+    Files.write(tmp.toPath, render(base, ckptRef).getBytes(UTF_8))
     try Files.createLink(branchFile(root, name).toPath, tmp.toPath): Unit
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1599,11 +1629,7 @@ object ManifestTable {
           val cur = readBranch(root, b)
           if (m.version != cur.version + 1)
             throw new ConcurrentCommitException(m.version)
-          val tmp = new File(root, s".BRANCH.$b.${newNonce()}.tmp")
-          Files.write(tmp.toPath, render(m, None).getBytes(UTF_8))
-          Files.move(tmp.toPath, branchFile(root, b).toPath,
-            StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING): Unit
+          writeBranchFile(root, b, m)
         }
         return
       case _ =>
@@ -1854,10 +1880,23 @@ object ManifestTable {
     // below the anchor can no longer be referenced (the pointer's
     // version is >= anchor by construction). Orphans from crashed
     // checkpoint commits age below the anchor and sweep then.
+    // checkpoint dirs referenced by LIVE branch heads are pinned
+    // whatever version their name carries: a long-lived branch's fork
+    // version can fall below the main anchor while the branch still
+    // resolves through its spilled generation lists
+    val branchCkpts: Set[String] =
+      Option(root.listFiles).getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.startsWith("BRANCH.") &&
+          !f.getName.endsWith(".base") && !f.getName.endsWith(".tmp"))
+        .flatMap(f => scala.util.Try {
+          val body = new String(Files.readAllBytes(f.toPath), UTF_8)
+          """"ckpt"\s*:\s*"([^"]+)"""".r
+            .findAllMatchIn(body).map(_.group(1)).toSeq
+        }.getOrElse(Nil)).toSet
     val ckptDirs = new File(root, "_ckpt").listFiles
     if (ckptDirs != null) ckptDirs.filter { d =>
       val n = d.getName
-      n.startsWith("ckpt-v") && {
+      n.startsWith("ckpt-v") && !branchCkpts.contains(s"_ckpt/$n") && {
         val tok = n.stripPrefix("ckpt-v").takeWhile(_.isDigit)
         tok.nonEmpty && tok.toLong < anchor
       }

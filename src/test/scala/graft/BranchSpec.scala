@@ -101,5 +101,27 @@ class BranchSpec extends SparkSpec {
       mainDf.unpersist(blocking = true)
       spark.sql("CALL wap.system.branch_drop('ops', 'wap3')").collect()
     }
+
+    // GC pin for branch-referenced COLUMNAR CHECKPOINTS: a branch over
+    // a generation count past the inline cap spills its lists to
+    // _ckpt/ (the main log's proven writeCkpt path — what's new is the
+    // pin, so that is what this probes): a checkpoint dir a live
+    // branch head references must survive the anchor-based sweep even
+    // when its version sits below the anchor, and orphan once the
+    // branch drops
+    val ckDir = new File(root, "_ckpt/ckpt-v0-pinprobe")
+    ckDir.mkdirs()
+    java.nio.file.Files.write(new File(ckDir, "part-0").toPath,
+      "x".getBytes)
+    val bf = new File(root, "BRANCH.pinprobe")
+    java.nio.file.Files.write(bf.toPath,
+      """{"ckpt" : "_ckpt/ckpt-v0-pinprobe"}""".getBytes)
+    try {
+      ManifestTable.gc(root, ManifestTable.read(root).get)
+      assert(ckDir.exists, "a live branch's checkpoint dir was swept")
+    } finally bf.delete()
+    ManifestTable.gc(root, ManifestTable.read(root).get)
+    assert(!ckDir.exists,
+      "an orphaned branch checkpoint survived the sweep")
   }
 }
