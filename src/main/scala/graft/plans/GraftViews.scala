@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedView}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.sources.{GraftCatalog, ManifestTable}
+import graft.sources.GraftCatalog
 
 /** Named views for graft catalogs — the reference's
   * `CREATE OR REPLACE VIEW` verb (sql/07_ops_views.sql:1-27) made to
@@ -24,10 +24,13 @@ import graft.sources.{GraftCatalog, ManifestTable}
   *
   * Reads resolve by EXPANSION: [[ResolveGraftViews]] (an injected
   * resolution rule) replaces an `UnresolvedRelation` naming a stored
-  * view with the parsed view SQL — recursively, cycle-checked — so by
-  * the time the optimizer runs, a view is indistinguishable from its
-  * defining query. Row policies and masks on the underlying tables
-  * plant exactly as in a direct query: a view is
+  * view with the parsed view SQL — recursively, cycle-checked, with
+  * RELATIVE references inside the definition qualified against the
+  * DEFINER's recorded catalog/namespace (a view must resolve the same
+  * tables whatever catalog the reader has current; CTE-bound names are
+  * exempt) — so by the time the optimizer runs, a view is
+  * indistinguishable from its defining query. Row policies and masks on
+  * the underlying tables plant exactly as in a direct query: a view is
   * governance-transparent, the Snowflake semantics the reference's ops
   * views rely on ("an analyst sees only their own client" holds through
   * the view). `GraftCatalog.loadTable` deliberately misses on view
@@ -36,15 +39,21 @@ import graft.sources.{GraftCatalog, ManifestTable}
 object GraftViews {
 
   /** The graft catalog + namespace + view name a (possibly 2-part)
-    * relation identifier addresses, when its catalog IS a graft catalog.
+    * relation identifier addresses, when its catalog IS a graft
+    * catalog. The GLOBAL TEMP database is never a graft namespace —
+    * Spark resolves `global_temp.x` regardless of the current catalog,
+    * and rerouting it would hijack real global temp views.
     */
   def target(spark: SparkSession, parts: Seq[String])
       : Option[(GraftCatalog, String, String)] = {
     val mgr = spark.sessionState.catalogManager
+    val globalTempDb = spark.conf
+      .get("spark.sql.globalTempDatabase", "global_temp")
     val resolved: Option[(AnyRef, String, String)] = parts match {
       case Seq(c, ns, v) if mgr.isCatalogRegistered(c) =>
         Some((mgr.catalog(c), ns, v))
-      case Seq(ns, v) => Some((mgr.currentCatalog, ns, v))
+      case Seq(ns, v) if !ns.equalsIgnoreCase(globalTempDb) =>
+        Some((mgr.currentCatalog, ns, v))
       case _ => None
     }
     resolved.collect { case (g: GraftCatalog, ns, v) => (g, ns, v) }
@@ -54,30 +63,65 @@ object GraftViews {
 /** Expand stored graft views into their defining query at resolution. */
 case class ResolveGraftViews() extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // per-invocation memo: the analyzer fixpoint re-runs this rule and a
+    // multi-table query probes every graft-catalog identifier — each
+    // probe is a MANIFEST read (possibly a checkpoint-parquet load), so
+    // one read per identifier per apply, not per encounter
+    val memo = scala.collection.mutable.HashMap
+      .empty[(String, String, String), Option[(String, String, String)]]
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation =>
-        expand(u.multipartIdentifier, Set.empty).getOrElse(u)
+        expand(u.multipartIdentifier, Set.empty, memo).getOrElse(u)
     }
+  }
 
-  /** Fully expand `parts` if it names a stored view: parse its SQL and
-    * recursively expand nested view references eagerly (the analyzer
-    * never sees a partial expansion), refusing cycles with the chain in
-    * the error. `seen` carries fully-qualified names on the expansion
-    * stack.
+  private def lookup(g: GraftCatalog, ns: String, name: String,
+      memo: scala.collection.mutable.HashMap[(String, String, String),
+        Option[(String, String, String)]])
+      : Option[(String, String, String)] =
+    memo.getOrElseUpdate((g.name, ns, name), g.viewEntry(ns, name))
+
+  /** Fully expand `parts` if it names a stored view: parse its SQL,
+    * qualify relative references against the DEFINER's recorded
+    * context, and recursively expand nested view references eagerly
+    * (the analyzer never sees a partial expansion), refusing cycles
+    * with the chain in the error. `seen` carries fully-qualified names
+    * on the expansion stack.
     */
-  private def expand(parts: Seq[String], seen: Set[String])
+  private def expand(parts: Seq[String], seen: Set[String],
+      memo: scala.collection.mutable.HashMap[(String, String, String),
+        Option[(String, String, String)]])
       : Option[LogicalPlan] = {
     val spark = SparkSession.active
     GraftViews.target(spark, parts).flatMap { case (g, ns, name) =>
-      g.viewDefinition(ns, name).map { sql =>
+      lookup(g, ns, name, memo).map { case (sql, defCat, defNs) =>
         val fq = s"${g.name}.$ns.$name"
         require(!seen.contains(fq),
           s"view definition cycle: ${(seen + fq).mkString(" -> ")}")
         val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+        // names bound by an enclosing WITH must stay unqualified — CTE
+        // resolution matches single-part names (over-approximating by
+        // collecting every CTE name in the tree only SKIPS
+        // qualification, never mis-qualifies)
+        val cteNames: Set[String] = parsed.collect {
+          case w: UnresolvedWith => w.cteRelations.map(_._1)
+        }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val mgr = spark.sessionState.catalogManager
+        def qualified(p: Seq[String]): Seq[String] = p match {
+          case Seq(n) if !cteNames.contains(n.toLowerCase) =>
+            Seq(defCat, defNs, n)
+          case Seq(a, b) if !mgr.isCatalogRegistered(a) =>
+            Seq(defCat, a, b)
+          case other => other
+        }
         val inner = parsed.transformUp {
           case u2: UnresolvedRelation =>
-            expand(u2.multipartIdentifier, seen + fq).getOrElse(u2)
+            val q = qualified(u2.multipartIdentifier)
+            expand(q, seen + fq, memo)
+              .getOrElse(
+                if (q == u2.multipartIdentifier) u2
+                else u2.copy(multipartIdentifier = q))
         }
         SubqueryAlias(Seq(g.name, ns, name), inner)
       }
@@ -98,7 +142,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val (g, ns, name) = graftTarget(ui.nameParts).get
           val text = cv.originalText.getOrElse(throw new IllegalArgumentException(
             s"CREATE VIEW ${ui.nameParts.mkString(".")} has no query text"))
-          CreateGraftViewCommand(g, ns, name, text,
+          // a column list renames the query's output positionally —
+          // record it as a wrapping projection so the stored SQL is
+          // self-contained (expansion re-parses text only); aliases
+          // render backtick-quoted so reserved words and special
+          // characters survive the round trip
+          val sql =
+            if (cv.userSpecifiedColumns.isEmpty) text
+            else {
+              require(cv.userSpecifiedColumns.forall(_._2.isEmpty),
+                "graft views do not record per-column COMMENTs yet — " +
+                  "declare the view without them")
+              val aliases = cv.userSpecifiedColumns
+                .map(c => s"`${c._1.replace("`", "``")}`")
+              s"SELECT * FROM ($text) AS __v(${aliases.mkString(", ")})"
+            }
+          CreateGraftViewCommand(g, ns, name, sql,
             replace = cv.replace, allowExisting = cv.allowExisting,
             comment = cv.comment, properties = cv.properties)
         case _ => cv
@@ -110,9 +169,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case _ => None
         }
         parts.flatMap(graftTarget) match {
-          case Some((g, ns, name)) =>
+          // a FULLY-QUALIFIED graft name always reroutes; a 2-part name
+          // (current catalog) reroutes only when the graft view EXISTS,
+          // so session/temp-view names under a graft current catalog
+          // keep falling through to Spark's own resolution
+          case Some((g, ns, name))
+              if parts.get.length == 3 ||
+                g.viewDefinition(ns, name).isDefined =>
             DropGraftViewCommand(g, ns, name, ifExists = dv.ifExists)
-          case None => dv
+          case _ => dv
         }
       case other => other
     }
@@ -154,7 +219,8 @@ case class CreateGraftViewCommand(catalog: GraftCatalog, ns: String,
       return Seq.empty
     // declaration-time validation: parse + ANALYZE the defining query
     // (resolves nested views, missing columns, bad functions) — schema
-    // recorded for the ViewCatalog surface
+    // recorded for the ViewCatalog surface. The text from the parser's
+    // CreateView is a query by grammar; spark.sql on it is lazy.
     val analyzed = spark.sql(sql)
     catalog.createGraftView(ns, name, sql, replace,
       analyzed.schema,

@@ -349,6 +349,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           k.startsWith("metric.") || k.startsWith("generated.") =>
         require(parses(v),
           s"expression for '$k' does not parse: $v")
+      case (k, v) if k.startsWith("metricGoverned.") =>
+        require(Seq("true", "false").contains(v.trim.toLowerCase),
+          s"'$k' must be true or false, got '$v'")
       case _ => ()
     }
     ManifestTable.createTable(rootOf(ident.namespace), ident.name, schema,
@@ -391,15 +394,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val savepoint = ManifestTable.savepointTxn(root)
     val owned = savepoint.isEmpty
     if (owned) {
-      try {
-        ManifestTable.begin(root)
-        GraftCatalog.stagedOwned.put(key, ()): Unit
-      } catch {
+      // reservation BEFORE begin(): a sibling staged DDL racing between
+      // our begin() and a later put would see an open envelope with no
+      // reservation, misread it as user-opened, and stage into ours —
+      // publishing two unrelated DDLs together
+      if (GraftCatalog.stagedOwned.putIfAbsent(key, ()).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"cannot stage CREATE [OR REPLACE] on '${ident.name}': " +
+            "another staged DDL is in flight on this namespace — retry " +
+            "after it commits")
+      try ManifestTable.begin(root): Unit
+      catch {
         case e: IllegalArgumentException =>
+          GraftCatalog.stagedOwned.remove(key)
           throw new UnsupportedOperationException(
-            s"cannot stage CREATE [OR REPLACE] on '${ident.name}': " +
-              "another staged DDL opened an envelope on this namespace " +
-              "concurrently — retry after it commits", e)
+            s"cannot stage CREATE [OR REPLACE] on '${ident.name}': an " +
+              "envelope opened on this namespace concurrently — retry " +
+              "after it commits", e)
       }
     } else if (GraftCatalog.stagedOwned.contains(key))
       throw new UnsupportedOperationException(
@@ -749,6 +760,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[graft] def viewDefinition(ns: String, name: String)
       : Option[String] =
     ManifestTable.viewSql(rootOf(Array(ns)), name)
+
+  /** (sql, definer catalog, definer namespace) of a stored view — what
+    * expansion needs to qualify the definition's RELATIVE references
+    * against the context it was declared in.
+    */
+  private[graft] def viewEntry(ns: String, name: String)
+      : Option[(String, String, String)] =
+    ManifestTable.read(rootOf(Array(ns)))
+      .flatMap(_.tables.get(name))
+      .filter(ManifestTable.isView)
+      .map { ts =>
+        (ts.props(ManifestTable.ViewSqlKey),
+          ts.props.getOrElse("viewCatalog", catalogName),
+          ts.props.getOrElse("viewNamespace", ns))
+      }
 
   private[graft] def createGraftView(ns: String, name: String, sql: String,
       replace: Boolean, schema: StructType,
@@ -1259,6 +1285,11 @@ object GraftProcedures {
             .defaultValue("false").build()),
         new StructType()) { row =>
         val sql = str(row, 2)
+        // the text must be a QUERY: spark.sql alone would eagerly
+        // EXECUTE a command smuggled in as the "view" (an INSERT would
+        // run as a side effect of a metadata verb) — parseQuery refuses
+        // non-query statements before anything touches the session
+        spark.sessionState.sqlParser.parseQuery(sql): Unit
         val schema = spark.sql(sql).schema // declaration-time validation
         ManifestTable.createView(root(str(row, 0)), str(row, 1), sql,
           orReplace = !row.isNullAt(3) && row.getBoolean(3),

@@ -878,14 +878,34 @@ object ManifestTable {
   private[graft] def sessionBranch(root: File): Option[String] =
     activeBranch(root)
 
-  private def readBranch(root: File, name: String): Manifest =
-    parse(new String(
-      Files.readAllBytes(branchFile(root, name).toPath), UTF_8), root)
+  private def branchVersionFile(root: File, name: String, v: Long): File =
+    new File(root, s"BRANCH.$name.v$v")
 
-  /** Write a branch head atomically — spilling generation lists to a
-    * columnar checkpoint past the same inline cap the MAIN log uses: a
-    * branch over a 100k-generation table must not rewrite a megabyte
-    * manifest per commit.
+  /** The branch head: the pointer file is a CACHE (a full snapshot);
+    * the per-version files are the COMMIT POINTS — roll forward from
+    * the pointer probing `.v{v+1}, .v{v+2}…` (each a full snapshot, so
+    * the newest present file wins), exactly the main log's shape.
+    */
+  private def readBranch(root: File, name: String): Manifest = {
+    var latest = parse(new String(
+      Files.readAllBytes(branchFile(root, name).toPath), UTF_8), root)
+    var vf = branchVersionFile(root, name, latest.version + 1)
+    while (vf.exists) {
+      latest = parse(new String(Files.readAllBytes(vf.toPath), UTF_8), root)
+      vf = branchVersionFile(root, name, latest.version + 1)
+    }
+    latest
+  }
+
+  /** Commit a branch head. The per-version file is created with
+    * link(2) — the same exclusive-creation CAS the main log uses — so a
+    * concurrent writer in ANOTHER process loses with
+    * ConcurrentCommitException instead of silently overwriting (an
+    * atomic move detects nothing). Generation lists spill to a columnar
+    * checkpoint past the same inline cap as the main log: a branch over
+    * a 100k-generation table must not rewrite a megabyte manifest per
+    * commit. The pointer refresh after the CAS is cache maintenance —
+    * readers roll forward from it regardless.
     */
   private def writeBranchFile(root: File, name: String, m: Manifest)
       : Unit = {
@@ -897,20 +917,40 @@ object ManifestTable {
           org.apache.spark.sql.SparkSession.getActiveSession.nonEmpty)
         Some(writeCkpt(root, m, nonce))
       else None
+    val body = render(m, ckptRef)
     val tmp = new File(root, s".BRANCH.$name.$nonce.tmp")
-    Files.write(tmp.toPath, render(m, ckptRef).getBytes(UTF_8))
-    Files.move(tmp.toPath, branchFile(root, name).toPath,
+    Files.write(tmp.toPath, body.getBytes(UTF_8))
+    try Files.createLink(
+      branchVersionFile(root, name, m.version).toPath, tmp.toPath): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(m.version)
+    } finally Files.deleteIfExists(tmp.toPath)
+    val ptmp = new File(root, s".BRANCH.$name.$nonce.ptr.tmp")
+    Files.write(ptmp.toPath, body.getBytes(UTF_8))
+    Files.move(ptmp.toPath, branchFile(root, name).toPath,
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
-  /** All live branch manifests on `root` — their paths are GC-live. */
-  private def branchManifests(root: File): Seq[Manifest] =
+  /** Branch POINTER names on `root` (BRANCH.<name> — branch names carry
+    * no dots, which separates pointers from .v<k>/.base/.tmp siblings).
+    */
+  private def branchNames(root: File): Seq[String] =
     Option(root.listFiles).getOrElse(Array.empty).toSeq
-      .filter(f => f.getName.startsWith("BRANCH.") &&
-        !f.getName.endsWith(".base") && !f.getName.endsWith(".tmp"))
-      .flatMap(f => scala.util.Try(parse(
-        new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption)
+      .map(_.getName)
+      .filter(n => n.startsWith("BRANCH.") &&
+        !n.stripPrefix("BRANCH.").contains('.'))
+      .map(_.stripPrefix("BRANCH."))
+      .sorted
+
+  /** All live branch HEAD manifests on `root` — their paths are GC-live
+    * (superseded intra-branch states are not: their dirs sweep like any
+    * other superseded generation).
+    */
+  private def branchManifests(root: File): Seq[Manifest] =
+    branchNames(root)
+      .flatMap(n => scala.util.Try(readBranch(root, n)).toOption)
 
   /** Fork a writable branch from the MAIN head (exclusive creation —
     * the link(2) CAS refuses a concurrent same-name fork). Returns the
@@ -997,16 +1037,16 @@ object ManifestTable {
     val existed = branchFile(root, name).exists
     Files.deleteIfExists(branchFile(root, name).toPath)
     Files.deleteIfExists(branchBaseFile(root, name).toPath)
+    Option(root.listFiles).getOrElse(Array.empty) // per-version commit files
+      .filter(_.getName.matches(
+        s"BRANCH.${java.util.regex.Pattern.quote(name)}\\.v\\d+"))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     existed
   }
 
   /** Live branches on `root` with (name, fork version, head version). */
   def branches(root: File): Seq[(String, Long, Long)] =
-    Option(root.listFiles).getOrElse(Array.empty).toSeq
-      .filter(f => f.getName.startsWith("BRANCH.") &&
-        !f.getName.endsWith(".base") && !f.getName.endsWith(".tmp"))
-      .map(_.getName.stripPrefix("BRANCH."))
-      .sorted
+    branchNames(root)
       .map { n =>
         val base = scala.util.Try(new String(Files.readAllBytes(
           branchBaseFile(root, n).toPath), UTF_8).trim.toLong).getOrElse(-1L)
@@ -2831,11 +2871,28 @@ object ManifestTable {
     */
   def mergeBatchEnforced(spark: SparkSession, root: File, qid: String,
       batchId: Long, batches: Seq[TableBatch]): Unit = {
-    val adjusted = batches.map { tb =>
-      GovernedRows.sessionPolicy(spark, root, tb.name) match {
+    // the hidden-key filter derives PER OCC ATTEMPT from that attempt's
+    // manifest (the adjust hook below), never from one head snapshot: a
+    // concurrent commit landing a newly-hidden key between snapshot and
+    // retry would otherwise be overwritten — the retry machinery only
+    // reuses staged work when the interleaved winner's buckets are
+    // disjoint from ours, and a same-key conflict shares the bucket, so
+    // every re-derivation sees the fresh hidden set
+    val adjust: (Manifest, TableBatch) => TableBatch = { (m, tb) =>
+      val ts = m.table(tb.name)
+      val policySql =
+        if (ts.schemaJson.isEmpty) None
+        else ts.props.get(graft.plans.RowPolicyRule.PolicyKey)
+      policySql match {
         case None => tb
-        case Some(policy) =>
-          val hiddenKeys = readTable(spark, root.toString, table = tb.name)
+        case Some(sqlTxt) =>
+          val policy = GovernedRows.asColumn(GovernedRows.compile(
+            spark, ts.schema, sqlTxt, s"row policy on '${tb.name}'"))
+          // read the ATTEMPT manifest's own state directly (readTable
+          // would re-resolve — wrong under an envelope or branch)
+          val hiddenKeys =
+            reconcileDeltas(spark, root.toString, ts,
+              readDirs(spark, root.toString, ts, ts.gens.map(_.path)))
             .filter(!coalesce(policy, lit(false)))
             .select(tb.mergeKeys.map(col): _*)
           tb.copy(
@@ -2844,11 +2901,15 @@ object ManifestTable {
               _.join(hiddenKeys, tb.mergeKeys, "left_anti")))
       }
     }
-    mergeBatch(root, qid, batchId, adjusted)
+    mergeBatch(root, qid, batchId, batches, adjust)
   }
 
   def mergeBatch(root: File, qid: String, batchId: Long,
-      batches: Seq[TableBatch]): Unit = {
+      batches: Seq[TableBatch],
+      // per-attempt batch rewrite against THAT attempt's manifest —
+      // [[mergeBatchEnforced]]'s hidden-row filter; identity otherwise
+      adjust: (Manifest, TableBatch) => TableBatch = (_, tb) => tb)
+      : Unit = {
     var attempt = 0
     var committed: Option[Manifest] = None
     // staged bucket rewrites carried ACROSS OCC retries: per table, the
@@ -2905,7 +2966,8 @@ object ManifestTable {
       if (manifest.queryId == qid && batchId <= manifest.lastBatch)
         return // replayed batch of the SAME query: already committed
       try {
-        val updates: Map[String, TableUpdate] = batches.flatMap { tb =>
+        val updates: Map[String, TableUpdate] = batches.flatMap { tb0 =>
+          val tb = adjust(manifest, tb0)
           val prev = manifest.table(tb.name)
           val reused = staged.get(tb.name).flatMap { case (base, upd) =>
             if (rebasableUpdate(base, prev, upd))

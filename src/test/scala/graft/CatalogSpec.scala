@@ -2275,6 +2275,19 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS vw.ops.grand")
     intercept[Exception] { spark.sql("DROP VIEW vw.ops.grand") }
 
+    // a declared COLUMN LIST renames the output positionally (recorded
+    // as a wrapping projection, so the stored SQL stays self-contained);
+    // an arity mismatch refuses at declaration
+    spark.sql("""CREATE VIEW vw.ops.named (cid, amount) AS
+      SELECT id, v FROM vw.ops.g""")
+    assert(spark.sql("SELECT * FROM vw.ops.named").schema.fieldNames.toSeq
+      == Seq("cid", "amount"), "the view column list did not rename")
+    intercept[Exception] {
+      spark.sql("""CREATE VIEW vw.ops.badarity (a, b, c) AS
+        SELECT id, v FROM vw.ops.g""")
+    }
+    spark.sql("DROP VIEW vw.ops.named")
+
     // the procedure surface records the same entry (the extension-less
     // declaration path)
     spark.sql("""CALL vw.system.create_view('ops', 'by_client',

@@ -231,7 +231,15 @@ class PlanSpec extends SparkSpec {
     // 1-row aggregates (maxRows == 1) or the per-lang threshold dim.
     Seq("doc_lm_score", "doc_ccnet_bucket").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
-      val badWindows = qe.executedPlan.collect {
+      // under AQE the executedPlan root is an AdaptiveSparkPlanExec LEAF
+      // — collecting on it directly visits one node and asserts nothing;
+      // unwrap to the real tree
+      val physical = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val badWindows = physical.collect {
         case w: WindowExec
             if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
       }
