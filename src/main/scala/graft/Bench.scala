@@ -136,7 +136,9 @@ object Bench {
       name -> planHash(name, fn) }
 
     val entries = builds ++ medians.toSeq
-    val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ps = plans.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -144,15 +146,32 @@ object Bench {
     // in `errors` and as -1 per-query values
     val total = entries.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$iters,"queries":$qs,"plans":$ps,"errors":$errs,"sf":"$sfDir"}"""
-    // the driver parses stdout, which sbt interleaves with log noise (the
-    // round-2 dump survived only as a truncated tail) — persist the JSON
-    // to a file as the authoritative copy, then print it as the very last
-    // line after spark.stop() so no executor shutdown logs follow it
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$iters,"queries":$qs,"plans":$ps,"errors":$errs,"sf":"$sfDir"}"""
+    // the driver keeps only the LAST 2000 CHARS of stdout and parses a JSON
+    // line out of that tail — the full per-query dump is ~9 KB, so printing
+    // it last truncated the head and every round's BENCH artifact came back
+    // `parsed: null`. The full dump (all medians + the plan-fingerprint
+    // ledger) is persisted to bench_result.json as the authoritative copy;
+    // stdout gets a COMPACT summary line (headline total + builds + one
+    // representative query per §2 family, ~1 KB) printed as the very last
+    // line after spark.stop() so no executor shutdown logs follow it and
+    // the whole line fits the driver's tail window
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
+    val headline = Seq(
+      "q1_agg", "q3_topk", "q5_join5", "q6_filter_agg", "q_window_rank",
+      "q_salted_join", "canon_header", "canon_lines", "merge_upsert",
+      "ev_sessionize", "ev_asof_join", "ev_funnel", "ev_scd2",
+      "doc_dedup_exact", "doc_minhash_lsh", "doc_token_count",
+      "doc_quality_score", "doc_bpe_tokens", "doc_tfidf_topk",
+      "doc_ccnet_bucket", "emb_cosine_pairs", "emb_ann_topk",
+      "mm_media_stats")
+    val entryMap = entries.toMap
+    val hs = (builds.map(_._1) ++ headline.filter(entryMap.contains))
+      .map(k => s"\"" + k + "\":" + fmt(entryMap(k))).mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$iters,"queries":$hs,"queries_measured":${medians.size},"detail":"$outFile","errors":$errs,"sf":"$sfDir"}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -38,11 +39,15 @@ import graft.sources.GraftCatalog
   */
 object GraftViews {
 
-  /** The graft catalog + namespace + view name a (possibly 2-part)
-    * relation identifier addresses, when its catalog IS a graft
-    * catalog. The GLOBAL TEMP database is never a graft namespace —
-    * Spark resolves `global_temp.x` regardless of the current catalog,
-    * and rerouting it would hijack real global temp views.
+  /** The graft catalog + namespace + view name a (1/2/3-part) relation
+    * identifier addresses, when its catalog IS a graft catalog. The
+    * GLOBAL TEMP database is never a graft namespace — Spark resolves
+    * `global_temp.x` regardless of the current catalog, and rerouting
+    * it would hijack real global temp views. A SINGLE-part name
+    * resolves against the session's current catalog + namespace (so
+    * `USE graft.ns; SELECT * FROM v` works) but NEVER shadows a
+    * session temp view — Spark's precedence puts temp views first, and
+    * the analyzer's rule ordering alone isn't a contract this relies on.
     */
   def target(spark: SparkSession, parts: Seq[String])
       : Option[(GraftCatalog, String, String)] = {
@@ -54,9 +59,70 @@ object GraftViews {
         Some((mgr.catalog(c), ns, v))
       case Seq(ns, v) if !ns.equalsIgnoreCase(globalTempDb) =>
         Some((mgr.currentCatalog, ns, v))
+      case Seq(v)
+          if !spark.sessionState.catalog.isTempView(Seq(v)) &&
+            mgr.currentNamespace.length == 1 =>
+        Some((mgr.currentCatalog, mgr.currentNamespace.head, v))
       case _ => None
     }
     resolved.collect { case (g: GraftCatalog, ns, v) => (g, ns, v) }
+  }
+
+  /** Every CTE name declared anywhere in `plan`, INCLUDING inside
+    * subquery expressions (IN/EXISTS/scalar) — names bound by a WITH
+    * must stay unqualified, and over-approximating (collecting every
+    * CTE name in the whole tree) only SKIPS qualification, never
+    * mis-qualifies.
+    */
+  private def cteNamesOf(plan: LogicalPlan): Set[String] = {
+    val own = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1)
+    }.flatten
+    val sub = plan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case se: SubqueryExpression => cteNamesOf(se.plan)
+      })
+    }.flatten.flatten
+    (own ++ sub).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+  }
+
+  /** Qualify every RELATIVE relation reference in `plan` against the
+    * definer context `(defCat, defNs)` — 1-part names (unless
+    * CTE-bound) become `defCat.defNs.n`, 2-part names whose head is
+    * not a registered catalog become `defCat.a.b`; fully-qualified
+    * names pass through. Descends into subquery expressions: a
+    * relative name inside `WHERE x IN (SELECT …)` must bind the SAME
+    * table as one in the FROM clause.
+    *
+    * This is the ONE rewrite both declaration-time validation
+    * ([[CreateGraftViewCommand]]) and read-time expansion
+    * ([[ResolveGraftViews]]) apply, so a view that validates at CREATE
+    * cannot silently resolve a different table on read.
+    */
+  def qualify(spark: SparkSession, plan: LogicalPlan, defCat: String,
+      defNs: Seq[String]): LogicalPlan = {
+    val cteNames = cteNamesOf(plan)
+    val mgr = spark.sessionState.catalogManager
+    def qualified(p: Seq[String]): Seq[String] = p match {
+      case Seq(n) if !cteNames.contains(n.toLowerCase(
+          java.util.Locale.ROOT)) =>
+        (defCat +: defNs) :+ n
+      case Seq(a, b) if !mgr.isCatalogRegistered(a) =>
+        Seq(defCat, a, b)
+      case other => other
+    }
+    def walk(p: LogicalPlan): LogicalPlan = {
+      val rels = p.transformUp {
+        case u: UnresolvedRelation =>
+          val q = qualified(u.multipartIdentifier)
+          if (q == u.multipartIdentifier) u
+          else u.copy(multipartIdentifier = q)
+      }
+      rels.transformAllExpressions {
+        case se: SubqueryExpression => se.withNewPlan(walk(se.plan))
+      }
+    }
+    walk(plan)
   }
 }
 
@@ -69,7 +135,7 @@ case class ResolveGraftViews() extends Rule[LogicalPlan] {
     // probe is a MANIFEST read (possibly a checkpoint-parquet load), so
     // one read per identifier per apply, not per encounter
     val memo = scala.collection.mutable.HashMap
-      .empty[(String, String, String), Option[(String, String, String)]]
+      .empty[(String, String, String), Option[(String, String, Seq[String])]]
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation =>
         expand(u.multipartIdentifier, Set.empty, memo).getOrElse(u)
@@ -78,20 +144,23 @@ case class ResolveGraftViews() extends Rule[LogicalPlan] {
 
   private def lookup(g: GraftCatalog, ns: String, name: String,
       memo: scala.collection.mutable.HashMap[(String, String, String),
-        Option[(String, String, String)]])
-      : Option[(String, String, String)] =
+        Option[(String, String, Seq[String])]])
+      : Option[(String, String, Seq[String])] =
     memo.getOrElseUpdate((g.name, ns, name), g.viewEntry(ns, name))
 
   /** Fully expand `parts` if it names a stored view: parse its SQL,
     * qualify relative references against the DEFINER's recorded
-    * context, and recursively expand nested view references eagerly
-    * (the analyzer never sees a partial expansion), refusing cycles
+    * context ([[GraftViews.qualify]] — the same rewrite validation
+    * applied at CREATE), then recursively expand nested view references
+    * eagerly, INCLUDING inside subquery expressions (the analyzer never
+    * sees a partial expansion, and a view reached only through an
+    * IN/EXISTS subquery still hits the cycle check), refusing cycles
     * with the chain in the error. `seen` carries fully-qualified names
     * on the expansion stack.
     */
   private def expand(parts: Seq[String], seen: Set[String],
       memo: scala.collection.mutable.HashMap[(String, String, String),
-        Option[(String, String, String)]])
+        Option[(String, String, Seq[String])]])
       : Option[LogicalPlan] = {
     val spark = SparkSession.active
     GraftViews.target(spark, parts).flatMap { case (g, ns, name) =>
@@ -100,30 +169,19 @@ case class ResolveGraftViews() extends Rule[LogicalPlan] {
         require(!seen.contains(fq),
           s"view definition cycle: ${(seen + fq).mkString(" -> ")}")
         val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-        // names bound by an enclosing WITH must stay unqualified — CTE
-        // resolution matches single-part names (over-approximating by
-        // collecting every CTE name in the tree only SKIPS
-        // qualification, never mis-qualifies)
-        val cteNames: Set[String] = parsed.collect {
-          case w: UnresolvedWith => w.cteRelations.map(_._1)
-        }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        val mgr = spark.sessionState.catalogManager
-        def qualified(p: Seq[String]): Seq[String] = p match {
-          case Seq(n) if !cteNames.contains(n.toLowerCase) =>
-            Seq(defCat, defNs, n)
-          case Seq(a, b) if !mgr.isCatalogRegistered(a) =>
-            Seq(defCat, a, b)
-          case other => other
+        val qualified = GraftViews.qualify(spark, parsed, defCat, defNs)
+        def expandAll(p: LogicalPlan): LogicalPlan = {
+          val rels = p.transformUp {
+            case u2: UnresolvedRelation =>
+              expand(u2.multipartIdentifier, seen + fq, memo)
+                .getOrElse(u2)
+          }
+          rels.transformAllExpressions {
+            case se: SubqueryExpression =>
+              se.withNewPlan(expandAll(se.plan))
+          }
         }
-        val inner = parsed.transformUp {
-          case u2: UnresolvedRelation =>
-            val q = qualified(u2.multipartIdentifier)
-            expand(q, seen + fq, memo)
-              .getOrElse(
-                if (q == u2.multipartIdentifier) u2
-                else u2.copy(multipartIdentifier = q))
-        }
-        SubqueryAlias(Seq(g.name, ns, name), inner)
+        SubqueryAlias(Seq(g.name, ns, name), expandAll(qualified))
       }
     }
   }
@@ -217,13 +275,28 @@ case class CreateGraftViewCommand(catalog: GraftCatalog, ns: String,
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     if (allowExisting && catalog.viewDefinition(ns, name).isDefined)
       return Seq.empty
-    // declaration-time validation: parse + ANALYZE the defining query
-    // (resolves nested views, missing columns, bad functions) — schema
-    // recorded for the ViewCatalog surface. The text from the parser's
-    // CreateView is a query by grammar; spark.sql on it is lazy.
-    val analyzed = spark.sql(sql)
+    // definer context = the creating SESSION's current catalog/namespace
+    // — recorded with the view so read-time expansion qualifies the
+    // definition's relative names against the context it validated under
+    val mgr = spark.sessionState.catalogManager
+    val defCat = mgr.currentCatalog.name()
+    val defNs = mgr.currentNamespace.toSeq
+    // declaration-time validation: parse, apply THE SAME qualification
+    // rewrite read-time expansion applies (GraftViews.qualify), then
+    // ANALYZE (resolves nested views, missing columns, bad functions) —
+    // so CREATE and first read agree by construction. Qualifying before
+    // analysis also means a reference to a session TEMP VIEW fails HERE
+    // with table-not-found instead of validating against the temp view
+    // and silently binding a different table on read. The text from the
+    // parser's CreateView is a query by grammar (parsePlan of a command
+    // smuggled into view text yields no UnresolvedRelation to hijack,
+    // and analysis of a non-query shape fails before anything runs).
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val qualified = GraftViews.qualify(spark, parsed, defCat, defNs)
+    val analyzed =
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, qualified)
     catalog.createGraftView(ns, name, sql, replace,
-      analyzed.schema,
+      analyzed.schema, defCat, defNs,
       comment.map("comment" -> _).toMap ++ properties)
     Seq.empty
   }

@@ -761,29 +761,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Option[String] =
     ManifestTable.viewSql(rootOf(Array(ns)), name)
 
-  /** (sql, definer catalog, definer namespace) of a stored view — what
-    * expansion needs to qualify the definition's RELATIVE references
-    * against the context it was declared in.
+  /** (sql, definer catalog, definer namespace parts) of a stored
+    * view — what expansion needs to qualify the definition's RELATIVE
+    * references against the context it was declared in. The definer
+    * context is the creating SESSION's current catalog/namespace (what
+    * declaration-time validation analyzed under), recorded at CREATE —
+    * not this catalog — so a view declared while the session pointed at
+    * `spark_catalog.default` resolves its bare names there on read too.
     */
   private[graft] def viewEntry(ns: String, name: String)
-      : Option[(String, String, String)] =
+      : Option[(String, String, Seq[String])] =
     ManifestTable.read(rootOf(Array(ns)))
       .flatMap(_.tables.get(name))
       .filter(ManifestTable.isView)
       .map { ts =>
         (ts.props(ManifestTable.ViewSqlKey),
           ts.props.getOrElse("viewCatalog", catalogName),
-          ts.props.getOrElse("viewNamespace", ns))
+          ts.props.get("viewNamespace").map(_.split('.').toSeq)
+            .getOrElse(Seq(ns)))
       }
 
   private[graft] def createGraftView(ns: String, name: String, sql: String,
-      replace: Boolean, schema: StructType,
-      extraProps: Map[String, String]): Unit =
+      replace: Boolean, schema: StructType, defCatalog: String,
+      defNamespace: Seq[String], extraProps: Map[String, String]): Unit =
     ManifestTable.createView(rootOf(Array(ns)), name, sql, replace,
       extraProps ++ Map(
         "viewSchemaJson" -> schema.json,
-        "viewCatalog" -> catalogName,
-        "viewNamespace" -> ns))
+        "viewCatalog" -> defCatalog,
+        // namespace parts dot-joined (graft namespaces are single-part
+        // and session namespaces are single-part in practice; a dotted
+        // part would need quoting the manifest prop format doesn't carry)
+        "viewNamespace" -> defNamespace.mkString(".")))
 
   private[graft] def dropGraftView(ns: String, name: String): Boolean =
     ManifestTable.dropView(rootOf(Array(ns)), name)
@@ -814,7 +822,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       override def currentCatalog(): String =
         p.getOrElse("viewCatalog", catalogName)
       override def currentNamespace(): Array[String] =
-        Array(p.getOrElse("viewNamespace", ident.namespace.head))
+        p.get("viewNamespace").map(_.split('.'))
+          .getOrElse(Array(ident.namespace.head))
       override def schema(): StructType = p.get("viewSchemaJson")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType])
@@ -835,7 +844,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(info.ident))
       throw new ViewAlreadyExistsException(info.ident)
     createGraftView(info.ident.namespace.head, info.ident.name, info.sql,
-      replace = false, info.schema, info.properties.asScala.toMap)
+      replace = false, info.schema, info.currentCatalog,
+      info.currentNamespace.toSeq, info.properties.asScala.toMap)
     loadView(info.ident)
   }
 
@@ -843,7 +853,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!orCreate && !viewExists(info.ident))
       throw new NoSuchViewException(info.ident)
     createGraftView(info.ident.namespace.head, info.ident.name, info.sql,
-      replace = true, info.schema, info.properties.asScala.toMap)
+      replace = true, info.schema, info.currentCatalog,
+      info.currentNamespace.toSeq, info.properties.asScala.toMap)
     loadView(info.ident)
   }
 

@@ -995,7 +995,21 @@ object ManifestTable {
     val base = new String(Files.readAllBytes(
       branchBaseFile(root, name).toPath), UTF_8).trim.toLong
     val head = readDisk(root).getOrElse(empty)
-    if (head.version != base)
+    if (head.version != base) {
+      // crash-recovery idempotency: publish is commit-then-drop, so a
+      // crash BETWEEN the two leaves the branch behind with main already
+      // past its base. If the commit AT base+1 is this branch's own
+      // PUBLISH (op recorded in the log entry; a same-named successor
+      // branch can't match — branchCreate records the then-current head
+      // as ITS base, which would be ≥ base+1), the publish DID land:
+      // consume the branch and return that version instead of refusing
+      // with a message that directs the operator to double-apply.
+      if (head.version > base &&
+          entryOp(root, base + 1).contains(s"PUBLISH:$name")) {
+        branchDrop(root, name): Unit
+        gc(root, head)
+        return base + 1
+      }
       throw new ConcurrentCommitException(head.version) {
         override def getMessage: String =
           s"branch '$name' forked at v$base but main is at " +
@@ -1003,6 +1017,7 @@ object ManifestTable {
             "was published; re-create the branch from the new head and " +
             "re-run its script"
       }
+    }
     if (branch.version == base) { // audit-only branch: nothing to publish
       branchDrop(root, name): Unit
       return base
@@ -1044,13 +1059,18 @@ object ManifestTable {
     existed
   }
 
-  /** Live branches on `root` with (name, fork version, head version). */
+  /** Live branches on `root` with (name, fork version, head version).
+    * The head read is Try-guarded (mirroring [[branchManifests]]): a
+    * concurrent branch_drop between the name listing and the pointer
+    * read just OMITS the vanished branch instead of throwing.
+    */
   def branches(root: File): Seq[(String, Long, Long)] =
     branchNames(root)
-      .map { n =>
+      .flatMap { n =>
         val base = scala.util.Try(new String(Files.readAllBytes(
           branchBaseFile(root, n).toPath), UTF_8).trim.toLong).getOrElse(-1L)
-        (n, base, readBranch(root, n).version)
+        scala.util.Try(readBranch(root, n).version).toOption
+          .map(v => (n, base, v))
       }
 
   // ---- multi-statement transaction envelope ----
@@ -1599,6 +1619,22 @@ object ManifestTable {
         case _ => -1L
       }
     }.toOption.filter(_ >= 0)
+  }
+
+  /** Operation marker of version `v`'s log entry (e.g. `PUBLISH:<name>`)
+    * — the same light parse as [[entryTs]], used by the publish
+    * crash-recovery check.
+    */
+  private def entryOp(root: File, v: Long): Option[String] = {
+    val f = versionFile(root, v)
+    if (!f.exists) None
+    else scala.util.Try {
+      (JsonMethods.parse(
+        new String(Files.readAllBytes(f.toPath), UTF_8)) \ "op") match {
+        case JString(s) => s
+        case _ => ""
+      }
+    }.toOption.filter(_.nonEmpty)
   }
 
   /** Is `v` within `root`'s time window (when one is declared)? */

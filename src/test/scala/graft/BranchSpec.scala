@@ -124,4 +124,79 @@ class BranchSpec extends SparkSpec {
     assert(!ckDir.exists,
       "an orphaned branch checkpoint survived the sweep")
   }
+
+  test("publish crash recovery: a branch left behind after its publish commit landed is consumed idempotently on retry, and a torn branch pointer never breaks show_branches") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wapc").toString
+    spark.conf.set("spark.sql.catalog.wapc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wapc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wapc.ops")
+    spark.sql("""CREATE TABLE wapc.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO wapc.ops.t VALUES (1, 10), (2, 20)")
+    val root = new File(wh, "ops")
+    def mainV(): Long = ManifestTable.read(root).get.version
+
+    spark.sql("CALL wapc.system.branch_create('ops', 'crash')")
+    spark.conf.set("graft.session.branch", "crash")
+    try spark.sql("INSERT INTO wapc.ops.t VALUES (3, 30)")
+    finally spark.conf.unset("graft.session.branch")
+
+    // simulate the crash window (publish = commit THEN drop): stash the
+    // branch files, publish for real, then restore them — main now holds
+    // the PUBLISH commit while the branch still exists at its old base
+    val branchFiles = root.listFiles
+      .filter(_.getName.startsWith("BRANCH.crash")).toSeq
+    val stash = branchFiles.map { f =>
+      f -> java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    val published = spark.sql(
+      "CALL wapc.system.branch_publish('ops', 'crash')").head.getLong(0)
+    stash.foreach { case (f, bytes) =>
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    assert(mainV() == published)
+
+    // retry must NOT refuse (the r13 message directed the operator to
+    // re-create and re-run the script — double-applying the changes):
+    // it detects its own PUBLISH at base+1, consumes the branch, and
+    // returns the landed version without committing anything new
+    val retried = spark.sql(
+      "CALL wapc.system.branch_publish('ops', 'crash')").head.getLong(0)
+    assert(retried == published,
+      s"retry published v$retried, crash-landed v$published")
+    assert(mainV() == published, "the retry committed a second publish")
+    assert(spark.sql("SELECT count(*) FROM wapc.ops.t").head.getLong(0)
+      == 3L, "rows double-applied or lost across the retry")
+    assert(spark.sql("CALL wapc.system.show_branches('ops')").count()
+      == 0L, "the recovered branch was not consumed")
+
+    // a DIFFERENT op at base+1 (someone else advanced main) still
+    // refuses — idempotency never swallows a genuine conflict
+    spark.sql("CALL wapc.system.branch_create('ops', 'late')")
+    spark.conf.set("graft.session.branch", "late")
+    try spark.sql("INSERT INTO wapc.ops.t VALUES (4, 40)")
+    finally spark.conf.unset("graft.session.branch")
+    spark.sql("INSERT INTO wapc.ops.t VALUES (9, 90)") // main advances
+    val refused = intercept[Exception] {
+      spark.sql("CALL wapc.system.branch_publish('ops', 'late')").collect()
+    }
+    assert(refused.getMessage.contains("fast-forward"))
+    spark.sql("CALL wapc.system.branch_drop('ops', 'late')").collect()
+
+    // a torn/unreadable branch pointer (a concurrent drop mid-listing
+    // leaves exactly this window) is OMITTED by show_branches, never an
+    // exception for every OTHER branch's reader
+    spark.sql("CALL wapc.system.branch_create('ops', 'good')")
+    java.nio.file.Files.write(new File(root, "BRANCH.ghost").toPath,
+      "not json".getBytes)
+    try {
+      val listed = spark.sql("CALL wapc.system.show_branches('ops')")
+        .collect().map(_.getString(0)).toSeq
+      assert(listed == Seq("good"),
+        s"torn pointer not omitted cleanly: $listed")
+    } finally {
+      new File(root, "BRANCH.ghost").delete()
+      spark.sql("CALL wapc.system.branch_drop('ops', 'good')").collect()
+    }
+  }
 }

@@ -2300,6 +2300,75 @@ class CatalogSpec extends SparkSpec {
       .head.getBoolean(0))
   }
 
+  test("view definer context: relative names bind where the CREATE session pointed (incl. inside subqueries), bare view names resolve after USE, temp views shadow reads and refuse as view sources") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vdc").toString
+    spark.conf.set("spark.sql.catalog.dc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dc.ops")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dc.alt")
+    // same-named table in BOTH namespaces — the trap the definer
+    // context exists to defuse
+    spark.sql("""CREATE TABLE dc.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO dc.ops.t VALUES (1, 100), (2, 200)")
+    spark.sql("""CREATE TABLE dc.alt.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO dc.alt.t VALUES (7, 777)")
+    spark.sql("""CREATE TABLE dc.ops.s (id BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO dc.ops.s VALUES (1)")
+
+    try {
+      spark.sql("USE dc.ops")
+      // stored under dc.ALT, declared while the session pointed at
+      // dc.OPS: the definer context is the SESSION's, so the bare `t`
+      // must bind dc.ops.t — the namespace the validation analyzed
+      // against — not the same-named dc.alt.t next to the view
+      spark.sql("""CREATE VIEW dc.alt.crossns AS
+        SELECT sum(v) AS sv FROM t""")
+      // relative names INSIDE subquery expressions qualify the same way
+      spark.sql("""CREATE VIEW dc.ops.subq AS
+        SELECT id, v FROM t WHERE id IN (SELECT id FROM s)""")
+      // a bare single-part name resolves against the current
+      // catalog+namespace after USE
+      assert(spark.sql("SELECT id, v FROM subq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)),
+        "bare view name did not resolve after USE dc.ops")
+      // ... but a session TEMP VIEW always shadows the bare name
+      spark.range(1).selectExpr("id AS shadow_probe")
+        .createOrReplaceTempView("subq")
+      try assert(spark.sql("SELECT * FROM subq").schema.fieldNames.toSeq
+        == Seq("shadow_probe"), "graft view shadowed a temp view")
+      finally spark.catalog.dropTempView("subq")
+      // a view defined over a TEMP VIEW refuses at declaration — it
+      // would validate against session state the reader doesn't have
+      spark.range(3).createOrReplaceTempView("ephemeral")
+      try intercept[Exception] {
+        spark.sql("CREATE VIEW dc.ops.overtmp AS SELECT * FROM ephemeral")
+      } finally spark.catalog.dropTempView("ephemeral")
+    } finally spark.sql("USE spark_catalog.default")
+
+    // read from a DIFFERENT context: both views still bind the tables
+    // their definitions validated against
+    assert(spark.sql("SELECT sv FROM dc.alt.crossns").head.getLong(0)
+      == 300L, "definer context lost: bare `t` re-bound under the reader")
+    assert(spark.sql("SELECT id, v FROM dc.ops.subq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)),
+      "subquery relation re-bound under the reader's context")
+
+    // a cycle reached ONLY through a subquery expression still refuses
+    spark.sql("""CREATE VIEW dc.ops.cyc AS
+      SELECT id FROM dc.ops.t""")
+    spark.sql("""CREATE OR REPLACE VIEW dc.ops.cyc AS
+      SELECT id FROM dc.ops.t
+      WHERE id IN (SELECT id FROM dc.ops.cyc)""")
+    val cyc = intercept[Exception] {
+      spark.sql("SELECT * FROM dc.ops.cyc").collect()
+    }
+    assert(cyc.getMessage.contains("cycle"),
+      s"subquery-only cycle not detected: ${cyc.getMessage}")
+  }
+
   test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {
     val wh = java.nio.file.Files.createTempDirectory("graft_trc").toString
     spark.conf.set("spark.sql.catalog.trc", classOf[GraftCatalog].getName)
