@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // run), and reads expand the stored SQL at resolution
     ext.injectParser((_, delegate) => new plans.GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => plans.ResolveGraftViews())
+    // CTAS tag lineage: CREATE [OR REPLACE] TABLE … AS SELECT carries
+    // tag.<col>/maskForTag.* from DIRECTLY-referenced tagged source
+    // columns — the cross-table half the catalog can't see (it gets the
+    // result schema, never the query plan)
+    ext.injectResolutionRule(_ => plans.CtasTagLineage())
   }
 }

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DescribeRelation, DropView, LogicalPlan, ShowViews, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.sources.GraftCatalog
@@ -237,6 +237,50 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             DropGraftViewCommand(g, ns, name, ifExists = dv.ifExists)
           case _ => dv
         }
+      // SHOW VIEWS [IN ns] [LIKE 'pat'] against a graft catalog —
+      // ResolveSessionCatalog refuses it for non-session catalogs, so
+      // the reroute happens here like the other view verbs
+      case sv: ShowViews =>
+        val spark = SparkSession.active
+        val mgr = spark.sessionState.catalogManager
+        val nsParts: Option[Seq[String]] = sv.child match {
+          case un: UnresolvedNamespace => Some(un.multipartIdentifier)
+          case CurrentNamespace => Some(Seq.empty)
+          case _ => None
+        }
+        val graftNs: Option[(GraftCatalog, String)] = nsParts.flatMap {
+          case Seq(c, ns) if mgr.isCatalogRegistered(c) =>
+            mgr.catalog(c) match {
+              case g: GraftCatalog => Some((g, ns))
+              case _ => None
+            }
+          case Seq(ns) => mgr.currentCatalog match {
+            case g: GraftCatalog => Some((g, ns))
+            case _ => None
+          }
+          case Seq() => mgr.currentCatalog match {
+            case g: GraftCatalog if mgr.currentNamespace.length == 1 =>
+              Some((g, mgr.currentNamespace.head))
+            case _ => None
+          }
+          case _ => None
+        }
+        graftNs.map { case (g, ns) =>
+          ShowGraftViewsCommand(g, ns, sv.pattern)
+        }.getOrElse(sv)
+      // DESCRIBE on a graft VIEW (tables keep Spark's own DSv2 path —
+      // the reroute probes the catalog and fires only when the name IS
+      // a stored view and no partition spec was given)
+      case dr: DescribeRelation if dr.partitionSpec.isEmpty =>
+        val parts = dr.relation match {
+          case utv: UnresolvedTableOrView => Some(utv.multipartIdentifier)
+          case _ => None
+        }
+        parts.flatMap(graftTarget) match {
+          case Some((g, ns, name)) if g.viewDefinition(ns, name).isDefined =>
+            DescribeGraftViewCommand(g, ns, name, dr.isExtended)
+          case _ => dr
+        }
       case other => other
     }
 
@@ -299,6 +343,75 @@ case class CreateGraftViewCommand(catalog: GraftCatalog, ns: String,
       analyzed.schema, defCat, defNs,
       comment.map("comment" -> _).toMap ++ properties)
     Seq.empty
+  }
+}
+
+/** `SHOW VIEWS [IN graft.<ns>] [LIKE '<pat>']` — the stored views of
+  * the namespace plus (Spark's own SHOW VIEWS contract) the session's
+  * local temp views, both filtered by the `*`/`|` glob pattern.
+  */
+case class ShowGraftViewsCommand(catalog: GraftCatalog, ns: String,
+    pattern: Option[String])
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output = ShowViews.getOutputAttrs
+
+  private def matches(name: String): Boolean = pattern.forall { p =>
+    p.split('|').exists { alt =>
+      val rx = alt.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      name.toLowerCase(java.util.Locale.ROOT).matches(rx)
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val stored = catalog.listViews(ns).map(_.name).toSeq.sorted
+      .filter(matches)
+      .map(v => org.apache.spark.sql.Row(ns, v, false))
+    val temps = spark.sessionState.catalog.listLocalTempViews(pattern
+        .getOrElse("*"))
+      .map(ti => org.apache.spark.sql.Row("", ti.table, true))
+    stored ++ temps
+  }
+}
+
+/** `DESCRIBE [EXTENDED] graft.<ns>.<view>` — the recorded output
+  * schema; EXTENDED appends the view-information block (text, definer
+  * context, properties), the Spark DESCRIBE-view shape.
+  */
+case class DescribeGraftViewCommand(catalog: GraftCatalog, ns: String,
+    name: String, isExtended: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output = DescribeRelation.getOutputAttrs
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    val view = catalog.loadView(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+    val cols = view.schema().fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString,
+        if (f.getComment().isDefined) f.getComment().get else null)
+    }
+    if (!isExtended) cols
+    else {
+      val props = view.properties()
+      val propStr = {
+        val it = props.entrySet().iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) { val e = it.next(); b += s"${e.getKey}=${e.getValue}" }
+        b.result().sorted.mkString("[", ", ", "]")
+      }
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# View Information", "", ""),
+        Row("View Name", s"${catalog.name}.$ns.$name", ""),
+        Row("View Text", view.query(), ""),
+        Row("View Catalog", view.currentCatalog(), ""),
+        Row("View Namespace", view.currentNamespace().mkString("."), ""),
+        Row("Properties", propStr, ""))
+    }
   }
 }
 

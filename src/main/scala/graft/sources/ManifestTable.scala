@@ -1997,8 +1997,7 @@ object ManifestTable {
           activeTxn(root).get.versions(v))
       case Some(v) =>
         val live = read(root)
-        if (live.exists(_.version == v)) live.get
-        else {
+        def fromMain(): Manifest = {
           // the RETENTION window gates time travel, not mere log-file
           // presence: the sweep keeps extra entries below the window
           // only as the fold chain's anchor, and their DATA dirs are
@@ -2017,6 +2016,29 @@ object ManifestTable {
           reconstruct(root, v).getOrElse(
             throw new java.io.FileNotFoundException(
               s"version $v of $root is not retained (window $window)"))
+        }
+        if (live.exists(_.version == v)) live.get
+        else activeBranch(root) match {
+          // a BRANCH session time-travels its OWN lineage: branch
+          // commits resolve from the BRANCH.<name>.v<k> files (full
+          // snapshots, all retained until the branch is consumed);
+          // versions at or below the fork are shared prehistory and
+          // resolve from the main log. A MAIN version past the fork is
+          // NOT served — main may have advanced in parallel with the
+          // same version numbers, and silently resolving the other
+          // lineage is exactly the ambiguity a branch exists to prevent.
+          case Some(b) =>
+            val bf = branchVersionFile(root, b, v)
+            val base = scala.util.Try(new String(Files.readAllBytes(
+              branchBaseFile(root, b).toPath), UTF_8).trim.toLong)
+              .getOrElse(-1L)
+            if (bf.exists)
+              parse(new String(Files.readAllBytes(bf.toPath), UTF_8), root)
+            else if (v <= base) fromMain()
+            else throw new java.io.FileNotFoundException(
+              s"version $v is not on branch '$b' of $root " +
+                s"(forked at v$base)")
+          case None => fromMain()
         }
     }
 
@@ -2901,9 +2923,13 @@ object ManifestTable {
     * untouchable: incoming rows keyed to a hidden existing row (and
     * delete keys addressing one) drop from the batch, so hidden rows
     * survive byte-exactly — the same "act on policy-visible rows only"
-    * contract the policy-aware MERGE implements. Session attrs fold at
-    * call time; a subquery policy refuses fast, like the enforced
-    * verbs. Policy-free tables pass through untouched.
+    * contract the policy-aware MERGE implements. The flavor covers the
+    * full provider-write surface: APPEND batches drop rows keyed to a
+    * hidden row (an unkeyed append passes through — it cannot touch an
+    * existing row), and OVERWRITE batches replace only the visible
+    * rows, carrying the hidden complement into the replacement. Session
+    * attrs fold at call time; a subquery policy refuses fast, like the
+    * enforced verbs. Policy-free tables pass through untouched.
     */
   def mergeBatchEnforced(spark: SparkSession, root: File, qid: String,
       batchId: Long, batches: Seq[TableBatch]): Unit = {
@@ -2921,20 +2947,44 @@ object ManifestTable {
         else ts.props.get(graft.plans.RowPolicyRule.PolicyKey)
       policySql match {
         case None => tb
+        // a pure APPEND on an UNKEYED table cannot touch an existing
+        // row by construction — nothing to enforce
+        case Some(_) if tb.append && tb.mergeKeys.isEmpty => tb
         case Some(sqlTxt) =>
           val policy = GovernedRows.asColumn(GovernedRows.compile(
             spark, ts.schema, sqlTxt, s"row policy on '${tb.name}'"))
           // read the ATTEMPT manifest's own state directly (readTable
           // would re-resolve — wrong under an envelope or branch)
-          val hiddenKeys =
+          val hidden =
             reconcileDeltas(spark, root.toString, ts,
               readDirs(spark, root.toString, ts, ts.gens.map(_.path)))
             .filter(!coalesce(policy, lit(false)))
-            .select(tb.mergeKeys.map(col): _*)
-          tb.copy(
-            rows = tb.rows.join(hiddenKeys, tb.mergeKeys, "left_anti"),
-            deleteKeys = tb.deleteKeys.map(
-              _.join(hiddenKeys, tb.mergeKeys, "left_anti")))
+          if (tb.overwrite) {
+            // an enforced OVERWRITE replaces only the VISIBLE rows: the
+            // hidden complement rides into the replacement unchanged
+            // (aligned to the incoming schema — evolution null-backfills
+            // new columns, a dropped column drops for hidden rows too,
+            // the table-wide contract), and incoming rows keyed to a
+            // hidden row drop — hidden rows are untouchable, exactly the
+            // keyed-merge rule below
+            val keep =
+              if (tb.mergeKeys.isEmpty) tb.rows
+              else tb.rows.join(
+                hidden.select(tb.mergeKeys.map(col): _*),
+                tb.mergeKeys, "left_anti")
+            val aligned = tb.rows.columns.foldLeft(hidden)((df, c) =>
+              if (df.columns.contains(c)) df
+              else df.withColumn(c, lit(null).cast(
+                tb.rows.schema(c).dataType)))
+              .select(tb.rows.columns.map(col).toIndexedSeq: _*)
+            tb.copy(rows = keep.unionByName(aligned))
+          } else {
+            val hiddenKeys = hidden.select(tb.mergeKeys.map(col): _*)
+            tb.copy(
+              rows = tb.rows.join(hiddenKeys, tb.mergeKeys, "left_anti"),
+              deleteKeys = tb.deleteKeys.map(
+                _.join(hiddenKeys, tb.mergeKeys, "left_anti")))
+          }
       }
     }
     mergeBatch(root, qid, batchId, batches, adjust)
@@ -4230,12 +4280,29 @@ object ManifestTable {
     * operation/timestamp rather than a guess.
     */
   def history(spark: SparkSession, root: File): DataFrame = {
-    val entries = Option(root.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(ManifestName + ".v"))
-      .flatMap { f =>
-        scala.util.Try(
-          parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption
-      }
+    // a BRANCH session's history is ITS lineage: the branch's own
+    // commit files past the fork, plus main's shared prehistory at or
+    // below it — main commits that landed in parallel stay invisible,
+    // mirroring what VERSION AS OF resolves (see resolve())
+    val files = Option(root.listFiles).getOrElse(Array.empty)
+    def parsed(f: File) = scala.util.Try(
+      parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root))
+      .toOption
+    val mainEntries = files
+      .filter(_.getName.startsWith(ManifestName + ".v")).flatMap(parsed)
+    val entries = activeBranch(root) match {
+      case Some(b) =>
+        val base = scala.util.Try(new String(Files.readAllBytes(
+          branchBaseFile(root, b).toPath), UTF_8).trim.toLong)
+          .getOrElse(-1L)
+        val prefix = s"BRANCH.$b.v"
+        mainEntries.filter(_.fold(_.version, _.version) <= base) ++
+          files.filter(f => f.getName.startsWith(prefix) &&
+            f.getName.stripPrefix(prefix).forall(_.isDigit) &&
+            f.getName.stripPrefix(prefix).nonEmpty).flatMap(parsed)
+      case None => mainEntries
+    }
+    val rows = entries
       .map {
         case Right(m) =>
           (m.version,
@@ -4253,7 +4320,7 @@ object ManifestTable {
       }
       .sortBy(-_._1).toSeq
     import spark.implicits._
-    entries.toDF("version", "operation", "commit_ts", "touched_tables",
+    rows.toDF("version", "operation", "commit_ts", "touched_tables",
       "query_id", "batch_id")
   }
 
@@ -4263,9 +4330,12 @@ object ManifestTable {
     * timestamp) can't participate; None when no retained commit is old
     * enough (the caller errors rather than guessing a snapshot).
     */
-  def versionAt(root: File, timeMs: Long): Option[Long] =
-    Option(root.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(ManifestName + ".v"))
+  def versionAt(root: File, timeMs: Long): Option[Long] = {
+    // branch-lineage aware, mirroring history()/resolve(): a branch
+    // session's TIMESTAMP AS OF scans the branch's own commits plus
+    // main's prehistory at or below the fork
+    val files = Option(root.listFiles).getOrElse(Array.empty)
+    def stamps(fs: Array[File]): Array[(Long, Long)] = fs
       .flatMap { f =>
         scala.util.Try(
           parseEntry(new String(Files.readAllBytes(f.toPath), UTF_8), root)).toOption
@@ -4274,8 +4344,23 @@ object ManifestTable {
         case Right(m) => (m.version, m.info.timeMs)
         case Left(d) => (d.version, d.timeMs)
       }
+    val mains = stamps(files.filter(_.getName.startsWith(ManifestName + ".v")))
+    val candidates = activeBranch(root) match {
+      case Some(b) =>
+        val base = scala.util.Try(new String(Files.readAllBytes(
+          branchBaseFile(root, b).toPath), UTF_8).trim.toLong)
+          .getOrElse(-1L)
+        val prefix = s"BRANCH.$b.v"
+        mains.filter(_._1 <= base) ++ stamps(files.filter(f =>
+          f.getName.startsWith(prefix) &&
+            f.getName.stripPrefix(prefix).nonEmpty &&
+            f.getName.stripPrefix(prefix).forall(_.isDigit)))
+      case None => mains
+    }
+    candidates
       .filter { case (_, ts) => ts >= 0 && ts <= timeMs }
       .map(_._1).maxOption
+  }
 
   /** Predicate delete (the warehouse `DELETE FROM t WHERE …` the
     * reference's retention jobs run; Delta's DELETE shape): remove every

@@ -125,6 +125,63 @@ class BranchSpec extends SparkSpec {
       "an orphaned branch checkpoint survived the sweep")
   }
 
+  test("branch time travel: VERSION/TIMESTAMP AS OF and $history follow the branch lineage; main's parallel commits stay invisible inside the branch") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_btt").toString
+    spark.conf.set("spark.sql.catalog.btt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.btt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS btt.ops")
+    spark.sql("""CREATE TABLE btt.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO btt.ops.t VALUES (1, 10)")
+    val root = new File(wh, "ops")
+    val fork = spark.sql("CALL btt.system.branch_create('ops', 'tt')")
+      .head.getLong(0)
+    // main advances IN PARALLEL — same version numbers, different lineage
+    spark.sql("INSERT INTO btt.ops.t VALUES (9, 90)")
+
+    def sumAt(v: Long): Long = spark.sql(
+      s"SELECT sum(v) FROM btt.ops.t VERSION AS OF $v").head.getLong(0)
+    def historyVersions(): Seq[Long] = spark.sql(
+      "SELECT version FROM btt.ops.`t$history`")
+      .collect().map(_.getLong(0)).toSeq
+
+    spark.conf.set("graft.session.branch", "tt")
+    try {
+      spark.sql("INSERT INTO btt.ops.t VALUES (2, 20)") // branch fork+1
+      spark.sql("INSERT INTO btt.ops.t VALUES (3, 30)") // branch fork+2
+      // the audit step is time-travelable: each branch commit resolves
+      // from ITS lineage — fork+1 must be (1,2), never main's (1,9)
+      assert(sumAt(fork) == 10L, "shared prehistory unreachable")
+      assert(sumAt(fork + 1) == 30L,
+        s"branch AS OF ${fork + 1} served main's parallel commit")
+      assert(sumAt(fork + 2) == 60L)
+      // a version that exists ONLY on main past the fork refuses
+      // rather than silently crossing lineages
+      val cross = intercept[Exception] {
+        spark.sql(s"SELECT * FROM btt.ops.t VERSION AS OF ${fork + 3}")
+          .collect()
+      }
+      assert(cross.getMessage.contains("not on branch"),
+        s"unexpected: ${cross.getMessage}")
+      // $history lists the branch lineage exactly once per version:
+      // prehistory 1..fork from main, fork+1..fork+2 from the branch
+      val hv = historyVersions()
+      assert(hv.sorted == (1L to fork + 2).toSeq,
+        s"branch \\$$history wrong: $hv")
+      // TIMESTAMP AS OF resolves through the same lineage
+      assert(ManifestTable.versionAt(root,
+        System.currentTimeMillis() + 3600000L).contains(fork + 2))
+    } finally spark.conf.unset("graft.session.branch")
+
+    // outside the branch, the SAME version number is main's commit and
+    // history is main's log
+    assert(sumAt(fork + 1) == 100L, "main AS OF served the branch")
+    assert(historyVersions().sorted == (1L to fork + 1).toSeq)
+    assert(ManifestTable.versionAt(root,
+      System.currentTimeMillis() + 3600000L).contains(fork + 1))
+    spark.sql("CALL btt.system.branch_drop('ops', 'tt')").collect()
+  }
+
   test("publish crash recovery: a branch left behind after its publish commit landed is consumed idempotently on retry, and a torn branch pointer never breaks show_branches") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wapc").toString
     spark.conf.set("spark.sql.catalog.wapc", classOf[GraftCatalog].getName)

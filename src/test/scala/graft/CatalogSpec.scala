@@ -1652,6 +1652,73 @@ class CatalogSpec extends SparkSpec {
       .head.getString(0) == "X", "CLONE dropped the source's tag mask")
   }
 
+  test("tag lineage through CTAS: direct column lineage from a DIFFERENT tagged source carries tags and their policies, renames follow, computed columns break lineage, declarations win") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tgl").toString
+    spark.conf.set("spark.sql.catalog.tgl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tgl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tgl.ops")
+    spark.sql("""CREATE TABLE tgl.ops.src (id BIGINT, ssn STRING, note STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.ssn' = 'pii', 'maskForTag.pii' = "concat('#', val)")""")
+    spark.sql("INSERT INTO tgl.ops.src VALUES (1, '111', 'a')")
+    def propsOf(t: String): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES tgl.ops.$t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // CTAS into a NEW table: the directly-referenced tagged column
+    // carries its tag AND the tag's policy — the copy keeps masking
+    spark.sql("""CREATE TABLE tgl.ops.d
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id, ssn FROM tgl.ops.src""")
+    val dp = propsOf("d")
+    assert(dp.get("tag.ssn").contains("pii") &&
+      dp.get("maskForTag.pii").contains("concat('#', val)"),
+      s"cross-table tag lineage lost: $dp")
+    // the CTAS read was itself masked (stored '#111'); the carried tag
+    // masks AGAIN at the target — proof the policy is LIVE there
+    assert(spark.sql("SELECT ssn FROM tgl.ops.d").head.getString(0)
+      == "##111")
+
+    // a RENAME (alias over a bare reference) keeps lineage
+    spark.sql("""CREATE TABLE tgl.ops.r
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id, ssn AS social FROM tgl.ops.src""")
+    assert(propsOf("r").get("tag.social").contains("pii"),
+      s"renamed column lost its tag: ${propsOf("r")}")
+
+    // a COMPUTED column breaks lineage (Snowflake's rule): deriving
+    // from a tagged column is a declaration decision, not a carry
+    spark.sql("""CREATE TABLE tgl.ops.c
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT id, substr(ssn, 1, 1) AS s1 FROM tgl.ops.src""")
+    assert(!propsOf("c").contains("tag.s1"),
+      s"computed column carried a tag: ${propsOf("c")}")
+
+    // an explicit declaration on the CTAS wins over the carried value
+    spark.sql("""CREATE TABLE tgl.ops.e
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.ssn' = 'open')
+      AS SELECT id, ssn FROM tgl.ops.src""")
+    assert(propsOf("e").get("tag.ssn").contains("open"),
+      s"carried tag beat the declared one: ${propsOf("e")}")
+
+    // lineage traces through a JOIN: each side's tagged column carries
+    spark.sql("""CREATE TABLE tgl.ops.src2 (id BIGINT, email STRING)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2',
+        'tag.email' = 'contact',
+        'maskForTag.contact' = "'hidden'")""")
+    spark.sql("INSERT INTO tgl.ops.src2 VALUES (1, 'a@b.c')")
+    spark.sql("""CREATE TABLE tgl.ops.j
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')
+      AS SELECT s.id, s.ssn, s2.email
+      FROM tgl.ops.src s JOIN tgl.ops.src2 s2 USING (id)""")
+    val jp = propsOf("j")
+    assert(jp.get("tag.ssn").contains("pii") &&
+      jp.get("tag.email").contains("contact") &&
+      jp.contains("maskForTag.pii") && jp.contains("maskForTag.contact"),
+      s"join lineage incomplete: $jp")
+  }
+
   test("session-enforced mergeBatch: a provider replace-by-key under the session's context leaves policy-hidden rows untouchable") {
     import graft.sources.ManifestTable
     import graft.sources.ManifestTable.TableBatch
@@ -1699,6 +1766,30 @@ class CatalogSpec extends SparkSpec {
     ManifestTable.mergeBatch(root, "q-own", 3L, Seq(TableBatch("g",
       Seq((2L, "BETA", 21L)).toDF("id", "client", "v"), Seq("id"), 2)))
     assert(owner() == Seq((1L, "ACME", 11L), (2L, "BETA", 21L)))
+
+    // the enforced flavor covers the whole provider-write surface:
+    spark.conf.set("graft.session.client", "ACME")
+    try {
+      // APPEND — a row keyed to the hidden BETA row drops (it would
+      // shadow the hidden row on reconcile), the fresh key lands
+      ManifestTable.mergeBatchEnforced(spark, root, "q-app", 1L,
+        Seq(TableBatch("g",
+          Seq((2L, "ACME", 55L), (4L, "ACME", 40L)).toDF("id", "client", "v"),
+          Seq("id"), 2, append = true)))
+      assert(owner() == Seq((1L, "ACME", 11L), (2L, "BETA", 21L),
+        (4L, "ACME", 40L)),
+        s"enforced append shadowed a hidden row: ${owner()}")
+
+      // OVERWRITE — replaces only the VISIBLE rows: ACME's 1 and 4 go,
+      // the incoming row keyed to hidden 2 drops, and the hidden BETA
+      // row rides into the replacement byte-unchanged
+      ManifestTable.mergeBatchEnforced(spark, root, "q-ovw", 1L,
+        Seq(TableBatch("g",
+          Seq((2L, "ACME", 66L), (7L, "ACME", 70L)).toDF("id", "client", "v"),
+          Seq("id"), 2, overwrite = true)))
+      assert(owner() == Seq((2L, "BETA", 21L), (7L, "ACME", 70L)),
+        s"enforced overwrite broke the hidden complement: ${owner()}")
+    } finally spark.conf.unset("graft.session.client")
   }
 
   test("dataset caching: snapshot-keyed reuse — fresh reads of the same snapshot hit the cache, a commit invalidates reuse instead of serving frozen bytes, governed tables never serve from a cross-query cache") {
@@ -2367,6 +2458,56 @@ class CatalogSpec extends SparkSpec {
     }
     assert(cyc.getMessage.contains("cycle"),
       s"subquery-only cycle not detected: ${cyc.getMessage}")
+  }
+
+  test("SHOW VIEWS and DESCRIBE VIEW: the SQL verbs list and describe stored graft views (patterns, temp views, EXTENDED block), tables keep their own DESCRIBE path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sdv").toString
+    spark.conf.set("spark.sql.catalog.sdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sdv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sdv.ops")
+    spark.sql("""CREATE TABLE sdv.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO sdv.ops.t VALUES (1, 10)")
+    spark.sql("CREATE VIEW sdv.ops.v_tot AS SELECT sum(v) AS sv FROM sdv.ops.t")
+    spark.sql("CREATE VIEW sdv.ops.v_ids AS SELECT id FROM sdv.ops.t")
+
+    // SHOW VIEWS IN <catalog>.<ns> — stored views, not tables
+    val listed = spark.sql("SHOW VIEWS IN sdv.ops").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(listed.filterNot(_._3) ==
+      Seq(("ops", "v_ids", false), ("ops", "v_tot", false)),
+      s"SHOW VIEWS wrong: $listed")
+    // LIKE pattern filters ('*' glob, '|' alternation)
+    assert(spark.sql("SHOW VIEWS IN sdv.ops LIKE 'v_t*'").collect()
+      .map(_.getString(1)).toSeq == Seq("v_tot"))
+    // a temp view rides the listing flagged temporary, Spark's contract
+    spark.range(1).createOrReplaceTempView("sdv_tmp")
+    try assert(spark.sql("SHOW VIEWS IN sdv.ops LIKE 'sdv_tmp'").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSeq
+      == Seq(("sdv_tmp", true)))
+    finally spark.catalog.dropTempView("sdv_tmp")
+    // bare SHOW VIEWS after USE
+    try {
+      spark.sql("USE sdv.ops")
+      assert(spark.sql("SHOW VIEWS").collect().map(_.getString(1)).toSeq
+        == Seq("v_ids", "v_tot"))
+    } finally spark.sql("USE spark_catalog.default")
+
+    // DESCRIBE a view: the recorded output schema
+    val desc = spark.sql("DESCRIBE sdv.ops.v_tot").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc == Seq(("sv", "bigint")), s"DESCRIBE VIEW wrong: $desc")
+    // EXTENDED appends the view-information block with the stored text
+    val ext = spark.sql("DESCRIBE EXTENDED sdv.ops.v_tot").collect()
+      .map(_.getString(0)).toSeq
+    assert(ext.contains("# View Information") && ext.contains("View Text"))
+    val text = spark.sql("DESCRIBE EXTENDED sdv.ops.v_tot").collect()
+      .find(_.getString(0) == "View Text").get.getString(1)
+    assert(text.contains("sum(v)"), s"stored text wrong: $text")
+    // DESCRIBE on a graft TABLE keeps Spark's own path
+    val tdesc = spark.sql("DESCRIBE sdv.ops.t").collect()
+      .map(_.getString(0)).toSeq
+    assert(tdesc.contains("id") && tdesc.contains("v"))
   }
 
   test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {
