@@ -1044,6 +1044,49 @@ object Relational {
           expr("approx_percentile(n, 0.5, 10000)").as("p50_n"),
           expr("approx_percentile(n, 0.99, 10000)").as("p99_n"),
           round(max(col("n")) / avg(col("n")), 6).as("skew_ratio")),
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // Bucketed RANGE JOIN (point-in-interval). Naively a non-equi join
+    // plans as BroadcastNestedLoop — O(|probe|·|intervals|) comparisons,
+    // dead at 100 TB. The scale formulation makes it an EQUI-join:
+    // intervals explode into the fixed-width time buckets they overlap
+    // (bucket width = window length ⇒ ≤ 2 buckets per interval), points
+    // carry their single bucket, the join keys on bucket, and the exact
+    // range predicate applies as a residual filter. Each (interval,
+    // point) pair meets in exactly ONE bucket — the point's — so no
+    // dedup pass. Shuffle cost is O(n) on bucket keys; dense buckets
+    // shard like any skewed key (AQE skew-join handles the hot week).
+    "q_range_join" -> Q(
+      (s, d) => {
+        val win = 7 // days — [o_orderdate, o_orderdate + 7)
+        val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+        val intervals = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 495000)
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), epoch).as("start_day"))
+          .withColumn("bucket", explode(sequence(
+            floor(col("start_day") / win).cast("long"),
+            floor((col("start_day") + win - 1) / win).cast("long"))))
+        val points = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            datediff(to_date(col("l_shipdate")), epoch).as("ship_day"))
+          .withColumn("bucket",
+            floor(col("ship_day") / win).cast("long"))
+        intervals.join(points, Seq("bucket"))
+          .filter(col("ship_day") >= col("start_day") &&
+            col("ship_day") < col("start_day") + win)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey, count(*) AS n_items,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM orders JOIN lineitem
+         |  ON l_shipdate >= o_orderdate
+         |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+         |WHERE o_totalprice > 495000
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -519,7 +519,44 @@ object TextAnalysis {
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fingerprint"))
         .orderBy("doc_id", "fingerprint"),
-      None)
+      None),
+
+    // Token-distribution ENTROPY — the repetition/gibberish quality
+    // signal Gopher-style filters pair with the rule set: low entropy =
+    // few distinct tokens dominating (boilerplate, keyword stuffing),
+    // high = diverse prose. Shape at scale: explode → two keyed
+    // aggregations, all map-side combinable; the per-doc token-count
+    // window partitions by doc_id (bounded by document length, never a
+    // global sort).
+    "doc_token_entropy" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val n = sum(col("c")).over(Window.partitionBy("doc_id"))
+        counts
+          .withColumn("n", n)
+          .groupBy("doc_id")
+          .agg(max(col("n")).cast("long").as("n_tokens"),
+            round(-sum((col("c") / col("n")) *
+              log(2.0, col("c") / col("n"))), 6).as("token_entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, tok, count(*)::DOUBLE AS c
+        |  FROM toks GROUP BY 1, 2),
+        |wn AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM counts)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(-sum((c / n) * log2(c / n)), 6) AS token_entropy
+        |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   private val bpeMergeCache = graft.Caches.dfCache()

@@ -40,6 +40,21 @@ class PlanSpec extends SparkSpec {
     assert(plan("emb_ann_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_range_join plans as an EQUI-join on overlap buckets, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to an O(n·m) plan:\n${p.take(2000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no keyed join in the range-join plan:\n${p.take(2000)}")
+  }
+
+  test("doc_token_entropy partitions its count window by doc_id (no single-partition funnel)") {
+    val p = plan("doc_token_entropy")
+    assert(!p.contains("SinglePartition"),
+      s"the token-count window funneled through one partition:\n${p.take(2000)}")
+  }
+
   test("emb_cosine_pairs runs the dot product inside whole-stage codegen") {
     val df = SparkEntry.queries("emb_cosine_pairs")(spark, sf)
     df.collect() // AQE reveals codegen spans only in the executed plan
