@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DescribeRelation, DropView, LogicalPlan, ShowViews, SubqueryAlias, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DescribeRelation, DropView, LogicalPlan, SetViewProperties, ShowCreateTable, ShowViews, SubqueryAlias, UnresolvedWith, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.sources.GraftCatalog
@@ -281,7 +281,49 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             DescribeGraftViewCommand(g, ns, name, dr.isExtended)
           case _ => dr
         }
+      // ALTER VIEW … SET/UNSET TBLPROPERTIES — same reroute rule as
+      // DROP VIEW: a fully-qualified graft name always (the command
+      // refuses on non-views), a relative name only when the graft view
+      // exists, so temp-view ALTERs keep Spark's own path
+      case sp: SetViewProperties =>
+        viewParts(sp.child).flatMap(graftTarget) match {
+          case Some((g, ns, name))
+              if viewParts(sp.child).get.length == 3 ||
+                g.viewDefinition(ns, name).isDefined =>
+            AlterGraftViewCommand(g, ns, name,
+              set = sp.properties, unset = Nil, unsetIfExists = false)
+          case _ => sp
+        }
+      case up: UnsetViewProperties =>
+        viewParts(up.child).flatMap(graftTarget) match {
+          case Some((g, ns, name))
+              if viewParts(up.child).get.length == 3 ||
+                g.viewDefinition(ns, name).isDefined =>
+            AlterGraftViewCommand(g, ns, name,
+              set = Map.empty, unset = up.propertyKeys,
+              unsetIfExists = up.ifExists)
+          case _ => up
+        }
+      // SHOW CREATE TABLE on a graft VIEW (GET_DDL parity): the stored
+      // definition renders; graft TABLES keep their own round-trip path
+      case sct: ShowCreateTable =>
+        val parts = sct.child match {
+          case utv: UnresolvedTableOrView => Some(utv.multipartIdentifier)
+          case _ => None
+        }
+        parts.flatMap(graftTarget) match {
+          case Some((g, ns, name)) if g.viewDefinition(ns, name).isDefined =>
+            ShowCreateGraftViewCommand(g, ns, name)
+          case _ => sct
+        }
       case other => other
+    }
+
+  private def viewParts(child: LogicalPlan): Option[Seq[String]] =
+    child match {
+      case uv: UnresolvedView => Some(uv.multipartIdentifier)
+      case ui: UnresolvedIdentifier => Some(ui.nameParts)
+      case _ => None
     }
 
   private def graftTarget(parts: Seq[String])
@@ -412,6 +454,64 @@ case class DescribeGraftViewCommand(catalog: GraftCatalog, ns: String,
         Row("View Namespace", view.currentNamespace().mkString("."), ""),
         Row("Properties", propStr, ""))
     }
+  }
+}
+
+/** `ALTER VIEW graft.<ns>.<name> SET/UNSET TBLPROPERTIES` — property
+  * maintenance through the ViewCatalog alterView surface (the stored
+  * SQL is immutable: replace the view to change its definition).
+  * UNSET without IF EXISTS refuses on a missing key, Spark's contract.
+  */
+case class AlterGraftViewCommand(catalog: GraftCatalog, ns: String,
+    name: String, set: Map[String, String], unset: Seq[String],
+    unsetIfExists: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
+    val ident = Identifier.of(Array(ns), name)
+    if (!unsetIfExists && unset.nonEmpty) {
+      val present = catalog.loadView(ident).properties()
+      val missing = unset.filterNot(present.containsKey)
+      require(missing.isEmpty,
+        s"properties ${missing.mkString(", ")} are not set on view " +
+          s"${catalog.name}.$ns.$name (use IF EXISTS to ignore)")
+    }
+    val changes: Seq[ViewChange] =
+      set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        unset.map(ViewChange.removeProperty)
+    catalog.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE graft.<ns>.<view>` — the Snowflake GET_DDL shape
+  * for views: a re-runnable CREATE VIEW statement from the stored text
+  * plus any user properties.
+  */
+case class ShowCreateGraftViewCommand(catalog: GraftCatalog, ns: String,
+    name: String)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override val output = ShowCreateTable.getoutputAttrs
+
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val view = catalog.loadView(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+    val props = {
+      val it = view.properties().entrySet().iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result().sortBy(_._1)
+    }
+    val propsClause =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    val stmt = s"CREATE VIEW ${catalog.name}.$ns.$name" +
+      s"$propsClause AS\n${view.query()}\n"
+    Seq(org.apache.spark.sql.Row(stmt))
   }
 }
 

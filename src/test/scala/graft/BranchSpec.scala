@@ -168,9 +168,13 @@ class BranchSpec extends SparkSpec {
       val hv = historyVersions()
       assert(hv.sorted == (1L to fork + 2).toSeq,
         s"branch \\$$history wrong: $hv")
-      // TIMESTAMP AS OF resolves through the same lineage
+      // TIMESTAMP AS OF resolves through the same lineage — both the
+      // API (versionAt) and the SQL string form
       assert(ManifestTable.versionAt(root,
         System.currentTimeMillis() + 3600000L).contains(fork + 2))
+      assert(spark.sql("""SELECT sum(v) FROM btt.ops.t
+        TIMESTAMP AS OF '2100-01-01 00:00:00'""").head.getLong(0) == 60L,
+        "SQL TIMESTAMP AS OF crossed lineages inside the branch")
     } finally spark.conf.unset("graft.session.branch")
 
     // outside the branch, the SAME version number is main's commit and
@@ -179,7 +183,70 @@ class BranchSpec extends SparkSpec {
     assert(historyVersions().sorted == (1L to fork + 1).toSeq)
     assert(ManifestTable.versionAt(root,
       System.currentTimeMillis() + 3600000L).contains(fork + 1))
+    assert(spark.sql("""SELECT sum(v) FROM btt.ops.t
+      TIMESTAMP AS OF '2100-01-01 00:00:00'""").head.getLong(0) == 100L)
     spark.sql("CALL btt.system.branch_drop('ops', 'tt')").collect()
+  }
+
+  test("branch change feed: CDF inside a branch serves the branch lineage, main's parallel entries stay invisible, publish lands the squashed feed on main") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bcf").toString
+    spark.conf.set("spark.sql.catalog.bcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bcf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bcf.ops")
+    spark.sql("""CREATE TABLE bcf.ops.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    val root = new File(wh, "ops")
+    // open the feed through the provider writer
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft").option("path", root.toString)
+      .option("table", "t").option("mergeKeys", "id")
+      .option("changeFeed", "true").mode("append").save()
+    def feed(): Map[Long, Set[Long]] = {
+      val from = ManifestTable.read(root).get.table("t").feedFrom
+      ManifestTable
+        .readChangeFeed(spark, root.toString, from, None, "t")
+        .select("_commit_version", "id").collect()
+        .groupBy(_.getLong(0)).map { case (v, rs) =>
+          v -> rs.map(_.getLong(1)).toSet }
+    }
+    val base = ManifestTable.read(root).get.version
+
+    val fork = spark.sql("CALL bcf.system.branch_create('ops', 'cf')")
+      .head.getLong(0)
+    spark.conf.set("graft.session.branch", "cf")
+    try {
+      spark.sql("INSERT INTO bcf.ops.t VALUES (3, 30)") // branch fork+1
+      spark.sql("INSERT INTO bcf.ops.t VALUES (4, 40)") // branch fork+2
+      // the branch session's feed is ITS lineage: shared prehistory +
+      // the branch's own entries
+      assert(feed() == Map(base -> Set(1L, 2L),
+        (fork + 1) -> Set(3L), (fork + 2) -> Set(4L)),
+        s"branch feed wrong: ${feed()}")
+    } finally spark.conf.unset("graft.session.branch")
+    // outside, main's feed has only the prehistory
+    assert(feed() == Map(base -> Set(1L, 2L)),
+      s"branch feed leaked into main: ${feed()}")
+
+    // publish squashes the branch's feed into ONE main version
+    val pubV = spark.sql("CALL bcf.system.branch_publish('ops', 'cf')")
+      .head.getLong(0)
+    assert(feed() == Map(base -> Set(1L, 2L), pubV -> Set(3L, 4L)),
+      s"published feed wrong: ${feed()}")
+
+    // a second branch racing a main commit: each lineage's feed shows
+    // its OWN entry under the same version number
+    spark.sql("CALL bcf.system.branch_create('ops', 'cf2')")
+    spark.sql("INSERT INTO bcf.ops.t VALUES (9, 90)") // main pubV+1
+    spark.conf.set("graft.session.branch", "cf2")
+    try {
+      spark.sql("INSERT INTO bcf.ops.t VALUES (5, 50)") // branch pubV+1
+      assert(feed()(pubV + 1) == Set(5L),
+        s"branch feed served main's parallel entry: ${feed()}")
+    } finally spark.conf.unset("graft.session.branch")
+    assert(feed()(pubV + 1) == Set(9L),
+      s"main feed served the branch entry: ${feed()}")
+    spark.sql("CALL bcf.system.branch_drop('ops', 'cf2')").collect()
   }
 
   test("publish crash recovery: a branch left behind after its publish commit landed is consumed idempotently on retry, and a torn branch pointer never breaks show_branches") {

@@ -2508,6 +2508,49 @@ class CatalogSpec extends SparkSpec {
     val tdesc = spark.sql("DESCRIBE sdv.ops.t").collect()
       .map(_.getString(0)).toSeq
     assert(tdesc.contains("id") && tdesc.contains("v"))
+
+    // ALTER VIEW SET/UNSET TBLPROPERTIES maintains properties (the
+    // stored SQL stays immutable — replace to change the definition)
+    spark.sql(
+      "ALTER VIEW sdv.ops.v_tot SET TBLPROPERTIES ('team' = 'ops')")
+    def vprops(): Map[String, String] = {
+      val m = spark.sessionState.catalogManager.catalog("sdv")
+        .asInstanceOf[GraftCatalog]
+        .loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ops"), "v_tot")).properties()
+      val it = m.entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    assert(vprops().get("team").contains("ops"))
+    spark.sql("ALTER VIEW sdv.ops.v_tot UNSET TBLPROPERTIES ('team')")
+    assert(!vprops().contains("team"))
+    // UNSET without IF EXISTS refuses a missing key; IF EXISTS ignores
+    intercept[Exception] {
+      spark.sql("ALTER VIEW sdv.ops.v_tot UNSET TBLPROPERTIES ('nope')")
+    }
+    spark.sql(
+      "ALTER VIEW sdv.ops.v_tot UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // a temp view's ALTER keeps Spark's own path (refused there — temp
+    // views carry no catalog properties)
+    spark.range(1).createOrReplaceTempView("sdv_alt_tmp")
+    try intercept[Exception] {
+      spark.sql("ALTER VIEW sdv_alt_tmp SET TBLPROPERTIES ('x' = '1')")
+    } finally spark.catalog.dropTempView("sdv_alt_tmp")
+
+    // SHOW CREATE TABLE on a view renders a re-runnable CREATE VIEW
+    // with the stored text; on a graft TABLE the existing round-trip
+    // path keeps serving
+    spark.sql(
+      "ALTER VIEW sdv.ops.v_tot SET TBLPROPERTIES ('team' = 'ops')")
+    val ddl = spark.sql("SHOW CREATE TABLE sdv.ops.v_tot")
+      .head.getString(0)
+    assert(ddl.startsWith("CREATE VIEW sdv.ops.v_tot") &&
+      ddl.contains("sum(v)") && ddl.contains("'team' = 'ops'"),
+      s"view DDL wrong:\n$ddl")
+    assert(spark.sql("SHOW CREATE TABLE sdv.ops.t").head.getString(0)
+      .contains("CREATE TABLE"), "table SHOW CREATE path broken")
   }
 
   test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {
