@@ -2486,10 +2486,12 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getBoolean(2))).toSeq
       == Seq(("sdv_tmp", true)))
     finally spark.catalog.dropTempView("sdv_tmp")
-    // bare SHOW VIEWS after USE
+    // bare SHOW VIEWS after USE (stored rows only — the shared test
+    // session carries other suites' temp views, correctly listed too)
     try {
       spark.sql("USE sdv.ops")
-      assert(spark.sql("SHOW VIEWS").collect().map(_.getString(1)).toSeq
+      assert(spark.sql("SHOW VIEWS").collect()
+        .filterNot(_.getBoolean(2)).map(_.getString(1)).toSeq
         == Seq("v_ids", "v_tot"))
     } finally spark.sql("USE spark_catalog.default")
 
