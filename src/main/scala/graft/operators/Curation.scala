@@ -651,35 +651,33 @@ object Curation {
     // the high-quality target corpus) against the raw-corpus distribution,
     // add-1 smoothed over the shared vocabulary. Docs scoring high look
     // target-like and get up-sampled by a resampling pass.
-    // Scale: two partial-agg token-count shuffles build the LLR dim; in
-    // production the dim is bounded by HASHED n-gram buckets (2^20 slots,
-    // the DSIR formulation) so it broadcasts regardless of corpus size —
-    // raw terms are kept here so the oracle can re-derive the dim exactly.
-    // The per-doc score is then one broadcast join + one partial-agg sum.
+    // Scale: two partial-agg token-count shuffles build the LLR dim over
+    // an OPEN vocabulary (corpus-sized at 100 TB), so the scoring join
+    // stays KEYED on term — no broadcast hint; AQE still broadcasts the
+    // dim when it is actually small. The three corpus totals cross the
+    // plan as a 1-row aggregate (the doc_lm_score shape), never as a
+    // whole-frame window over the vocab grain.
     "doc_importance_weight" -> Q(
       (s, d) => {
         // ONE corpus scan: (doc, term) counts feed both the vocab-grain
         // LLR dim (conditional agg folds target + raw counts into one
-        // pass; whole-frame windows over the VOCAB grain — bounded by
-        // hashed buckets in production — replace re-aggregated totals)
-        // and the per-doc scoring join (sum tf·llr ≡ per-token sum)
-        val w = Window.partitionBy(lit(1))
+        // pass) and the per-doc scoring join (sum tf·llr ≡ per-token sum)
         val tf = docs(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
-        val llr = tf.groupBy("term")
+        val counts = tf.groupBy("term")
           .agg(sum("tf").as("c_raw"),
             sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_tgt"))
-          .withColumn("t_raw", sum("c_raw").over(w))
-          .withColumn("t_tgt", sum("c_tgt").over(w))
-          .withColumn("vocab", count(lit(1)).over(w))
+        val totals = counts.agg(sum("c_raw").as("t_raw"),
+          sum("c_tgt").as("t_tgt"), count(lit(1)).as("vocab"))
+        val llr = counts.crossJoin(broadcast(totals))
           .select(col("term"),
             (log((col("c_tgt") + 1).cast("double") /
                 (col("t_tgt") + col("vocab")).cast("double")) -
               log((col("c_raw") + 1).cast("double") /
                 (col("t_raw") + col("vocab")).cast("double"))).as("llr"))
-        tf.join(broadcast(llr), "term")
+        tf.join(llr, Seq("term"))
           .groupBy("doc_id")
           .agg(sum("tf").cast("long").as("n_tokens"),
             round(sum(col("llr") * col("tf")) / sum("tf"), 6).as("llr_per_token"))

@@ -539,8 +539,11 @@ object Timeseries {
         val chunkPrev = base.groupBy("chunk").agg(max("us").as("cmax"))
           .withColumn("pmax", max("cmax").over(wPrev))
           .select("chunk", "pmax")
+        // chunkPrev grows with the data (|events|/65536 rows — ~15M at
+        // 10^12 events), so the join stays KEYED on chunk with no
+        // broadcast hint; AQE broadcasts it while it is actually small
         base
-          .join(broadcast(chunkPrev), "chunk")
+          .join(chunkPrev, Seq("chunk"))
           // greatest skips nulls: first row of a chunk has no inner max,
           // chunk 0 has no prefix max, the overall first row has neither
           .withColumn("hwm", greatest(max(col("us")).over(wIn), col("pmax")))

@@ -244,7 +244,7 @@ class PlanSpec extends SparkSpec {
     // (AQE may still broadcast when actually small — hints must not force
     // it). Broadcast hints are allowed only on provably-bounded sides:
     // 1-row aggregates (maxRows == 1) or the per-lang threshold dim.
-    Seq("doc_lm_score", "doc_ccnet_bucket").foreach { q =>
+    Seq("doc_lm_score", "doc_ccnet_bucket", "doc_importance_weight").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       // under AQE the executedPlan root is an AdaptiveSparkPlanExec LEAF
       // — collecting on it directly visits one node and asserts nothing;
