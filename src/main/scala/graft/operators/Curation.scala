@@ -77,10 +77,12 @@ object Curation {
         .select(col("canonical_doc_id").as("a"), col("doc_id").as("b"))
       val nearPairs = Dedup.defs("doc_ngram_jaccard").fn(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val e = exactPairs.unionByName(nearPairs)
-        .union(exactPairs.unionByName(nearPairs)
-          .select(col("b").as("a"), col("a").as("b")))
-        .distinct()
+      val e = graft.Caches.pinLayout(
+        exactPairs.unionByName(nearPairs)
+          .union(exactPairs.unionByName(nearPairs)
+            .select(col("b").as("a"), col("a").as("b")))
+          .distinct(),
+        partKeys = Seq(col("a")), order = Seq(col("a"), col("b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count()
       e
@@ -117,7 +119,8 @@ object Curation {
         rounds += 1
       }
       warnUnconverged("min-label", rounds, converged = changed == 0)
-      val resolved = labels
+      val resolved = graft.Caches.pinLayout(labels,
+          partKeys = Seq(col("doc_id")), order = Seq(col("doc_id")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolved.count()
       resolved
@@ -198,7 +201,9 @@ object Curation {
       .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
-    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.Caches.pinLayout(labels,
+        partKeys = Seq(col("doc_id")), order = Seq(col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     out
   }

@@ -66,13 +66,17 @@ object Dedup {
   // lazily persisted: buildCandidates (or the first consuming query)
   // forces the single materializing scan
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate(s, d)(
+    shCache.getOrElseUpdate(s, d)(graft.Caches.pinLayout(
       shingleSets(s, d)
         .select(col("doc_id"),
-          array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh")))
+          array_distinct(transform(col("sh"), x => xxhash64(x))).as("sh")),
+      partKeys = Seq(col("doc_id")), order = Seq(col("doc_id"))))
 
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate(s, d)(lshCandidatesUncached(s, d))
+    candCache.getOrElseUpdate(s, d)(graft.Caches.pinLayout(
+      lshCandidatesUncached(s, d),
+      partKeys = Seq(col("doc_a")),
+      order = Seq(col("doc_a"), col("doc_b"))))
 
   private def lshCandidatesUncached(s: SparkSession, d: String): DataFrame = {
     val sg = sigs(s, d)
@@ -116,13 +120,15 @@ object Dedup {
       // per doc, so the exploded (doc, fp) pairs are unique — no global
       // distinct needed), no groupBy-then-rejoin second pass
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      docs(s, d)
+      val idx = docs(s, d)
         .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxFpDf)
         .drop("df")
+      graft.Caches.pinLayout(idx, partKeys = Seq(col("fp")),
+        order = Seq(col("fp"), col("doc_id")))
     }
 
   /** Force the one-time fingerprint-index build (Bench line item). */

@@ -43,23 +43,34 @@ object Ingestion {
       if (a == app) df.unpersist() else (); a != app }
   }
 
-  private def materialize(s: SparkSession, d: String, key: String)
+  // partKeys/order: the deterministic-layout pin (see Caches.pinLayout)
+  // applied before the persist so every run materializes the stored-table
+  // analogue with the identical partition/batch shape
+  private def materialize(s: SparkSession, d: String, key: String,
+      partKeys: Seq[org.apache.spark.sql.Column],
+      order: Seq[org.apache.spark.sql.Column])
       (build: => DataFrame): DataFrame =
     matCache.getOrElseUpdate((s.sparkContext.applicationId, d, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.Caches.pinLayout(build, partKeys, order)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The reference's all_hdr: JSON ∪ XML ∪ CSV staging rows
     * (sql/03_transform_headers.sql:26,59) — survivorship and every
     * downstream grain see all three sources.
     */
   private def allHeaders(s: SparkSession, d: String): DataFrame =
-    materialize(s, d, "headers") {
+    materialize(s, d, "headers",
+      partKeys = Seq(col("payload_hash")),
+      order = Seq(col("src_file"), col("src_row_number"))) {
       CanonicalChain.unionHeaders(
         jsonHeaders(s, d), xmlHeaders(s, d), csvHeaders(s, d))
     }
 
   private def survivors(s: SparkSession, d: String): DataFrame =
-    materialize(s, d, "survivors") {
+    materialize(s, d, "survivors",
+      partKeys = Seq(col("canonical_txn_id")),
+      order = Seq(col("canonical_txn_id"), col("src_file"),
+        col("src_row_number"))) {
       Canonicalizer.survivors(allHeaders(s, d))
     }
 
@@ -70,7 +81,12 @@ object Ingestion {
   // ops_anomaly_counts, smoke_counts) — stored once like the reference's
   // CAN_TXN_LINE table, not re-flattened per query
   private def allLines(s: SparkSession, d: String): DataFrame =
-    materialize(s, d, "lines") { linesFrom(survivors(s, d)) }
+    materialize(s, d, "lines",
+      partKeys = Seq(col("canonical_txn_id")),
+      order = Seq(col("canonical_txn_id"), col("line_number"),
+        col("src_file"))) {
+      linesFrom(survivors(s, d))
+    }
 
   private def anomaliesFrom(surv: DataFrame, lines: DataFrame): DataFrame =
     CanonicalChain.anomaliesFrom(surv, lines)

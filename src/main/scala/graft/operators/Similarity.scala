@@ -138,7 +138,8 @@ object Similarity {
     * re-deriving the Lloyd chain would re-pay the fit.
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    centCache.getOrElseUpdate(s, d)(fitCentroids(s, d))
+    centCache.getOrElseUpdate(s, d)(
+      graft.Caches.pinDim(fitCentroids(s, d), col("c_id")))
 
   private def fitCentroids(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -176,13 +177,15 @@ object Similarity {
     assignCache.getOrElseUpdate(s, d) {
       val e = embs(s, d)
       val c = centroids(s, d)
-      e.join(broadcast(c), lit(true))
+      val assigned = e.join(broadcast(c), lit(true))
         .withColumn("ccos", VectorOps.cosinePre(
           col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
         .groupBy("vec_id")
         .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
           first(col("embedding")).as("embedding"),
           first(col("nrm")).as("nrm"))
+      graft.Caches.pinLayout(assigned, partKeys = Seq(col("vec_id")),
+        order = Seq(col("vec_id")))
     }
 
   /** Force the one-time IVF index fit (Bench line item). */
@@ -233,8 +236,8 @@ object Similarity {
     * broadcastable), trained once per (session, corpus).
     */
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
-    pqCache.getOrElseUpdate(s, d) {
-      val sub = subvectors(embs(s, d))
+    pqCache.getOrElseUpdate(s, d)(graft.Caches.pinDim(
+      { val sub = subvectors(embs(s, d))
       // seed selection must not assume ANYTHING about the id layout: a
       // modulus stride collapses under sparse/offset ids (e.g. replicated
       // corpora with billion-shifted keys → 4 effective codewords instead
@@ -259,8 +262,7 @@ object Similarity {
             first(col("sv")).as("sv"))
           .groupBy("m", "code")
           .agg(elementMean(64 / PqM, col("sv")).as("cw"))
-      }
-    }
+      } }, col("m"), col("code")))
 
   /** The stored PQ index: nearest-codeword id per (vector, subspace) —
     * what a deployment persists in place of the float vectors. Cached per
@@ -271,10 +273,12 @@ object Similarity {
     pqCodesCache.getOrElseUpdate(s, d) {
       val cb = pqCodebook(s, d)
         .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
-      subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
+      val codes = subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
         .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      graft.Caches.pinLayout(codes, partKeys = Seq(col("vec_id")),
+        order = Seq(col("vec_id"), col("m")))
     }
 
   val PowerIters = 500
@@ -350,7 +354,7 @@ object Similarity {
         .map { case (x, j) => (j, x, lambda) }.toSeq
         .toDF("dim", "loading", "lambda")
       out.count()
-      out
+      graft.Caches.pinDim(out, col("dim"))
     }
 
   /** Force the one-time PCA fit (Bench line item). */

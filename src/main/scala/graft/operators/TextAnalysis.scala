@@ -566,7 +566,8 @@ object TextAnalysis {
     */
   private def trainedMerges(s: SparkSession, d: String): DataFrame =
     bpeMergeCache.getOrElseUpdate(s, d) {
-      bpeTrain(s, d, maxMerges = 40, minFreq = 2L)
+      graft.Caches.pinDim(
+        bpeTrain(s, d, maxMerges = 40, minFreq = 2L), col("rank"))
     }
 
   /** One-time trainer entry for the bench's `build:` accounting. */
