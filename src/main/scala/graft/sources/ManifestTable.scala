@@ -983,10 +983,13 @@ object ManifestTable {
     base.version
   }
 
-  /** Fast-forward publish: squash the branch into ONE main commit (CDF
-    * entries netted per keyed table) — refused with NOTHING published
-    * when main advanced past the fork. The branch is consumed either
-    * way only on success.
+  /** Publish: squash the branch into ONE main commit (CDF entries netted
+    * per keyed table). Fast-forwards when main still sits at the fork;
+    * when main has advanced, the publish REBASES onto the new head iff
+    * the branch's touched tables are provably DISJOINT from every main
+    * commit since the fork (each commit's audit `touched` record is the
+    * proof) — a genuine overlap is refused with NOTHING published. The
+    * branch is consumed only on success.
     */
   def branchPublish(root: File, name: String): Long = {
     require(branchFile(root, name).exists,
@@ -994,55 +997,121 @@ object ManifestTable {
     val branch = readBranch(root, name)
     val base = new String(Files.readAllBytes(
       branchBaseFile(root, name).toPath), UTF_8).trim.toLong
-    val head = readDisk(root).getOrElse(empty)
-    if (head.version != base) {
-      // crash-recovery idempotency: publish is commit-then-drop, so a
-      // crash BETWEEN the two leaves the branch behind with main already
-      // past its base. If the commit AT base+1 is this branch's own
-      // PUBLISH (op recorded in the log entry; a same-named successor
-      // branch can't match — branchCreate records the then-current head
-      // as ITS base, which would be ≥ base+1), the publish DID land:
-      // consume the branch and return that version instead of refusing
-      // with a message that directs the operator to double-apply.
-      if (head.version > base &&
-          entryOp(root, base + 1).contains(s"PUBLISH:$name")) {
-        branchDrop(root, name): Unit
-        gc(root, head)
-        return base + 1
-      }
-      throw new ConcurrentCommitException(head.version) {
+    // the op marker pins WHICH branch head got published
+    val marker = s"PUBLISH:$name@${branch.version}"
+    def refuse(headV: Long, why: String): Nothing =
+      throw new ConcurrentCommitException(headV) {
         override def getMessage: String =
-          s"branch '$name' forked at v$base but main is at " +
-            s"v${head.version} — fast-forward publish refused, NOTHING " +
-            "was published; re-create the branch from the new head and " +
-            "re-run its script"
+          s"branch '$name' forked at v$base but main is at v$headV " +
+            s"and $why — publish refused, NOTHING was published; " +
+            "re-create the branch from the new head and re-run its script"
+      }
+    var attempt = 0
+    while (true) {
+      val head = readDisk(root).getOrElse(empty)
+      if (head.version > base) {
+        // crash-recovery idempotency: publish is commit-then-drop, so a
+        // crash BETWEEN the two leaves the branch behind with main
+        // already past its base. If some commit since the fork carries
+        // THIS branch head's own marker (a same-named successor branch
+        // can't forge it — branchCreate refuses while this one lives,
+        // and any earlier same-name publish sits at a version ≤ this
+        // fork's base), the publish DID land: consume the branch and
+        // return that version. The marker's @<branchV> pin is what makes
+        // this safe — commits made to the still-live branch AFTER a
+        // crashed publish change branch.version, the marker no longer
+        // matches, and those commits are never silently dropped.
+        val ops = (base + 1 to head.version)
+          .map(v => v -> entryOp(root, v))
+        ops.collectFirst { case (v, Some(op)) if op == marker => v } match {
+          case Some(v) =>
+            branchDrop(root, name): Unit
+            gc(root, head)
+            return v
+          case None =>
+            for ((v, Some(op)) <- ops
+                 if op.startsWith(s"PUBLISH:$name@"))
+              throw new IllegalStateException(
+                s"main v$v is '$op' but branch '$name' has advanced to " +
+                  s"v${branch.version} since that publish landed — its " +
+                  "post-publish commits were never published; re-create " +
+                  "a branch from the new head and re-apply them")
+        }
+      }
+      if (branch.version == base) { // audit-only branch: nothing to publish
+        branchDrop(root, name): Unit
+        return base
+      }
+      // the branch's touched set, diffed against the FORK state (on the
+      // fast-forward path head IS the fork); includes branch-side drops
+      val fork =
+        if (head.version == base) head
+        else if (base == 0L) empty
+        else reconstruct(root, base).getOrElse(refuse(head.version,
+          s"the fork manifest v$base has aged out, so the branch's " +
+            "tables cannot be proven disjoint from main's later commits"))
+      val branchTouched = (branch.tables.keySet ++ fork.tables.keySet)
+        .toSeq.sorted
+        .filter(n => branch.tables.get(n) != fork.tables.get(n))
+      if (head.version > base) {
+        // disjoint-table rebase gate
+        val mainTouched = (base + 1 to head.version).flatMap { v =>
+          entryTouched(root, v).getOrElse(refuse(head.version,
+            s"main's v$v audit record is unavailable, so the branch's " +
+              "tables cannot be proven disjoint from it"))
+        }.toSet
+        val overlap = branchTouched.filter(mainTouched)
+        if (overlap.nonEmpty) refuse(head.version,
+          s"tables [${overlap.mkString(", ")}] were modified by BOTH " +
+            "the branch and main since the fork")
+      }
+      val publishV = head.version + 1
+      val remapped = branch.tables.collect {
+        case (n, ts) if branchTouched.contains(n) =>
+          val (above, below) = ts.changes.partition(_.version > base)
+          val collapsed =
+            if (above.size < 2 || ts.mergeKeys.isEmpty)
+              above.map(_.copy(version = publishV))
+            else netChanges(root, n, ts, above, publishV)
+          val feedFrom = if (ts.feedFrom > publishV) publishV else ts.feedFrom
+          n -> ts.copy(changes = below ++ collapsed, feedFrom = feedFrom)
+      }
+      val droppedOnBranch = branchTouched.filterNot(branch.tables.contains)
+      // (queryId, lastBatch) is the SINGLE-SLOT replay watermark of the
+      // most recent batch commit — on main, every later commit already
+      // overwrites it, so the rebase keeps the HEAD's (main's last commit
+      // is the most recent on the published lineage), merging the batch
+      // floor when both sides advanced the SAME query; a fast-forward
+      // keeps the branch's, which IS the newest
+      val (qid, lastBatch) =
+        if (head.version == base) (branch.queryId, branch.lastBatch)
+        else if (head.queryId == branch.queryId)
+          (head.queryId, math.max(head.lastBatch, branch.lastBatch))
+        else (head.queryId, head.lastBatch)
+      val published = Manifest(publishV, qid, lastBatch,
+        head.tables -- droppedOnBranch ++ remapped,
+        CommitInfo(marker, System.currentTimeMillis(), branchTouched))
+      // same read-commit race window as mergeBatch's: a concurrent main
+      // writer landing between the head read above and the link(2) CAS
+      // below loses us publishV — the injector lets tests force exactly
+      // that interleaving
+      commitFaultInjector(root, head.version)
+      branchBypass.set(true)
+      val won =
+        try { commit(root, published); true }
+        catch {
+          // another writer took publishV — re-read the head and re-gate
+          case _: ConcurrentCommitException
+              if attempt < MaxCommitAttempts - 1 =>
+            attempt += 1; false
+        } finally branchBypass.set(false)
+      if (won) {
+        branchDrop(root, name): Unit
+        gc(root, published)
+        return publishV
       }
     }
-    if (branch.version == base) { // audit-only branch: nothing to publish
-      branchDrop(root, name): Unit
-      return base
-    }
-    val publishV = base + 1
-    val remapped = branch.tables.map { case (n, ts) =>
-      val (above, below) = ts.changes.partition(_.version > base)
-      val collapsed =
-        if (above.size < 2 || ts.mergeKeys.isEmpty)
-          above.map(_.copy(version = publishV))
-        else netChanges(root, n, ts, above, publishV)
-      val feedFrom = if (ts.feedFrom > publishV) publishV else ts.feedFrom
-      n -> ts.copy(changes = below ++ collapsed, feedFrom = feedFrom)
-    }
-    val touched = branch.tables.keys.toSeq.sorted
-      .filter(n => !head.tables.get(n).contains(branch.tables(n)))
-    val published = Manifest(publishV, branch.queryId, branch.lastBatch,
-      remapped, CommitInfo(s"PUBLISH:$name",
-        System.currentTimeMillis(), touched))
-    branchBypass.set(true)
-    try commit(root, published)
-    finally branchBypass.set(false)
-    branchDrop(root, name): Unit
-    gc(root, published)
-    publishV
+    -1L
   }
 
   /** Drop a branch: its unpublished data dirs orphan for the next main
@@ -1635,6 +1704,31 @@ object ManifestTable {
         case _ => ""
       }
     }.toOption.filter(_.nonEmpty)
+  }
+
+  /** Audit `touched` record of version `v`'s log entry — the tables the
+    * commit modified, the proof the publish rebase gate needs to show a
+    * branch's tables are disjoint from main's intervening commits. None
+    * when the entry is gone (aged out) or unreadable: the gate must then
+    * refuse rather than assume disjointness.
+    */
+  private def entryTouched(root: File, v: Long): Option[Seq[String]] = {
+    val f = versionFile(root, v)
+    if (!f.exists) None
+    else scala.util.Try {
+      val j = JsonMethods.parse(
+        new String(Files.readAllBytes(f.toPath), UTF_8))
+      (j \ "touched") match {
+        case JArray(ts) => Some(ts.collect { case JString(s) => s })
+        case _ => (j \ "delta") match {
+          // a delta entry's update map is keyed by table — exactly the
+          // commit's touched set (full snapshots carry `touched`; a
+          // pre-history full with neither proves nothing → None)
+          case JObject(fields) => Some(fields.map(_._1))
+          case _ => None
+        }
+      }
+    }.toOption.flatten
   }
 
   /** Is `v` within `root`'s time window (when one is declared)? */

@@ -8,9 +8,11 @@ import graft.sources.{GraftCatalog, ManifestTable}
   * `spark.wap.branch` shape) over the manifest commit protocol: a
   * session with `graft.session.branch` set writes a persisted side
   * lineage, main stays untouched and visible to everyone else, the
-  * audit step reads the branch, and publish fast-forwards the whole
-  * branch onto main as ONE commit — refusing (publishing nothing) when
-  * main advanced past the fork.
+  * audit step reads the branch, and publish squashes the whole branch
+  * onto main as ONE commit — fast-forwarding when main still sits at
+  * the fork, REBASING onto the new head when main's intervening commits
+  * touched provably disjoint tables, and refusing (publishing nothing)
+  * on a genuine overlap.
   */
 class BranchSpec extends SparkSpec {
 
@@ -59,8 +61,8 @@ class BranchSpec extends SparkSpec {
     assert(spark.sql("CALL wap.system.show_branches('ops')").count() == 0L,
       "a published branch must be consumed")
 
-    // CONFLICT: a branch whose base gets overtaken by a main commit
-    // refuses to publish, publishing NOTHING
+    // CONFLICT: a branch whose base gets overtaken by a main commit TO
+    // THE SAME TABLE refuses to publish, publishing NOTHING
     spark.sql("CALL wap.system.branch_create('ops', 'wap2')")
     spark.conf.set("graft.session.branch", "wap2")
     try spark.sql("INSERT INTO wap.ops.t VALUES (5, 50)")
@@ -70,7 +72,7 @@ class BranchSpec extends SparkSpec {
     val lost = intercept[Exception] {
       spark.sql("CALL wap.system.branch_publish('ops', 'wap2')").collect()
     }
-    assert(lost.getMessage.contains("fast-forward"),
+    assert(lost.getMessage.contains("modified by BOTH"),
       s"unexpected error: ${lost.getMessage}")
     assert(mainV() == headBefore, "a refused publish committed something")
     assert(count() == 5L) // rows 1,2,3,4,9 — never 5
@@ -294,8 +296,8 @@ class BranchSpec extends SparkSpec {
     assert(spark.sql("CALL wapc.system.show_branches('ops')").count()
       == 0L, "the recovered branch was not consumed")
 
-    // a DIFFERENT op at base+1 (someone else advanced main) still
-    // refuses — idempotency never swallows a genuine conflict
+    // a DIFFERENT op at base+1 (someone else advanced main, SAME table)
+    // still refuses — idempotency never swallows a genuine conflict
     spark.sql("CALL wapc.system.branch_create('ops', 'late')")
     spark.conf.set("graft.session.branch", "late")
     try spark.sql("INSERT INTO wapc.ops.t VALUES (4, 40)")
@@ -304,8 +306,37 @@ class BranchSpec extends SparkSpec {
     val refused = intercept[Exception] {
       spark.sql("CALL wapc.system.branch_publish('ops', 'late')").collect()
     }
-    assert(refused.getMessage.contains("fast-forward"))
+    assert(refused.getMessage.contains("modified by BOTH"))
     spark.sql("CALL wapc.system.branch_drop('ops', 'late')").collect()
+
+    // crash window + the branch kept LIVING: restore the stash again
+    // after a real publish, then commit MORE work to the branch — the
+    // retry must NOT silently consume it (the landed publish covers only
+    // the old head; the post-publish commits would be dropped). The
+    // marker's @<branchHead> pin is what detects this.
+    spark.sql("CALL wapc.system.branch_create('ops', 'adv')")
+    spark.conf.set("graft.session.branch", "adv")
+    try spark.sql("INSERT INTO wapc.ops.t VALUES (5, 50)")
+    finally spark.conf.unset("graft.session.branch")
+    val advStash = root.listFiles
+      .filter(_.getName.startsWith("BRANCH.adv")).toSeq
+      .map(f => f -> java.nio.file.Files.readAllBytes(f.toPath))
+    spark.sql("CALL wapc.system.branch_publish('ops', 'adv')").collect()
+    advStash.foreach { case (f, bytes) =>
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    spark.conf.set("graft.session.branch", "adv")
+    try spark.sql("INSERT INTO wapc.ops.t VALUES (6, 60)")
+    finally spark.conf.unset("graft.session.branch")
+    val advanced = intercept[Exception] {
+      spark.sql("CALL wapc.system.branch_publish('ops', 'adv')").collect()
+    }
+    assert(advanced.getMessage.contains("never published"),
+      s"advanced-branch retry not refused loudly: ${advanced.getMessage}")
+    assert(spark.sql("CALL wapc.system.show_branches('ops')")
+      .collect().map(_.getString(0)).toSeq == Seq("adv"),
+      "the refusal must leave the advanced branch alive for recovery")
+    spark.sql("CALL wapc.system.branch_drop('ops', 'adv')").collect()
 
     // a torn/unreadable branch pointer (a concurrent drop mid-listing
     // leaves exactly this window) is OMITTED by show_branches, never an
@@ -322,5 +353,102 @@ class BranchSpec extends SparkSpec {
       new File(root, "BRANCH.ghost").delete()
       spark.sql("CALL wapc.system.branch_drop('ops', 'good')").collect()
     }
+  }
+
+  test("disjoint-table rebase publish: main advancing on OTHER tables no longer refuses; the publish rebases onto the new head, survives a mid-publish OCC race, and still refuses a true overlap") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wapr").toString
+    spark.conf.set("spark.sql.catalog.wapr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wapr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wapr.ops")
+    spark.sql("""CREATE TABLE wapr.ops.a (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("""CREATE TABLE wapr.ops.b (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO wapr.ops.a VALUES (1, 10)")
+    spark.sql("INSERT INTO wapr.ops.b VALUES (1, 100)")
+    val root = new File(wh, "ops")
+    def mainV(): Long = ManifestTable.read(root).get.version
+    def rows(t: String): Set[Long] = spark
+      .sql(s"SELECT id FROM wapr.ops.$t").collect().map(_.getLong(0)).toSet
+
+    // WRITE on the branch (table a only); main advances on table b TWICE
+    val fork = spark.sql("CALL wapr.system.branch_create('ops', 'reb')")
+      .head.getLong(0)
+    spark.conf.set("graft.session.branch", "reb")
+    try {
+      spark.sql("INSERT INTO wapr.ops.a VALUES (2, 20)")
+      spark.sql("INSERT INTO wapr.ops.a VALUES (3, 30)")
+    } finally spark.conf.unset("graft.session.branch")
+    spark.sql("INSERT INTO wapr.ops.b VALUES (2, 200)")
+    spark.sql("INSERT INTO wapr.ops.b VALUES (3, 300)")
+    val headBefore = mainV()
+    assert(headBefore == fork + 2)
+
+    // PUBLISH rebases: one commit on top of main's new head, with BOTH
+    // sides' rows present and the branch consumed
+    val pubV = spark.sql("CALL wapr.system.branch_publish('ops', 'reb')")
+      .head.getLong(0)
+    assert(pubV == headBefore + 1,
+      s"rebase publish must land as ONE commit on the new head, got $pubV")
+    assert(rows("a") == Set(1L, 2L, 3L), s"branch rows lost: ${rows("a")}")
+    assert(rows("b") == Set(1L, 2L, 3L), s"main rows lost: ${rows("b")}")
+    assert(spark.sql("CALL wapr.system.show_branches('ops')").count() == 0L)
+
+    // OCC race mid-publish: a DISJOINT main commit lands between the
+    // publish's head read and its CAS — the publish must lose the
+    // version, re-read, re-prove disjointness, and land on the next one
+    // with zero lost rows on either side
+    spark.sql("CALL wapr.system.branch_create('ops', 'race')")
+    spark.conf.set("graft.session.branch", "race")
+    try spark.sql("INSERT INTO wapr.ops.a VALUES (4, 40)")
+    finally spark.conf.unset("graft.session.branch")
+    var fired = false
+    ManifestTable.commitFaultInjector = { (r, _) =>
+      if (r == root && !fired) {
+        fired = true
+        ManifestTable.commitFaultInjector = (_, _) => ()
+        spark.sql("INSERT INTO wapr.ops.b VALUES (4, 400)")
+      }
+    }
+    val racedV =
+      try spark.sql("CALL wapr.system.branch_publish('ops', 'race')")
+        .head.getLong(0)
+      finally ManifestTable.commitFaultInjector = (_, _) => ()
+    assert(fired, "injector never fired")
+    assert(racedV == mainV(),
+      s"raced publish v$racedV is not the head ${mainV()}")
+    assert(rows("a") == Set(1L, 2L, 3L, 4L),
+      s"branch row lost in the race: ${rows("a")}")
+    assert(rows("b") == Set(1L, 2L, 3L, 4L),
+      s"racing main row lost: ${rows("b")}")
+
+    // true overlap still refuses loudly, naming the table
+    spark.sql("CALL wapr.system.branch_create('ops', 'clash')")
+    spark.conf.set("graft.session.branch", "clash")
+    try spark.sql("INSERT INTO wapr.ops.a VALUES (5, 50)")
+    finally spark.conf.unset("graft.session.branch")
+    spark.sql("INSERT INTO wapr.ops.a VALUES (9, 90)")
+    val clashHead = mainV()
+    val refused = intercept[Exception] {
+      spark.sql("CALL wapr.system.branch_publish('ops', 'clash')").collect()
+    }
+    assert(refused.getMessage.contains("modified by BOTH") &&
+      refused.getMessage.contains("[a]"),
+      s"overlap refusal wrong: ${refused.getMessage}")
+    assert(mainV() == clashHead, "a refused publish committed something")
+    assert(rows("a") == Set(1L, 2L, 3L, 4L, 9L))
+    spark.sql("CALL wapr.system.branch_drop('ops', 'clash')").collect()
+
+    // a branch that DROPS a table rebases too, as long as main left that
+    // table alone: the published head must lose the table
+    spark.sql("CALL wapr.system.branch_create('ops', 'dropb')")
+    spark.conf.set("graft.session.branch", "dropb")
+    try spark.sql("DROP TABLE wapr.ops.b")
+    finally spark.conf.unset("graft.session.branch")
+    spark.sql("INSERT INTO wapr.ops.a VALUES (6, 60)") // main, disjoint
+    spark.sql("CALL wapr.system.branch_publish('ops', 'dropb')").collect()
+    assert(ManifestTable.read(root).get.tables.get("b").isEmpty,
+      "branch-side DROP TABLE did not survive the rebase publish")
+    assert(rows("a") == Set(1L, 2L, 3L, 4L, 9L, 6L))
   }
 }
