@@ -491,7 +491,16 @@ case class RowPolicyRule(fallback: Boolean = false)
           masksOf(props(s.relation.table), s.relation.table.name()))
         val mapping = s.relation.output.zip(g.output).filter {
           case (o, n) => o.exprId != n.exprId }
-        g -> mapping
+        // the governed plant is UNPRUNED while `s` may be column-pruned:
+        // project back to exactly s.output (masked ids substituted), or
+        // a scan sitting at the PLAN ROOT (a bare `SELECT ssn FROM t`)
+        // would widen the query's output and misalign row decoding —
+        // the masked value silently read as the wrong column
+        val remap = mapping.map { case (o, n) => o.exprId -> n }.toMap
+        val repruned = org.apache.spark.sql.catalyst.plans.logical.Project(
+          s.output.map(o => remap.getOrElse(o.exprId,
+            g.output.find(_.exprId == o.exprId).getOrElse(o))), g)
+        repruned -> mapping
     }
   }
 }

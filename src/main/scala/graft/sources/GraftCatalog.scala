@@ -95,6 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.plans.MergeOnReadRule.register(SparkSession.active)
     graft.plans.MartRewriteRule.register(SparkSession.active)
     graft.plans.RowPolicyRule.register(SparkSession.active)
+    graft.plans.CtasTagLineage.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -769,6 +770,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * not this catalog — so a view declared while the session pointed at
     * `spark_catalog.default` resolves its bare names there on read too.
     */
+  /** The definer namespace is a SEQUENCE of parts — stored as a JSON
+    * array so an empty namespace and a part that itself contains '.'
+    * (legal in Spark via backticks) round-trip exactly. Values written
+    * before the array form (plain dot-joined strings, including the
+    * single-part `show_views` procedure path) decode via the legacy
+    * split — a part can't contain '[', so the dispatch is unambiguous.
+    */
+  private def encodeNsParts(parts: Seq[String]): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(parts.map(org.json4s.JString(_)).toList)))
+
+  private def decodeNsParts(s: String): Seq[String] =
+    if (s.startsWith("["))
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case org.json4s.JArray(ps) =>
+          ps.collect { case org.json4s.JString(p) => p }
+        case _ => Seq.empty
+      }
+    else if (s.isEmpty) Seq.empty
+    else s.split('.').toSeq
+
   private[graft] def viewEntry(ns: String, name: String)
       : Option[(String, String, Seq[String])] =
     ManifestTable.read(rootOf(Array(ns)))
@@ -777,7 +800,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map { ts =>
         (ts.props(ManifestTable.ViewSqlKey),
           ts.props.getOrElse("viewCatalog", catalogName),
-          ts.props.get("viewNamespace").map(_.split('.').toSeq)
+          ts.props.get("viewNamespace").map(decodeNsParts)
             .getOrElse(Seq(ns)))
       }
 
@@ -788,10 +811,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       extraProps ++ Map(
         "viewSchemaJson" -> schema.json,
         "viewCatalog" -> defCatalog,
-        // namespace parts dot-joined (graft namespaces are single-part
-        // and session namespaces are single-part in practice; a dotted
-        // part would need quoting the manifest prop format doesn't carry)
-        "viewNamespace" -> defNamespace.mkString(".")))
+        "viewNamespace" -> encodeNsParts(defNamespace)))
 
   private[graft] def dropGraftView(ns: String, name: String): Boolean =
     ManifestTable.dropView(rootOf(Array(ns)), name)
@@ -822,7 +842,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       override def currentCatalog(): String =
         p.getOrElse("viewCatalog", catalogName)
       override def currentNamespace(): Array[String] =
-        p.get("viewNamespace").map(_.split('.'))
+        p.get("viewNamespace").map(decodeNsParts(_).toArray)
           .getOrElse(Array(ident.namespace.head))
       override def schema(): StructType = p.get("viewSchemaJson")
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)

@@ -17,8 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FallbackFlavorSpec extends AnyFunSuite {
 
-  test("forked extension-less JVM: a governed cache never serves across session-attr contexts (direct + cached-join shapes)") {
-    val wh = java.nio.file.Files.createTempDirectory("graft_fbk").toFile
+  /** Launch `mainClass` in a fresh extension-less JVM and assert it
+    * prints `okMarker` and exits 0.
+    */
+  private def runForked(prefix: String, mainClass: String,
+      okMarker: String): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory(prefix).toFile
     val javaBin = new File(new File(System.getProperty("java.home"), "bin"),
       "java").getAbsolutePath
     // same module opens the build gives every forked Spark JVM
@@ -37,7 +41,7 @@ class FallbackFlavorSpec extends AnyFunSuite {
       "-Dspark.sql.session.timeZone=UTC",
       s"-Dderby.system.home=${wh.getAbsolutePath}",
       "-cp", System.getProperty("java.class.path"),
-      "graft.FallbackGovernedCacheMain", wh.getAbsolutePath)
+      mainClass, wh.getAbsolutePath)
     val pb = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
       .directory(wh) // own cwd: no metastore_db clash with this JVM
@@ -52,8 +56,18 @@ class FallbackFlavorSpec extends AnyFunSuite {
     drain.join(5000)
     val out = buf.toString
     assert(finished, s"forked fallback probe timed out\n${out.takeRight(4000)}")
-    assert(proc.exitValue() == 0 && out.contains("FALLBACK-GOVERNED-CACHE-OK"),
+    assert(proc.exitValue() == 0 && out.contains(okMarker),
       s"forked fallback probe failed (exit ${proc.exitValue()}):\n" +
         out.takeRight(6000))
+  }
+
+  test("forked extension-less JVM: a governed cache never serves across session-attr contexts (direct + cached-join shapes)") {
+    runForked("graft_fbk", "graft.FallbackGovernedCacheMain",
+      "FALLBACK-GOVERNED-CACHE-OK")
+  }
+
+  test("forked extension-less JVM: CTAS from a tagged source still carries tags and their policies (no silent governance degrade without the extensions conf)") {
+    runForked("graft_fct", "graft.FallbackCtasTagMain",
+      "FALLBACK-CTAS-TAG-OK")
   }
 }
