@@ -1087,6 +1087,33 @@ object Relational {
          |  ON l_shipdate >= o_orderdate
          |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
          |WHERE o_totalprice > 495000
-         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Snowflake QUALIFY (reference dialect; round 15): the literal
+    // clause runs through graft's lexical rewrite — the SAME text a
+    // Snowflake user writes, and the SAME text the DuckDB oracle runs
+    // natively (DuckDB implements QUALIFY), so the oracle checks both
+    // the rewrite's correctness and the window semantics. Top-2 orders
+    // per customer by price; the window shuffles on o_custkey (keyed,
+    // never a single partition) and the filter applies post-window —
+    // exactly the plan a hand-written window+filter produces.
+    "q_qualify" -> Q(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_qualify_orders")
+        graft.plans.QualifyRewrite.sql(s,
+          """SELECT o_custkey, o_orderkey,
+            |  cast(o_totalprice AS double) AS price
+            |FROM graft_qualify_orders
+            |QUALIFY row_number() OVER (PARTITION BY o_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+            |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  cast(o_totalprice AS double) AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 }

@@ -1046,6 +1046,58 @@ object Timeseries {
         |    (frequency > fq[3])::int)::varchar ||
         |  (1 + (monetary_cents > mq[1])::int + (monetary_cents > mq[2])::int +
         |    (monetary_cents > mq[3])::int)::varchar AS segment
-        |FROM rec, th ORDER BY user_id""".stripMargin)
+        |FROM rec, th ORDER BY user_id""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Robust (MAD-based) outlier detection over hourly per-type volumes
+    // (round 15): the z-score detector above is itself skewed by the
+    // outliers it hunts — the median/MAD variant is the standard robust
+    // alternative (rz = (x − median) / (1.4826·MAD), |rz| > 3.5). Both
+    // passes are KEYED aggregates on event_type (exact percentile needs
+    // the group's values, but never a global sort), and the two
+    // dimension joins stay unhinted — at 100 TB the per-type stats
+    // frame is |event_type| rows, AQE broadcasts it. Cross-engine
+    // exactness: counts are integers and medians of integer (and
+    // half-integer deviation) frames interpolate exactly in doubles in
+    // both engines; rz is rounded to 6 decimals on both sides.
+    "ev_mad_outlier" -> Q(
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val med = hourly.groupBy("event_type")
+          .agg(expr("percentile(x, 0.5)").as("med"))
+        val mad = hourly.join(med, "event_type")
+          .groupBy("event_type")
+          .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+        hourly.join(med, "event_type").join(mad, "event_type")
+          .withColumn("rzraw",
+            when(col("mad") > 0,
+              (col("x").cast("double") - col("med"))
+                / (lit(1.4826) * col("mad"))))
+          .select(col("event_type"), col("h").as("hour"),
+            col("x").as("n_events"), col("med"), col("mad"),
+            round(col("rzraw"), 6).as("rz"),
+            coalesce(abs(col("rzraw")) > 3.5, lit(false)).as("is_outlier"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, median(x) AS med FROM hourly GROUP BY 1),
+        |mad AS (
+        |  SELECT h.event_type, median(abs(h.x - m.med)) AS mad
+        |  FROM hourly h JOIN med m USING (event_type) GROUP BY 1),
+        |scored AS (
+        |  SELECT h.event_type, h.h, h.x, m.med, d.mad,
+        |    CASE WHEN d.mad > 0
+        |      THEN (h.x - m.med) / (1.4826 * d.mad) END AS rzraw
+        |  FROM hourly h JOIN med m USING (event_type)
+        |    JOIN mad d USING (event_type))
+        |SELECT event_type, h AS hour, x AS n_events, med, mad,
+        |  round(rzraw, 6) AS rz,
+        |  coalesce(abs(rzraw) > 3.5, false) AS is_outlier
+        |FROM scored ORDER BY event_type, hour""".stripMargin)
   )
 }

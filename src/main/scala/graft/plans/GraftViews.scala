@@ -192,7 +192,28 @@ case class ResolveGraftViews() extends Rule[LogicalPlan] {
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  /** Text Spark's own grammar rejects gets ONE retry through the
+    * Snowflake-QUALIFY rewrite ([[QualifyRewrite]]); anything else —
+    * including a rewrite that itself fails to parse — rethrows the
+    * ORIGINAL error, so no working query can change meaning and no
+    * broken query gets a misleading message.
+    */
+  private def withQualify[A](sqlText: String)(parse: String => A): A =
+    try parse(sqlText)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        QualifyRewrite.rewrite(sqlText) match {
+          case Some(r) =>
+            try parse(r)
+            catch { case _: Throwable => throw e }
+          case None => throw e
+        }
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
+    withQualify(sqlText)(parsePlanDelegated)
+
+  private def parsePlanDelegated(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case cv: CreateView => cv.child match {
         case ui: UnresolvedIdentifier
@@ -261,6 +282,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case Seq() => mgr.currentCatalog match {
             case g: GraftCatalog if mgr.currentNamespace.length == 1 =>
               Some((g, mgr.currentNamespace.head))
+            case _: GraftCatalog =>
+              // falling through would hand a graft-catalog SHOW VIEWS
+              // to Spark's session-catalog path, which errors opaquely —
+              // name the actual problem instead
+              throw new IllegalArgumentException(
+                "SHOW VIEWS needs a single-part namespace in a graft " +
+                  "catalog; the current namespace is " +
+                  s"[${mgr.currentNamespace.mkString(".")}] — USE " +
+                  "<catalog>.<namespace> first or say SHOW VIEWS IN " +
+                  "<catalog>.<namespace>")
             case _ => None
           }
           case _ => None
@@ -343,7 +374,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseDataType(sqlText: String) =
     delegate.parseDataType(sqlText)
   override def parseQuery(sqlText: String) =
-    delegate.parseQuery(sqlText)
+    withQualify(sqlText)(delegate.parseQuery)
   override def parseRoutineParam(sqlText: String) =
     delegate.parseRoutineParam(sqlText)
 }
@@ -418,9 +449,15 @@ case class ShowGraftViewsCommand(catalog: GraftCatalog, ns: String,
   }
 }
 
-/** `DESCRIBE [EXTENDED] graft.<ns>.<view>` — the recorded output
-  * schema; EXTENDED appends the view-information block (text, definer
-  * context, properties), the Spark DESCRIBE-view shape.
+/** `DESCRIBE [EXTENDED] graft.<ns>.<view>` — the view's CURRENT output
+  * schema, re-derived by analyzing a read of the view (the stored text
+  * re-analyzes on every read, so after an underlying `ALTER TABLE ADD
+  * COLUMNS` a `SELECT *` view serves the new column — DESCRIBE must
+  * agree with what a reader gets, not with the CREATE-time snapshot).
+  * The snapshot is the fallback when the view no longer analyzes (an
+  * underlying table dropped): DESCRIBE still answers, showing the last
+  * known shape. EXTENDED appends the view-information block (text,
+  * definer context, properties), the Spark DESCRIBE-view shape.
   */
 case class DescribeGraftViewCommand(catalog: GraftCatalog, ns: String,
     name: String, isExtended: Boolean)
@@ -432,7 +469,10 @@ case class DescribeGraftViewCommand(catalog: GraftCatalog, ns: String,
     import org.apache.spark.sql.Row
     val view = catalog.loadView(
       org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
-    val cols = view.schema().fields.toSeq.map { f =>
+    val schema = scala.util.Try(spark.sql(
+      s"SELECT * FROM `${catalog.name}`.`$ns`.`$name`").schema)
+      .getOrElse(view.schema())
+    val cols = schema.fields.toSeq.map { f =>
       Row(f.name, f.dataType.simpleString,
         if (f.getComment().isDefined) f.getComment().get else null)
     }
