@@ -87,7 +87,12 @@ object Multimodal {
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     val w = (col("n_chars") % 640 + 32).cast("int")
     val h = (col("n_chars") % 480 + 32).cast("int")
-    val body = encode(col("text"), "UTF-8")
+    // string→binary CAST (= UTF-8 bytes), deliberately not encode():
+    // encode plans as a StaticInvoke holding a Class object, whose
+    // identity hashCode makes Catalyst's commutative-operand reorder
+    // (`36 + length(body)` vs `length(body) + 36`) flip per JVM — the
+    // one plan-fingerprint instability two same-code bench runs showed
+    val body = col("text").cast("binary")
     val png = concat(
       bin(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
         0, 0, 0, 13, 'I', 'H', 'D', 'R'),              // IHDR len + type
@@ -100,18 +105,18 @@ object Multimodal {
         0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, // APP0, len 16
         0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00),
       bin(0xFF, 0xFE), be(jpegPad + 2, 2),             // COM, len incl self
-      encode(repeat(lit("x"), jpegPad), "UTF-8"),
+      repeat(lit("x"), jpegPad).cast("binary"),
       bin(0xFF, 0xC0, 0x00, 0x11, 0x08),               // SOF0, len 17, prec 8
       be(h, 2), be(w, 2),
       bin(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01),
       body)
     val wav = concat(
-      encode(lit("RIFF"), "UTF-8"), le(length(body) + 36, 4),
-      encode(lit("WAVEfmt "), "UTF-8"), le(lit(16), 4),
+      lit("RIFF").cast("binary"), le(length(body) + 36, 4),
+      lit("WAVEfmt ").cast("binary"), le(lit(16), 4),
       le(lit(1), 2), le(lit(2), 2),                    // PCM, stereo
       le(lit(44100), 4), le(lit(44100 * 4), 4),        // rate, byte rate
       le(lit(4), 2), le(lit(16), 2),                   // block align, depth
-      encode(lit("data"), "UTF-8"), le(length(body), 4),
+      lit("data").cast("binary"), le(length(body), 4),
       body)
     val fmt = element_at(array(lit("jpeg"), lit("png"), lit("wav")),
       (col("doc_id") % 3 + 1).cast("int"))

@@ -2460,6 +2460,27 @@ class CatalogSpec extends SparkSpec {
       s"subquery-only cycle not detected: ${cyc.getMessage}")
   }
 
+  test("view definer namespace with a dotted part round-trips: a view declared under USE cat.`x.y` still binds its bare names there on read") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vdd").toString
+    spark.conf.set("spark.sql.catalog.dcd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dcd.warehouse", wh)
+    // a namespace whose single PART contains '.' — legal via backticks;
+    // the old dot-joined definer record mis-split it into two parts
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dcd.`x.y`")
+    spark.sql("""CREATE TABLE dcd.`x.y`.t (id BIGINT, v BIGINT)
+      USING graft TBLPROPERTIES ('mergeKeys'='id', 'buckets'='2')""")
+    spark.sql("INSERT INTO dcd.`x.y`.t VALUES (1, 100), (2, 200)")
+    try {
+      spark.sql("USE dcd.`x.y`")
+      spark.sql("""CREATE VIEW dcd.`x.y`.dotted AS
+        SELECT sum(v) AS sv FROM t""")
+    } finally spark.sql("USE spark_catalog.default")
+    // read from a different context: the bare `t` must re-qualify to
+    // dcd.`x.y`.t (one dotted part), never dcd.x.y.t (two parts)
+    assert(spark.sql("SELECT sv FROM dcd.`x.y`.dotted").head.getLong(0)
+      == 300L, "dotted definer namespace part mis-split on read")
+  }
+
   test("SHOW VIEWS and DESCRIBE VIEW: the SQL verbs list and describe stored graft views (patterns, temp views, EXTENDED block), tables keep their own DESCRIBE path") {
     val wh = java.nio.file.Files.createTempDirectory("graft_sdv").toString
     spark.conf.set("spark.sql.catalog.sdv", classOf[GraftCatalog].getName)
@@ -2553,6 +2574,20 @@ class CatalogSpec extends SparkSpec {
       s"view DDL wrong:\n$ddl")
     assert(spark.sql("SHOW CREATE TABLE sdv.ops.t").head.getString(0)
       .contains("CREATE TABLE"), "table SHOW CREATE path broken")
+
+    // DESCRIBE freshness: a `SELECT *` view's reads re-analyze the
+    // stored text, so an underlying ADD COLUMNS surfaces the new column
+    // in SELECT — DESCRIBE must agree with the reader, not with the
+    // CREATE-time snapshot
+    spark.sql("CREATE VIEW sdv.ops.v_star AS SELECT * FROM sdv.ops.t")
+    assert(spark.sql("DESCRIBE sdv.ops.v_star").collect()
+      .map(_.getString(0)).toSeq == Seq("id", "v"))
+    spark.sql("ALTER TABLE sdv.ops.t ADD COLUMNS (w BIGINT)")
+    assert(spark.sql("SELECT * FROM sdv.ops.v_star").schema.fieldNames
+      .toSeq == Seq("id", "v", "w"), "SELECT * view missed ADD COLUMNS")
+    assert(spark.sql("DESCRIBE sdv.ops.v_star").collect()
+      .map(_.getString(0)).toSeq == Seq("id", "v", "w"),
+      "DESCRIBE VIEW served the stale CREATE-time schema")
   }
 
   test("TRUNCATE TABLE and bare DELETE FROM: one logical commit each, pre-truncate snapshots stay travelable") {
