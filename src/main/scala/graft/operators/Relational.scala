@@ -1114,6 +1114,62 @@ object Relational {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ----------------------------------------------------------------
+    // Benford first-digit analysis per return-flag (round 15): the
+    // classic financial-forensics screen the reference's anomaly layer
+    // (sql/06_anomaly_detection.sql) motivates — fabricated amounts
+    // drift from the log10(1 + 1/d) first-digit law. The digit comes
+    // from integer CENTS rendered as a string (exact and identical in
+    // both engines; double→string formatting and log10-at-power-of-ten
+    // boundaries are not). One keyed aggregate + a ≤9-row-per-group
+    // stats join; the chi-square statistic sums over the 9 digits with
+    // a partition window. Map-side partial aggregation carries the
+    // whole thing at 100 TB — the digit grain is |groups|×9.
+    "q_benford" -> Q(
+      (s, d) => {
+        val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+        val digits = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("grp"),
+            substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        val counts = digits.groupBy("grp", "digit")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("grp").agg(sum("n").as("total"))
+        val w = Window.partitionBy("grp")
+        counts.join(totals, "grp")
+          .withColumn("p_exp",
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+          .withColumn("p_obs", col("n").cast("double") / col("total"))
+          .withColumn("chi2", round(sum(
+            pow(col("n").cast("double") - col("total") * col("p_exp"), 2)
+              / (col("total") * col("p_exp"))).over(w), 6))
+          .select(col("grp"), col("digit"), col("n"),
+            round(col("p_obs"), 6).as("p_obs"),
+            round(col("p_exp"), 6).as("p_exp"),
+            round(abs(col("p_obs") - col("p_exp")), 6).as("dev"),
+            col("chi2"))
+          .orderBy("grp", "digit")
+      },
+      """WITH digits AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |counts AS (
+        |  SELECT grp, digit, count(*) AS n FROM digits GROUP BY 1, 2),
+        |tot AS (SELECT grp, sum(n) AS total FROM counts GROUP BY 1),
+        |j AS (
+        |  SELECT c.grp, c.digit, c.n, t.total,
+        |    log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) AS p_exp,
+        |    CAST(c.n AS DOUBLE) / t.total AS p_obs
+        |  FROM counts c JOIN tot t USING (grp))
+        |SELECT grp, digit, n,
+        |  round(p_obs, 6) AS p_obs,
+        |  round(p_exp, 6) AS p_exp,
+        |  round(abs(p_obs - p_exp), 6) AS dev,
+        |  round(sum(pow(CAST(n AS DOUBLE) - total * p_exp, 2)
+        |    / (total * p_exp)) OVER (PARTITION BY grp), 6) AS chi2
+        |FROM j ORDER BY grp, digit""".stripMargin)
   )
 }

@@ -538,6 +538,40 @@ object Similarity {
         |  cast(embedding[3] as double) / nrm AS u2
         |FROM e ORDER BY vec_id""".stripMargin),
 
+    // Matryoshka (MRL) truncation audit (round 15): training stacks
+    // serve nested-prefix embeddings — the 16-dim prefix of a 64-dim
+    // MRL vector is itself a usable embedding after renormalization.
+    // This measures, per vector, how much mass the prefix carries
+    // (mass16 = ‖v[:16]‖²/‖v‖² — the decision input for "can we ship
+    // the truncated index?") plus leading renormalized components.
+    // Map-only, no shuffle but the presentation sort; same exact
+    // cross-engine arithmetic as emb_normalize (ordered double
+    // accumulation both sides).
+    "emb_mrl" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+        .withColumn("nrm16", VectorOps.norm(slice(col("embedding"), 1, 16)))
+        .select(col("vec_id"), col("nrm"), col("nrm16"),
+          round((col("nrm16") * col("nrm16")) / (col("nrm") * col("nrm")),
+            6).as("mass16"),
+          (element_at(col("embedding"), 1).cast("double") / col("nrm16"))
+            .as("t0"),
+          (element_at(col("embedding"), 2).cast("double") / col("nrm16"))
+            .as("t1"))
+        .orderBy("vec_id"),
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> cast(x as double) * cast(x as double)))) AS nrm,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |      x -> cast(x as double) * cast(x as double)))) AS nrm16
+        |  FROM embeddings)
+        |SELECT vec_id, nrm, nrm16,
+        |  round((nrm16 * nrm16) / (nrm * nrm), 6) AS mass16,
+        |  cast(embedding[1] as double) / nrm16 AS t0,
+        |  cast(embedding[2] as double) / nrm16 AS t1
+        |FROM e ORDER BY vec_id""".stripMargin),
+
     // Per-label embedding statistics: dimension-wise centroid via
     // posexplode + partial-aggregated groupBy — the distributed form of a
     // k-means M-step (no vector ever holds a whole partition's data).

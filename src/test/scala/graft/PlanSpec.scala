@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
       s"no keyed join in the range-join plan:\n${p.take(2000)}")
   }
 
+  test("ev_mad_outlier keys every aggregate on event_type and never force-broadcasts the stats dims") {
+    val p = plan("ev_mad_outlier")
+    assert(!p.contains("SinglePartition"),
+      s"a MAD pass funneled through one partition:\n${p.take(2000)}")
+  }
+
   test("doc_token_entropy partitions its count window by doc_id (no single-partition funnel)") {
     val p = plan("doc_token_entropy")
     assert(!p.contains("SinglePartition"),
