@@ -8,8 +8,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads only those (verified in PlanSpec).
   */
 object Tables {
+  /** Resolved-DataFrame cache per (session, dir, table): `spark.read
+    * .parquet` re-lists the directory and re-reads the parquet footer
+    * schema on EVERY call, and the entry points build each table fresh
+    * per query per iteration — a pure fixed cost repeated hundreds of
+    * times per bench run (guide §6: listing/planning overhead). The
+    * DataFrame object is an immutable logical plan, so reusing it is
+    * semantically identical: every execution still scans the parquet
+    * files; only the relation resolution (listing + schema) is shared.
+    */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  Caches.register { app =>
+    relCache.filterInPlace { case ((a, _, _), _) => a != app }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -58,6 +58,67 @@ object RawSynth {
         "l_quantity", "l_extendedprice", "l_discount")
       .withColumn("pos", row_number().over(posWindow))
 
+  /** ONE pass over lineitem shared by all three format branches: each
+    * line row builds exactly the string its order's format (orderkey %3)
+    * needs — JSON object, XML element, or (for CSV) nothing — and one
+    * keyed aggregation produces per-order `lines_json`, `lines_xml` and
+    * the CSV first-line fields. Previously each branch ran its own
+    * row_number window and its own collect_list aggregation over ALL
+    * lineitem rows (building strings that 2/3 of orders then discarded):
+    * 3 windows + 2 aggregations + 1 filtered join → 1 window + 1
+    * aggregation, and per-row string work drops ~2/3 (guide §1.2/§2.4 —
+    * fewer passes, fewer shuffles). Payload bytes are unchanged: the
+    * conditional `when(m3 = k, …)` feeds collect_list, which skips null
+    * inputs, so each order aggregates exactly the strings its own format
+    * branch used to build, in the same pos order.
+    */
+  private def lineAgg(sp: SparkSession, dir: String): DataFrame = {
+    val lp = linesWithPos(sp, dir)
+      .withColumn("m3", col("l_orderkey") % 3)
+      .withColumn("v0", col("l_orderkey") % 2 === 0)
+    val jsonObj = concat(lit("{"), concat_ws(",",
+      when(col("pos") % 4 =!= 0, concat(lit("\"line_number\":"), s(col("pos")))),
+      concat(when(col("v0"), lit("\"item_id\":\"ITEM")).otherwise(lit("\"sku\":\"ITEM")),
+        s(col("l_partkey")), lit("\"")),
+      concat(when(col("v0"), lit("\"description\":\"part ")).otherwise(lit("\"item_name\":\"part ")),
+        s(col("l_partkey")), lit("\"")),
+      concat(when(col("v0"), lit("\"quantity\":")).otherwise(lit("\"qty\":")), qtyStr),
+      concat(when(col("v0"), lit("\"unit_price\":")).otherwise(lit("\"price\":")),
+        d2s(col("l_extendedprice"))),
+      concat(when(col("v0"), lit("\"line_amount\":")).otherwise(lit("\"amount\":")),
+        lineAmtStr)
+    ), lit("}"))
+    val xmlObj = concat(lit("<line item_id=\"ITEM"), s(col("l_partkey")),
+      lit("\" description=\"part "), s(col("l_partkey")),
+      lit("\" quantity=\""), qtyStr,
+      lit("\" unit_price=\""), d2s(col("l_extendedprice")),
+      lit("\" line_amount=\""), lineAmtStr,
+      lit("\"/>"))
+    lp.groupBy(col("l_orderkey"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("m3") === 0, struct(col("pos"), jsonObj.as("obj"))))),
+          x => x.getField("obj")), ",").as("lines_json"),
+        array_join(transform(array_sort(collect_list(
+          when(col("m3") === 1, struct(col("pos"), xmlObj.as("obj"))))),
+          x => x.getField("obj")), "").as("lines_xml"),
+        min_by(struct(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")), col("pos")).as("fl"))
+  }
+
+  private val lineAggCache = graft.Caches.dfCache()
+
+  /** The shared aggregation is referenced by all three branches of the
+    * headers union; exchange reuse would already collapse the identical
+    * subtrees inside ONE query, but the three raw batches are also read
+    * as separate queries (ing_json_normalize etc.), so the one-pass
+    * result is persisted like the other session-scoped staging tables.
+    */
+  private[graft] def lineAggCached(sp: SparkSession, dir: String): DataFrame =
+    lineAggCache.getOrElseUpdate(sp, dir)(
+      graft.Caches.pinLayout(lineAgg(sp, dir),
+        Seq(col("l_orderkey")), Seq(col("l_orderkey"))))
+
   private def qtyStr: Column =
     when(col("l_partkey") % 113 === 0, concat(lit("-"), d2s(col("l_quantity"))))
       .otherwise(d2s(col("l_quantity")))
@@ -79,25 +140,11 @@ object RawSynth {
     * file_type, payload (string).
     */
   def jsonRaw(sp: SparkSession, dir: String): DataFrame = {
-    val lp = linesWithPos(sp, dir).withColumn("v0", col("l_orderkey") % 2 === 0)
-    val obj = concat(lit("{"), concat_ws(",",
-      when(col("pos") % 4 =!= 0, concat(lit("\"line_number\":"), s(col("pos")))),
-      concat(when(col("v0"), lit("\"item_id\":\"ITEM")).otherwise(lit("\"sku\":\"ITEM")),
-        s(col("l_partkey")), lit("\"")),
-      concat(when(col("v0"), lit("\"description\":\"part ")).otherwise(lit("\"item_name\":\"part ")),
-        s(col("l_partkey")), lit("\"")),
-      concat(when(col("v0"), lit("\"quantity\":")).otherwise(lit("\"qty\":")), qtyStr),
-      concat(when(col("v0"), lit("\"unit_price\":")).otherwise(lit("\"price\":")),
-        d2s(col("l_extendedprice"))),
-      concat(when(col("v0"), lit("\"line_amount\":")).otherwise(lit("\"amount\":")),
-        lineAmtStr)
-    ), lit("}"))
-    val ljson = lp.withColumn("obj", obj)
-      .groupBy(col("l_orderkey"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("obj")))),
-          x => x.getField("obj")), ",").as("lines_json"))
-
+    val ljson = lineAggCached(sp, dir).select("l_orderkey", "lines_json")
+      // an order whose rows all fed the OTHER branches aggregates an
+      // empty string; the pre-refactor per-branch aggregation never saw
+      // such orders (they are filtered below anyway — %3 partitions the
+      // key space), so this select is total-result-identical
     val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 === 0))
       .join(ljson, col("o_orderkey") === col("l_orderkey"), "left")
 
@@ -140,8 +187,13 @@ object RawSynth {
     * "0..6=header, 7..11=line" mapping_assumption.
     */
   def csvRaw(sp: SparkSession, dir: String): DataFrame = {
-    val l1 = linesWithPos(sp, dir).filter(col("pos") === 1)
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    // first-line fields come from the shared aggregation's min_by struct —
+    // the same row the old `filter(pos === 1)` join selected
+    val l1 = lineAggCached(sp, dir)
+      .select(col("l_orderkey"), col("fl.l_partkey").as("l_partkey"),
+        col("fl.l_quantity").as("l_quantity"),
+        col("fl.l_extendedprice").as("l_extendedprice"),
+        col("fl.l_discount").as("l_discount"))
     val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 === 2))
       .join(l1, col("o_orderkey") === col("l_orderkey"), "left")
     val fields = array(
@@ -179,18 +231,7 @@ object RawSynth {
     * `orders` ground truth.
     */
   def xmlRaw(sp: SparkSession, dir: String): DataFrame = {
-    val lp = linesWithPos(sp, dir)
-    val lxml = lp.withColumn("obj",
-      concat(lit("<line item_id=\"ITEM"), s(col("l_partkey")),
-        lit("\" description=\"part "), s(col("l_partkey")),
-        lit("\" quantity=\""), qtyStr,
-        lit("\" unit_price=\""), d2s(col("l_extendedprice")),
-        lit("\" line_amount=\""), lineAmtStr,
-        lit("\"/>")))
-      .groupBy(col("l_orderkey"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("obj")))),
-          x => x.getField("obj")), "").as("lines_xml"))
+    val lxml = lineAggCached(sp, dir).select("l_orderkey", "lines_xml")
     val o = withBase(Tables.orders(sp, dir).filter(col("o_orderkey") % 3 === 1))
       .join(lxml, col("o_orderkey") === col("l_orderkey"), "left")
     val payload = concat(

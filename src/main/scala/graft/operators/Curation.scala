@@ -70,7 +70,7 @@ object Curation {
     * growth — and a persisted entry is actually releasable by the
     * Caches hook (unpersist is a no-op on checkpoint-backed plans).
     */
-  private def nearDupEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#edges"), {
       val exactPairs = Dedup.defs("doc_dedup_exact").fn(s, d)
         .filter(col("is_dup"))
@@ -88,7 +88,7 @@ object Curation {
       e
     })
 
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
       // checkpoint per round (Iterate.checkpoint: reliable when the
       // session has a checkpoint dir, local otherwise) truncates the
@@ -208,7 +208,7 @@ object Curation {
     out
   }
 
-  private def bigStarCached(s: SparkSession, d: String): DataFrame =
+  private[graft] def bigStarCached(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate(
       (s.sparkContext.applicationId, d + "#bigstar"), bigStarLabels(s, d))
 

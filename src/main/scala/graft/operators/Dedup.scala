@@ -103,7 +103,8 @@ object Dedup {
     * (Bench line item).
     */
   def buildCandidates(s: SparkSession, d: String): Long =
-    lshCandidates(s, d).count() + hashedShingles(s, d).count()
+    lshCandidates(s, d).count() + hashedShingles(s, d).count() +
+      containmentCandidatesCached(s, d).count()
 
   /** Rare winnowing fingerprints per doc — the (fp, doc_id) index behind
     * doc_fingerprint_pairs. Materialized per session like the LSH
@@ -113,17 +114,34 @@ object Dedup {
     */
   private val fpCache = graft.Caches.dfCache()
 
+  /** FULL winnowing fingerprint index — every (doc_id, fp) pair, before
+    * the df-prune. Materialized once per (session, dir): the char-gram
+    * hash + winnow chain is the dominant per-doc map cost, and it was
+    * previously re-run by doc_fingerprint on every execution AND by the
+    * rare-index build — one stored index now feeds both (the same
+    * stored-table pattern as the LSH candidates; guide §1.2, do the
+    * expensive pass once).
+    */
+  private val fpAllCache = graft.Caches.dfCache()
+
+  private[operators] def allFingerprints(s: SparkSession, d: String): DataFrame =
+    fpAllCache.getOrElseUpdate(s, d) {
+      graft.Caches.pinLayout(
+        docs(s, d)
+          .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
+          .select(col("doc_id"),
+            explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp")),
+        partKeys = Seq(col("fp")), order = Seq(col("fp"), col("doc_id")))
+    }
+
   private def rareFingerprints(s: SparkSession, d: String): DataFrame =
     fpCache.getOrElseUpdate(s, d) {
-      // df-filter as a window count over the fp shuffle: ONE pass over the
-      // corpus and ONE shuffle (winnowFromHashes already array_distincts
-      // per doc, so the exploded (doc, fp) pairs are unique — no global
-      // distinct needed), no groupBy-then-rejoin second pass
+      // df-filter as a window count over the cached full index: the pin
+      // already hash-partitioned it by fp, so the window adds no exchange
+      // (winnowFromHashes already array_distincts per doc, so the (doc,
+      // fp) pairs are unique — no global distinct needed)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val idx = docs(s, d)
-        .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
-        .select(col("doc_id"),
-          explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fp"))
+      val idx = allFingerprints(s, d)
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxFpDf)
         .drop("df")
@@ -131,9 +149,9 @@ object Dedup {
         order = Seq(col("fp"), col("doc_id")))
     }
 
-  /** Force the one-time fingerprint-index build (Bench line item). */
+  /** Force the one-time fingerprint-index builds (Bench line item). */
   def buildFingerprints(s: SparkSession, d: String): Long =
-    rareFingerprints(s, d).count()
+    allFingerprints(s, d).count() + rareFingerprints(s, d).count()
 
   /** Deterministic containment candidates: pairs sharing ≥ 2 rare shingles
     * (df ≤ MaxFpDf) from the inverted index, UNIONed with each exact-dup
@@ -149,6 +167,19 @@ object Dedup {
     * those pairs at linear cost (one pair per group member, via the
     * group's min-id canonical — never the quadratic all-pairs).
     */
+  /** Materialized per (session, dir) like the LSH candidates: the two
+    * containment queries both start from this exact frame, and each
+    * execution previously re-ran the df-window + self-join + exact-dup
+    * chain — the dominant cost of both. Forced by `buildCandidates` so
+    * the bench charges it to the candidate-index build line item.
+    */
+  private val contCache = graft.Caches.dfCache()
+
+  private def containmentCandidatesCached(s: SparkSession, d: String): DataFrame =
+    contCache.getOrElseUpdate(s, d)(graft.Caches.pinLayout(
+      containmentCandidates(s, d),
+      partKeys = Seq(col("doc_a")), order = Seq(col("doc_a"), col("doc_b"))))
+
   private def containmentCandidates(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val rare = hashedShingles(s, d)
@@ -336,7 +367,7 @@ object Dedup {
     "doc_containment" -> Q(
       (s, d) => {
         val sets = hashedShingles(s, d)
-        containmentCandidates(s, d)
+        containmentCandidatesCached(s, d)
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
@@ -378,7 +409,7 @@ object Dedup {
     "doc_containment_lsh" -> Q(
       (s, d) => {
         val sets = hashedShingles(s, d)
-        containmentCandidates(s, d)
+        containmentCandidatesCached(s, d)
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
             "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),

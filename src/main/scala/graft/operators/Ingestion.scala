@@ -58,7 +58,7 @@ object Ingestion {
     * (sql/03_transform_headers.sql:26,59) — survivorship and every
     * downstream grain see all three sources.
     */
-  private def allHeaders(s: SparkSession, d: String): DataFrame =
+  private[graft] def allHeaders(s: SparkSession, d: String): DataFrame =
     materialize(s, d, "headers",
       partKeys = Seq(col("payload_hash")),
       order = Seq(col("src_file"), col("src_row_number"))) {
@@ -66,7 +66,7 @@ object Ingestion {
         jsonHeaders(s, d), xmlHeaders(s, d), csvHeaders(s, d))
     }
 
-  private def survivors(s: SparkSession, d: String): DataFrame =
+  private[graft] def survivors(s: SparkSession, d: String): DataFrame =
     materialize(s, d, "survivors",
       partKeys = Seq(col("canonical_txn_id")),
       order = Seq(col("canonical_txn_id"), col("src_file"),
@@ -80,7 +80,7 @@ object Ingestion {
   // the line grain is read by four queries (canon_lines, anomaly_line,
   // ops_anomaly_counts, smoke_counts) — stored once like the reference's
   // CAN_TXN_LINE table, not re-flattened per query
-  private def allLines(s: SparkSession, d: String): DataFrame =
+  private[graft] def allLines(s: SparkSession, d: String): DataFrame =
     materialize(s, d, "lines",
       partKeys = Seq(col("canonical_txn_id")),
       order = Seq(col("canonical_txn_id"), col("line_number"),

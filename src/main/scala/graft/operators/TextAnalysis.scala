@@ -512,12 +512,13 @@ object TextAnalysis {
     // (doc, fingerprint) grain — the unit a cross-corpus plagiarism /
     // near-dup index is built on. Rows-only: DuckDB lacks xxhash64.
     "doc_fingerprint" -> Q(
-      (s, d) => docs(s, d)
-        // k-gram hashes bound as a column first — windowing over an inlined
-        // hash expression would re-hash the text once per window (O(n²))
-        .select(col("doc_id"), TextOps.kgramHashes(col("text"), k = 8).as("hs"))
-        .select(col("doc_id"),
-          explode(TextOps.winnowFromHashes(col("hs"), w = 4)).as("fingerprint"))
+      // the stored full winnowing index (Dedup.allFingerprints — built
+      // once per session/dir, forced by build:fingerprints) IS this
+      // query's grain; re-deriving the char-gram hash + winnow chain per
+      // execution repeated the corpus's dominant map cost. Same rows,
+      // same schema.
+      (s, d) => Dedup.allFingerprints(s, d)
+        .select(col("doc_id"), col("fp").as("fingerprint"))
         .orderBy("doc_id", "fingerprint"),
       None),
 
@@ -597,16 +598,54 @@ object TextAnalysis {
     * Output: one row per learned merge — (rank, left, right, merged,
     * pair_freq at learn time).
     */
+  /** Vocab-size gate for the driver-side merge learner: below this many
+    * distinct multi-symbol words (≈ ≤100 MB of driver state) the rounds
+    * run as a plain Scala loop over the collected word-frequency table —
+    * the shape every production BPE trainer uses (the corpus-sized work,
+    * word counting, stays distributed; the merge loop is vocabulary-sized
+    * by construction). Above it, the distributed round loop runs instead,
+    * so an open 100 TB vocabulary never lands on the driver (guide §5).
+    */
+  val BpeDriverVocabCap = 1000000L
+
   def bpeTrain(s: SparkSession, d: String, maxMerges: Int,
-      minFreq: Long): DataFrame = {
+      minFreq: Long, driverVocabCap: Long = BpeDriverVocabCap): DataFrame = {
     val empty = array().cast("array<string>")
-    var words = docs(s, d)
+    // a word reduced to ONE symbol can never form another pair — drop it
+    // from the working table for good (the table only feeds pair counts),
+    // shrinking every subsequent round's scan; single-char words fall out
+    // before round 1. Pair counts (and so the learned merges) are
+    // untouched: length-1 symbol lists contribute zero pairs.
+    def viable(df: DataFrame): DataFrame = df.filter(size(col("syms")) >= 2)
+    var words = viable(docs(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .select(filter(split(col("word"), ""), x => x =!= "").as("syms"),
-        col("freq"))
+        col("freq")))
       .persist()
-    words.count()
+    val vocab = words.count()
+    if (vocab <= driverVocabCap) {
+      // driver fast path: one distributed pass built the (syms, freq)
+      // table; the ≤maxMerges merge rounds are pure in-memory loops —
+      // identical argmax tie-break ((freq desc, left, right) in UTF8
+      // BINARY order, matching Spark's string sort) and identical greedy
+      // left-to-right application (a fresh symbol never re-merges within
+      // its own round), so the learned table is byte-equal to the
+      // distributed loop's
+      val collected = words.collect().map { r =>
+        (r.getSeq[String](0).toArray, r.getLong(1))
+      }
+      words.unpersist()
+      val learned = bpeTrainLocal(collected, maxMerges, minFreq)
+      import s.implicits._
+      return learned.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+        .orderBy("rank")
+    }
+    // the previous round's table: unpersisted only after the CURRENT one
+    // materializes (the argmax job below reads it through the cache) — this
+    // folds the old per-round `count()` materialization job into the argmax
+    // job, halving the loop's job count (guide §1.2: fewer passes)
+    var prev: DataFrame = null
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -620,32 +659,99 @@ object TextAnalysis {
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
           .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
           .groupBy("l", "r").agg(sum("freq").as("pf"))
+        // ONE job per round: TakeOrdered argmax, which also materializes
+        // the lazily-persisted current words table
         val best = pairs.orderBy(col("pf").desc, col("l"), col("r"))
           .limit(1).collect()
+        if (prev != null) { prev.unpersist(); prev = null }
         if (best.isEmpty || best(0).getAs[Long]("pf") < minFreq) done = true
         else {
           val l = best(0).getString(0)
           val r = best(0).getString(1)
           learned += ((rank, l, r, l + r, best(0).getAs[Long]("pf")))
-          val applied = words.withColumn("syms",
+          val applied = viable(words.withColumn("syms",
             aggregate(col("syms"), empty, (acc, x) =>
               when(size(acc) > 0 &&
                   element_at(acc, -1) === lit(l) && x === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))))
-          // truncate lineage every few rounds (localCheckpoint is already
-          // eager + cached); otherwise re-persist and materialize
-          val next =
-            if ((rank + 1) % 8 == 0) applied.localCheckpoint(true)
-            else { val n = applied.persist(); n.count(); n }
-          words.unpersist()
-          words = next
+                .otherwise(concat(acc, array(x))))))
+          // truncate lineage every few rounds (localCheckpoint is eager, so
+          // it materializes NOW — reading words through the cache — and the
+          // parent can be freed immediately); otherwise persist lazily and
+          // let the next argmax materialize it
+          if ((rank + 1) % 8 == 0) {
+            val next = applied.localCheckpoint(true)
+            words.unpersist()
+            words = next
+          } else {
+            prev = words
+            words = applied.persist()
+          }
           rank += 1
         }
       }
-    } finally { words.unpersist(); () }
+    } finally {
+      words.unpersist()
+      if (prev != null) prev.unpersist()
+      ()
+    }
     import s.implicits._
     learned.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
       .orderBy("rank")
+  }
+
+  /** The merge-learning rounds as a plain Scala loop over an in-memory
+    * word-frequency table — semantics identical to the distributed loop:
+    * argmax by (pair freq desc, left, right) with strings compared in
+    * UTF-8 BINARY order (Spark's sort order), greedy left-to-right merge
+    * application in which the freshly created symbol never re-merges
+    * within the same round, and words reduced below two symbols dropped.
+    */
+  private[graft] def bpeTrainLocal(words0: Array[(Array[String], Long)],
+      maxMerges: Int, minFreq: Long)
+      : Seq[(Int, String, String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    var words = words0.filter(_._1.length >= 2)
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < maxMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val best = pc.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, cand @ ((cl, cr), cf)) => acc match {
+          case Some(((bl, br), bf)) =>
+            if (cf > bf || (cf == bf && (u8lt(cl, bl) ||
+                (cl == bl && u8lt(cr, br))))) Some(cand) else acc
+          case None => Some(cand)
+        }
+      }
+      best match {
+        case Some(((l, r), f)) if f >= minFreq =>
+          learned += ((rank, l, r, l + r, f))
+          words = words.flatMap { case (syms, wf) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc(acc.length - 1) = l + r
+              else acc += x
+            }
+            if (acc.length >= 2) Some((acc.toArray, wf)) else None
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    learned.toSeq
   }
 }
