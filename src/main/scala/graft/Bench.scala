@@ -48,6 +48,7 @@ object Bench {
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
         operators.Ingestion.buildCanonical(spark, warmDir)
+        operators.Curation.buildTfIndex(spark, warmDir)
         operators.Dedup.buildCandidates(spark, warmDir)
         operators.Dedup.buildFingerprints(spark, warmDir)
         operators.Similarity.buildIndex(spark, warmDir)
@@ -63,6 +64,10 @@ object Bench {
     val builds = Seq(
       "build:canonical" -> timed("build:canonical")(
         operators.Ingestion.buildCanonical(spark, sfDir)),
+      // round 15: the stored token-frequency index (ADDED line item —
+      // existing entries keep their names)
+      "build:tf_index" -> timed("build:tf_index")(
+        operators.Curation.buildTfIndex(spark, sfDir)),
       "build:lsh_candidates" -> timed("build:lsh_candidates")(
         operators.Dedup.buildCandidates(spark, sfDir)),
       "build:fingerprints" -> timed("build:fingerprints")(

@@ -29,6 +29,22 @@ object Tables {
       (spark.sparkContext.applicationId, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Fan an unsplittable scan out to the session's parallelism BEFORE
+    * per-row heavy map work (tokenizing, hashing, pair scoring). The
+    * test inputs are single-row-group parquet files, so their scans are
+    * one task each and everything before the first exchange runs on one
+    * core (guide §2.5: unsplittable input → repartition immediately
+    * after the read). Scale-adaptive, not a local[32] constant: when the
+    * scan already yields at least half the session's parallelism — any
+    * real multi-file corpus — this is the identity, so no corpus-wide
+    * round-robin shuffle is ever added at scale.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (p <= 2 || df.rdd.getNumPartitions >= math.max(2, p / 2)) df
+    else df.repartition(p)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

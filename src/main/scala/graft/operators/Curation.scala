@@ -36,6 +36,9 @@ object Curation {
       logger.warn(s"connected-components $loop hit its $rounds-round cap WITHOUT " +
         "converging — cluster labels may be incomplete for deep components")
 
+  // NOT fanned out: this module's per-row map work is plain tokenizing,
+  // measured cheaper than the repartition exchange fanOut would add (the
+  // heavy hash chains live in Dedup/Similarity, which do fan out)
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
@@ -279,13 +282,35 @@ object Curation {
     * physical scan (PlanSpec locks the scan budget and the absence of
     * foldable-partition windows / vocab-grain broadcast hints).
     */
+  /** Stored (doc_id, lang, term, tf) token-frequency index — the shared
+    * front half of six text operators (LM scoring, CCNet bucketing, DSIR
+    * weighting, TF-IDF, token entropy, Zipf), each of which previously
+    * re-ran the tokenize→explode→count pass per execution. `lang` is a
+    * document attribute, so the (doc_id, lang, term) and (doc_id, term)
+    * grains hold the SAME rows — one index serves both key shapes by
+    * column selection. Pinned/partitioned on `term` because every
+    * scoring join keys on it. Forced by `buildTfIndex` (its own Bench
+    * line item, the stored-table pattern).
+    */
+  private val tfCache = graft.Caches.dfCache()
+
+  private[operators] def tfIndex(s: SparkSession, d: String): DataFrame =
+    tfCache.getOrElseUpdate(s, d)(graft.Caches.pinLayout(
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(count(lit(1)).as("tf")),
+      partKeys = Seq(col("term")), order = Seq(col("term"), col("doc_id"))))
+
+  /** Force the one-time token-frequency index (Bench line item). */
+  def buildTfIndex(s: SparkSession, d: String): Long =
+    tfIndex(s, d).count()
+
   private def unigramScoredTf(s: SparkSession, d: String,
       withLang: Boolean): DataFrame = {
     val keys = if (withLang) Seq("doc_id", "lang") else Seq("doc_id")
-    val tf = docs(s, d)
-      .select(keys.map(col) :+ explode(TextOps.tokens(col("text"))).as("term"): _*)
-      .groupBy((keys :+ "term").map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfIndex(s, d).select((keys :+ "term" :+ "tf").map(col): _*)
     val unigram = tf.groupBy("term").agg(sum("tf").as("c"))
     val totals = unigram.agg(sum("c").as("t_tokens"),
       count(lit(1)).as("vocab"))
@@ -420,9 +445,7 @@ object Curation {
     // because equal (tf, df) pairs produce bit-equal scores.
     "doc_tfidf_topk" -> Q(
       (s, d) => {
-        val terms = docs(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val tf = tfIndex(s, d).select("doc_id", "term", "tf")
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -664,13 +687,11 @@ object Curation {
     // whole-frame window over the vocab grain.
     "doc_importance_weight" -> Q(
       (s, d) => {
-        // ONE corpus scan: (doc, term) counts feed both the vocab-grain
-        // LLR dim (conditional agg folds target + raw counts into one
-        // pass) and the per-doc scoring join (sum tf·llr ≡ per-token sum)
-        val tf = docs(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        // the stored tf index: (doc, term) counts feed both the vocab-
+        // grain LLR dim (conditional agg folds target + raw counts into
+        // one pass) and the per-doc scoring join (sum tf·llr ≡ per-token
+        // sum)
+        val tf = tfIndex(s, d)
         val counts = tf.groupBy("term")
           .agg(sum("tf").as("c_raw"),
             sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_tgt"))

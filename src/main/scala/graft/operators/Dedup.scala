@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // fanOut: the heavy per-row map work (tokenize/shingle/hash chains)
+  // must not serialize on a one-row-group input scan — see Tables.fanOut
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select("doc_id", "text")
+    Tables.fanOut(Tables.documents(s, d).select("doc_id", "text"))
 
   private val K = 32       // minhash signature length
   // 8 bands × 4 rows: candidate probability 1-(1-j⁴)⁸ ≈ 0.99 at j=0.8
@@ -487,9 +489,17 @@ object Dedup {
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
           // guard: Spark's sequence(0, n) generates DESCENDING for n<0
           .filter(size(col("w")) >= SpanK)
+        // gram identity = xxhash64 of the 8-token slice, not the joined
+        // string: the gram column only ever feeds the count shuffle and
+        // the seed join, so keying on the 8-byte hash shuffles ~8× fewer
+        // bytes and skips the per-gram string build (guide §2.3). Same
+        // discipline as the hashed shingle sets: tokens are whitespace-
+        // free, so slice equality ≡ joined-string equality, and a 64-bit
+        // collision is absent at oracle scale (it would surface as a hash
+        // mismatch there).
         val grams = toks.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), size(col("w")) - SpanK),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(SpanK))))))
+            i => xxhash64(slice(col("w"), i + 1, lit(SpanK))))))
           .toDF("doc_id", "pos", "gram")
         val dup = grams.groupBy("gram").count()
           .filter(col("count") > 1).select("gram")
@@ -547,10 +557,11 @@ object Dedup {
         val SpanK = 8
         val toks = docs(s, d)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        // hashed gram keys — see doc_dup_spans
         val grams = toks.filter(size(col("w")) >= SpanK)
           .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), size(col("w")) - SpanK),
-              i => concat_ws(" ", slice(col("w"), i + 1, lit(SpanK))))))
+              i => xxhash64(slice(col("w"), i + 1, lit(SpanK))))))
           .toDF("doc_id", "pos", "gram")
         val firstOcc = grams.groupBy("gram")
           .agg(count(lit(1)).as("n"),

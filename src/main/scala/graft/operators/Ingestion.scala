@@ -91,8 +91,17 @@ object Ingestion {
   private def anomaliesFrom(surv: DataFrame, lines: DataFrame): DataFrame =
     CanonicalChain.anomaliesFrom(surv, lines)
 
+  // the anomaly grain is the reference's stored CAN_TXN_ANOMALY table —
+  // materialized like the header/line grains (it is read by four queries,
+  // each of which previously re-derived the explode/filter pass over the
+  // wide cached survivor + line frames per execution)
   private def allAnomalies(s: SparkSession, d: String): DataFrame =
-    anomaliesFrom(survivors(s, d), allLines(s, d))
+    materialize(s, d, "anomalies",
+      partKeys = Seq(col("canonical_txn_id")),
+      order = Seq(col("canonical_txn_id"), col("anomaly_code"),
+        col("line_number"), col("src_file"))) {
+      anomaliesFrom(survivors(s, d), allLines(s, d))
+    }
 
   // ------------------------------------------------------------------
   // Typed canonical model (Dataset[T] face of the same plans; SURVEY §3)
@@ -132,6 +141,7 @@ object Ingestion {
     allHeaders(s, d).count()
     survivors(s, d).count()
     allLines(s, d).count()
+    allAnomalies(s, d).count()
   }
 
   private val headerOutCols = Seq("client_id", "source_system", "source_txn_id",

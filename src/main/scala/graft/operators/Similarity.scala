@@ -51,6 +51,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"),
         VectorOps.norm(col("embedding")).as("nrm"))
 
+  /** Fanned-out variant for the O(n²)-ish pair generators (brute pairs,
+    * SRP band hashing + collision scoring): their per-row work is heavy
+    * enough that a one-row-group scan serializes the whole operator —
+    * see Tables.fanOut. The cheap map-only consumers stay on the plain
+    * scan (the exchange would cost more than it parallelizes).
+    */
+  private def embsFanned(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+
   /** High-threshold embedding near-dup pairs over any (vec_id, embedding)
     * frame: SRP blocking tuned for the near-dup band (16 bits × 72 bands),
     * exact cosine verification on the candidates only. Candidate volume on
@@ -62,7 +73,7 @@ object Similarity {
       dim: Int = Dim): DataFrame = {
     // dim must match the frame's embedding width: the SRP plane matrix is
     // sized by it, and a mismatch silently projects only a prefix
-    val withNorm = e.select(col("vec_id"), col("embedding"),
+    val withNorm = Tables.fanOut(e).select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
     // verify-then-dedup (same shape as emb_cosine_lsh): vectors ride
     // through the band join, the codegen'd cosine runs at each collision,
@@ -137,32 +148,75 @@ object Similarity {
     * the in-process analogue of storing a trained IVF index; every probe
     * re-deriving the Lloyd chain would re-pay the fit.
     */
-  private def centroids(s: SparkSession, d: String): DataFrame =
+  private[graft] def centroids(s: SparkSession, d: String): DataFrame =
     centCache.getOrElseUpdate(s, d)(
       graft.Caches.pinDim(fitCentroids(s, d), col("c_id")))
 
+  /** Driver-side Lloyd fit over the bounded sample. Both inputs are
+    * bounded BY DESIGN at any corpus size — seeds ≤ ~2·MaxCentroids rows,
+    * fit ≤ ~2·FitSample rows (≈5 MB of floats) — so the rounds are pure
+    * in-memory loops: the production train-on-sample recipe (FAISS trains
+    * IVF centroids on one node from a sample for the same reason). The
+    * only corpus-sized pass, the final cell assignment, stays distributed
+    * (ivfAssigned). The previous DataFrame loop paid a sample×C row
+    * expansion plus two aggregation exchanges PER ITERATION to express a
+    * per-row argmax (guide §2.4/§5: the driver does dimension-sized work
+    * only). Arithmetic is the same double-widened left-to-right fold as
+    * FloatVectorDot/elementMean; the argmax keeps the first maximum in
+    * ascending-c_id order, matching the broadcast join's build-row order.
+    */
   private def fitCentroids(s: SparkSession, d: String): DataFrame = {
-    val e = embs(s, d)
+    // raw table, not the fanned-out embs: the fit only COLLECTS bounded
+    // samples, and the fan-out exchange would be a pure extra stage
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
     val n = e.count()
     val seedStride = math.max(50L, n / MaxCentroids)
     val fitStride = math.max(1L, n / FitSample)
-    val seeds = e.filter(col("vec_id") % seedStride === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val fit = if (fitStride == 1L) e else e.filter(col("vec_id") % fitStride === 0)
-    (1 to KmeansIters).foldLeft(seeds) { (c, _) =>
-      val assigned = fit.join(broadcast(c), lit(true))
-        .withColumn("ccos", VectorOps.cosinePre(
-          col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-        .groupBy("vec_id")
-        .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
-          first(col("embedding")).as("embedding"))
-      assigned
-        .groupBy("c_id")
-        .agg(elementMean(Dim, col("embedding")).as("c_emb"))
-        .select(col("c_id"), col("c_emb"),
-          VectorOps.norm(col("c_emb")).as("c_nrm"))
+    def collectVecs(df: DataFrame): Array[(Long, Array[Float])] =
+      df.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    val seeds = collectVecs(e.filter(col("vec_id") % seedStride === 0))
+    val fit = collectVecs(
+      if (fitStride == 1L) e else e.filter(col("vec_id") % fitStride === 0))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val len = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < len) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
     }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    var cents: Array[(Long, Array[Float], Double)] =
+      seeds.map { case (id, v) => (id, v, norm(v)) }
+    for (_ <- 1 to KmeansIters) {
+      // E-step: nearest centroid per fit vector; M-step: per-dimension
+      // double mean accumulated in ascending-vec_id fit order
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Double], Long)]
+      fit.foreach { case (_, v) =>
+        val nv = norm(v)
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val sc = dot(v, cents(ci)._2) / (nv * cents(ci)._3)
+          if (sc > bestScore) { bestScore = sc; best = ci }
+          ci += 1
+        }
+        val key = cents(if (best < 0) 0 else best)._1
+        val (acc, cnt) = sums.getOrElse(key, (new Array[Double](Dim), 0L))
+        val len = math.min(Dim, v.length)
+        var i = 0
+        while (i < len) { acc(i) += v(i).toDouble; i += 1 }
+        sums(key) = (acc, cnt + 1)
+      }
+      cents = sums.toArray.sortBy(_._1).map { case (id, (acc, cnt)) =>
+        val m = acc.map(x => (x / cnt).toFloat)
+        (id, m, norm(m))
+      }
+    }
+    import s.implicits._
+    cents.toSeq.toDF("c_id", "c_emb", "c_nrm")
   }
 
   private val assignCache = graft.Caches.dfCache()
@@ -173,17 +227,26 @@ object Similarity {
     * re-runs the n×C broadcast-cosine pass (SemDeDup referenced it three
     * times → 3× its dominant cost).
     */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame =
     assignCache.getOrElseUpdate(s, d) {
+      // the fitted centroid matrix is dimension-sized (≤MaxCentroids ×
+      // Dim floats); riding it into a codegen'd per-row argmax makes the
+      // full-corpus cell assignment MAP-ONLY — the previous broadcast
+      // cross-expansion multiplied the corpus by C and paid a full
+      // aggregation exchange to collapse it back (guide §2.4)
       val e = embs(s, d)
-      val c = centroids(s, d)
-      val assigned = e.join(broadcast(c), lit(true))
-        .withColumn("ccos", VectorOps.cosinePre(
-          col("embedding"), col("nrm"), col("c_emb"), col("c_nrm")))
-        .groupBy("vec_id")
-        .agg(max_by(col("c_id"), col("ccos")).as("c_id"),
-          first(col("embedding")).as("embedding"),
-          first(col("nrm")).as("nrm"))
+      val cRows = centroids(s, d).select("c_id", "c_emb", "c_nrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val ids = cRows.map(_._1)
+      val flat = new Array[Float](cRows.length * Dim)
+      cRows.zipWithIndex.foreach { case ((_, v, _), i) =>
+        System.arraycopy(v, 0, flat, i * Dim, math.min(Dim, v.length)) }
+      val cnorms = cRows.map(_._3)
+      val assigned = e.select(col("vec_id"),
+        graft.functions.NearestIdx.nearestCentroidId(
+          col("embedding"), col("nrm"), ids, flat, cnorms, Dim).as("c_id"),
+        col("embedding"), col("nrm"))
       graft.Caches.pinLayout(assigned, partKeys = Seq(col("vec_id")),
         order = Seq(col("vec_id")))
     }
@@ -235,34 +298,74 @@ object Similarity {
     * `elementMean` M-step — the codebook is PqM·PqK rows, always
     * broadcastable), trained once per (session, corpus).
     */
+  /** Flattened (m, code)-sorted codebook for the argmin expression:
+    * entries for subspace m live at [offsets(m), offsets(m+1)).
+    */
+  private def flatCodebook(entries: Array[(Int, Int, Array[Float])])
+      : (Array[Int], Array[Int], Array[Float], Array[Double]) = {
+    val subDim = 64 / PqM
+    val offsets = new Array[Int](PqM + 1)
+    entries.foreach { case (m, _, _) => offsets(m + 1) += 1 }
+    (1 to PqM).foreach(m => offsets(m) += offsets(m - 1))
+    val codes = entries.map(_._2)
+    val cws = new Array[Float](entries.length * subDim)
+    val cwn2 = new Array[Double](entries.length)
+    entries.zipWithIndex.foreach { case ((_, _, cw), i) =>
+      System.arraycopy(cw, 0, cws, i * subDim, math.min(subDim, cw.length))
+      var acc = 0.0; var j = 0
+      while (j < cw.length) { acc += cw(j).toDouble * cw(j).toDouble; j += 1 }
+      cwn2(i) = acc
+    }
+    (offsets, codes, cws, cwn2)
+  }
+
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
     pqCache.getOrElseUpdate(s, d)(graft.Caches.pinDim(
-      { val sub = subvectors(embs(s, d))
+      {
+      val subDim = 64 / PqM
       // seed selection must not assume ANYTHING about the id layout: a
       // modulus stride collapses under sparse/offset ids (e.g. replicated
       // corpora with billion-shifted keys → 4 effective codewords instead
       // of 32, halving recall). Hash-order the ids and take exactly PqK —
       // a deterministic pseudo-random sample at one tiny TakeOrdered job,
       // collected (PqK longs) inside the cached one-time fit
-      val seedIds = embs(s, d).select(col("vec_id"))
+      val seedIds = Tables.embeddings(s, d).select(col("vec_id"))
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
         .collect().map(_.getLong(0)).sorted
-      val seedCodes = s.createDataFrame(
-        seedIds.zipWithIndex.map { case (id, i) => (id, i) }.toSeq)
-        .toDF("vec_id", "code")
-      val seeds = sub.join(broadcast(seedCodes), "vec_id")
-        .select(col("m"), col("code"), col("sv").as("cw"))
-      (1 to PqIters).foldLeft(seeds) { (cb, _) =>
-        val cbn = cb.withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
-        sub.join(broadcast(cbn), Seq("m"))
-          .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
-          .groupBy("vec_id", "m")
-          // struct min: deterministic tie-break on the lower code id
-          .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"),
-            first(col("sv")).as("sv"))
+      val seedVecs = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+      // initial codebook: the seed vectors' subvector slices, code =
+      // seed rank — exactly the old sub⋈seedCodes frame
+      var entries: Array[(Int, Int, Array[Float])] =
+        (for (m <- 0 until PqM; (id, ci) <- seedIds.zipWithIndex)
+          yield (m, ci, seedVecs(id).slice(m * subDim, m * subDim + subDim)))
+          .toArray.sortBy(t => (t._1, t._2))
+      // each Lloyd round is ONE distributed job: a map-only codegen'd
+      // argmin (ascending-code strict-less ≡ the old min(struct(d2,
+      // code)) tie-break) feeding one keyed elementMean aggregation whose
+      // PqM·PqK-row result collects back as the next round's codebook —
+      // the previous fold chained sub⋈broadcast(cb) plans (a PqK× row
+      // expansion + two aggregation exchanges per round) into one lazily
+      // re-executed tree
+      val sub = subvectors(embs(s, d))
+      for (_ <- 1 to PqIters) {
+        val (offsets, codes, cws, cwn2) = flatCodebook(entries)
+        entries = sub
+          .select(col("m"),
+            graft.functions.NearestIdx.nearestCode(col("sv"), col("m"),
+              offsets, codes, cws, cwn2, subDim).as("code"),
+            col("sv"))
           .groupBy("m", "code")
-          .agg(elementMean(64 / PqM, col("sv")).as("cw"))
-      } }, col("m"), col("code")))
+          .agg(elementMean(subDim, col("sv")).as("cw"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+          .sortBy(t => (t._1, t._2))
+      }
+      import s.implicits._
+      entries.toSeq.toDF("m", "code", "cw")
+      }, col("m"), col("code")))
 
   /** The stored PQ index: nearest-codeword id per (vector, subspace) —
     * what a deployment persists in place of the float vectors. Cached per
@@ -271,12 +374,18 @@ object Similarity {
     */
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
     pqCodesCache.getOrElseUpdate(s, d) {
-      val cb = pqCodebook(s, d)
-        .withColumn("cwn2", VectorOps.dot(col("cw"), col("cw")))
-      val codes = subvectors(embs(s, d)).join(broadcast(cb), Seq("m"))
-        .withColumn("d2", d2(col("sv"), col("cw"), col("cwn2")))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      // map-only code assignment against the fitted codebook (collected —
+      // PqM·PqK rows by construction): no PqK× row expansion, no
+      // aggregation exchange (see ivfAssigned)
+      val subDim = 64 / PqM
+      val entries = pqCodebook(s, d).select("m", "code", "cw").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .sortBy(t => (t._1, t._2))
+      val (offsets, codes0, cws, cwn2) = flatCodebook(entries)
+      val codes = subvectors(embs(s, d))
+        .select(col("vec_id"), col("m"),
+          graft.functions.NearestIdx.nearestCode(col("sv"), col("m"),
+            offsets, codes0, cws, cwn2, subDim).as("code"))
       graft.Caches.pinLayout(codes, partKeys = Seq(col("vec_id")),
         order = Seq(col("vec_id"), col("m")))
     }
@@ -391,9 +500,9 @@ object Similarity {
     // Norms are precomputed map-side so each pair costs one dot product.
     "emb_cosine_pairs" -> Q(
       (s, d) => {
-        val a = embs(s, d).select(col("vec_id").as("vec_id_a"),
+        val a = embsFanned(s, d).select(col("vec_id").as("vec_id_a"),
           col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-        val b = embs(s, d).select(col("vec_id").as("vec_id_b"),
+        val b = embsFanned(s, d).select(col("vec_id").as("vec_id_b"),
           col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         a.join(b, col("vec_id_a") < col("vec_id_b"))
           .withColumn("cosine", VectorOps.cosinePre(
@@ -433,7 +542,7 @@ object Similarity {
         // the codegen'd dot at each band collision instead is pure map
         // work, and the distinct then runs over only the pairs that PASS
         // the threshold (~3 orders of magnitude fewer rows).
-        val keyed = embs(s, d).select(col("vec_id"), col("embedding"),
+        val keyed = embsFanned(s, d).select(col("vec_id"), col("embedding"),
           col("nrm"),
           explode(HashExprs.srpBands(col("embedding"), Dim, SrpBits, SrpBands))
             .as("bk"))

@@ -36,6 +36,9 @@ object TextAnalysis {
   private def hits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isInCollection(stopwords(lang)))).cast("long")
 
+  // NOT fanned out: this module's per-row map work is plain tokenizing
+  // and regex screens, measured cheaper than the repartition exchange
+  // fanOut would add (the heavy hash chains in Dedup/Similarity fan out)
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
@@ -269,10 +272,12 @@ object TextAnalysis {
     // window and regression run on the 1000-row frame.
     "doc_zipf_slope" -> Q(
       (s, d) => {
-        val freq = docs(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        // corpus token counts re-aggregated from the stored tf index
+        // (sum of per-doc tf ≡ the count over the exploded stream)
+        val freq = Curation.tfIndex(s, d)
+          .select(col("term").as("tok"), col("tf"))
           .filter(length(col("tok")) > 0)
-          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .groupBy("tok").agg(sum("tf").as("n"))
         val top = freq.orderBy(col("n").desc, col("tok")).limit(1000)
         top.withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -532,10 +537,10 @@ object TextAnalysis {
     "doc_token_entropy" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val counts = docs(s, d)
-          .select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        // (doc, token) counts from the stored tf index (same rows: lang
+        // is a doc attribute, so dropping it leaves the grain intact)
+        val counts = Curation.tfIndex(s, d)
+          .select(col("doc_id"), col("term").as("tok"), col("tf").as("c"))
         val n = sum(col("c")).over(Window.partitionBy("doc_id"))
         counts
           .withColumn("n", n)

@@ -58,6 +58,7 @@ object R15Prof {
           val warmDir = "/root/testdata/sf0.001"
           if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
             graft.operators.Ingestion.buildCanonical(spark, warmDir)
+            graft.operators.Curation.buildTfIndex(spark, warmDir)
             graft.operators.Dedup.buildCandidates(spark, warmDir)
             graft.operators.Dedup.buildFingerprints(spark, warmDir)
             graft.operators.Similarity.buildIndex(spark, warmDir)
@@ -85,12 +86,20 @@ object R15Prof {
             graft.operators.Ingestion.survivors(spark, sfDir).count(): Unit),
           "canon:lines" -> (() =>
             graft.operators.Ingestion.allLines(spark, sfDir).count(): Unit),
+          "build:tf_index" -> (() =>
+            graft.operators.Curation.buildTfIndex(spark, sfDir): Unit),
           "build:lsh_candidates" -> (() =>
             graft.operators.Dedup.buildCandidates(spark, sfDir): Unit),
           "build:fingerprints" -> (() =>
             graft.operators.Dedup.buildFingerprints(spark, sfDir): Unit),
-          "build:ivf_index" -> (() =>
-            graft.operators.Similarity.buildIndex(spark, sfDir): Unit),
+          "ivf:fit" -> (() =>
+            graft.operators.Similarity.centroids(spark, sfDir).count(): Unit),
+          "ivf:assign" -> (() =>
+            graft.operators.Similarity.ivfAssigned(spark, sfDir).count(): Unit),
+          "pq:codebook" -> (() =>
+            graft.operators.Similarity.pqCodebook(spark, sfDir).count(): Unit),
+          "pq:codes" -> (() =>
+            graft.operators.Similarity.pqCodes(spark, sfDir).count(): Unit),
           "cc:edges" -> (() =>
             graft.operators.Curation.nearDupEdges(spark, sfDir).count(): Unit),
           "cc:minlabel" -> (() =>
@@ -99,8 +108,6 @@ object R15Prof {
             graft.operators.Curation.bigStarCached(spark, sfDir).count(): Unit),
           "build:pca" -> (() =>
             graft.operators.Similarity.buildPca(spark, sfDir): Unit),
-          "build:pq_index" -> (() =>
-            graft.operators.Similarity.buildPq(spark, sfDir): Unit),
           "build:bpe_merges" -> (() =>
             graft.operators.TextAnalysis.buildBpeMerges(spark, sfDir): Unit))
         builds.foreach { case (k, f) =>
