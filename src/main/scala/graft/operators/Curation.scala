@@ -220,7 +220,17 @@ object Curation {
     * first timed iteration.
     */
   def buildClusters(s: SparkSession, d: String): Unit = {
-    clusterLabels(s, d); bigStarCached(s, d); ()
+    // the two labelings are independent consumers of the same edge set:
+    // materialize the shared input once, then run the loops from two
+    // driver threads so each loop's stage tail back-fills the other's
+    // idle cores (guide §2.6 — overlap independent jobs). Results are
+    // unchanged: each loop is deterministic and touches its own cache
+    // key.
+    nearDupEdges(s, d)
+    val minLabel = new Thread(() => { clusterLabels(s, d); () })
+    minLabel.start()
+    bigStarCached(s, d)
+    minLabel.join()
   }
 
   /** DuckDB CTEs `exg`/`ep`: exact-dup edges (canonical = min doc_id per

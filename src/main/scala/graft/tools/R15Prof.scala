@@ -88,8 +88,12 @@ object R15Prof {
             graft.operators.Ingestion.allLines(spark, sfDir).count(): Unit),
           "build:tf_index" -> (() =>
             graft.operators.Curation.buildTfIndex(spark, sfDir): Unit),
-          "build:lsh_candidates" -> (() =>
-            graft.operators.Dedup.buildCandidates(spark, sfDir): Unit),
+          "lsh:shingles" -> (() =>
+            graft.operators.Dedup.hashedShingles(spark, sfDir).count(): Unit),
+          "lsh:candidates" -> (() =>
+            graft.operators.Dedup.lshCandidates(spark, sfDir).count(): Unit),
+          "lsh:containment" -> (() =>
+            graft.operators.Dedup.containmentCandidatesCached(spark, sfDir).count(): Unit),
           "build:fingerprints" -> (() =>
             graft.operators.Dedup.buildFingerprints(spark, sfDir): Unit),
           "ivf:fit" -> (() =>
