@@ -20,6 +20,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (r15): size-based AQE coalescing (parallelismFirst=false +
+      // a small advisory byte target) was A/B'd here and REJECTED — it
+      // trims task-storm overhead on trivial stages but serializes the
+      // compute-heavy small-byte stages (band-collision verification
+      // regressed 20%); the default parallelism-first coalescing wins on
+      // this workload at every measured core count.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -604,16 +604,23 @@ object Curation {
     // bounded by document length.
     "doc_bigram_lm" -> Q(
       (s, d) => {
-        val seq = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = docs(s, d).select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
-        val bt = toks
-          .withColumn("prev", lag("term", 1).over(seq))
-          .filter(col("prev").isNotNull)
+        // bigrams form MAP-ONLY from the bound token array (adjacent
+        // slices zipped — the bpeTrain pair shape): the previous
+        // posexplode + lag window paid an exchange AND a per-doc sort
+        // just to pair adjacent tokens the array already held adjacently
+        val bt = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => struct(a.as("prev"), b.as("term")))).as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"),
+            col("p.term").as("term"))
           .groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("tf"))
         val bigram = bt.groupBy("prev", "term").agg(sum("tf").as("c2"))
         val context = bigram.groupBy("prev").agg(sum("c2").as("c1"))
-        val vocab = toks.agg(countDistinct(col("term")).as("vocab"))
+        // distinct-term count from the stored tf index (same term set)
+        val vocab = tfIndex(s, d).agg(countDistinct(col("term")).as("vocab"))
         bt.join(bigram, Seq("prev", "term")).join(context, Seq("prev"))
           .crossJoin(broadcast(vocab))
           .groupBy("doc_id")
