@@ -26,6 +26,14 @@ object Bench {
       // compute-heavy small-byte stages (band-collision verification
       // regressed 20%); the default parallelism-first coalescing wins on
       // this workload at every measured core count.
+      // columnar-cache compression is a CPU-for-memory trade: the stored
+      // staging tables/indexes are read-hot (10+ consumers each), and the
+      // A/B measured compression costing 3-6x on both the cache build and
+      // every cached read of the wide string grains. Default OFF for this
+      // engine (MEMORY_AND_DISK spill still bounds memory); the env knob
+      // restores Spark's default for memory-tight deployments.
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

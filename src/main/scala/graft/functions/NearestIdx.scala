@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   */
 object NearestIdx {
 
+  /** Short stable content digest for plan rendering. */
+  private def tag(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Id of the candidate maximizing dot(v, c_i) / (nrm · cnorm_i),
     * scanned in ascending-id order (`ids` sorted). `cents` is row-major
     * k×dim. A row whose scores are all NaN (zero-norm vector) resolves to
@@ -42,6 +47,15 @@ object NearestIdx {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "argmax_cosine"
+
+    // stable rendering: the default product toString prints the array
+    // references' identity hashCodes, which differ per JVM and would ride
+    // the bench's plan-fingerprint ledger; render a CONTENT digest
+    // instead so identical candidate matrices canonicalize identically
+    private lazy val contentTag: String = NearestIdx.tag(
+      ids.mkString(",") + "|" + cents.mkString(",") + "|" + cnorms.mkString(","))
+    override def toString: String =
+      s"argmax_cosine($left, $right, k=${ids.length}, dim=$dim, $contentTag)"
 
     private def k: Int = cnorms.length
 
@@ -123,6 +137,13 @@ object NearestIdx {
 
     override def dataType: DataType = IntegerType
     override def prettyName: String = "argmin_d2_sub"
+
+    // see ArgMaxCosine.toString — content digest, not array identities
+    private lazy val contentTag: String = NearestIdx.tag(
+      offsets.mkString(",") + "|" + codes.mkString(",") + "|" +
+        cws.mkString(",") + "|" + cwn2.mkString(","))
+    override def toString: String =
+      s"argmin_d2_sub($left, $right, n=${codes.length}, subDim=$subDim, $contentTag)"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val sv = a.asInstanceOf[ArrayData]
