@@ -145,6 +145,12 @@ object Bench {
           // token down to the declaring class, render-agnostically
           .replaceAll("Lambda\\$?\\d*/(0x)?[0-9a-fA-F]+(@[0-9a-fA-F]+)?",
             "Lambda")
+          // higher-order-function lambda variables carry a SESSION-global
+          // ordinal (x_1, y_7, …) allocated at plan-creation time; with
+          // concurrent build threads the allocation order races, so the
+          // ordinal — like the exprId after it — is a render artifact,
+          // not plan structure
+          .replaceAll("lambda [A-Za-z]+_\\d+", "lambda v")
           .replaceAll("@[0-9a-f]{4,}", "@x")
           .replaceAll("FILTER \\(WHERE \\(\\d+ =", "FILTER (WHERE (k =")
         java.security.MessageDigest.getInstance("SHA-256")

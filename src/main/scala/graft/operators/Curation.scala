@@ -226,6 +226,10 @@ object Curation {
     // idle cores (guide §2.6 — overlap independent jobs). Results are
     // unchanged: each loop is deterministic and touches its own cache
     // key.
+    // (the loops create per-round plans inside their threads; their
+    // consumers' ledger entries stay stable because the final label
+    // frames are lambda-free pinned caches — see Bench.planHash's
+    // lambda-ordinal normalization for the general guard)
     nearDupEdges(s, d)
     val minLabel = new Thread(() => { clusterLabels(s, d); () })
     minLabel.start()

@@ -127,13 +127,19 @@ object Dedup {
     */
   def buildCandidates(s: SparkSession, d: String): Long = {
     // the minhash-band candidates are independent of the shingle/exact/
-    // containment chain — overlap them from a second driver thread
-    // (guide §2.6); each materializes its own cache key
+    // containment chain — overlap their MATERIALIZATION from a second
+    // driver thread (guide §2.6). Plan CREATION stays serial on this
+    // thread: expression-id and lambda-variable ordinals are allocated
+    // session-globally at creation, and racing them would make the
+    // cached plans (and the bench fingerprint ledger) timing-dependent.
+    val lshDf = lshCandidates(s, d)
+    val hsDf = hashedShingles(s, d)
+    val exDf = exactDedup(s, d)
+    val contDf = containmentCandidatesCached(s, d)
     var lsh = 0L
-    val t = new Thread(() => { lsh = lshCandidates(s, d).count() })
+    val t = new Thread(() => { lsh = lshDf.count() })
     t.start()
-    val rest = hashedShingles(s, d).count() + exactDedup(s, d).count() +
-      containmentCandidatesCached(s, d).count()
+    val rest = hsDf.count() + exDf.count() + contDf.count()
     t.join()
     lsh + rest
   }
